@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Mimics the driver's t1 smoke: a fresh default session (none of our
+  * confs preset) calling SparkEntry.entry, checking rows > 0. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(5)
+    println(s"[smoke] entry rows=$n schema=${df.schema.simpleString}")
+    assert(n > 0, "entry returned no rows")
+    spark.stop()
+  }
+}

@@ -1,13 +1,242 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.operators.{Frame, FrameEndpoint, TidierOps}
+import TidierOps._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query keys mirror SURVEY.md §2.5 (the reference's behavior inventory,
+  * tests/testthat/tests_tidier.R) re-expressed over the driver's parquet
+  * fixtures (FIXTURES.md §C mapping). Oracle-parity conventions:
+  *   - float aggregates are `round(_, 4)` on BOTH sides (FP summation order
+  *     differs between engines; SURVEY.md §7.4 risk 1);
+  *   - order keys always include a unique tiebreaker (row-frame results are
+  *     otherwise nondeterministic across engines);
+  *   - `events.ts` is nanosecond-precision parquet — read Spark-side as an
+  *     epoch-nanos long (see [[events]]), ordered identically by DuckDB's
+  *     ns timestamps; results never expose raw `ts`;
+  *   - empty frames yield NULL (Spark/SQL) where R yields NaN — normalized
+  *     to NULL by policy (SURVEY.md §1.2).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as an
+    * illegal type unless read as a raw long of epoch-nanoseconds
+    * (`spark.sql.legacy.parquet.nanosAsLong`). The long is actually the
+    * BETTER fidelity choice: ordering by it matches DuckDB's ns-precision
+    * ordering exactly (a µs-truncated TimestampType would tie-break
+    * differently on sub-µs neighbors). Day-granularity projections use
+    * integer `div` (not `/`, which is double division and rounds at 1e18). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** ts (epoch-nanos long) → DateType, truncating like CAST(ts AS DATE). */
+  private val tsDate = expr("cast(timestamp_micros(ts div 1000) as date)")
+
+  /** Epsilon-biased 4-decimal rounding, applied identically in the oracle
+    * SQL (`round(1e-9 + x, 4)`). Aggregates of 2-decimal inputs regularly
+    * land EXACTLY on a rounding boundary (e.g. avg of 8 values = x.xxxx5);
+    * there Spark's BigDecimal HALF_UP and DuckDB's scaled-double rounding
+    * disagree based on 1-ulp summation-order noise. The 1e-9 bias (huge vs
+    * the ~1e-13 noise, tiny vs any legitimate value gap) pushes halfway
+    * values decisively over the boundary in BOTH engines. */
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  /** Flagship: the reference's README headline (mean over the trailing 7
+    * days per group, README.md:26-54) on `events` — per-user mean value over
+    * the day-range frame [day-7, day-1]. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("window_range_index")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core mutate paths (SURVEY §2.1 decision tree) ----
+    "mutate_plain" -> ((s, dir) => {
+      // Path 1: plain vectorized mutate (tests_tidier.R:2-12).
+      t(s, dir, "lineitem")
+        .mutateW("revenue" ->
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))()
+        .select("l_orderkey", "l_linenumber", "revenue")
+    }),
+    "mutate_grouped" -> ((s, dir) => {
+      // Path 4: `.by` only — group-constant aggregate (tests_tidier.R:51-74).
+      t(s, dir, "lineitem")
+        .mutateW("avg_price" -> avg(col("l_extendedprice")))(
+          by = Seq(col("l_returnflag")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          r4(col("avg_price")).as("avg_price"))
+    }),
+    "order_cumsum" -> ((s, dir) => {
+      // `.order_by` + running aggregate (tests_tidier.R:14-49).
+      t(s, dir, "lineitem")
+        .mutateW("cum_qty" -> sum(col("l_quantity")))(
+          by = Seq(col("l_returnflag")),
+          orderBy = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("cum_qty")).as("cum_qty"))
+    }),
+    "order_desc_multi" -> ((s, dir) => {
+      // Multi-key mixed asc/desc ordering (tests_tidier.R:25-31,41-48).
+      t(s, dir, "orders")
+        .mutateW("rn" -> row_number())(
+          by = Seq(col("o_orderpriority")),
+          orderBy = Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .select("o_orderkey", "rn")
+    }),
+    "window_rows_unbounded" -> ((s, dir) => {
+      // `.frame = c(Inf, 0)` cumulative mean (tests_tidier.R:76-97).
+      t(s, dir, "lineitem")
+        .mutateW("run_avg" -> avg(col("l_extendedprice")))(
+          by = Seq(col("l_returnflag")),
+          orderBy = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          frame = Some(Frame.cumulative))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("run_avg")).as("run_avg"))
+    }),
+    "window_rows_sym" -> ((s, dir) => {
+      // Finite symmetric rows frame + `.by` — the reference's one real
+      // differential test (tests_tidier.R:271-323).
+      events(s, dir)
+        .mutateW("avg_v" -> avg(col("value")))(
+          by = Seq(col("user_id")),
+          orderBy = Seq(col("ts"), col("event_id")),
+          frame = Some(Frame.rows(3, 3)))
+        .select(col("event_id"), r4(col("avg_v")).as("avg_v"))
+    }),
+    "window_range_index" -> ((s, dir) => {
+      // Period frame over a date index with gaps (tests_tidier.R:99-160):
+      // [day-7, day-1], current day excluded (negative `after`).
+      events(s, dir)
+        .mutateW("trail_avg" -> avg(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.days(7, -1)),
+          index = Some(tsDate))
+        .select(col("event_id"), r4(col("trail_avg")).as("trail_avg"))
+    }),
+    "window_overwrite" -> ((s, dir) => {
+      // Same-name column replacement (tests_tidier.R:162-269).
+      t(s, dir, "lineitem")
+        .mutateW("l_quantity" -> avg(col("l_quantity")))(
+          by = Seq(col("l_returnflag")),
+          orderBy = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          frame = Some(Frame.rows(2, 0)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("l_quantity")).as("l_quantity"))
+    }),
+    "window_complete" -> ((s, dir) => {
+      // `.complete = TRUE` NULL-gating (R/mutate.R:58-62; no ref test).
+      events(s, dir)
+        .mutateW("avg_v" -> avg(col("value")))(
+          by = Seq(col("user_id")),
+          orderBy = Seq(col("ts"), col("event_id")),
+          frame = Some(Frame.rows(2, 2)),
+          complete = true)
+        .select(col("event_id"), r4(col("avg_v")).as("avg_v"))
+    }),
+    "window_multi_expr" -> ((s, dir) => {
+      // ≥2 expressions sharing ONE frame (R/mutate.R:133 quosure splice) —
+      // CollapseWindow must merge these into a single WindowExec.
+      events(s, dir)
+        .mutateW(
+          "sum_v" -> sum(col("value")),
+          "avg_v" -> avg(col("value")),
+          "n_v"   -> count(lit(1)),
+          "min_v" -> min(col("value")),
+          "max_v" -> max(col("value")))(
+          by = Seq(col("user_id")),
+          orderBy = Seq(col("ts"), col("event_id")),
+          frame = Some(Frame.rows(3, 0)))
+        .select(col("event_id"), r4(col("sum_v")).as("sum_v"),
+          r4(col("avg_v")).as("avg_v"), col("n_v"),
+          col("min_v"), col("max_v"))
+    }),
+    "window_noby_frame" -> ((s, dir) => {
+      // Path 2: frame without partition — single-partition global window;
+      // kept on the 25-row `nation` table by design (SURVEY §4.2 scale note).
+      t(s, dir, "nation")
+        .mutateW("cum_key" -> sum(col("n_nationkey")))(
+          orderBy = Seq(col("n_nationkey")),
+          frame = Some(Frame(FrameEndpoint.Unbounded, FrameEndpoint.Rows(0))))
+        .select("n_nationkey", "cum_key")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mutate_plain" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice * (1 - l_discount), 4) AS revenue
+         FROM lineitem""",
+    "mutate_grouped" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+         round(1e-9 + avg(l_extendedprice) OVER (PARTITION BY l_returnflag), 4) AS avg_price
+         FROM lineitem""",
+    "order_cumsum" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(1e-9 + sum(l_quantity) OVER (PARTITION BY l_returnflag
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_qty
+         FROM lineitem""",
+    "order_desc_multi" ->
+      """SELECT o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders""",
+    "window_rows_unbounded" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(1e-9 + avg(l_extendedprice) OVER (PARTITION BY l_returnflag
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_avg
+         FROM lineitem""",
+    "window_rows_sym" ->
+      """SELECT event_id,
+         round(1e-9 + avg(value) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS avg_v
+         FROM events""",
+    "window_range_index" ->
+      """SELECT event_id,
+         round(1e-9 + avg(value) OVER (PARTITION BY user_id
+           ORDER BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS trail_avg
+         FROM events""",
+    "window_overwrite" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(1e-9 + avg(l_quantity) OVER (PARTITION BY l_returnflag
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS l_quantity
+         FROM lineitem""",
+    "window_complete" ->
+      """SELECT event_id,
+         CASE WHEN count(*) OVER w = 5
+              THEN round(1e-9 + avg(value) OVER w, 4) END AS avg_v
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""",
+    "window_multi_expr" ->
+      """SELECT event_id,
+         round(1e-9 + sum(value) OVER w, 4) AS sum_v,
+         round(1e-9 + avg(value) OVER w, 4) AS avg_v,
+         count(*) OVER w AS n_v,
+         min(value) OVER w AS min_v,
+         max(value) OVER w AS max_v
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+    "window_noby_frame" ->
+      """SELECT n_nationkey,
+         sum(n_nationkey) OVER (ORDER BY n_nationkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_key
+         FROM nation"""
+  )
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+/** Spark-native rendering of the reference's windowed-mutate operator
+  * (reference: R/mutate.R:120-354 `mutate_`, :474-739 `mutate` — the entire
+  * public surface of talegari/tidier v0.2.0).
+  *
+  * The reference materializes a window slice per row and re-aggregates it
+  * (`slider::slide`, R/mutate.R:206-212 — O(n·w) interpreted R). Here the
+  * same five-path decision tree (SURVEY.md §2.1) compiles to declarative
+  * `Column` aggregates over a shared `WindowSpec`, so Catalyst's
+  * `ExtractWindowExpressions` + `CollapseWindow` produce ONE sort-based
+  * `WindowExec` per spec regardless of how many expressions are attached —
+  * per-partition buffered evaluation, spill-capable, shuffle-parallel on the
+  * `.by` keys. No custom plan nodes are needed; `.complete` (the one
+  * capability Spark lacks natively) is ~15 lines of Column algebra.
+  *
+  * Decision tree (df branch of the reference, R/mutate.R:574-664):
+  *   1. no by / no order / no frame  → plain `withColumns`
+  *   2. frame, no by                 → global window over input row order
+  *   3. frame + index, no by         → global range window over the index
+  *   4. by only                      → group window (running if ordered)
+  *   5. by + frame (± index)         → partitioned rows/range window
+  */
+object TidierOps {
+
+  private val RID = "__tidier_rid__" // captured input row id (order restore)
+  private val IDX = "__tidier_idx__" // numeric projection of the index col
+
+  implicit class TidierDF(val df: DataFrame) {
+
+    /** Windowed mutate. Every expression in `exprs` must be an aggregate or
+      * window-function `Column` when any of `by` / `orderBy` / `frame` is
+      * given (the reference has the same contract: windowed expressions are
+      * evaluated under `summarise`, one value per slice, R/mutate.R:208,586).
+      * Same-name keys overwrite existing columns (`withColumn` semantics =
+      * the reference's `remove_common_nested_columns` bugfix, NEWS.md:8).
+      *
+      * @param by       partition keys (`.by`, R/mutate.R:153-160)
+      * @param orderBy  sort keys incl. `.desc` via `col.desc`
+      *                 (`.order_by`/`.desc`, R/mutate.R:141-150)
+      * @param frame    `c(before, after)` frame (`.frame`); None + orderBy
+      *                 gives running (rows unbounded-preceding..current)
+      *                 semantics, matching R cumulative fns after the
+      *                 reference's pre-sort; None without orderBy gives
+      *                 whole-group frames (dplyr grouped-mutate semantics)
+      * @param index    `.index` column for range frames (R/mutate.R:55-56).
+      *                 Range windows order on the index itself — the sane
+      *                 resolution of the reference allowing `.order_by` ≠
+      *                 `.index` (SURVEY.md §7.4 risk 2)
+      * @param complete `.complete = TRUE` → incomplete (edge-truncated)
+      *                 windows yield NULL instead of a partial aggregate
+      *                 (R/mutate.R:58-62)
+      * @param restoreOrder re-sort to the captured input row order before
+      *                 returning, as the reference's `mutate_` does
+      *                 (R/mutate.R:291). Default FALSE — deliberate deviation
+      *                 from SURVEY §2.1's restore-by-default: a global sort
+      *                 purely for cosmetic row order is a full extra shuffle
+      *                 at 100 TB, Spark DataFrames carry no row-order
+      *                 contract, and the NSE `mutate` branch of the reference
+      *                 itself returns sorted order (R/mutate.R:561 dead
+      *                 store). Opt in for strict `mutate_` fidelity.
+      */
+    def mutateW(exprs: (String, Column)*)(
+        by: Seq[Column] = Nil,
+        orderBy: Seq[Column] = Nil,
+        frame: Option[Frame] = None,
+        index: Option[Column] = None,
+        complete: Boolean = false,
+        restoreOrder: Boolean = false): DataFrame = {
+      require(exprs.nonEmpty, "mutateW needs at least one name -> expr pair")
+
+      val windowed = by.nonEmpty || orderBy.nonEmpty || frame.isDefined
+      if (!windowed) {
+        // Path 1: plain mutate (R/mutate.R:200,578).
+        return df.withColumns(exprs.toMap)
+      }
+
+      val isRange = frame.exists(_.isRange)
+      require(!isRange || index.isDefined,
+        "a Days/Seconds (Period) frame requires an index column (.index)")
+
+      // Frames without explicit ordering slide over the input row order,
+      // like slider does (R/mutate.R:204-215) — capture it explicitly.
+      val needRid = restoreOrder || (frame.isDefined && !isRange && orderBy.isEmpty)
+      val withRid =
+        if (needRid) df.withColumn(RID, monotonically_increasing_id()) else df
+
+      // Range frames order on a numeric projection of the index at the
+      // frame's granularity (DateType/TimestampType aren't valid
+      // rangeBetween order types for long offsets).
+      val prepared = if (isRange) {
+        val granularityIsDays = frame.get.isRange && (Seq(frame.get.before,
+          frame.get.after).exists(_.isInstanceOf[FrameEndpoint.Days]))
+        val idxNum =
+          if (granularityIsDays)
+            datediff(index.get.cast(DateType), to_date(lit("1970-01-01")))
+          else index.get.cast(TimestampType).cast("long")
+        withRid.withColumn(IDX, idxNum)
+      } else withRid
+
+      val part: WindowSpec = Window.partitionBy(by: _*)
+
+      def endpointLong(e: FrameEndpoint, isBefore: Boolean): Long = e match {
+        case FrameEndpoint.Unbounded =>
+          if (isBefore) Window.unboundedPreceding else Window.unboundedFollowing
+        case FrameEndpoint.Rows(n)    => if (isBefore) -n else n
+        case FrameEndpoint.Days(n)    => if (isBefore) -n else n
+        case FrameEndpoint.Seconds(n) => if (isBefore) -n else n
+      }
+
+      val spec: WindowSpec = frame match {
+        case Some(f) if f.isRange =>
+          part.orderBy(col(IDX))
+            .rangeBetween(endpointLong(f.before, isBefore = true),
+                          endpointLong(f.after, isBefore = false))
+        case Some(f) =>
+          val ordered =
+            if (orderBy.nonEmpty) part.orderBy(orderBy: _*)
+            else part.orderBy(col(RID))
+          ordered.rowsBetween(endpointLong(f.before, isBefore = true),
+                              endpointLong(f.after, isBefore = false))
+        case None if orderBy.nonEmpty =>
+          // Running semantics: R cumulative fns are row-positional, so rows
+          // (not the SQL default RANGE, which merges order-key peers).
+          part.orderBy(orderBy: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        case None =>
+          part // whole-group frame (dplyr grouped mutate of an aggregate)
+      }
+
+      // `.complete` gating (R/mutate.R:58-62 + slider .complete): NULL out
+      // windows whose frame is truncated by the partition/index edge.
+      val gate: Option[Column] = frame match {
+        case Some(f) if complete && f.isFinite && !f.isRange =>
+          val expected = (endpointLong(f.after, isBefore = false)
+            - endpointLong(f.before, isBefore = true) + 1).max(0)
+          Some(count(lit(1)).over(spec) === lit(expected))
+        case Some(f) if complete && f.isFinite && f.isRange =>
+          val lo = col(IDX) + lit(endpointLong(f.before, isBefore = true))
+          val hi = col(IDX) + lit(endpointLong(f.after, isBefore = false))
+          Some(lo >= min(col(IDX)).over(part) && hi <= max(col(IDX)).over(part))
+        case _ => None
+      }
+
+      val outCols: Map[String, Column] = exprs.map { case (name, e) =>
+        val c = e.over(spec)
+        name -> gate.fold(c)(g => when(g, c))
+      }.toMap
+
+      var out = prepared.withColumns(outCols)
+      if (isRange) out = out.drop(IDX)
+      if (restoreOrder) out = out.orderBy(col(RID))
+      if (needRid) out = out.drop(RID)
+      out
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Frame, FrameEndpoint, TidierOps}
+import TidierOps._
+
+/** Unit spec for the core windowed-mutate operator, one test per
+  * decision-tree path of the reference (SURVEY.md §2.1, R/mutate.R:574-664)
+  * plus the behavioral sub-contracts (overwrite, multi-expr, complete,
+  * restore-order, negative `after` endpoints).
+  */
+class MutateWSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  // (group, order, value) — small enough to verify by hand.
+  private lazy val df = Seq(
+    ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, 40.0),
+    ("b", 1, 1.0), ("b", 2, 2.0), ("b", 3, 3.0)
+  ).toDF("g", "o", "v")
+
+  private def rowsFor(d: org.apache.spark.sql.DataFrame, cols: String*) =
+    d.orderBy("g", "o").select(cols.head, cols.tail: _*).collect().toSeq
+
+  test("path 1: plain mutate, no window") {
+    val out = df.mutateW("v2" -> ($"v" * 2))()
+    assert(rowsFor(out, "v2").map(_.getDouble(0)) ==
+      Seq(20.0, 40.0, 60.0, 80.0, 2.0, 4.0, 6.0))
+  }
+
+  test("path 4: .by only gives group-constant aggregate") {
+    val out = df.mutateW("m" -> avg($"v"))(by = Seq($"g"))
+    assert(rowsFor(out, "m").map(_.getDouble(0)) ==
+      Seq(25.0, 25.0, 25.0, 25.0, 2.0, 2.0, 2.0))
+  }
+
+  test(".by + .order_by without frame gives running (cumulative) semantics") {
+    val out = df.mutateW("cs" -> sum($"v"))(by = Seq($"g"), orderBy = Seq($"o"))
+    assert(rowsFor(out, "cs").map(_.getDouble(0)) ==
+      Seq(10.0, 30.0, 60.0, 100.0, 1.0, 3.0, 6.0))
+  }
+
+  test("path 5: finite rows frame c(1,1)") {
+    val out = df.mutateW("m" -> avg($"v"))(
+      by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.rows(1, 1)))
+    assert(rowsFor(out, "m").map(_.getDouble(0)) ==
+      Seq(15.0, 20.0, 30.0, 35.0, 1.5, 2.0, 2.5))
+  }
+
+  test("negative after endpoint shrinks the frame past the current row") {
+    // c(2, -1) = [cur-2, cur-1]: trailing two rows excluding current.
+    val out = df.mutateW("m" -> sum($"v"))(
+      by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.rows(2, -1)))
+    assert(rowsFor(out, "m").map(r => Option(r.get(0))) ==
+      Seq(None, Some(10.0), Some(30.0), Some(50.0), None, Some(1.0), Some(3.0)))
+  }
+
+  test("path 2: frame without .by slides over input row order") {
+    val single = df.filter($"g" === "a") // avoid cross-group order dependence
+    val out = single.mutateW("s" -> sum($"v"))(frame = Some(Frame.rows(1, 0)))
+    assert(out.orderBy("o").select("s").collect().map(_.getDouble(0)).toSeq ==
+      Seq(10.0, 30.0, 50.0, 70.0))
+  }
+
+  test("path 3: range frame over an index column honors value gaps") {
+    // days 1,2,5 — the gap means day 5's [d-2,d-1] window is empty.
+    val idx = Seq(("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("a", "2024-01-05", 4.0)).toDF("g", "d", "v")
+      .withColumn("d", to_date($"d"))
+    val out = idx.mutateW("s" -> sum($"v"))(
+      by = Seq($"g"), frame = Some(Frame.days(2, -1)), index = Some($"d"))
+    assert(out.orderBy("d").select("s").collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(None, Some(1.0), None))
+  }
+
+  test("Inf endpoints: c(Inf, Inf) equals whole-group aggregate") {
+    val out = df.mutateW("m" -> avg($"v"))(
+      by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.unbounded))
+    assert(rowsFor(out, "m").map(_.getDouble(0)) ==
+      Seq(25.0, 25.0, 25.0, 25.0, 2.0, 2.0, 2.0))
+  }
+
+  test("same-name assignment overwrites the column (NEWS.md:8 bugfix)") {
+    val out = df.mutateW("v" -> avg($"v"))(by = Seq($"g"))
+    assert(out.columns.count(_ == "v") == 1)
+    assert(rowsFor(out, "v").map(_.getDouble(0)) ==
+      Seq(25.0, 25.0, 25.0, 25.0, 2.0, 2.0, 2.0))
+  }
+
+  test("multiple expressions share one window spec and one WindowExec") {
+    val out = df.mutateW("s" -> sum($"v"), "c" -> count(lit(1)))(
+      by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.rows(1, 0)))
+    assert(rowsFor(out, "s").map(_.getDouble(0)) ==
+      Seq(10.0, 30.0, 50.0, 70.0, 1.0, 3.0, 5.0))
+    assert(rowsFor(out, "c").map(_.getLong(0)) == Seq(1L, 2L, 2L, 2L, 1L, 2L, 2L))
+    // CollapseWindow must merge both exprs into a single Window node.
+    val nWindows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(nWindows == 1, "expected one collapsed Window node")
+  }
+
+  test(".complete=TRUE nulls edge-truncated rows frames (R/mutate.R:58-62)") {
+    val out = df.mutateW("m" -> avg($"v"))(
+      by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.rows(1, 1)),
+      complete = true)
+    assert(rowsFor(out, "m").map(r => Option(r.get(0))) ==
+      Seq(None, Some(20.0), Some(30.0), None, None, Some(2.0), None))
+  }
+
+  test(".complete=TRUE nulls range frames truncated by the index span") {
+    val idx = Seq(("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("a", "2024-01-03", 4.0)).toDF("g", "d", "v")
+      .withColumn("d", to_date($"d"))
+    val out = idx.mutateW("s" -> sum($"v"))(
+      by = Seq($"g"), frame = Some(Frame.days(1, 1)), index = Some($"d"),
+      complete = true)
+    // day 1: [d-1,d+1] starts before min(index) → incomplete; same for day 3.
+    assert(out.orderBy("d").select("s").collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(None, Some(7.0), None))
+  }
+
+  test("restoreOrder=true returns rows in original input order (R/mutate.R:291)") {
+    val shuffled = Seq(("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, 20.0))
+      .toDF("g", "o", "v")
+    val out = shuffled.mutateW("cs" -> sum($"v"))(
+      by = Seq($"g"), orderBy = Seq($"o"), restoreOrder = true)
+    assert(out.select("o").collect().map(_.getInt(0)).toSeq == Seq(3, 1, 2))
+    assert(out.select("cs").collect().map(_.getDouble(0)).toSeq ==
+      Seq(60.0, 10.0, 30.0))
+    assert(!out.columns.exists(_.startsWith("__tidier")))
+  }
+
+  test("desc ordering via col.desc (mutate_'s .desc flag)") {
+    val out = df.mutateW("rn" -> row_number())(
+      by = Seq($"g"), orderBy = Seq($"v".desc))
+    assert(rowsFor(out, "rn").map(_.getInt(0)) == Seq(4, 3, 2, 1, 3, 2, 1))
+  }
+}
