@@ -55,7 +55,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("window_range_index")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ graft.queries.TextQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ graft.queries.TextQueries.oracleSql
+
+  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----
     "mutate_plain" -> ((s, dir) => {
       // Path 1: plain vectorized mutate (tests_tidier.R:2-12).
@@ -170,7 +176,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private val coreOracleSql: Map[String, String] = Map(
     "mutate_plain" ->
       """SELECT l_orderkey, l_linenumber,
          round(l_extendedprice * (1 - l_discount), 4) AS revenue

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis + exact-dedup query inventory over `documents`
+  * (north-star extension ops). Each Spark query has a semantically
+  * identical DuckDB oracle; shared SQL fragments below mirror
+  * TextFunctions exactly (including the 'g' flag DuckDB needs where
+  * Spark's regexp_replace is replace-all by default).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  // DuckDB fragments matching TextFunctions
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  private val withToks =
+    s"""WITH t AS (
+          SELECT *, $normSql AS norm FROM documents
+        ), tt AS (
+          SELECT *, CASE WHEN length(norm) = 0 THEN 0
+                         ELSE length(string_split(norm, ' ')) END AS n_toks,
+                    string_split(norm, ' ') AS toks
+          FROM t
+        )"""
+  private def stopHitsSql(stops: Seq[String]): String =
+    s"""CASE WHEN length(norm) = 0 THEN 0 ELSE length(list_filter(toks,
+        x -> x IN (${stops.map(w => s"'$w'").mkString(", ")}))) END"""
+  private val enS = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val esS = Seq("el", "la", "de", "que", "y", "en", "un")
+  private val deS = Seq("der", "die", "das", "und", "ist", "von")
+  private val frS = Seq("le", "les", "une", "et", "est", "dans")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_toks"),
+        wordCount(col("text")).as("n_words"),
+        r4(meanTokenLen(col("text"))).as("mean_tok_len"),
+        r4(punctRatio(col("text"))).as("punct_ratio"),
+        r4(stopwordRatio(col("text"))).as("stop_ratio"))
+    }),
+    "text_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        r4(qualityScore(col("text"))).as("quality"))
+    }),
+    "text_langid" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang_pred"))
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        rollingHash(col("text")).as("rhash"))
+    }),
+    "dedup_exact" -> ((s, dir) => {
+      // Exact dedup on the normalized-text fingerprint: one row per
+      // distinct doc (map-side partial agg; shuffles only the 128-bit
+      // key + two longs per distinct group — scales to 100 TB).
+      docs(s, dir)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""$withToks
+         SELECT doc_id, n_toks,
+           length(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9'']+'), x -> length(x) > 0)) AS n_words,
+           CASE WHEN n_toks > 0 THEN
+             round(1e-9 + (length(norm) - n_toks + 1)::DOUBLE / n_toks, 4)
+           END AS mean_tok_len,
+           CASE WHEN length(text) > 0 THEN
+             round(1e-9 + (length(text) - length(regexp_replace(text,
+               '[.,!?;:]', '', 'g')))::DOUBLE / length(text), 4)
+           ELSE 0 END AS punct_ratio,
+           CASE WHEN n_toks > 0 THEN
+             round(1e-9 + (${stopHitsSql(enS)})::DOUBLE / n_toks, 4)
+           ELSE 0 END AS stop_ratio
+         FROM tt""",
+    "text_quality" ->
+      s"""$withToks, q AS (
+           SELECT doc_id,
+             least(n_toks / 20.0, 1.0) AS len_sat,
+             greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+               'g')))::DOUBLE / length(text) ELSE 0 END) * 5.0) AS punct_pen,
+             least((CASE WHEN n_toks > 0 THEN
+               (${stopHitsSql(enS)})::DOUBLE / n_toks ELSE 0 END) * 4.0,
+               1.0) AS stop_sig,
+             CASE WHEN n_toks > 0 AND
+               (length(norm) - n_toks + 1)::DOUBLE / n_toks
+                 BETWEEN 2.5 AND 10.0 THEN 1.0 ELSE 0.0 END AS len_plaus
+           FROM tt)
+         SELECT doc_id, round(1e-9 + len_sat * 0.25 + punct_pen * 0.25
+           + stop_sig * 0.25 + len_plaus * 0.25, 4) AS quality
+         FROM q""",
+    "text_langid" ->
+      s"""$withToks, sc AS (
+           SELECT doc_id,
+             ${stopHitsSql(enS)} AS s_en, ${stopHitsSql(esS)} AS s_es,
+             ${stopHitsSql(deS)} AS s_de, ${stopHitsSql(frS)} AS s_fr
+           FROM tt)
+         SELECT doc_id,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+         FROM sc""",
+    "text_fingerprint" ->
+      s"""$withToks
+         SELECT doc_id, md5(norm) AS fp,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             CASE WHEN length(norm) = 0 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(toks, x -> CAST(length(x) * 131
+                    + unicode(x) * 7 + unicode(right(x, 1)) AS BIGINT)) END),
+             (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+         FROM tt""",
+    "dedup_exact" ->
+      s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents)
+         SELECT md5(norm) AS fp, min(doc_id) AS keep_id,
+                count(*) AS n_dups
+         FROM t GROUP BY 1"""
+  )
+}
