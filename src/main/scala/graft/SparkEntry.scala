@@ -56,10 +56,12 @@ object SparkEntry {
     queries("window_range_index")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ graft.queries.TextQueries.queries
+    coreQueries ++ graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ graft.queries.TextQueries.oracleSql
+    coreOracleSql ++ graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----
@@ -94,7 +96,7 @@ object SparkEntry {
         .mutateW("rn" -> row_number())(
           by = Seq(col("o_orderpriority")),
           orderBy = Seq(col("o_totalprice").desc, col("o_orderkey")))
-        .select("o_orderkey", "rn")
+        .select(col("o_orderkey"), col("rn").cast("long").as("rn"))
     }),
     "window_rows_unbounded" -> ((s, dir) => {
       // `.frame = c(Inf, 0)` cumulative mean (tests_tidier.R:76-97).
@@ -162,7 +164,7 @@ object SparkEntry {
           orderBy = Seq(col("ts"), col("event_id")),
           frame = Some(Frame.rows(3, 0)))
         .select(col("event_id"), r4(col("sum_v")).as("sum_v"),
-          r4(col("avg_v")).as("avg_v"), col("n_v"),
+          r4(col("avg_v")).as("avg_v"), col("n_v").cast("long").as("n_v"),
           col("min_v"), col("max_v"))
     }),
     "window_noby_frame" -> ((s, dir) => {

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.operators.Dedup._
+
+/** Near-dup query inventory over `documents`, with DuckDB oracles that
+  * replay the hashing math bit-for-bit (shared md5-derived base hash,
+  * identical permutation constants interpolated below).
+  *
+  * Oracle semantics per key:
+  *   - dedup_jaccard:     exact inverted-index pairs == exact SQL pairs.
+  *   - dedup_minhash:     LSH candidates verified by exact Jaccard; with
+  *                        16 bands × 2 rows, P(missing a j≥0.9 pair) ≈
+  *                        3e-12, so the output deterministically equals the
+  *                        exact pair set on this data — the oracle tests
+  *                        end-to-end recall, not just plumbing.
+  *   - dedup_minhash_sig: per-doc signatures, bit-exact.
+  *   - dedup_simhash_sig: per-doc 32-bit sketches, bit-exact.
+  *   - dedup_simhash:     pigeonhole banding has recall exactly 1.0 for
+  *                        hamming ≤ 3, so pairs == brute-force SQL pairs.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_jaccard" -> ((s, dir) => {
+      jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      minhashPairs(docs(s, dir), "doc_id", "text", n = 3, k = 32,
+        rowsPerBand = 2, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+    }),
+    "dedup_minhash_sig" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          array_join(transform(minhashSignature(col("sh"), 32),
+            _.cast("string")), "-").as("sig"))
+    }),
+    "dedup_simhash_sig" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), simhash(col("sh")).as("sim"))
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      simhashPairs(docs(s, dir), "doc_id", "text", n = 3, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    })
+  )
+
+  // ---- shared DuckDB fragments ----------------------------------------
+
+  private val shView =
+    """WITH t AS (
+         SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             ' ') AS toks
+         FROM documents
+       ), d AS (
+         SELECT doc_id,
+           CASE WHEN length(toks) >= 3 THEN
+             list_distinct(list_transform(range(1, length(toks) - 1),
+               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+           ELSE CAST([] AS VARCHAR[]) END AS sh
+         FROM t
+       )"""
+
+  private val baseHashSql =
+    "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
+
+  private val exactPairsSql =
+    s"""$shView, e AS (
+         SELECT doc_id, length(sh) AS sz, unnest(sh) AS s
+         FROM d WHERE length(sh) > 0
+       ), i AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS za, b.sz AS zb, count(*) AS inter
+         FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4
+       )
+       SELECT doc_a, doc_b,
+              round(1e-9 + inter::DOUBLE / (za + zb - inter), 4) AS jaccard
+       FROM i WHERE inter::DOUBLE / (za + zb - inter) >= 0.5"""
+
+  private val minhashSigListSql: String = {
+    val terms = (0 until 32).map { i =>
+      s"""coalesce(list_min(list_transform(sh, s ->
+          (${minhashA(i)} * ($baseHashSql % ${Dedup.MinhashP})
+           + ${minhashB(i)}) % ${Dedup.MinhashP})), ${Dedup.MinhashP})"""
+    }
+    s"[${terms.mkString(", ")}]"
+  }
+
+  private val simhashSumSql: String = (0 until 32).map { i =>
+    s"""CASE WHEN sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+  }.mkString(" + ")
+
+  private val simhashPerDocSql =
+    s"""$shView, e AS (
+         SELECT doc_id, $baseHashSql AS h
+         FROM (SELECT doc_id, unnest(sh) AS s FROM d WHERE length(sh) > 0)
+       ), sm AS (
+         SELECT doc_id, $simhashSumSql AS sim FROM e GROUP BY doc_id
+       )"""
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_jaccard" -> exactPairsSql,
+    "dedup_minhash" -> exactPairsSql,
+    "dedup_minhash_sig" ->
+      s"""$shView
+         SELECT doc_id,
+           array_to_string(list_transform($minhashSigListSql,
+             x -> CAST(x AS VARCHAR)), '-') AS sig
+         FROM d WHERE length(sh) > 0""",
+    "dedup_simhash_sig" ->
+      s"""$simhashPerDocSql SELECT doc_id, sim FROM sm""",
+    "dedup_simhash" ->
+      s"""$simhashPerDocSql
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.sim, b.sim)) AS hamming
+         FROM sm a JOIN sm b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
+  )
+}

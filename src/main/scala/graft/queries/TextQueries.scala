@@ -39,8 +39,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
-        tokenCount(col("text")).as("n_toks"),
-        wordCount(col("text")).as("n_words"),
+        tokenCount(col("text")).cast("long").as("n_toks"),
+        wordCount(col("text")).cast("long").as("n_words"),
         r4(meanTokenLen(col("text"))).as("mean_tok_len"),
         r4(punctRatio(col("text"))).as("punct_ratio"),
         r4(stopwordRatio(col("text"))).as("stop_ratio"))

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup._
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("shingles: distinct n-grams, empty below n tokens") {
+    val r = Seq("a b c d", "a b", "a b a b c").toDF("text")
+      .select(shingles($"text", 3).as("sh")).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0).isEmpty)
+    // "a b a b c" → grams: a b a, b a b, a b c — all distinct here
+    assert(r(2).getSeq[String](0).toSet == Set("a b a", "b a b", "a b c"))
+  }
+
+  test("minhashPairs finds exactly the same pairs as exact jaccardPairs") {
+    val exact = jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = minhashPairs(docs, "doc_id", "text", 3, 32, 2, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("identical docs have jaccard 1.0 and identical minhash signatures") {
+    val two = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val pairs = jaccardPairs(two, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.length == 1 &&
+      pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L &&
+      pairs(0).getDouble(2) == 1.0)
+    val sigs = two.select(minhashSignature(shingles($"text", 3), 32)).collect()
+    assert(sigs(0).getSeq[Long](0) == sigs(1).getSeq[Long](0))
+    assert(sigs(0).getSeq[Long](0) != sigs(2).getSeq[Long](0))
+  }
+
+  test("simhash: identical → equal; one-word edit → small hamming") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    val sims = d.select(simhash(shingles($"text", 3))).collect().map(_.getLong(0))
+    assert(sims(0) == sims(1))
+    val ham13 = java.lang.Long.bitCount(sims(0) ^ sims(2))
+    assert(ham13 > 0 && ham13 <= 12, s"edit distance 1 gave hamming $ham13")
+  }
+
+  test("simhashPairs banding equals brute-force (pigeonhole recall = 1)") {
+    val brute = docs.select($"doc_id", simhash(shingles($"text", 3)).as("sim"))
+      .filter(size(shingles($"text", 3)) > 0)
+    val expected = brute.as("a").join(brute.as("b"),
+        $"a.doc_id" < $"b.doc_id" &&
+        bit_count($"a.sim".bitwiseXOR($"b.sim")) <= 3)
+      .select($"a.doc_id", $"b.doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = simhashPairs(docs, "doc_id", "text", 3, 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == expected)
+  }
+
+  test("maxShingleDf pruning keeps planted high-jaccard pairs") {
+    val pruned = jaccardPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 50)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // near-identical docs share *rare* shingles, so DF-pruning at 50 of 500
+    // docs must not lose them
+    assert(pruned == exact)
+  }
+}
