@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product of two float/double array columns, accumulating
+  * left-to-right in double precision.
+  *
+  * Semantically IDENTICAL (bit-for-bit) to the declarative form
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,v) => acc+v)` — but
+  * higher-order functions are interpreted per element in Spark, which made
+  * the brute-force kNN join spend ~2 minutes on 4M pairs at sf0.1. This
+  * expression compiles to a tight Java loop inside whole-stage codegen
+  * (preference order (b) of the build brief: custom Expression before any
+  * UDF). The DuckDB oracle (`SimilarityQueries.dotSql`) replays the same
+  * left fold, so scores stay deterministic across engines.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vec_dot expects array<float|double> inputs, got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName everywhere: multiple VecDots share one codegen scope (e.g.
+    // cosine = dot(a,b)/sqrt(dot(a,a)*dot(b,b))); fixed names collide,
+    // Janino rejects the class, and Spark silently falls back to the
+    // interpreted path — the exact slowness this Expression exists to fix.
+    val i = ctx.freshName("i"); val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    def getter(v: String, t: DataType): String =
+      if (t == FloatType) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(a, elemType(left))} * ${getter(b, elemType(right))};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  import org.apache.spark.sql.graft.ColumnShim
+  /** Column wrapper. */
+  def apply(a: Column, b: Column): Column =
+    ColumnShim.column(
+      VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+}

@@ -58,54 +58,86 @@ object Dedup {
     * column. Pure per-row computation (transform + array_min over the
     * shingle array) — zero shuffle, stays in codegen. NULL-free: docs with
     * no shingles get signature [p, p, ...] (p = sentinel "empty"). */
-  def minhashSignature(shingleCol: Column, k: Int = 32): Column = {
-    val hs = (0 until k).map { i =>
-      val perm = transform(shingleCol, s =>
-        pmod(lit(minhashA(i)) * pmod(baseHash(s), lit(MinhashP))
-          + lit(minhashB(i)), lit(MinhashP)))
-      coalesce(array_min(perm), lit(MinhashP))
-    }
-    array(hs: _*)
-  }
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
+    minhashSignatureFromHashes(
+      transform(shingleCol, s => pmod(baseHash(s), lit(MinhashP))), k)
 
-  /** Exact n-gram Jaccard pairs via inverted-index self-join.
+  /** Signature from pre-reduced shingle hashes (`baseHash % p`). md5 is by
+    * far the dominant cost of a signature — hashing once per shingle
+    * instead of once per (shingle × permutation) is a k-fold reduction;
+    * codegen subexpression elimination shares the hash array across the k
+    * array_min branches. */
+  def minhashSignatureFromHashes(hashCol: Column, k: Int = 32): Column =
+    graft.functions.HashKernels.minhashSig(hashCol, k)
+
+  /** Exact n-gram Jaccard pairs via PREFIX-FILTERED inverted index
+    * (AllPairs / PPJoin family).
     *
-    * @param maxShingleDf drop shingles appearing in more than this many
-    *        docs before pairing (0 = no pruning). High-DF shingles generate
-    *        O(df²) candidate pairs each — at 100 TB this cap is what keeps
-    *        the self-join bounded; with it, work scales with
-    *        Σ_shingle min(df, cap)². Pruning can only LOWER recall for
-    *        pairs whose overlap is concentrated in ubiquitous shingles —
-    *        acceptable in production, disabled for oracle-gated runs. */
+    * Naive posting-list self-joins explode on low-diversity corpora: every
+    * ubiquitous shingle with document frequency df contributes df² join
+    * rows (measured: ~250M intermediate rows for 5000 docs at sf0.1).
+    * Prefix filtering is the lossless fix: J(A,B) ≥ τ implies
+    * |A∩B| ≥ ⌈τ·|A|⌉, and two sets with overlap ≥ o must share an element
+    * within the first |X|−o+1 elements of each, under ANY shared total
+    * order. Ordering shingles by ascending global df puts the RAREST
+    * shingles in the indexed prefix, so candidate generation scales with
+    * Σ_shingle df_prefix² — orders of magnitude smaller — while recall for
+    * pairs above τ stays exactly 1. Candidates are then verified with a
+    * full `array_intersect`, so results equal the brute-force pair scan
+    * bit-for-bit (the DuckDB oracle).
+    *
+    * @param maxShingleDf additionally drop shingles with df above this cap
+    *        from the candidate INDEX only (0 = off). Verification still
+    *        uses full shingle sets, so precision is always exact; the cap
+    *        can only lose candidate pairs whose prefixes are entirely
+    *        ubiquitous — a documented recall trade for bounded skew at
+    *        extreme scale. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5,
       maxShingleDf: Long = 0L): DataFrame = {
     val withSh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), n).as("sh"))
-    val sized = withSh.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
-      .filter(col("sz") > 0)
-    val posts = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
-    val pruned =
-      if (maxShingleDf > 0) {
-        val dfCounts = posts.groupBy("s")
-          .agg(count(lit(1)).as("df_"))
-          .filter(col("df_") <= maxShingleDf)
-        posts.join(pruned_hint(dfCounts), Seq("s"))
-      } else posts
-    val a = pruned.select(col("s"), col("doc_id").as("doc_a"), col("sz").as("za"))
-    val b = pruned.select(col("s"), col("doc_id").as("doc_b"), col("sz").as("zb"))
-    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "za", "zb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("za") + col("zb") - col("inter")))
+      .filter(size(col("sh")) > 0)
+    val posts = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfCounts0 = posts.groupBy("s").agg(count(lit(1)).as("df_"))
+    val dfCounts = if (maxShingleDf > 0) dfCounts0.filter(col("df_") <= maxShingleDf)
+                   else dfCounts0
+    // Rebuild each doc's shingle list ordered by (global df asc, shingle),
+    // keep only the prefix that the theorem requires us to index.
+    val ordered = posts.join(dfCounts, Seq("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df_"), col("s")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), _.getField("s")).as("ordSh"),
+        size(col("ord")).as("osz"))
+    val prefixLen = (col("osz") - ceil(col("osz") * lit(minJaccard)) + 1)
+      .cast("int")
+    val prefix = ordered
+      .select(col("doc_id"), explode(slice(col("ordSh"), lit(1), prefixLen)).as("s"))
+    val cands = prefix.as("pa").join(prefix.as("pb"), Seq("s"))
+      .filter(col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Exact verification. Intersections are counted on SORTED arrays of
+    // the 60-bit base hash (codegen merge-count) instead of string
+    // array_intersect — same result modulo 60-bit md5-prefix collisions
+    // (expected spurious matches < 1e-8 per run at gate scale), ~20x less
+    // work per candidate pair.
+    val hashed = withSh.select(col("doc_id"),
+      sort_array(transform(col("sh"), s => baseHash(s))).as("xh"),
+      size(col("sh")).as("sz"))
+    val fullA = hashed.select(col("doc_id").as("doc_a"),
+      col("xh").as("xh_a"), col("sz").as("za"))
+    val fullB = hashed.select(col("doc_id").as("doc_b"),
+      col("xh").as("xh_b"), col("sz").as("zb"))
+    cands.join(fullA, Seq("doc_a")).join(fullB, Seq("doc_b"))
+      .withColumn("inter", graft.functions.HashKernels
+        .sortedIntersectCount(col("xh_a"), col("xh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("za") + col("zb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
-
-  /** The DF table is tiny relative to postings — broadcast it so pruning
-    * adds no extra shuffle of the posting list. */
-  private def pruned_hint(dfCounts: DataFrame): DataFrame = broadcast(dfCounts)
 
   /** MinHash-LSH near-dup pairs: signature per row → band keys → bucket
     * self-join for candidates → exact-Jaccard verification of candidates
@@ -121,26 +153,36 @@ object Dedup {
     val withSh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("hs", transform(col("sh"), s => baseHash(s)))
+      .withColumn("sig", minhashSignatureFromHashes(
+        transform(col("hs"), h => pmod(h, lit(MinhashP))), k))
     // band keys: "bandIdx:v1-v2" strings; posexplode → (band, key) posts
     val bandKeys = array((0 until nBands).map { j =>
       concat_ws("-", (0 until rowsPerBand).map(r =>
         element_at(col("sig"), j * rowsPerBand + r + 1)): _*)
     }: _*)
-    val bands = withSh.select(col("doc_id"), col("sh"),
+    // Bands carry ONLY (doc_id, band, key) — shuffling the shingle arrays
+    // 16x through the self-join costs more than the join itself.
+    val bands = withSh.select(col("doc_id"),
         posexplode(bandKeys).as(Seq("band", "key")))
-    val l = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
-    val r = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
+    val l = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     val cands = l.join(r, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    // Verify candidates on sorted hash arrays (codegen merge-count).
+    val hashed = withSh.select(col("doc_id"),
+      sort_array(col("hs")).as("xh"), size(col("sh")).as("sz"))
     cands
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(hashed.select(col("doc_id").as("doc_a"),
+        col("xh").as("xh_a"), col("sz").as("za")), Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"),
+        col("xh").as("xh_b"), col("sz").as("zb")), Seq("doc_b"))
+      .withColumn("inter", graft.functions.HashKernels
+        .sortedIntersectCount(col("xh_a"), col("xh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        (col("za") + col("zb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -151,25 +193,18 @@ object Dedup {
     * ±1 contributions (sign of bit i of each shingle's base hash) is
     * positive. Pure per-row fold (aggregate over the shingle array with an
     * int-array accumulator) — zero shuffle. 0 for empty shingle sets. */
-  def simhash(shingleCol: Column, bits: Int = 32): Column = {
-    // Bit positions are Scala-level Ints (unrolled), not Column indices —
-    // shiftright/shiftleft only take literal shift amounts, and unrolling
-    // keeps everything in integer arithmetic (no double-precision drift).
-    val contrib = aggregate(
-      shingleCol,
-      array_repeat(lit(0L), bits),
-      (acc, s) => {
-        val h = baseHash(s)
-        val signs = array((0 until bits).map(i =>
-          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))): _*)
-        zip_with(acc, signs, (x, y) => x + y)
-      })
-    val value = (0 until bits).map(i =>
-      when(element_at(contrib, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    coalesce(value, lit(0L))
-  }
+  def simhash(shingleCol: Column, bits: Int = 32): Column =
+    simhashFromHashes(transform(shingleCol, s => baseHash(s)), bits)
+
+  /** SimHash from pre-computed shingle hashes. Bit i is set iff more than
+    * half the hashes have bit i set (2·cnt_set > n ⟺ Σ±1 > 0) — one cheap
+    * `filter`+`size` pass per bit instead of a per-shingle 32-wide array
+    * fold, and md5 runs once per shingle (shared via codegen subexpression
+    * elimination). Bit positions are Scala-level Ints (unrolled):
+    * shiftright takes only literal shift amounts, and unrolling keeps the
+    * math in exact integer arithmetic. */
+  def simhashFromHashes(hashCol: Column, bits: Int = 32): Column =
+    graft.functions.HashKernels.simhashOf(hashCol, bits)
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, via
     * pigeonhole banding: split the 32-bit sketch into (maxHamming+1)

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`) — north-star extension surface
+  * (BASELINE.json `north_star`; absent from the reference).
+  *
+  * Three tiers:
+  *   - brute force: broadcast one side, score all pairs, per-query top-k.
+  *     THE baseline; exact, oracle-gated. Cost O(|Q|·|C|·d) — fine when
+  *     either side broadcasts; at 100 TB use it only for small query sets.
+  *   - SRP-LSH (random hyperplane): per-row bit signatures (narrow),
+  *     band-bucket join for candidates, exact re-scoring. Sub-linear
+  *     candidate generation; probabilistic recall (spec-measured).
+  *   - IVF: coarse quantizer (broadcast centroids), bucket-partitioned
+  *     corpus, queries probe only nProbe buckets — the partition-pruning
+  *     path that survives a 100× scale-up.
+  *
+  * All cosine math folds element products LEFT-TO-RIGHT in double
+  * precision, exactly mirroring the DuckDB oracle's list_reduce — scores
+  * are bit-identical across engines, so top-k selection (with vec_id
+  * tie-break) is deterministic.
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product of two float/double
+    * arrays — a codegen'd custom Expression (see [[graft.functions.VecDot]]),
+    * bit-identical to the interpreted
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` fold it replaces. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
+
+  /** Cosine similarity, `dot / sqrt(norm_a * norm_b)` (mirrored verbatim
+    * in oracle SQL). NULL on zero-norm inputs. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a) * dot(b, b))
+    when(denom > 0, dot(a, b) / denom)
+  }
+
+  /** Exact top-k neighbors for each query vector, by brute force:
+    * broadcast the query set (small side), score every (query, corpus)
+    * pair, rank per query. Excludes self-matches on equal ids. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("nbr_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  // --- SRP-LSH ----------------------------------------------------------
+
+  /** Deterministic random hyperplanes (seeded), one per signature bit. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-random-projection signature: bit i = [dot(v, r_i) > 0]. Pure
+    * per-row computation. */
+  def srpSignature(vec: Column, nBits: Int = 32, dim: Int = 64): Column = {
+    val planes = hyperplanes(nBits, dim)
+    (0 until nBits).map { i =>
+      val d = dot(vec, typedLit(planes(i).toSeq))
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-neighbor pairs with cosine ≥ minCosine via SRP banding +
+    * exact re-scoring. Precision is exact (verified); recall is
+    * probabilistic: P(band match) = 1-(1-p^r)^b with p = 1-θ/π. */
+  def srpNearPairs(vecs: DataFrame, minCosine: Double,
+      nBits: Int = 32, rowsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nBands = nBits / rowsPerBand
+    val width = rowsPerBand
+    val withSig = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("sig", srpSignature(col("vec"), nBits))
+    val chunks = array((0 until nBands).map(j =>
+      shiftright(col("sig"), j * width).bitwiseAND(lit((1L << width) - 1))): _*)
+    val bands = withSig.select(col("vid"), col("vec"),
+      posexplode(chunks).as(Seq("band", "bv")))
+    val l = bands.select(col("band"), col("bv"), col("vid").as("id_a"),
+      col("vec").as("vec_a"))
+    val r = bands.select(col("band"), col("bv"), col("vid").as("id_b"),
+      col("vec").as("vec_b"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  // --- IVF --------------------------------------------------------------
+
+  /** Assign every vector to its nearest of `centroids` (broadcast lookup,
+    * narrow). Returns the input plus a `cluster` column — at scale you
+    * would write this out partitioned/bucketed by `cluster`, giving
+    * queries physical partition pruning. */
+  def ivfAssign(vecs: DataFrame, centroids: Array[(Long, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    // distance via -cosine (unit-normalized data); argmin over centroids
+    val scores = centroids.map { case (cid, cvec) =>
+      struct(cosine(col(vecCol), typedLit(cvec)).as("s"), lit(cid).as("cid"))
+    }
+    vecs.withColumn("cluster",
+      greatest(scores: _*).getField("cid"))
+  }
+
+  /** Pull nProbe-bucket candidates for the query set and re-rank exactly.
+    * Touches only |probed clusters| / |clusters| of the corpus — the
+    * 100 TB path when buckets are physical partitions. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Array[(Long, Seq[Double])], k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, vecCol)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"), col("cluster"))
+    // per query: the nProbe nearest centroids
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("probes", {
+        val scored = centroids.map { case (cid, cvec) =>
+          struct((-cosine(col("q_vec"), typedLit(cvec))).as("neg"),
+            lit(cid).as("cid"))
+        }
+        slice(array_sort(array(scored: _*)), 1, nProbe)
+      })
+      .withColumn("cluster", explode(transform(col("probes"), _.getField("cid"))))
+      .select("query_id", "q_vec", "cluster")
+    val cands = qProbes.join(assigned, Seq("cluster"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("nbr_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+}
