@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   * DuckDB oracles are untouched.
   */
 
-/** k-permutation MinHash over reduced hashes (x = baseHash % p):
-  * sig[i] = min over x of (a_i·x + b_i) % p, sentinel p on empty input. */
+/** k-permutation MinHash over raw 60-bit base hashes:
+  * sig[i] = min over x of (a_i·(x%p) + b_i) % p, sentinel p on empty
+  * input. The reduction happens inside the loop so callers pass the
+  * ShingleHashesExpr output directly; a·(x%p) < 2^52, overflow-free. */
 case class MinHashSigExpr(child: Expression, k: Int)
     extends UnaryExpression {
 
@@ -45,7 +47,7 @@ case class MinHashSigExpr(child: Expression, k: Int)
     val sig = Array.fill(k)(p)
     var j = 0
     while (j < n) {
-      val x = xs.getLong(j)
+      val x = xs.getLong(j) % p
       var i = 0
       while (i < k) {
         val h = (as(i) * x + bs(i)) % p
@@ -71,7 +73,7 @@ case class MinHashSigExpr(child: Expression, k: Int)
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, ${p}L);
          |for (int $j = 0; $j < $n; $j++) {
-         |  long $x = $xs.getLong($j);
+         |  long $x = $xs.getLong($j) % ${p}L;
          |  for (int $i = 0; $i < $k; $i++) {
          |    long $h = ($aRef[$i] * $x + $bRef[$i]) % ${p}L;
          |    if ($h < $sig[$i]) $sig[$i] = $h;
@@ -201,7 +203,90 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused normalize → tokenize → n-gram → md5 → 60-bit-long pipeline in one
+  * compiled pass per row.
+  *
+  * The declarative chain (`transform(sequence(...), i => concat_ws(...,
+  * element_at(tokens(text), i+k)))`) is quadratic in practice: higher-order
+  * lambdas are interpreted, and each `element_at` in the lambda body
+  * re-evaluates the ENTIRE tokens() subtree — lower + regexp_replace +
+  * trim + split — once per gram per position (~156 regex passes per
+  * 50-token doc; measured 23s for 5000 docs, doubled again by filter
+  * pushdown recomputing the expression under `size(sh) > 0`). This kernel
+  * runs the whole thing once per row.
+  *
+  * Bit-compat with the DuckDB oracle (`DedupQueries.shView`/`baseHashSql`):
+  * lowercase → `\s+`→' ' → trim → split(' ') → distinct word n-grams →
+  * md5 hex → first 15 hex digits parsed base-16 (60-bit long). Inputs are
+  * ASCII synthetic text; Java `Locale.ROOT` lowercase, Java regex `\s`,
+  * and DuckDB RE2 `\s` agree on ASCII. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.compute(input.toString, n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = ShingleHashesExpr.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($s.toString(), $n);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+}
+
+object ShingleHashesExpr {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(text: String, n: Int): GenericArrayData = {
+    val norm = java.util.regex.Pattern.compile("\\s+")
+      .matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
+    if (norm.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val toks = norm.split(' ')
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[java.lang.Long](toks.length)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(64)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k)); k += 1
+      }
+      val gram = sb.toString
+      if (seen.add(gram)) {
+        md.reset()
+        val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex digits of the md5 = top 7.5 bytes, as a 60-bit long
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((dig(7) >> 4) & 0xfL)
+        out.add(h)
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 object HashKernels {
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnShim.column(ShingleHashesExpr(ColumnShim.expression(text), n))
   def minhashSig(xh: Column, k: Int): Column =
     ColumnShim.column(MinHashSigExpr(ColumnShim.expression(xh), k))
   def simhashOf(xh: Column, bits: Int): Column =

@@ -45,6 +45,15 @@ object Dedup {
   def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Distinct n-gram shingles pre-hashed to 60-bit longs in ONE compiled
+    * pass (normalize → tokenize → gram → md5), replacing the interpreted
+    * shingles→transform(baseHash) chain whose lambda re-evaluated the
+    * tokenizer per gram (see [[graft.functions.ShingleHashesExpr]]).
+    * All pair operators below run on these: 8-byte keys also shuffle ~3x
+    * smaller than the gram strings they stand for. */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    graft.functions.HashKernels.shingleHashes(c, n)
+
   // --- MinHash ----------------------------------------------------------
 
   /** Permutation constants. p prime > 2^32; a < 2^20 keeps a*(x%p) < 2^52,
@@ -59,14 +68,12 @@ object Dedup {
     * shingle array) — zero shuffle, stays in codegen. NULL-free: docs with
     * no shingles get signature [p, p, ...] (p = sentinel "empty"). */
   def minhashSignature(shingleCol: Column, k: Int = 32): Column =
-    minhashSignatureFromHashes(
-      transform(shingleCol, s => pmod(baseHash(s), lit(MinhashP))), k)
+    minhashSignatureFromHashes(transform(shingleCol, s => baseHash(s)), k)
 
-  /** Signature from pre-reduced shingle hashes (`baseHash % p`). md5 is by
-    * far the dominant cost of a signature — hashing once per shingle
-    * instead of once per (shingle × permutation) is a k-fold reduction;
-    * codegen subexpression elimination shares the hash array across the k
-    * array_min branches. */
+  /** Signature from raw 60-bit shingle hashes (the [[shingleHashes]]
+    * output). md5 is by far the dominant cost of a signature — hashing
+    * once per shingle instead of once per (shingle × permutation) is a
+    * k-fold reduction; the kernel loop handles the mod-p reduction. */
   def minhashSignatureFromHashes(hashCol: Column, k: Int = 32): Column =
     graft.functions.HashKernels.minhashSig(hashCol, k)
 
@@ -95,14 +102,18 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5,
       maxShingleDf: Long = 0L): DataFrame = {
-    val withSh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val posts = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // All downstream math runs on the 60-bit hash of each gram — postings,
+    // prefix index, and verification. Same result as string shingles
+    // modulo md5-prefix collisions (< 1e-8 expected spurious matches at
+    // gate scale), with one compiled hashing pass and long join keys.
+    val withH = docs.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val posts = withH.select(col("doc_id"), explode(col("hs")).as("s"))
     val dfCounts0 = posts.groupBy("s").agg(count(lit(1)).as("df_"))
     val dfCounts = if (maxShingleDf > 0) dfCounts0.filter(col("df_") <= maxShingleDf)
                    else dfCounts0
-    // Rebuild each doc's shingle list ordered by (global df asc, shingle),
+    // Rebuild each doc's shingle list ordered by (global df asc, hash),
     // keep only the prefix that the theorem requires us to index.
     val ordered = posts.join(dfCounts, Seq("s"))
       .groupBy("doc_id")
@@ -118,14 +129,11 @@ object Dedup {
       .filter(col("pa.doc_id") < col("pb.doc_id"))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact verification. Intersections are counted on SORTED arrays of
-    // the 60-bit base hash (codegen merge-count) instead of string
-    // array_intersect — same result modulo 60-bit md5-prefix collisions
-    // (expected spurious matches < 1e-8 per run at gate scale), ~20x less
-    // work per candidate pair.
-    val hashed = withSh.select(col("doc_id"),
-      sort_array(transform(col("sh"), s => baseHash(s))).as("xh"),
-      size(col("sh")).as("sz"))
+    // Exact verification: merge-count over the SORTED hash arrays
+    // (codegen kernel) — ~20x less work per candidate than string
+    // array_intersect.
+    val hashed = withH.select(col("doc_id"),
+      sort_array(col("hs")).as("xh"), size(col("hs")).as("sz"))
     val fullA = hashed.select(col("doc_id").as("doc_a"),
       col("xh").as("xh_a"), col("sz").as("za"))
     val fullB = hashed.select(col("doc_id").as("doc_b"),
@@ -151,11 +159,9 @@ object Dedup {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
     val withSh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), s => baseHash(s)))
-      .withColumn("sig", minhashSignatureFromHashes(
-        transform(col("hs"), h => pmod(h, lit(MinhashP))), k))
+      shingleHashes(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), k))
     // band keys: "bandIdx:v1-v2" strings; posexplode → (band, key) posts
     val bandKeys = array((0 until nBands).map { j =>
       concat_ws("-", (0 until rowsPerBand).map(r =>
@@ -173,7 +179,7 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     // Verify candidates on sorted hash arrays (codegen merge-count).
     val hashed = withSh.select(col("doc_id"),
-      sort_array(col("hs")).as("xh"), size(col("sh")).as("sz"))
+      sort_array(col("hs")).as("xh"), size(col("hs")).as("sz"))
     cands
       .join(hashed.select(col("doc_id").as("doc_a"),
         col("xh").as("xh_a"), col("sz").as("za")), Seq("doc_a"))
@@ -218,9 +224,9 @@ object Dedup {
     val nChunks = maxHamming + 1
     val width = bits / nChunks // 8
     val withSh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sim", simhash(col("sh"), bits))
+      shingleHashes(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sim", simhashFromHashes(col("hs"), bits))
     val chunks = array((0 until nChunks).map(j =>
       shiftright(col("sim"), j * width).bitwiseAND(lit((1L << width) - 1))): _*)
     val bands = withSh.select(col("doc_id"), col("sim"),

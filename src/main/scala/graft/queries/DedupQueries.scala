@@ -40,17 +40,17 @@ object DedupQueries {
     }),
     "dedup_minhash_sig" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
         .select(col("doc_id"),
-          array_join(transform(minhashSignature(col("sh"), 32),
+          array_join(transform(minhashSignatureFromHashes(col("hs"), 32),
             _.cast("string")), "-").as("sig"))
     }),
     "dedup_simhash_sig" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), simhash(col("sh")).as("sim"))
+        .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), simhashFromHashes(col("hs")).as("sim"))
     }),
     "dedup_simhash" -> ((s, dir) => {
       simhashPairs(docs(s, dir), "doc_id", "text", n = 3, maxHamming = 3)

@@ -21,6 +21,15 @@ class DedupSpec extends AnyFunSuite {
     assert(r(2).getSeq[String](0).toSet == Set("a b a", "b a b", "a b c"))
   }
 
+  test("shingleHashes kernel equals declarative shingles→baseHash on real docs") {
+    val fused = docs.select($"doc_id", shingleHashes($"text", 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val slow = docs.select($"doc_id",
+        transform(shingles($"text", 3), s => baseHash(s)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(fused == slow)
+  }
+
   test("minhashPairs finds exactly the same pairs as exact jaccardPairs") {
     val exact = jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
