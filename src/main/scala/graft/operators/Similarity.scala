@@ -71,6 +71,28 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Exact embedding near-duplicate pairs: every (a, b), a < b, with
+    * cosine ≥ minCosine — the brute-force baseline the oracle gates.
+    * O(n²) pair scan with one broadcast side; [[srpNearPairs]] is the
+    * sub-quadratic path for corpora where n² is no longer an option. */
+  def cosinePairs(vecs: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    val normed = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      dot(col(vecCol), col(vecCol)).as("nrm"))
+    val a = normed.select(col("vid").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a")).repartition(parallelism)
+    val b = normed.select(col("vid").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"))
+    val denom = sqrt(col("nrm_a") * col("nrm_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        when(denom > 0, dot(col("vec_a"), col("vec_b")) / denom))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   // --- SRP-LSH ----------------------------------------------------------
 
   /** Deterministic random hyperplanes (seeded), one per signature bit. */

@@ -32,6 +32,28 @@ object SimilarityQueries {
       cosineTopK(all, all, k = 3)
         .select(col("query_id"), col("nbr_id"),
           r4(col("cosine")).as("cosine"), col("rank"))
+    }),
+    "embedding_dup_pairs" -> ((s, dir) => {
+      // Embedding-cosine near-dup: all pairs with cosine ≥ 0.4 (the
+      // fixture has no planted dups — 0.4 exercises the operator with a
+      // nonempty, data-dependent pair set at every sf).
+      cosinePairs(emb(s, dir), minCosine = 0.4)
+        .select(col("id_a"), col("id_b"), r4(col("cosine")).as("cosine"))
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      // IVF with DETERMINISTIC centroids (the vectors of vec_id < 8 —
+      // no averaging, so both engines see bit-identical centroids),
+      // nProbe = 2 of 8: queries touch ~1/4 of the corpus. Approximate
+      // vs brute force but exactly reproducible, so the oracle replays
+      // the same assignment/probe/rank pipeline in SQL.
+      val all = emb(s, dir)
+      val cents = all.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1)
+      ivfTopK(all, all.filter(col("vec_id") < 10), cents, k = 3, nProbe = 2)
+        .select(col("query_id"), col("nbr_id"),
+          r4(col("cosine")).as("cosine"), col("rank"))
     })
   )
 
@@ -63,6 +85,54 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" -> topkSql("WHERE vec_id < 10", 5),
-    "ann_knn_join" -> topkSql("", 3)
+    "ann_knn_join" -> topkSql("", 3),
+    "embedding_dup_pairs" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS ev,
+                     ${dotSql("embedding", "embedding")} AS nrm
+                     FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(1e-9 + ${dotSql("a.ev", "b.ev")}
+                  / sqrt(a.nrm * b.nrm), 4) AS cosine
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE sqrt(a.nrm * b.nrm) > 0
+           AND ${dotSql("a.ev", "b.ev")} / sqrt(a.nrm * b.nrm) >= 0.4""",
+    // IVF replay: same centroids (vec_id < 8), same assignment tie-break
+    // (cosine DESC, cid DESC = Spark's greatest-struct), same probe
+    // tie-break (cosine DESC, cid ASC = array_sort on (-cos, cid)),
+    // same final ranking.
+    "ann_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                        FROM embeddings WHERE vec_id < 8),
+           v AS (SELECT vec_id, embedding AS ev,
+                 ${dotSql("embedding", "embedding")} AS nrm
+                 FROM embeddings),
+           vc AS (SELECT v.vec_id, v.nrm, cent.cid,
+                  ${cosineSql("v.ev", "cent.cv")} AS s
+                  FROM v CROSS JOIN cent),
+           asg AS (SELECT vec_id, nrm, cid AS cluster FROM (
+                    SELECT vc.*, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY s DESC, cid DESC) AS rn FROM vc)
+                   WHERE rn = 1),
+           qp AS (SELECT vec_id AS query_id, nrm AS qnrm, cid AS cluster
+                  FROM (
+                    SELECT vc.*, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY s DESC, cid ASC) AS rn
+                    FROM vc WHERE vec_id < 10)
+                  WHERE rn <= 2),
+           cand AS (SELECT qp.query_id, a.vec_id AS nbr_id,
+                    CASE WHEN sqrt(qp.qnrm * a.nrm) > 0 THEN
+                      ${dotSql("qe.embedding", "ne.embedding")}
+                        / sqrt(qp.qnrm * a.nrm) END AS cos_raw
+                    FROM qp
+                    JOIN asg a ON qp.cluster = a.cluster
+                               AND qp.query_id <> a.vec_id
+                    JOIN embeddings qe ON qe.vec_id = qp.query_id
+                    JOIN embeddings ne ON ne.vec_id = a.vec_id),
+           ranked AS (SELECT query_id, nbr_id, cos_raw,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_raw DESC, nbr_id) AS rank
+                      FROM cand)
+         SELECT query_id, nbr_id, round(1e-9 + cos_raw, 4) AS cosine, rank
+         FROM ranked WHERE rank <= 3"""
   )
 }
