@@ -58,12 +58,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
-      graft.queries.SimilarityQueries.oracleSql
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for large-scale training-data pipelines
+  * (north-star extension surface — BASELINE.json `north_star`; absent
+  * from the reference, which is text/numeric only).
+  *
+  * Design: media (image/audio/video) travels as an opaque `binary`
+  * payload column plus typed metadata, exactly like a production lakehouse
+  * layout (parquet BYTE_ARRAY + struct column). Every operator here is a
+  * narrow per-row transform — zero shuffle, trivially partition-parallel,
+  * which is the whole scale story for decode/feature pipelines: 100 TB of
+  * media shards across executors with no coordination.
+  *
+  * The actual codec step is STUBBED: this environment ships no image/
+  * audio libraries, so [[FakeDecoder]] derives deterministic pseudo-
+  * metadata from the payload's md5 (replayable in the DuckDB oracle).
+  * The plumbing around it — binary columns, substring frame slicing,
+  * per-partition decoder lifecycle via `mapPartitions`, array-typed
+  * feature output that feeds straight into [[Similarity]] — is real and
+  * tested. A real deployment implements [[BlobDecoder]] over libjpeg/
+  * ffmpeg and swaps it into [[decodeWith]]; nothing else changes.
+  */
+object Multimodal {
+
+  /** The fixture stand-in: treat a text column's UTF-8 bytes as the
+    * opaque media payload. */
+  def payload(text: Column): Column = text.cast("binary")
+
+  /** Byte length of the payload (Spark `length` on binary counts bytes;
+    * DuckDB mirror: `octet_length`). */
+  def blobLen(p: Column): Column = length(p)
+
+  /** Content address of the payload — dedup/lineage key for media. */
+  def blobMd5(p: Column): Column = md5(p)
+
+  /** 60-bit hash of the payload salted with a field tag — the shared
+    * Spark/DuckDB trick for deterministic pseudo-decode: both engines
+    * compute `md5(hex(payload) || tag)` and read the first 15 hex digits
+    * as a long. */
+  private def saltedHash(p: Column, tag: String): Column =
+    conv(substring(md5(concat(hex(p), lit(tag))), 1, 15), 16, 10).cast("long")
+
+  /** STUB image decode: deterministic pseudo-metadata (width 64-1343,
+    * height 64-783, channels 1-3) derived from the payload hash. Stands
+    * in for a real header parse; see [[BlobDecoder]] for the real hook. */
+  def fakeImageMeta(p: Column): Column = struct(
+    (pmod(saltedHash(p, "-w"), lit(1280)) + 64).cast("int").as("width"),
+    (pmod(saltedHash(p, "-h"), lit(720)) + 64).cast("int").as("height"),
+    (pmod(saltedHash(p, "-c"), lit(3)) + 1).cast("int").as("channels"))
+
+  /** STUB feature extraction: a dim-length pseudo-embedding in [-1, 1],
+    * feature i = (saltedHash(p, "-f<i>") % 2001 - 1000) / 1000. Fake
+    * values, real plumbing — the output is `array<double>` and feeds
+    * [[Similarity.cosineTopK]] / [[Dedup]] unchanged. */
+  def fakeFeatures(p: Column, dim: Int = 8): Column =
+    array((0 until dim).map { i =>
+      ((pmod(saltedHash(p, s"-f$i"), lit(2001)) - 1000).cast("double")
+        / 1000.0).as(s"f$i")
+    }: _*)
+
+  /** Frame sampling: split the payload into `nFrames` equal byte slices
+    * (a video keyframe / audio window stand-in) and return
+    * `array<struct<frame_idx:int, frame_md5:string>>` for `posexplode`.
+    * Slicing is real `substring`-on-binary; only the downstream decode is
+    * fake. Payloads shorter than nFrames yield fewer, 1-byte frames. */
+  def frameSamples(p: Column, nFrames: Int = 4): Column = {
+    // floor() before the int cast: Spark's double→int cast truncates but
+    // DuckDB's rounds, so the shared SQL must make the floor explicit.
+    val flen = greatest(lit(1), floor(blobLen(p) / nFrames).cast("int"))
+    array((0 until nFrames).map { j =>
+      struct(lit(j).as("frame_idx"),
+        md5(p.substr(lit(j) * flen + 1, flen)).as("frame_md5"))
+    }: _*)
+  }
+
+  // --- pluggable real-decoder hook --------------------------------------
+
+  /** Decoded media metadata (the real schema would add duration, codec,
+    * bitrate, ...). */
+  case class DecodedMeta(width: Int, height: Int, channels: Int)
+
+  /** A blob with identity — input record for batch decode. */
+  case class Blob(id: Long, bytes: Array[Byte])
+
+  /** Decoded record. */
+  case class Decoded(id: Long, meta: DecodedMeta)
+
+  /** The real-decoder extension point. Implementations wrap a native
+    * codec (libjpeg, ffmpeg, ...); instances are created once per
+    * partition by [[decodeWith]] — the standard lifecycle for decoders
+    * with expensive init (dictionary load, JNI handle). */
+  trait BlobDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): DecodedMeta
+    def close(): Unit = ()
+  }
+
+  /** Deterministic stand-in decoder: same math as [[fakeImageMeta]],
+    * computed JVM-side. */
+  object FakeDecoder extends BlobDecoder {
+    private def salted(bytes: Array[Byte], tag: String): Long = {
+      val hexs = bytes.map(b => f"${b & 0xff}%02X").mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest((hexs + tag).getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+      (h << 4) | ((dig(7) >> 4) & 0xfL)
+    }
+    def decode(bytes: Array[Byte]): DecodedMeta = DecodedMeta(
+      width = (Math.floorMod(salted(bytes, "-w"), 1280L) + 64).toInt,
+      height = (Math.floorMod(salted(bytes, "-h"), 720L) + 64).toInt,
+      channels = (Math.floorMod(salted(bytes, "-c"), 3L) + 1).toInt)
+  }
+
+  /** Batch decode via `mapPartitions` — the Scala analog of a Pandas-UDF
+    * `mapInPandas` decode stage: one decoder per partition (open/close
+    * around the iterator), rows streamed, output typed. Narrow — scales
+    * by repartitioning the payload table, nothing else. */
+  def decodeWith(blobs: Dataset[Blob], decoder: BlobDecoder): Dataset[Decoded] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      decoder.open()
+      new Iterator[Decoded] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) decoder.close(); h }
+        def next(): Decoded = {
+          val b = it.next(); Decoded(b.id, decoder.decode(b.bytes))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal._
+
+/** Multimodal query inventory: `documents.text` UTF-8 bytes stand in for
+  * media payloads (see [[graft.operators.Multimodal]] — the decode math
+  * is a deterministic md5-derived stub, the binary plumbing is real).
+  * Every query has a full DuckDB oracle: both engines hash
+  * `hex(payload) || tag` and read the first 15 hex digits as a 60-bit
+  * long, so pseudo-decode outputs are bit-identical.
+  */
+object MultimodalQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def withPayload(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), payload(col("text")).as("p"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_blob_stats" -> ((s, dir) => {
+      // Real (non-stub) payload stats: byte length + content address.
+      withPayload(s, dir).select(col("doc_id"),
+        blobLen(col("p")).cast("long").as("byte_len"),
+        blobMd5(col("p")).as("content_md5"))
+    }),
+    "mm_image_meta" -> ((s, dir) => {
+      // STUB decode: deterministic pseudo width/height/channels.
+      withPayload(s, dir)
+        .select(col("doc_id"), fakeImageMeta(col("p")).as("m"))
+        .select(col("doc_id"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          col("m.channels").cast("long").as("channels"))
+    }),
+    "mm_features" -> ((s, dir) => {
+      // STUB features, real array plumbing. Serialized as integer millis
+      // (round(f*1000) recovers the exact generator integer) — engine-
+      // neutral, unlike double→string formatting.
+      withPayload(s, dir).select(col("doc_id"),
+        array_join(transform(fakeFeatures(col("p"), 8),
+          f => round(f * 1000).cast("long").cast("string")), ",").as("feat"))
+    }),
+    "mm_frame_sample" -> ((s, dir) => {
+      // Real byte-slice frame sampling; one row per (doc, frame).
+      withPayload(s, dir)
+        .select(col("doc_id"), explode(frameSamples(col("p"), 4)).as("fr"))
+        .select(col("doc_id"),
+          col("fr.frame_idx").cast("long").as("frame_idx"),
+          col("fr.frame_md5").as("frame_md5"))
+    })
+  )
+
+  /** 60-bit salted payload hash, DuckDB side. `encode(text)` is the
+    * UTF-8-bytes payload; hex() of a BLOB is uppercase in both engines. */
+  private def saltedSql(tag: String): String =
+    s"CAST(concat('0x', substr(md5(concat(hex(p), '$tag')), 1, 15)) AS BIGINT)"
+
+  // DuckDB's md5/substring take VARCHAR only. The corpus is pure ASCII
+  // (verified), so VARCHAR char ops == payload byte ops and md5(text) ==
+  // md5 of the UTF-8 payload bytes.
+  val oracleSql: Map[String, String] = Map(
+    "mm_blob_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+         md5(text) AS content_md5
+         FROM documents""",
+    "mm_image_meta" ->
+      s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents)
+         SELECT doc_id,
+           ${saltedSql("-w")} % 1280 + 64 AS width,
+           ${saltedSql("-h")} % 720 + 64 AS height,
+           ${saltedSql("-c")} % 3 + 1 AS channels
+         FROM b""",
+    "mm_features" ->
+      s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents)
+         SELECT doc_id,
+           array_to_string([${(0 until 8).map(i =>
+             s"CAST(round((${saltedSql(s"-f$i")} % 2001 - 1000) / 1000.0 " +
+               "* 1000.0) AS BIGINT)").mkString(", ")}], ',') AS feat
+         FROM b""",
+    "mm_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text,
+                 greatest(1, CAST(floor(octet_length(encode(text)) / 4.0)
+                   AS INT)) AS flen
+                 FROM documents)
+         SELECT doc_id, j AS frame_idx,
+           md5(substring(text, CAST(j * flen + 1 AS INT), flen)) AS frame_md5
+         FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)"""
+  )
+}

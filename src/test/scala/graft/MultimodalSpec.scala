@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal._
+
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("payload round-trips byte length and md5 of the UTF-8 text") {
+    val r = Seq(("abc"), ("")).toDF("text")
+      .select(blobLen(payload($"text")).as("n"),
+        blobMd5(payload($"text")).as("m")).collect()
+    assert(r(0).getInt(0) == 3)
+    assert(r(0).getString(1) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r(1).getInt(0) == 0)
+    assert(r(1).getString(1) == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("fakeImageMeta is deterministic and in range") {
+    val m = docs.select(fakeImageMeta(payload($"text")).as("m"))
+      .select($"m.width", $"m.height", $"m.channels").collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getInt(0) >= 64 && r.getInt(0) < 1344)
+      assert(r.getInt(1) >= 64 && r.getInt(1) < 784)
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 3)
+    }
+    val again = docs.select(fakeImageMeta(payload($"text")).as("m"))
+      .select($"m.width", $"m.height", $"m.channels").collect()
+    assert(m.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("fakeFeatures feed Similarity.cosine unchanged") {
+    val feats = docs.limit(50).select($"doc_id",
+      fakeFeatures(payload($"text"), 8).as("embedding"))
+    val c = graft.operators.Similarity.cosine($"a.embedding", $"b.embedding")
+    val pairs = feats.as("a").join(feats.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select(c.as("cos")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(!r.isNullAt(0) &&
+      math.abs(r.getDouble(0)) <= 1.0 + 1e-12))
+  }
+
+  test("frameSamples covers the payload in nFrames slices") {
+    val fr = Seq("abcdefgh").toDF("text")
+      .select(explode(frameSamples(payload($"text"), 4)).as("f"))
+      .select($"f.frame_idx", $"f.frame_md5").collect()
+    assert(fr.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    // 8 bytes / 4 frames = 2-byte frames: "ab" "cd" "ef" "gh"
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(fr.map(_.getString(1)).toSeq ==
+      Seq(m("ab"), m("cd"), m("ef"), m("gh")))
+  }
+
+  test("decodeWith: mapPartitions decode matches the column-level stub") {
+    val blobs = docs.limit(20)
+      .select($"doc_id".as("id"), payload($"text").as("bytes"))
+      .as[Blob]
+    val decoded = decodeWith(blobs, FakeDecoder).collect()
+      .map(d => d.id -> d.meta).toMap
+    val viaCols = docs.limit(20)
+      .select($"doc_id", fakeImageMeta(payload($"text")).as("m"))
+      .select($"doc_id", $"m.width", $"m.height", $"m.channels").collect()
+      .map(r => r.getLong(0) ->
+        DecodedMeta(r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(decoded == viaCols)
+  }
+}
