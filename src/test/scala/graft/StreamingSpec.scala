@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps._
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("mutateStreamW: tumbling window aggs match the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = ms.toDF.toDF("ts", "user_id", "value")
+
+    val out = mutateStreamW(df, "ts", watermark = "10 seconds",
+      windowLen = "1 minute", by = Seq(col("user_id")))(
+      "sum_v" -> sum(col("value")), "n" -> count(lit(1)))
+
+    val q = out.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    ms.addData(
+      (t("2026-01-01 00:00:10"), 1L, 1.0),
+      (t("2026-01-01 00:00:50"), 1L, 2.0),
+      (t("2026-01-01 00:01:10"), 1L, 4.0),
+      (t("2026-01-01 00:00:20"), 2L, 8.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, window.start, sum_v, n FROM winagg ORDER BY 1, 2")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getLong(3)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (1L, "2026-01-01 00:00:00.0", 3.0, 2L),
+      (1L, "2026-01-01 00:01:00.0", 4.0, 1L),
+      (2L, "2026-01-01 00:00:00.0", 8.0, 1L)))
+  }
+
+  test("mutateStreamW: sliding windows overlap as specified") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = ms.toDF.toDF("ts", "user_id", "value")
+    val out = mutateStreamW(df, "ts", watermark = "10 seconds",
+      windowLen = "1 minute", slide = Some("30 seconds"))(
+      "n" -> count(lit(1)))
+    val q = out.writeStream.format("memory").queryName("slide")
+      .outputMode("complete").start()
+    ms.addData((java.sql.Timestamp.valueOf("2026-01-01 00:00:45"), 1L, 1.0))
+    q.processAllAvailable()
+    // one event at :45 falls in windows [00:00,01:00) and [00:30,01:30)
+    val n = spark.sql("SELECT count(*) FROM slide").collect()(0).getLong(0)
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("sessionize (streaming): a gap larger than gapMillis closes the session") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = sessionize(ms.toDS(), gapMillis = 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    ms.addData(KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1500, 2.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sessions").count() == 0) // still open
+    ms.addData(KeyedEvent(1, 10000, 4.0)) // gap 8.5s > 1s → closes first
+    q.processAllAvailable()
+    val s = spark.sql(
+      "SELECT key, startMillis, endMillis, nEvents, sumValue FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    q.stop()
+    assert(s.toSeq == Seq((1L, 1000L, 1500L, 2L, 3.0)))
+  }
+
+  test("sessionize (batch): same operator, deterministic closed sessions") {
+    val events = Seq(
+      KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1800, 2.0),
+      KeyedEvent(1, 5000, 4.0), KeyedEvent(1, 9000, 8.0),
+      KeyedEvent(2, 100, 16.0), KeyedEvent(2, 5000, 32.0)).toDS()
+    val closed = sessionize(events, gapMillis = 1000).collect()
+      .map(s => (s.key, s.startMillis, s.endMillis, s.nEvents, s.sumValue))
+      .toSet
+    // per key the LAST session stays open (held in state) — batch emits
+    // only sessions closed by a later event
+    assert(closed == Set(
+      (1L, 1000L, 1800L, 2L, 3.0),
+      (1L, 5000L, 5000L, 1L, 4.0),
+      (2L, 100L, 100L, 1L, 16.0)))
+  }
+}
