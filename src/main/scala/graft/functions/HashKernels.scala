@@ -245,11 +245,11 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 }
 
 object ShingleHashesExpr {
-  private val hexDigits = "0123456789abcdef".toCharArray
+  private val ws = java.util.regex.Pattern.compile("\\s+")
 
   def compute(text: String, n: Int): GenericArrayData = {
-    val norm = java.util.regex.Pattern.compile("\\s+")
-      .matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
+    val norm = ws.matcher(text.toLowerCase(java.util.Locale.ROOT))
+      .replaceAll(" ").trim
     if (norm.isEmpty) return new GenericArrayData(Array.emptyLongArray)
     val toks = norm.split(' ')
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)

@@ -158,5 +158,30 @@ object TidierOps {
       if (needRid) out = out.drop(RID)
       out
     }
+
+    /** SE (standard-eval) variant mirroring the reference's `mutate_`
+      * exactly: string column keys, a recycled `.desc` flag vector
+      * (length 1 or length of `orderBy`, R/mutate.R:148-150,177-179),
+      * and restore-original-row-order semantics (R/mutate.R:291 — the
+      * one behavioral difference from the NSE `mutate`, SURVEY.md §2.1).
+      * R's `order()` places NA last for both directions, hence the
+      * `_nulls_last` variants (SURVEY.md §2.2). */
+    def mutateSE(exprs: (String, Column)*)(
+        by: Seq[String] = Nil,
+        orderBy: Seq[String] = Nil,
+        desc: Seq[Boolean] = Seq(false),
+        frame: Option[Frame] = None,
+        index: Option[String] = None,
+        complete: Boolean = false): DataFrame = {
+      require(desc.length == 1 || desc.length == orderBy.length,
+        s".desc must have length 1 or ${orderBy.length} (got ${desc.length})")
+      val flags =
+        if (desc.length == 1) Seq.fill(orderBy.length)(desc.head) else desc
+      val ord = orderBy.zip(flags).map { case (k, d) =>
+        if (d) col(k).desc_nulls_last else col(k).asc_nulls_last
+      }
+      df.mutateW(exprs: _*)(by = by.map(col), orderBy = ord, frame = frame,
+        index = index.map(col), complete = complete, restoreOrder = true)
+    }
   }
 }

@@ -139,4 +139,24 @@ class MutateWSpec extends AnyFunSuite {
       by = Seq($"g"), orderBy = Seq($"v".desc))
     assert(rowsFor(out, "rn").map(_.getInt(0)) == Seq(4, 3, 2, 1, 3, 2, 1))
   }
+
+  test("mutateSE: string keys, recycled single .desc flag, order restored") {
+    val shuffled = Seq(("a", 2, 20.0), ("a", 1, 10.0), ("b", 1, 1.0))
+      .toDF("g", "o", "v")
+    val out = shuffled.mutateSE("rn" -> row_number())(
+      by = Seq("g"), orderBy = Seq("o"), desc = Seq(true))
+    // desc order: within a, o=2 ranks 1, o=1 ranks 2; input order restored
+    assert(out.select("o", "rn").collect().map(r =>
+      (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 1), (1, 2), (1, 1)))
+  }
+
+  test("mutateSE: per-key .desc vector, length must match") {
+    val out = df.mutateSE("rn" -> row_number())(
+      by = Seq("g"), orderBy = Seq("o", "v"), desc = Seq(false, true))
+    assert(out.count() == 7)
+    intercept[IllegalArgumentException] {
+      df.mutateSE("rn" -> row_number())(
+        by = Seq("g"), orderBy = Seq("o", "v"), desc = Seq(true, false, true))
+    }
+  }
 }
