@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Frame, TidierOps}
+import TidierOps._
+
+/** Physical-plan assertions: the plans we want at 100 TB, checked at
+  * test scale. A correct result off a bad plan is a latent scale bug —
+  * these tests pin the properties that make the operators survive a
+  * 100× scale-up (SURVEY.md §4.2, build brief "optimize for scale").
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => qe.explainString(m)
+    }
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val f = formatted(df)
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("filter pushdown: predicate reaches the parquet scan") {
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .filter($"o_orderkey" < 100).select("o_orderkey", "o_totalprice")
+    val f = formatted(df)
+    val pushed = f.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("LessThan(o_orderkey,100)"),
+      s"filter not pushed: $pushed")
+  }
+
+  test("CollapseWindow: N same-spec expressions produce ONE Window node") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .mutateW("a" -> sum($"l_quantity"), "b" -> avg($"l_quantity"),
+        "c" -> count(lit(1)), "d" -> min($"l_quantity"))(
+        by = Seq($"l_returnflag"),
+        orderBy = Seq($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+        frame = Some(Frame.rows(3, 0)))
+    val p = plan(df)
+    assert(p.split("Window \\[").length - 1 == 1,
+      s"expected exactly one Window operator:\n$p")
+  }
+
+  test("windowed mutate shuffles ONCE on the partition keys") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+    val out = df.mutateW("s" -> sum($"l_quantity"))(
+      by = Seq($"l_returnflag"), orderBy = Seq($"l_orderkey"),
+      frame = Some(Frame.rows(2, 2)))
+    val p = plan(out)
+    val nExchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(nExchanges == 1, s"expected one hash exchange:\n$p")
+  }
+
+  test("cosineTopK broadcasts the query side (no shuffle of the corpus)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.cosineTopK(
+      emb, emb.filter($"vec_id" < 5), k = 3)
+    val p = plan(out)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("dedup verification joins broadcast the df-count side, not postings") {
+    // The high-level property: jaccardPairs must not shuffle shingle
+    // STRINGS anywhere — all exchanges carry 8-byte hash keys.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text")
+    val p = plan(out)
+    assert(!p.contains("array_intersect"), "string intersection survived")
+  }
+
+  test("whole-stage codegen covers the scalar pipeline (no interpreted gaps)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = docs.select(col("doc_id"),
+      graft.operators.Dedup.shingleHashes(col("text"), 3).as("hs"))
+    // `*(n)` prefixes mark operators fused into WholeStageCodegen stage n.
+    val p = plan(out)
+    assert(p.linesIterator.exists(l => l.trim.startsWith("*(")),
+      s"no codegen span:\n$p")
+    assert(p.linesIterator.filter(_.contains("Project"))
+      .forall(_.contains("*(")), s"interpreted Project in:\n$p")
+  }
+}
