@@ -171,6 +171,21 @@ object SparkEntry {
           r4(col("avg_v")).as("avg_v"), col("n_v").cast("long").as("n_v"),
           col("min_v"), col("max_v"))
     }),
+    "asof_join_daily" -> ((s, dir) => {
+      // As-of join (union-and-sweep, one shuffle — operators/AsofJoin):
+      // each event picks up the PREVIOUS day's per-user mean (strict
+      // backward match). Oracle is DuckDB's native ASOF LEFT JOIN.
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("value"), expr("ts div 86400000000000").as("day"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(r4(avg(col("value"))).as("prev_mean"))
+      graft.operators.AsofJoin.asofBackward(
+          ev.select("event_id", "user_id", "day"), daily,
+          keys = Seq("user_id"), leftTime = "day", rightTime = "day",
+          valueCols = Seq("prev_mean"), strict = true,
+          matchedTimeCol = "prev_day")
+        .select(col("event_id"), col("prev_day"), col("prev_mean"))
+    }),
     "window_noby_frame" -> ((s, dir) => {
       // Path 2: frame without partition — single-partition global window;
       // kept on the 25-row `nation` table by design (SURVEY §4.2 scale note).
@@ -249,6 +264,15 @@ object SparkEntry {
       """SELECT n_nationkey,
          sum(n_nationkey) OVER (ORDER BY n_nationkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_key
-         FROM nation"""
+         FROM nation""",
+    "asof_join_daily" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         daily AS (SELECT user_id, day, round(1e-9 + avg(value), 4) AS prev_mean
+           FROM e GROUP BY 1, 2)
+         SELECT e.event_id, d.day AS prev_day, d.prev_mean
+         FROM e ASOF LEFT JOIN daily d
+           ON e.user_id = d.user_id AND e.day > d.day"""
   )
 }

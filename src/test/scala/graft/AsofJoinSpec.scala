@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsofJoin._
+
+class AsofJoinSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  // left: (k, t, tag) — right: (k, t, v)
+  private lazy val left = Seq(
+    ("a", 5L, "l1"), ("a", 10L, "l2"), ("a", 20L, "l3"),
+    ("b", 7L, "l4"), ("c", 1L, "l5")).toDF("k", "lt", "tag")
+  private lazy val right = Seq(
+    ("a", 5L, 1.0), ("a", 15L, 2.0), ("b", 3L, 4.0)).toDF("k", "rt", "v")
+
+  private def collectMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(2) ->
+      (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+
+  test("backward inclusive: right row at equal time matches") {
+    val out = asofBackward(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .select("k", "lt", "tag", "matched_time", "v")
+    assert(collectMap(out) == Map(
+      "l1" -> (Some(5L), Some(1.0)),   // equal time visible
+      "l2" -> (Some(5L), Some(1.0)),
+      "l3" -> (Some(15L), Some(2.0)),
+      "l4" -> (Some(3L), Some(4.0)),
+      "l5" -> (None, None)))           // no right rows for key c
+  }
+
+  test("backward strict: right row at equal time is invisible") {
+    val out = asofBackward(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      strict = true)
+      .select("k", "lt", "tag", "matched_time", "v")
+    assert(collectMap(out) == Map(
+      "l1" -> (None, None),            // rt=5 not < 5
+      "l2" -> (Some(5L), Some(1.0)),
+      "l3" -> (Some(15L), Some(2.0)),
+      "l4" -> (Some(3L), Some(4.0)),
+      "l5" -> (None, None)))
+  }
+
+  test("tolerance nulls matches farther back than the bound") {
+    val out = asofBackward(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      tolerance = Some(lit(5L)))
+      .select("k", "lt", "tag", "matched_time", "v")
+    assert(collectMap(out) == Map(
+      "l1" -> (Some(5L), Some(1.0)),   // gap 0 ≤ 5
+      "l2" -> (Some(5L), Some(1.0)),   // gap 5 ≤ 5
+      "l3" -> (Some(15L), Some(2.0)),  // gap 5 ≤ 5
+      "l4" -> (Some(3L), Some(4.0)),   // gap 4 ≤ 5
+      "l5" -> (None, None)))
+  }
+
+  test("plan: one hash exchange, no broadcast, no range-probe join") {
+    val out = asofBackward(left, right, Seq("k"), "lt", "rt", Seq("v"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"as-of degenerated into a range probe:\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+}
