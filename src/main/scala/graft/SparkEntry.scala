@@ -171,6 +171,20 @@ object SparkEntry {
           r4(col("avg_v")).as("avg_v"), col("n_v").cast("long").as("n_v"),
           col("min_v"), col("max_v"))
     }),
+    "window_product" -> ((s, dir) => {
+      // Custom Aggregator (functions/ProductAgg) over a window frame —
+      // the reference's "any R expr per slice" (e.g. prod) via the
+      // udaf tier; oracle is DuckDB's native product().
+      t(s, dir, "lineitem")
+        .mutateW("tax_factor" ->
+          graft.functions.ProductAgg.product(lit(1.0) + col("l_tax")))(
+          by = Seq(col("l_returnflag")),
+          orderBy = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          frame = Some(Frame.rows(2, 0)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("tax_factor")).as("tax_factor"))
+    }),
     "asof_join_daily" -> ((s, dir) => {
       // As-of join (union-and-sweep, one shuffle — operators/AsofJoin):
       // each event picks up the PREVIOUS day's per-user mean (strict
@@ -265,6 +279,12 @@ object SparkEntry {
          sum(n_nationkey) OVER (ORDER BY n_nationkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_key
          FROM nation""",
+    "window_product" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(1e-9 + product(1.0 + l_tax) OVER (PARTITION BY l_returnflag
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS tax_factor
+         FROM lineitem""",
     "asof_join_daily" ->
       """WITH e AS (SELECT event_id, user_id, value,
            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day

@@ -123,10 +123,22 @@ object Dedup {
         size(col("ord")).as("osz"))
     val prefixLen = (col("osz") - ceil(col("osz") * lit(minJaccard)) + 1)
       .cast("int")
+    // Postings keep (0-based) position and set size for PPJoin's
+    // positional filter below.
     val prefix = ordered
-      .select(col("doc_id"), explode(slice(col("ordSh"), lit(1), prefixLen)).as("s"))
+      .select(col("doc_id"), col("osz"),
+        posexplode(col("ordSh")).as(Seq("pos", "s")))
+      .filter(col("pos") < prefixLen)
+    // Positional filter (lossless): a match at positions (pa, pb) bounds
+    // the overlap by min(za-pa, zb-pb) (current token + suffixes), and
+    // J ≥ τ needs overlap ≥ ⌈τ(za+zb)/(1+τ)⌉. A true pair always
+    // survives via its FIRST shared token in the global order.
+    val need = ceil((col("pa.osz") + col("pb.osz"))
+      * lit(minJaccard / (1 + minJaccard)))
     val cands = prefix.as("pa").join(prefix.as("pb"), Seq("s"))
-      .filter(col("pa.doc_id") < col("pb.doc_id"))
+      .filter(col("pa.doc_id") < col("pb.doc_id") &&
+        least(col("pa.osz") - col("pa.pos"),
+          col("pb.osz") - col("pb.pos")) >= need)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Exact verification: merge-count over the SORTED hash arrays
