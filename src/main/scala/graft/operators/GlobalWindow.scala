@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Scalable global running aggregates.
+  *
+  * `Window.orderBy(...)` with no `partitionBy` is semantically what the
+  * reference's path-2 frames mean (SURVEY.md §2.1 path 2), but Spark
+  * executes it on a SINGLE partition — the documented 100 TB bottleneck
+  * (SURVEY.md §4.2). This is the classic two-pass fix:
+  *
+  *   1. range-repartition by the order keys (Spark samples split points),
+  *      sort within partitions, and compute each partition's LOCAL
+  *      running sum in one `mapPartitions` sweep (genuine per-partition
+  *      imperative logic — the sanctioned mapPartitions case);
+  *   2. aggregate one total per partition (P tiny rows), prefix-sum those
+  *      on the driver (the only driver step: P numbers, not data), and
+  *      broadcast-join the offsets back.
+  *
+  * Cost: one range shuffle + one P-row broadcast — fully parallel at any
+  * scale. With a total order (callers include a tiebreaker, same contract
+  * as any deterministic window) the result equals the single-partition
+  * window exactly for integer-valued data and within float ulps
+  * otherwise (partitioned summation reassociates the adds).
+  */
+object GlobalWindow {
+
+  private val PID = "__gw_pid__"
+  private val LOC = "__gw_loc__"
+
+  /** Global cumulative sum of `valueCol` (cast to double) in the total
+    * order of `orderBy`, appended as `outCol`. */
+  def cumSum(df: DataFrame, orderBy: Seq[Column], valueCol: String,
+      outCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val ranged = df
+      .withColumn(LOC, col(valueCol).cast(DoubleType))
+      .repartitionByRange(parts, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+
+    // Pass 1: local running sum + partition id, one sweep, no extra shuffle.
+    val outSchema = ranged.schema
+      .add(PID, org.apache.spark.sql.types.IntegerType)
+    val vIdx = ranged.schema.fieldIndex(LOC)
+    val withLocal = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var acc = 0.0
+      it.map { r =>
+        acc += (if (r.isNullAt(vIdx)) 0.0 else r.getDouble(vIdx))
+        Row.fromSeq(r.toSeq.updated(vIdx, acc) :+ pid)
+      }
+    }(Encoders.row(outSchema))
+
+    // Pass 2: one total per partition (P rows), exclusive prefix-sum over
+    // those P rows (a single-partition window over P values is fine —
+    // that's the point of the rewrite), broadcast the offsets back.
+    // No driver collect; the whole thing is one lazy plan.
+    val pw = org.apache.spark.sql.expressions.Window.orderBy(col(PID))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsetDf = withLocal.groupBy(col(PID))
+      .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"))
+      .withColumn("__gw_off__", coalesce(sum(col("psum")).over(pw), lit(0.0)))
+      .select(col(PID), col("__gw_off__"))
+
+    withLocal.join(broadcast(offsetDf), Seq(PID))
+      .withColumn(outCol, col(LOC) + col("__gw_off__"))
+      .drop(PID, LOC, "__gw_off__")
+  }
+}

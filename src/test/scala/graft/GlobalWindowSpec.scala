@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GlobalWindow
+
+class GlobalWindowSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("two-pass cumSum equals the single-partition global window") {
+    val single = orders.withColumn("cs",
+      sum($"o_totalprice").over(Window.orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"o_orderkey", $"cs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scaled = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
+      "o_totalprice", "cs", numPartitions = 8)
+      .select($"o_orderkey", $"cs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scaled.keySet == single.keySet)
+    // FP reassociation across partitions: equal within relative ulps
+    scaled.foreach { case (k, v) =>
+      assert(math.abs(v - single(k)) <= 1e-9 * math.max(1.0, math.abs(single(k))),
+        s"key $k: $v vs ${single(k)}")
+    }
+  }
+
+  test("handles nulls (skipped) and empty partitions") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(2.0))).toDF("k", "v")
+    val out = GlobalWindow.cumSum(df, Seq($"k"), "v", "cs",
+      numPartitions = 8) // 8 partitions for 3 rows → empties exist
+      .orderBy("k").select("cs").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0, 1.0, 3.0))
+  }
+
+  test("plan: range partitioning, no single-partition exchange of the data") {
+    val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
+      "o_totalprice", "cs", numPartitions = 8)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"no range partitioning:\n$p")
+    assert(p.contains("BroadcastExchange"), s"offsets not broadcast:\n$p")
+  }
+}

@@ -54,6 +54,26 @@ class SourcesSpec extends AnyFunSuite {
       li.filter($"l_returnflag" === "R").count())
   }
 
+  test("bucketed tables join co-located — zero exchanges in the join plan") {
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val or = spark.read.parquet(s"$src/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    or.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+      $"l_orderkey" === $"o_orderkey")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(joined.count() == li.join(or,
+      $"l_orderkey" === $"o_orderkey").count())
+  }
+
   test("sorted single-partition parquet write preserves min/max pushdown") {
     val orders = spark.read.parquet(s"$src/orders.parquet")
     val p = tmp("sorted")
