@@ -59,13 +59,15 @@ object SparkEntry {
     coreQueries ++ graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.RelationalQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----
