@@ -56,6 +56,21 @@ object RelationalQueries {
           col("p_partkey") === col("l_partkey"), "leftanti")
         .select("p_partkey")
     }),
+    "scalar_funcs" -> ((s, dir) => {
+      // scalar-function breadth (date/string/math/array families), all
+      // codegen builtins with exact DuckDB equivalents
+      t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        r4(sqrt(col("o_totalprice"))).as("sqrt_price"),
+        size(split(col("o_orderpriority"), "-")).cast("long").as("pri_parts"),
+        element_at(split(col("o_orderpriority"), "-"), 1).as("pri_head"))
+    }),
     "window_ranks" -> ((s, dir) => {
       // ranking/analytic family sharing ONE window: rank, dense_rank,
       // lag, lead (CollapseWindow → single WindowExec)
@@ -91,6 +106,18 @@ object RelationalQueries {
       """SELECT p_partkey FROM part
          WHERE NOT EXISTS (SELECT 1 FROM lineitem
            WHERE l_partkey = p_partkey AND l_quantity > 45)""",
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         day(o_orderdate) AS dom,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS days_since,
+         upper(substr(o_orderpriority, 1, 3)) AS pri3,
+         concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+         round(1e-9 + sqrt(o_totalprice), 4) AS sqrt_price,
+         length(string_split(o_orderpriority, '-')) AS pri_parts,
+         string_split(o_orderpriority, '-')[1] AS pri_head
+         FROM orders""",
     "window_ranks" ->
       """SELECT o_orderkey,
          rank() OVER w AS rnk,

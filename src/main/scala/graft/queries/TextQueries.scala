@@ -37,6 +37,25 @@ object TextQueries {
   private val frS = Seq("le", "les", "une", "et", "est", "dans")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> ((s, dir) => {
+      // Distributed TF-IDF over the corpus: explode tokens → tf per
+      // (doc, term) → document frequency per term (broadcastable) →
+      // smooth idf. Two hash-agg shuffles + one broadcast join; no
+      // collect. Output is per-(doc, term) so no cross-engine float
+      // ordering is involved (r4 absorbs libm ln ulps).
+      val d = docs(s, dir)
+      val n = d.count() // corpus size: one scalar, the documented driver step
+      val toks = d.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .withColumn("tfidf", r4(col("tf") *
+          (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)))
+        .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+          col("tfidf"))
+    }),
     "text_stats" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_toks"),
@@ -68,6 +87,18 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf" ->
+      s"""$withToks, tok AS (
+           SELECT doc_id, unnest(toks) AS term FROM tt WHERE n_toks > 0
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+         ), df AS (
+           SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+         ), n AS (SELECT count(*) AS n FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf,
+           round(1e-9 + tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4)
+             AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN n""",
     "text_stats" ->
       s"""$withToks
          SELECT doc_id, n_toks,
