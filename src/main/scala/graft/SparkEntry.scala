@@ -135,6 +135,17 @@ object SparkEntry {
           index = Some(tsDate))
         .select(col("event_id"), r4(col("trail_avg")).as("trail_avg"))
     }),
+    "window_range_seconds" -> ((s, dir) => {
+      // Seconds-granularity Period frame: trailing hour per user,
+      // current second excluded. Index = exact integer epoch-seconds
+      // (ts div 1e9 on the nanos long ≡ DuckDB epoch_ns // 1e9).
+      events(s, dir)
+        .mutateW("trail_avg" -> avg(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.seconds(3600, -1)),
+          index = Some(expr("ts div 1000000000")))
+        .select(col("event_id"), r4(col("trail_avg")).as("trail_avg"))
+    }),
     "window_overwrite" -> ((s, dir) => {
       // Same-name column replacement (tests_tidier.R:162-269).
       t(s, dir, "lineitem")
@@ -250,6 +261,12 @@ object SparkEntry {
          round(1e-9 + avg(value) OVER (PARTITION BY user_id
            ORDER BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS trail_avg
+         FROM events""",
+    "window_range_seconds" ->
+      """SELECT event_id,
+         round(1e-9 + avg(value) OVER (PARTITION BY user_id
+           ORDER BY epoch_ns(ts) // 1000000000
+           RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING), 4) AS trail_avg
          FROM events""",
     "window_overwrite" ->
       """SELECT l_orderkey, l_linenumber,
