@@ -75,6 +75,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.toSeq == Seq((1L, 1000L, 1500L, 2L, 3.0)))
   }
 
+  test("dedupStream: duplicates within the watermark emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = ms.toDF.toDF("ts", "event_id", "value")
+    val q = dedupStream(df, "ts", "10 seconds", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    ms.addData(
+      (t("2026-01-01 00:00:01"), 1L, 1.0),
+      (t("2026-01-01 00:00:02"), 1L, 1.0), // dup within watermark
+      (t("2026-01-01 00:00:03"), 2L, 2.0))
+    q.processAllAvailable()
+    ms.addData((t("2026-01-01 00:00:04"), 2L, 2.0)) // dup, second batch
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM dedupstream")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    q.stop()
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("sessionize (batch): same operator, deterministic closed sessions") {
     val events = Seq(
       KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1800, 2.0),
