@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Registers the codegen kernels as named SQL functions so the library is
+  * usable from pure `spark.sql(...)` — the reference's `tbl_lazy` users
+  * (who live in SQL, reference R/mutate.R:293-351) get the same operator
+  * vocabulary without touching the Scala API:
+  *
+  *   SELECT vec_dot(a, b), shingle_hashes(text, 3),
+  *          minhash_sig(hs, 32), simhash64(hs, 32),
+  *          sorted_intersect_count(xa, xb) ...
+  *
+  * Two installation paths:
+  *   - config: `spark.sql.extensions=graft.GraftExtensions` at session
+  *     build (the standard extension-library mechanism);
+  *   - runtime: `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) triples for every exposed kernel. */
+  val registrations: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - fold-ordered double dot product of two float/double arrays"),
+      { case Seq(a, b) => VecDot(a, b)
+        case args => throw new IllegalArgumentException(
+          s"vec_dot takes 2 arguments, got ${args.length}") }),
+    ("shingle_hashes",
+      info("shingle_hashes", "shingle_hashes(text, n) - distinct word n-gram 60-bit md5 hashes"),
+      { case Seq(t, n) => ShingleHashesExpr(t, intArg(n, "n"))
+        case args => throw new IllegalArgumentException(
+          s"shingle_hashes takes 2 arguments, got ${args.length}") }),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(hashes, k) - k-permutation MinHash signature"),
+      { case Seq(h, k) => MinHashSigExpr(h, intArg(k, "k"))
+        case args => throw new IllegalArgumentException(
+          s"minhash_sig takes 2 arguments, got ${args.length}") }),
+    ("simhash64",
+      info("simhash64", "simhash64(hashes, bits) - SimHash sketch over 60-bit hashes"),
+      { case Seq(h, b) => SimHashExpr(h, intArg(b, "bits"))
+        case args => throw new IllegalArgumentException(
+          s"simhash64 takes 2 arguments, got ${args.length}") }),
+    ("sorted_intersect_count",
+      info("sorted_intersect_count", "sorted_intersect_count(a, b) - merge-count of two sorted bigint arrays"),
+      { case Seq(a, b) => SortedIntersectCount(a, b)
+        case args => throw new IllegalArgumentException(
+          s"sorted_intersect_count takes 2 arguments, got ${args.length}") })
+  )
+
+  /** Runtime registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}
