@@ -1,0 +1,100 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests pitting the filtered/optimized operators against
+  * brute-force Scala reference implementations on adversarial random
+  * data — tiny vocabularies force heavy shingle collisions (stressing
+  * the prefix/positional filters), random gaps stress as-of matching.
+  */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(15).withWorkers(1)
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --- jaccardPairs vs brute force --------------------------------------
+
+  private val docGen: Gen[List[String]] = for {
+    n <- Gen.choose(2, 14)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd")) // tiny vocab
+    } yield ws.mkString(" "))
+  } yield docs
+
+  private def shinglesOf(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
+      .split(' ').filter(_.nonEmpty)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("jaccardPairs equals brute force on collision-heavy random corpora") {
+    check(forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).toMap
+      val sets = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shinglesOf(t, 3) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa intersect sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.5
+      } yield ((ia, ib), BigDecimal(j).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP))).toMap
+      got == want
+    })
+  }
+
+  // --- asofBackward vs naive scan ---------------------------------------
+
+  private val asofGen = for {
+    nl <- Gen.choose(1, 12)
+    nr <- Gen.choose(0, 12)
+    lefts <- Gen.listOfN(nl, for {
+      k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 20L)
+    } yield (k, t))
+    rights0 <- Gen.listOfN(nr, for {
+      k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 20L)
+      v <- Gen.choose(1, 99)
+    } yield (k, t, v.toDouble))
+  } yield (lefts, rights0.groupBy(r => (r._1, r._2))
+    .map(_._2.head).toList) // unique (key, time) on the right
+
+  test("asofBackward (inclusive and strict) equals a naive per-row scan") {
+    check(forAll(asofGen, Gen.oneOf(true, false)) { case ((ls, rs), strict) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val lDf = left.toDF("k", "lt", "rid")
+      val rDf = rs.toDF("k", "rt", "v")
+      val got = graft.operators.AsofJoin
+        .asofBackward(lDf, rDf, Seq("k"), "lt", "rt", Seq("v"),
+          strict = strict)
+        .collect().map(r => r.getLong(2) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+      val want = left.map { case (k, t, i) =>
+        val cands = rs.filter(r => r._1 == k &&
+          (if (strict) r._2 < t else r._2 <= t))
+        val best = if (cands.isEmpty) None
+        else Some(cands.maxBy(_._2))
+        i -> (best.map(_._2), best.map(_._3))
+      }.toMap
+      got == want
+    })
+  }
+}
