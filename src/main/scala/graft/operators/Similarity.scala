@@ -63,12 +63,25 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
         when(denom > 0, dot(col("q_vec"), col("nbr_vec")) / denom))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("cosine"),
-        col("rank").cast("long").as("rank"))
+    topKRank(scored, k)
+  }
+
+  /** Per-query top-k of scored candidates via the k-bounded
+    * [[graft.functions.TopKAgg]] aggregate: partial aggregation prunes
+    * every map partition to k rows per query BEFORE the shuffle — the
+    * window-function formulation would ship all |Q|·|C| scored pairs.
+    * Null scores (zero-norm vectors) sort below all real scores, matching
+    * `ORDER BY cosine DESC NULLS LAST, nbr_id`. */
+  private[operators] def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    val ranked = scored
+      .withColumn("__s__", coalesce(col("cosine"), lit(Double.NegativeInfinity)))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("__s__"), col("nbr_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "t")))
+    ranked.select(col("query_id"), col("t.id").as("nbr_id"),
+      when(col("t.score") =!= Double.NegativeInfinity, col("t.score"))
+        .as("cosine"),
+      (col("r0") + 1).cast("long").as("rank"))
   }
 
   /** Exact embedding near-duplicate pairs: every (a, b), a < b, with
@@ -191,11 +204,6 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
         when(denom > 0, dot(col("q_vec"), col("nbr_vec")) / denom))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nbr_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("cosine"),
-        col("rank").cast("long").as("rank"))
+    topKRank(cands, k)
   }
 }

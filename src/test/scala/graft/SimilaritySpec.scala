@@ -37,6 +37,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("topKRank (bounded-buffer agg) equals the window-function top-k") {
+    val q = emb.filter($"vec_id" < 20)
+    val scored = emb.select($"vec_id".as("nbr_id"), $"embedding".as("nv"))
+      .crossJoin(broadcast(q.select($"vec_id".as("query_id"),
+        $"embedding".as("qv"))))
+      .filter($"query_id" =!= $"nbr_id")
+      .withColumn("cosine", cosine($"qv", $"nv"))
+    val viaAgg = cosineTopK(emb, q, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"nbr_id")
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank").toLong) ->
+        (r.getAs[Long]("nbr_id"), r.getAs[Double]("cosine")))
+      .toMap
+    assert(viaAgg == viaWindow)
+  }
+
   test("srpNearPairs: subset of brute force (precision 1.0), decent recall") {
     val tau = 0.35 // random 64-dim corpus: a few dozen pairs above this
     val brute = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
