@@ -224,6 +224,54 @@ object Dedup {
   def simhashFromHashes(hashCol: Column, bits: Int = 32): Column =
     graft.functions.HashKernels.simhashOf(hashCol, bits)
 
+  /** Duplicate CLUSTERS from a near-dup pair graph: connected components
+    * by hash-min label propagation. Every doc (node) repeatedly adopts
+    * the smallest doc_id reachable over pair edges; converges in
+    * O(diameter) rounds — near-dup clusters are shallow (dupes of a
+    * common source), so the loop is bounded by `maxIters` and each round
+    * is two shuffles (join + min-agg). This is the standard distributed
+    * CC recipe; no driver-side graph, no recursion depth tied to |V|.
+    *
+    * Output: (doc_id, cluster_id = min doc_id of the component),
+    * restricted to docs that appear in at least one pair. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // undirected edge list, both directions — explode instead of a
+    // self-union so the (expensive) pair pipeline runs ONCE, and cache
+    // so the iteration reuses materialized edges
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts min(own label, neighbors' labels)
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+          Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, via
     * pigeonhole banding: split the 32-bit sketch into (maxHamming+1)
     * chunks — any pair within the hamming budget MUST agree on at least

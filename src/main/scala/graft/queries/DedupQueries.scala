@@ -55,6 +55,14 @@ object DedupQueries {
     "dedup_simhash" -> ((s, dir) => {
       simhashPairs(docs(s, dir), "doc_id", "text", n = 3, maxHamming = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    }),
+    "dedup_clusters" -> ((s, dir) => {
+      // pair graph → duplicate clusters (distributed hash-min CC);
+      // oracle recomputes components via a recursive CTE
+      val pairs = jaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      duplicateClusters(pairs)
+        .select(col("doc_id"), col("cluster_id"))
     })
   )
 
@@ -130,6 +138,28 @@ object DedupQueries {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 bit_count(xor(a.sim, b.sim)) AS hamming
          FROM sm a JOIN sm b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
+    "dedup_clusters" ->
+      s"""${shView.replaceFirst("WITH", "WITH RECURSIVE")}, e AS (
+           SELECT doc_id, length(sh) AS sz, unnest(sh) AS s
+           FROM d WHERE length(sh) > 0
+         ), i AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sz AS za, b.sz AS zb, count(*) AS inter
+           FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4
+         ), pairs AS (
+           SELECT doc_a, doc_b FROM i
+           WHERE inter::DOUBLE / (za + zb - inter) >= 0.5
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+         ), reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+         )
+         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src"""
   )
 }

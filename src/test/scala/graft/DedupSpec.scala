@@ -78,6 +78,16 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == expected)
   }
 
+  test("duplicateClusters: chains collapse to one component (multi-hop)") {
+    // path graph 1-2-3-4 plus isolated pair 10-11: two clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("maxShingleDf pruning keeps planted high-jaccard pairs") {
     val pruned = jaccardPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 50)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
