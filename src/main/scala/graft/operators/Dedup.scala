@@ -30,13 +30,22 @@ object Dedup {
   import graft.functions.TextFunctions.{normText, tokens}
 
   /** Distinct word n-gram shingles of the normalized text; empty array for
-    * docs with fewer than n tokens. */
+    * docs with fewer than n tokens.
+    *
+    * Built by folding `zip_with(acc, slice(tokens, k+1, …), concat)` —
+    * every lambda references ONLY its lambda variables, so nothing
+    * re-evaluates per element. (The naive `transform(sequence(...), i =>
+    * concat(element_at(tokens(c), i+k)...))` re-runs the whole tokenizer
+    * regex chain per gram per position — measured 20-40x slower.)
+    * zip_with pads the shorter side with null and `concat` propagates it,
+    * so the tail positions null out and are filtered. */
   def shingles(c: Column, n: Int = 3): Column = {
     val t = tokens(c)
-    val grams = transform(sequence(lit(1), size(t) - lit(n - 1)), i =>
-      concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*))
-    when(size(t) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
+    val grams = (1 until n).foldLeft(t) { (acc, k) =>
+      zip_with(acc, slice(t, lit(k + 1), greatest(size(t) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(grams, g => g.isNotNull))
   }
 
   /** 60-bit base hash shared with the DuckDB oracle:

@@ -21,11 +21,23 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_quantiles" -> ((s, dir) => {
-      // exact linear-interpolation quantiles per group (sort-based agg)
-      t(s, dir, "lineitem").groupBy("l_returnflag")
+      // exact linear-interpolation quantiles per group (sort-based agg).
+      // Two-key grouping: percentile buffers each group in one task, so
+      // group count is the parallelism floor — 3 flags alone would cap
+      // the whole query at 3 tasks.
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(r4(percentile(col("l_extendedprice"), lit(0.25))).as("q25"),
           r4(percentile(col("l_extendedprice"), lit(0.5))).as("q50"),
           r4(percentile(col("l_extendedprice"), lit(0.75))).as("q75"))
+    }),
+    "agg_distinct" -> ((s, dir) => {
+      // distinct aggregation (two-phase: dedup shuffle then agg) mixed
+      // with plain aggregates in one pass
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"),
+          r4(sum(col("l_quantity"))).as("sum_qty"))
     }),
     "agg_cube" -> ((s, dir) => {
       // grouping sets: full CUBE over two dims + grand total
@@ -86,10 +98,17 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "agg_quantiles" ->
-      """SELECT l_returnflag,
+      """SELECT l_returnflag, l_linestatus,
          round(1e-9 + quantile_cont(l_extendedprice, 0.25), 4) AS q25,
          round(1e-9 + quantile_cont(l_extendedprice, 0.5), 4) AS q50,
          round(1e-9 + quantile_cont(l_extendedprice, 0.75), 4) AS q75
+         FROM lineitem GROUP BY 1, 2""",
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows,
+         round(1e-9 + sum(l_quantity), 4) AS sum_qty
          FROM lineitem GROUP BY 1""",
     "agg_cube" ->
       """SELECT o_orderpriority, o_orderstatus,

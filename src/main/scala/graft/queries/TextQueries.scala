@@ -37,6 +37,14 @@ object TextQueries {
   private val frS = Seq("le", "les", "une", "et", "est", "dans")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngrams" -> ((s, dir) => {
+      // corpus-level bigram document frequency (distinct per doc →
+      // explode → hash-agg with map-side partials) — the n-gram LM stat
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("df"))
+    }),
     "text_tfidf" -> ((s, dir) => {
       // Distributed TF-IDF over the corpus: explode tokens → tf per
       // (doc, term) → document frequency per term (broadcastable) →
@@ -87,6 +95,14 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_ngrams" ->
+      s"""$withToks, bg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, n_toks), i -> concat(toks[i], ' ', toks[i+1]))))
+             AS bigram
+           FROM tt WHERE n_toks >= 2
+         )
+         SELECT bigram, count(*) AS df FROM bg GROUP BY 1""",
     "text_tfidf" ->
       s"""$withToks, tok AS (
            SELECT doc_id, unnest(toks) AS term FROM tt WHERE n_toks > 0

@@ -96,6 +96,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[(Long, Double)]
+    val joined = ms.toDF.toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    ms.addData((1L, 1.0), (2L, 2.0), (3L, 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, tier FROM enriched ORDER BY user_id")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toSeq
+    q.stop()
+    assert(rows == Seq(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("sessionize (batch): same operator, deterministic closed sessions") {
     val events = Seq(
       KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1800, 2.0),
