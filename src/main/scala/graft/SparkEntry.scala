@@ -213,6 +213,18 @@ object SparkEntry {
           matchedTimeCol = "prev_day")
         .select(col("event_id"), col("prev_day"), col("prev_mean"))
     }),
+    "range_join_firstweek" -> ((s, dir) => {
+      // Binned range join (operators/RangeJoin): events falling inside
+      // each user's first active week — equi join on (user, bin) + exact
+      // recheck, not a nested-loop range scan.
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      val firstWeek = ev.groupBy("user_id").agg(min(col("day")).as("lo"))
+        .withColumn("hi", col("lo") + 7)
+      graft.operators.RangeJoin.intervalJoin(ev, firstWeek,
+          Seq("user_id"), "day", "lo", "hi", binWidth = 7)
+        .select(col("event_id"), col("lo"), col("hi"))
+    }),
     "window_noby_frame" -> ((s, dir) => {
       // Path 2: frame without partition — single-partition global window;
       // kept on the 25-row `nation` table by design (SURVEY §4.2 scale note).
@@ -304,6 +316,15 @@ object SparkEntry {
            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS tax_factor
          FROM lineitem""",
+    "range_join_firstweek" ->
+      """WITH e AS (SELECT event_id, user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS lo, min(day) + 7 AS hi
+           FROM e GROUP BY 1)
+         SELECT e.event_id, f.lo, f.hi
+         FROM e JOIN f ON e.user_id = f.user_id
+           AND e.day BETWEEN f.lo AND f.hi""",
     "asof_join_daily" ->
       """WITH e AS (SELECT event_id, user_id, value,
            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day

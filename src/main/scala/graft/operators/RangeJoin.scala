@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join — the second classic operator Spark
+  * lacks a fast native plan for (with as-of join, SURVEY.md §2.4 "Joins"
+  * row): `points.t BETWEEN intervals.lo AND intervals.hi` on equal keys.
+  *
+  * Spark plans a non-equi condition as BroadcastNestedLoopJoin (every
+  * point against every interval — O(n·m) comparisons), which dies at
+  * scale. The standard fix is BINNING: quantize time into fixed-width
+  * bins, explode each interval to the bins it overlaps, tag each point
+  * with its bin, then run an ordinary EQUI join on (key, bin) and
+  * re-check the exact predicate. Comparisons drop to pairs sharing a
+  * bin; the join is a hash/sort-merge join Catalyst can shuffle, AQE
+  * can skew-split, and executors can spill.
+  *
+  * Bin width trades duplication (each interval appears in
+  * `span/binWidth + 1` bins) against candidate precision — set it near
+  * the TYPICAL interval span. Degenerate giant intervals (≫ binWidth)
+  * should be handled out-of-band (split them, or broadcast that tiny
+  * subset); this operator asserts nothing about them beyond correctness.
+  */
+object RangeJoin {
+
+  /** Inner range join: rows of `points` paired with every row of
+    * `intervals` with matching `keys` and `pointCol ∈ [loCol, hiCol]`
+    * (inclusive both ends). Time columns must be numeric (cast dates/
+    * timestamps to epoch units first). Output: all point columns + all
+    * interval columns (keys once). */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], pointCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val BIN = "__rj_bin__"
+    val p = points.withColumn(BIN, floor(col(pointCol) / binWidth))
+    val i = intervals.withColumn(BIN, explode(sequence(
+      floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p.join(i, keys :+ BIN)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop(BIN)
+  }
+}
