@@ -256,6 +256,10 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
+    // labels only ever decrease, so Σ(cluster_id) is a strictly
+    // decreasing convergence witness — one tiny agg per round instead
+    // of a change-detection join.
+    var prevSum = Option.empty[Long]
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -269,12 +273,12 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-          Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")))
+        .first().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = prevSum.contains(sum)
+      prevSum = Some(sum)
       i += 1
     }
     edges.unpersist()
