@@ -27,7 +27,6 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   private val SIDE = "__asof_side__"
-  private val MT = "__asof_mt__"
 
   /** Backward as-of join (latest right row at-or-before / strictly-before
     * each left row's time).
@@ -47,24 +46,37 @@ object AsofJoin {
       strict: Boolean = false, tolerance: Option[Column] = None,
       matchedTimeCol: String = "matched_time"): DataFrame = {
     require(valueCols.nonEmpty, "asofBackward needs at least one value column")
+    require(valueCols.toSet.intersect(keys.toSet).isEmpty,
+      "valueCols must be disjoint from the join keys")
+    val collisions =
+      (valueCols.toSet + matchedTimeCol).intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"output columns ${collisions.mkString(", ")} already exist on the " +
+        "left input — rename one side (they would be silently overwritten)")
     val t = "__asof_t__"
+    val PAY = "__asof_pay__"
     // side bit: right must be visible at equal time iff inclusive
     val (rSide, lSide) = if (strict) (1, 0) else (0, 1)
+
+    // The whole matched right row travels as ONE struct, so matched_time
+    // and every value column always come from the SAME right row — a
+    // per-column last(v, ignoreNulls) sweep would skip a right row whose
+    // value is genuinely NULL and resurrect an older row's value.
+    val payType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "__mt", right.schema(rightTime).dataType) +:
+        valueCols.map(v => right.schema(v)))
 
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn(SIDE, lit(lSide))
-      .withColumn(MT, lit(null).cast(left.schema(leftTime).dataType))
-      .withColumns(valueCols.map(v =>
-        v -> lit(null).cast(right.schema(v).dataType)).toMap)
+      .withColumn(PAY, lit(null).cast(payType))
     val r = right
-      .select((keys.map(col) :+ col(rightTime).as(t)) ++
-        valueCols.map(col): _*)
+      .select((keys.map(col) :+ col(rightTime).as(t)) :+
+        struct(col(rightTime).as("__mt") +: valueCols.map(col): _*).as(PAY): _*)
       .withColumn(SIDE, lit(rSide))
-      .withColumn(MT, col(t))
-      .withColumns(leftCols.filterNot(c =>
-        keys.contains(c) || valueCols.contains(c)).map { c =>
+      .withColumns(leftCols.filterNot(keys.contains).map { c =>
         c -> lit(null).cast(left.schema(c).dataType)
       }.toMap)
 
@@ -73,21 +85,18 @@ object AsofJoin {
       .orderBy(col(t), col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = valueCols.foldLeft(
-      unioned.withColumn(MT, last(col(MT), ignoreNulls = true).over(w))) {
-      (d, v) => d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
+    val filled = unioned
+      .withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
+      .filter(col(SIDE) === lSide)
 
-    val leftOnly = filled.filter(col(SIDE) === lSide)
-    val toleranced = tolerance.fold(leftOnly) { tol =>
-      val inTol = col(MT).isNotNull && (col(t) - col(MT)) <= tol
-      valueCols.foldLeft(
-        leftOnly.withColumn(MT, when(inTol, col(MT)))) { (d, v) =>
-        d.withColumn(v, when(inTol, col(v)))
-      }
+    val gated = tolerance.fold(filled) { tol =>
+      filled.withColumn(PAY,
+        when(col(PAY).isNotNull &&
+          (col(t) - col(PAY).getField("__mt")) <= tol, col(PAY)))
     }
-    toleranced
-      .withColumn(matchedTimeCol, col(MT))
+    gated
+      .withColumn(matchedTimeCol, col(PAY).getField("__mt"))
+      .withColumns(valueCols.map(v => v -> col(PAY).getField(v)).toMap)
       .select((leftCols.map(col) :+ col(matchedTimeCol)) ++
         valueCols.map(col): _*)
   }

@@ -130,7 +130,12 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("ord"), _.getField("s")).as("ordSh"),
         size(col("ord")).as("osz"))
-    val prefixLen = (col("osz") - ceil(col("osz") * lit(minJaccard)) + 1)
+    // ceil() over FP products can overshoot the exact rational bound by 1
+    // for thresholds like 0.8/0.9 (e.g. 63 × 0.9/1.9 lands one ulp above
+    // an integer); the 1e-9 slack biases toward a LONGER prefix / LOWER
+    // overlap requirement — extra candidates, never lost ones, and the
+    // exact verification step absorbs the surplus.
+    val prefixLen = (col("osz") - ceil(col("osz") * lit(minJaccard) - 1e-9) + 1)
       .cast("int")
     // Postings keep (0-based) position and set size for PPJoin's
     // positional filter below.
@@ -143,7 +148,7 @@ object Dedup {
     // J ≥ τ needs overlap ≥ ⌈τ(za+zb)/(1+τ)⌉. A true pair always
     // survives via its FIRST shared token in the global order.
     val need = ceil((col("pa.osz") + col("pb.osz"))
-      * lit(minJaccard / (1 + minJaccard)))
+      * lit(minJaccard / (1 + minJaccard)) - 1e-9)
     val cands = prefix.as("pa").join(prefix.as("pb"), Seq("s"))
       .filter(col("pa.doc_id") < col("pb.doc_id") &&
         least(col("pa.osz") - col("pa.pos"),

@@ -45,16 +45,22 @@ object GlobalWindow {
       .repartitionByRange(parts, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
 
-    // Pass 1: local running sum + partition id, one sweep, no extra shuffle.
+    // Pass 1: local running sum + running non-null count + partition id,
+    // one sweep, no extra shuffle. The count distinguishes "sum is 0"
+    // from "no values seen yet" — a window sum is NULL until the first
+    // non-null value, and this operator matches that contract.
+    val CNT = "__gw_cnt__"
     val outSchema = ranged.schema
+      .add(CNT, org.apache.spark.sql.types.LongType)
       .add(PID, org.apache.spark.sql.types.IntegerType)
     val vIdx = ranged.schema.fieldIndex(LOC)
     val withLocal = ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var acc = 0.0
+      var cnt = 0L
       it.map { r =>
-        acc += (if (r.isNullAt(vIdx)) 0.0 else r.getDouble(vIdx))
-        Row.fromSeq(r.toSeq.updated(vIdx, acc) :+ pid)
+        if (!r.isNullAt(vIdx)) { acc += r.getDouble(vIdx); cnt += 1 }
+        Row.fromSeq(r.toSeq.updated(vIdx, acc) :+ cnt :+ pid)
       }
     }(Encoders.row(outSchema))
 
@@ -65,12 +71,15 @@ object GlobalWindow {
     val pw = org.apache.spark.sql.expressions.Window.orderBy(col(PID))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsetDf = withLocal.groupBy(col(PID))
-      .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"))
+      .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
+        count(col(valueCol)).as("pcnt"))
       .withColumn("__gw_off__", coalesce(sum(col("psum")).over(pw), lit(0.0)))
-      .select(col(PID), col("__gw_off__"))
+      .withColumn("__gw_offcnt__", coalesce(sum(col("pcnt")).over(pw), lit(0L)))
+      .select(col(PID), col("__gw_off__"), col("__gw_offcnt__"))
 
     withLocal.join(broadcast(offsetDf), Seq(PID))
-      .withColumn(outCol, col(LOC) + col("__gw_off__"))
-      .drop(PID, LOC, "__gw_off__")
+      .withColumn(outCol, when(col(CNT) + col("__gw_offcnt__") > 0,
+        col(LOC) + col("__gw_off__")))
+      .drop(PID, LOC, CNT, "__gw_off__", "__gw_offcnt__")
   }
 }

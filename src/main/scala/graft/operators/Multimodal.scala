@@ -61,11 +61,16 @@ object Multimodal {
         / 1000.0).as(s"f$i")
     }: _*)
 
-  /** Frame sampling: split the payload into `nFrames` equal byte slices
-    * (a video keyframe / audio window stand-in) and return
-    * `array<struct<frame_idx:int, frame_md5:string>>` for `posexplode`.
-    * Slicing is real `substring`-on-binary; only the downstream decode is
-    * fake. Payloads shorter than nFrames yield fewer, 1-byte frames. */
+  /** Frame sampling: ALWAYS returns exactly `nFrames` entries of
+    * `struct<frame_idx:int, frame_md5:string>`, slicing
+    * `floor(len/nFrames)`-byte windows from the front of the payload (a
+    * video keyframe / audio window stand-in; `posexplode`-ready).
+    * Contract notes: this is SAMPLING, not coverage — up to nFrames-1
+    * tail bytes fall outside every slice; and payloads shorter than
+    * nFrames produce trailing empty slices (md5 of zero bytes,
+    * d41d8cd9...), which callers doing dedup/lineage on frame hashes
+    * should filter. Slicing is real substring-on-binary; only the
+    * downstream decode is fake. */
   def frameSamples(p: Column, nFrames: Int = 4): Column = {
     // floor() before the int cast: Spark's double→int cast truncates but
     // DuckDB's rounds, so the shared SQL must make the floor explicit.

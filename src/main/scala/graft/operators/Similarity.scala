@@ -126,14 +126,17 @@ object Similarity {
 
   /** Near-neighbor pairs with cosine ≥ minCosine via SRP banding +
     * exact re-scoring. Precision is exact (verified); recall is
-    * probabilistic: P(band match) = 1-(1-p^r)^b with p = 1-θ/π. */
+    * probabilistic: P(band match) = 1-(1-p^r)^b with p = 1-θ/π.
+    * `dim` MUST equal the embedding width — hyperplanes are generated at
+    * that length and [[VecDot]] folds over min(len), so a too-small dim
+    * silently projects onto a prefix subspace and degrades recall. */
   def srpNearPairs(vecs: DataFrame, minCosine: Double,
-      nBits: Int = 32, rowsPerBand: Int = 4,
+      nBits: Int = 32, rowsPerBand: Int = 4, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nBands = nBits / rowsPerBand
     val width = rowsPerBand
     val withSig = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("sig", srpSignature(col("vec"), nBits))
+      .withColumn("sig", srpSignature(col("vec"), nBits, dim))
     val chunks = array((0 until nBands).map(j =>
       shiftright(col("sig"), j * width).bitwiseAND(lit((1L << width) - 1))): _*)
     // Bands carry only (vid, band, bv): shuffling the vectors b× through
@@ -169,12 +172,14 @@ object Similarity {
     * queries physical partition pruning. */
   def ivfAssign(vecs: DataFrame, centroids: Array[(Long, Seq[Double])],
       vecCol: String = "embedding"): DataFrame = {
-    // distance via -cosine (unit-normalized data); argmin over centroids
+    // distance via -cosine (unit-normalized data); argmax over centroids
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
     val scores = centroids.map { case (cid, cvec) =>
       struct(cosine(col(vecCol), typedLit(cvec)).as("s"), lit(cid).as("cid"))
     }
-    vecs.withColumn("cluster",
-      greatest(scores: _*).getField("cid"))
+    val best = // greatest() demands ≥ 2 args; one centroid is degenerate-but-legal
+      if (scores.length == 1) scores.head else greatest(scores: _*)
+    vecs.withColumn("cluster", best.getField("cid"))
   }
 
   /** Pull nProbe-bucket candidates for the query set and re-rank exactly.

@@ -56,6 +56,28 @@ class AsofJoinSpec extends AnyFunSuite {
       "l5" -> (None, None)))
   }
 
+  test("a matched right row with a NULL value yields NULL, not an older value") {
+    // right: (a, t=1, v=5), (a, t=2, v=NULL); left at t=3 must match the
+    // t=2 row — value NULL, matched_time 2 — not resurrect v=5 from t=1
+    val l = Seq(("a", 3L, "x")).toDF("k", "lt", "tag")
+    val r = Seq(("a", 1L, Some(5.0)), ("a", 2L, None)).toDF("k", "rt", "v")
+    val out = asofBackward(l, r, Seq("k"), "lt", "rt", Seq("v"))
+      .select("matched_time", "v").collect()(0)
+    assert(out.getLong(0) == 2L)
+    assert(out.isNullAt(1))
+  }
+
+  test("valueCols overlapping keys or left columns are rejected") {
+    val l = Seq(("a", 3L, 1.0)).toDF("k", "lt", "v")
+    val r = Seq(("a", 1L, 5.0)).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] { // v exists on left
+      asofBackward(l, r, Seq("k"), "lt", "rt", Seq("v"))
+    }
+    intercept[IllegalArgumentException] { // key as value col
+      asofBackward(l.drop("v"), r, Seq("k"), "lt", "rt", Seq("k"))
+    }
+  }
+
   test("plan: one hash exchange, no broadcast, no range-probe join") {
     val out = asofBackward(left, right, Seq("k"), "lt", "rt", Seq("v"))
     val p = out.queryExecution.executedPlan.toString

@@ -39,6 +39,15 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(out == Seq(1.0, 1.0, 3.0))
   }
 
+  test("leading nulls give NULL, matching window-sum semantics") {
+    val df = Seq((1L, None), (2L, None), (3L, Some(2.0)), (4L, None))
+      .toDF("k", "v")
+    val out = GlobalWindow.cumSum(df, Seq($"k"), "v", "cs", numPartitions = 4)
+      .orderBy("k").select("cs").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(out == Seq(None, None, Some(2.0), Some(2.0)))
+  }
+
   test("plan: range partitioning, no single-partition exchange of the data") {
     val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
       "o_totalprice", "cs", numPartitions = 8)
