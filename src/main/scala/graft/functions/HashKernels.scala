@@ -246,6 +246,11 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 
 object ShingleHashesExpr {
   private val ws = java.util.regex.Pattern.compile("\\s+")
+  // one digest per executor thread — getInstance() does a provider
+  // lookup + allocation, and this runs once per ROW in the hottest
+  // dedup path
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
 
   def compute(text: String, n: Int): GenericArrayData = {
     val norm = ws.matcher(text.toLowerCase(java.util.Locale.ROOT))
@@ -253,11 +258,13 @@ object ShingleHashesExpr {
     if (norm.isEmpty) return new GenericArrayData(Array.emptyLongArray)
     val toks = norm.split(' ')
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
     val seen = new java.util.HashSet[String]()
-    val out = new java.util.ArrayList[java.lang.Long](toks.length)
+    val maxGrams = toks.length - n + 1
+    val out = new Array[Long](maxGrams) // primitive accumulator, no boxing
+    var m = 0
     var i = 0
-    while (i <= toks.length - n) {
+    while (i < maxGrams) {
       val sb = new java.lang.StringBuilder(64)
       var k = 0
       while (k < n) {
@@ -273,14 +280,12 @@ object ShingleHashesExpr {
         var b = 0
         while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
         h = (h << 4) | ((dig(7) >> 4) & 0xfL)
-        out.add(h)
+        out(m) = h; m += 1
       }
       i += 1
     }
-    val arr = new Array[Long](out.size)
-    var j = 0
-    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
-    new GenericArrayData(arr)
+    new GenericArrayData(
+      if (m == maxGrams) out else java.util.Arrays.copyOf(out, m))
   }
 }
 

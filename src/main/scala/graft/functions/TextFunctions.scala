@@ -54,10 +54,12 @@ object TextFunctions {
     when(length(c) > 0, punct.cast("double") / length(c)).otherwise(lit(0.0))
   }
 
-  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
-  private val esStop = Seq("el", "la", "de", "que", "y", "en", "un")
-  private val deStop = Seq("der", "die", "das", "und", "ist", "von")
-  private val frStop = Seq("le", "les", "une", "et", "est", "dans")
+  // public: the oracle SQL in TextQueries interpolates these SAME lists —
+  // a private copy there could silently drift from the Spark side
+  val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  val esStop = Seq("el", "la", "de", "que", "y", "en", "un")
+  val deStop = Seq("der", "die", "das", "und", "ist", "von")
+  val frStop = Seq("le", "les", "une", "et", "est", "dans")
 
   private def stopHits(c: Column, stops: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(stops.map(lit): _*)))

@@ -22,15 +22,29 @@ case class Scored(score: Double, id: Long)
 class TopKAgg(k: Int)
     extends Aggregator[Scored, Vector[Scored], Vector[Scored]] {
 
-  private def ord: Ordering[Scored] =
-    Ordering.by(s => (-s.score, s.id)) // best first, id tie-break
+  // val, not def: reduce() runs once per scored row — no per-call
+  // Ordering allocation; comparisons avoid tuple boxing
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    def compare(a: Scored, b: Scored): Int = {
+      val c = java.lang.Double.compare(b.score, a.score) // best first
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
 
   override def zero: Vector[Scored] = Vector.empty
 
   override def reduce(buf: Vector[Scored], x: Scored): Vector[Scored] =
-    if (buf.length < k) (buf :+ x).sorted(ord)
-    else if (ord.lt(x, buf.last)) (buf.init :+ x).sorted(ord)
-    else buf
+    if (buf.length >= k && ord.gteq(x, buf.last)) buf // common case: reject
+    else {
+      // binary-search insert keeps the buffer sorted without a full re-sort
+      var lo = 0; var hi = buf.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(buf(mid), x)) lo = mid + 1 else hi = mid
+      }
+      val inserted = buf.patch(lo, Seq(x), 0)
+      if (inserted.length > k) inserted.dropRight(1) else inserted
+    }
 
   override def merge(a: Vector[Scored], b: Vector[Scored]): Vector[Scored] =
     (a ++ b).sorted(ord).take(k)

@@ -24,6 +24,11 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL-able even when both inputs are non-null columns: a null ELEMENT
+  // or a length mismatch yields NULL (below), matching the declarative
+  // aggregate form and the DuckDB oracle's fold.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(lt, _), ArrayType(rt, _))
@@ -41,12 +46,18 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Ragged lengths and null elements both poison the result to NULL —
+    // the semantics of the declarative aggregate(zip_with(...)) form and
+    // of the oracle's list fold. Silently truncating to min(len) would
+    // return a finite-but-wrong score for dimension-mismatched inputs.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -66,12 +77,17 @@ case class VecDot(left: Expression, right: Expression)
       if (t == FloatType) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(a, elemType(left))} * ${getter(b, elemType(right))};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${getter(a, elemType(left))} * ${getter(b, elemType(right))};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -172,10 +172,14 @@ object Similarity {
     * queries physical partition pruning. */
   def ivfAssign(vecs: DataFrame, centroids: Array[(Long, Seq[Double])],
       vecCol: String = "embedding"): DataFrame = {
-    // distance via -cosine (unit-normalized data); argmax over centroids
+    // distance via -cosine (unit-normalized data); argmax over centroids.
+    // NULL cosine (zero-norm side) coalesces to -Inf so degenerate
+    // vectors rank below every real score instead of winning struct
+    // comparisons — mirrors ORDER BY s DESC NULLS LAST in the oracle.
     require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
     val scores = centroids.map { case (cid, cvec) =>
-      struct(cosine(col(vecCol), typedLit(cvec)).as("s"), lit(cid).as("cid"))
+      struct(coalesce(cosine(col(vecCol), typedLit(cvec)),
+        lit(Double.NegativeInfinity)).as("s"), lit(cid).as("cid"))
     }
     val best = // greatest() demands ≥ 2 args; one centroid is degenerate-but-legal
       if (scores.length == 1) scores.head else greatest(scores: _*)
@@ -196,9 +200,11 @@ object Similarity {
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         dot(col(vecCol), col(vecCol)).as("q_nrm"))
       .withColumn("probes", {
+        // NULL cosine → +Inf neg-score: sorts LAST, matching the
+        // oracle's ORDER BY s DESC NULLS LAST probe ranking
         val scored = centroids.map { case (cid, cvec) =>
-          struct((-cosine(col("q_vec"), typedLit(cvec))).as("neg"),
-            lit(cid).as("cid"))
+          struct(coalesce(-cosine(col("q_vec"), typedLit(cvec)),
+            lit(Double.PositiveInfinity)).as("neg"), lit(cid).as("cid"))
         }
         slice(array_sort(array(scored: _*)), 1, nProbe)
       })

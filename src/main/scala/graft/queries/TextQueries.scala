@@ -31,10 +31,11 @@ object TextQueries {
   private def stopHitsSql(stops: Seq[String]): String =
     s"""CASE WHEN length(norm) = 0 THEN 0 ELSE length(list_filter(toks,
         x -> x IN (${stops.map(w => s"'$w'").mkString(", ")}))) END"""
-  private val enS = Seq("the", "a", "and", "of", "to", "in", "is")
-  private val esS = Seq("el", "la", "de", "que", "y", "en", "un")
-  private val deS = Seq("der", "die", "das", "und", "ist", "von")
-  private val frS = Seq("le", "les", "une", "et", "est", "dans")
+  // single source of truth: the exact lists the Spark functions use
+  private val enS = graft.functions.TextFunctions.enStop
+  private val esS = graft.functions.TextFunctions.esStop
+  private val deS = graft.functions.TextFunctions.deStop
+  private val frS = graft.functions.TextFunctions.frStop
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngrams" -> ((s, dir) => {
