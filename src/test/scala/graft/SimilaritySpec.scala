@@ -12,6 +12,18 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val emb =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("dot: null elements and ragged lengths poison the result to NULL") {
+    val df = Seq(
+      (Seq(Some(1f), None, Some(2f)), Seq(Some(1f), Some(1f), Some(1f))),
+      (Seq(Some(1f), Some(2f)), Seq(Some(1f), Some(2f), Some(3f))),
+      (Seq(Some(1f), Some(2f)), Seq(Some(3f), Some(4f)))).toDF("a", "b")
+      .select(dot($"a", $"b").as("d"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0), "null element must yield NULL")
+    assert(rows(1).isNullAt(0), "length mismatch must yield NULL")
+    assert(rows(2).getDouble(0) == 11.0)
+  }
+
   test("cosine: orthogonal→0, identical→1, opposite→-1") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),

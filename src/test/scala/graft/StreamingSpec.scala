@@ -112,6 +112,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
   }
 
+  test("sessionize: cross-batch late events don't corrupt session boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = sessionize(ms.toDS(), gapMillis = 1000)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    ms.addData(KeyedEvent(1, 10000, 1.0))
+    q.processAllAvailable()
+    // 8s older than the open session start − gap: must NOT merge into it
+    ms.addData(KeyedEvent(1, 2000, 2.0))
+    q.processAllAvailable()
+    // close the open session with a far-future event
+    ms.addData(KeyedEvent(1, 50000, 4.0))
+    q.processAllAvailable()
+    val s = spark.sql(
+      "SELECT startMillis, endMillis, nEvents, sumValue FROM late_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    assert(s == Set(
+      (2000L, 2000L, 1L, 2.0),    // late singleton, emitted immediately
+      (10000L, 10000L, 1L, 1.0))) // original session, boundaries intact
+  }
+
   test("sessionize (batch): same operator, deterministic closed sessions") {
     val events = Seq(
       KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1800, 2.0),
