@@ -85,6 +85,15 @@ object TextQueries {
         fingerprint(col("text")).as("fp"),
         rollingHash(col("text")).as("rhash"))
     }),
+    "sample_hash" -> ((s, dir) => {
+      // Deterministic 10% sample by key hash — the reproducible,
+      // cluster-stable alternative to RNG sampling (same rows on every
+      // run, every partitioning, every engine; rerunnable joins between
+      // sampled tables stay consistent on shared keys).
+      docs(s, dir).filter(pmod(graft.operators.Dedup.baseHash(
+          col("doc_id").cast("string")), lit(100)) < 10)
+        .select("doc_id")
+    }),
     "dedup_exact" -> ((s, dir) => {
       // Exact dedup on the normalized-text fingerprint: one row per
       // distinct doc (map-side partial agg; shuffles only the 128-bit
@@ -96,6 +105,10 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT doc_id FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 100 < 10""",
     "text_ngrams" ->
       s"""$withToks, bg AS (
            SELECT doc_id, unnest(list_distinct(list_transform(
