@@ -68,6 +68,17 @@ object RelationalQueries {
           col("p_partkey") === col("l_partkey"), "leftanti")
         .select("p_partkey")
     }),
+    "agg_moments" -> ((s, dir) => {
+      // second-moment aggregate family (sample stddev/variance,
+      // covariance, correlation) — single hash-agg pass, map-side
+      // partials; r4 absorbs formula-order ulps between engines
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(var_samp(col("l_quantity"))).as("var_qty"),
+          r4(covar_samp(col("l_quantity"), col("l_extendedprice")))
+            .as("cov_qp"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"))
+    }),
     "scalar_funcs" -> ((s, dir) => {
       // scalar-function breadth (date/string/math/array families), all
       // codegen builtins with exact DuckDB equivalents
@@ -125,6 +136,13 @@ object RelationalQueries {
       """SELECT p_partkey FROM part
          WHERE NOT EXISTS (SELECT 1 FROM lineitem
            WHERE l_partkey = p_partkey AND l_quantity > 45)""",
+    "agg_moments" ->
+      """SELECT l_returnflag,
+         round(1e-9 + stddev_samp(l_quantity), 4) AS sd_qty,
+         round(1e-9 + var_samp(l_quantity), 4) AS var_qty,
+         round(1e-9 + covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+         round(1e-9 + corr(l_quantity, l_extendedprice), 4) AS corr_qp
+         FROM lineitem GROUP BY 1""",
     "scalar_funcs" ->
       """SELECT o_orderkey,
          year(o_orderdate) AS yr, month(o_orderdate) AS mo,
