@@ -307,8 +307,8 @@ object SparkEntry {
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
     "window_noby_frame" ->
       """SELECT n_nationkey,
-         sum(n_nationkey) OVER (ORDER BY n_nationkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_key
+         CAST(sum(n_nationkey) OVER (ORDER BY n_nationkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_key
          FROM nation""",
     "window_product" ->
       """SELECT l_orderkey, l_linenumber,

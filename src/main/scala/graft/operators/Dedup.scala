@@ -278,8 +278,10 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")))
-        .first().getLong(0)
+      // sum() over zero rows is NULL (empty pair graph ⇒ empty labels) —
+      // treat as converged immediately rather than NPE on the null cell.
+      val sumRow = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id"))).first()
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       labels.unpersist()
       labels = next
       converged = prevSum.contains(sum)

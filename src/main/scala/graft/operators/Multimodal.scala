@@ -129,12 +129,14 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       decoder.open()
-      new Iterator[Decoded] {
-        def hasNext: Boolean = { val h = it.hasNext; if (!h) decoder.close(); h }
-        def next(): Decoded = {
-          val b = it.next(); Decoded(b.id, decoder.decode(b.bytes))
-        }
-      }
+      // Close exactly once per task, at task end — covers partial
+      // consumption (e.g. downstream LIMIT) and exceptions thrown by
+      // decode(), which a close-inside-hasNext scheme leaks.
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; decoder.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      it.map(b => Decoded(b.id, decoder.decode(b.bytes)))
     }
   }
 }

@@ -128,14 +128,25 @@ object Similarity {
     * exact re-scoring. Precision is exact (verified); recall is
     * probabilistic: P(band match) = 1-(1-p^r)^b with p = 1-θ/π.
     * `dim` MUST equal the embedding width — hyperplanes are generated at
-    * that length and [[VecDot]] folds over min(len), so a too-small dim
-    * silently projects onto a prefix subspace and degrades recall. */
+    * that length and [[graft.functions.VecDot]] returns NULL on a length
+    * mismatch, so a wrong dim would NULL every hyperplane dot, collapse
+    * all signatures to 0, and funnel the whole corpus into ONE LSH bucket
+    * (an O(n²) candidate explosion; exact re-scoring would still keep the
+    * output correct). We fail fast instead: each row's embedding width is
+    * checked executor-side and a mismatch raises, rather than silently
+    * degrading into the quadratic path. */
   def srpNearPairs(vecs: DataFrame, minCosine: Double,
       nBits: Int = 32, rowsPerBand: Int = 4, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nBands = nBits / rowsPerBand
     val width = rowsPerBand
-    val withSig = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    // Distributed width guard — no extra driver job, negligible next to
+    // the nBits dot products per row.
+    val checkedVec = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit("srpNearPairs: embedding width "), size(col(vecCol)).cast("string"),
+        lit(s" != dim $dim"))))
+    val withSig = vecs.select(col(idCol).as("vid"), checkedVec.as("vec"))
       .withColumn("sig", srpSignature(col("vec"), nBits, dim))
     val chunks = array((0 until nBands).map(j =>
       shiftright(col("sig"), j * width).bitwiseAND(lit((1L << width) - 1))): _*)

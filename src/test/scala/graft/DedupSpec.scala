@@ -88,6 +88,11 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters: empty pair graph yields empty labels (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(duplicateClusters(empty).collect().isEmpty)
+  }
+
   test("maxShingleDf pruning keeps planted high-jaccard pairs") {
     val pruned = jaccardPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 50)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

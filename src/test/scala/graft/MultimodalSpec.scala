@@ -73,4 +73,47 @@ class MultimodalSpec extends AnyFunSuite {
         DecodedMeta(r.getInt(1), r.getInt(2), r.getInt(3))).toMap
     assert(decoded == viaCols)
   }
+
+  test("decodeWith: decoder closes exactly once per task, even on failure") {
+    import MultimodalSpec._
+    CountingDecoder.reset()
+    val blobs = docs.limit(20)
+      .select($"doc_id".as("id"), payload($"text").as("bytes"))
+      .as[Blob].repartition(2)
+    decodeWith(blobs, CountingDecoder).collect()
+    assert(CountingDecoder.opens.get() == 2)
+    assert(CountingDecoder.closes.get() == 2,
+      s"expected one close per task, got ${CountingDecoder.closes.get()}")
+
+    // decode() throwing mid-stream must still close (task-completion
+    // listener fires on failure too), and must not double-close.
+    CountingDecoder.reset()
+    val boom = intercept[org.apache.spark.SparkException] {
+      decodeWith(blobs, ThrowingDecoder).collect()
+    }
+    assert(boom.getMessage != null)
+    assert(CountingDecoder.closes.get() == CountingDecoder.opens.get(),
+      "every opened decoder must be closed after a failed task")
+  }
+}
+
+object MultimodalSpec {
+  import graft.operators.Multimodal._
+  import java.util.concurrent.atomic.AtomicInteger
+
+  object CountingDecoder extends BlobDecoder {
+    val opens = new AtomicInteger(0)
+    val closes = new AtomicInteger(0)
+    def reset(): Unit = { opens.set(0); closes.set(0) }
+    override def open(): Unit = opens.incrementAndGet()
+    override def close(): Unit = closes.incrementAndGet()
+    def decode(bytes: Array[Byte]): DecodedMeta = FakeDecoder.decode(bytes)
+  }
+
+  object ThrowingDecoder extends BlobDecoder {
+    override def open(): Unit = CountingDecoder.opens.incrementAndGet()
+    override def close(): Unit = CountingDecoder.closes.incrementAndGet()
+    def decode(bytes: Array[Byte]): DecodedMeta =
+      throw new IllegalStateException("decode failure injection")
+  }
 }
