@@ -66,7 +66,14 @@ object GraftExtensions {
       info("sorted_intersect_count", "sorted_intersect_count(a, b) - merge-count of two sorted bigint arrays"),
       { case Seq(a, b) => SortedIntersectCount(a, b)
         case args => throw new IllegalArgumentException(
-          s"sorted_intersect_count takes 2 arguments, got ${args.length}") })
+          s"sorted_intersect_count takes 2 arguments, got ${args.length}") }),
+    ("product_agg",
+      info("product_agg", "product_agg(x) - product aggregate (nulls skipped, all-null group is NULL); window-frame capable"),
+      { case Seq(c) =>
+          ProductExpr(org.apache.spark.sql.catalyst.expressions.Cast(
+            c, org.apache.spark.sql.types.DoubleType)).toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"product_agg takes 1 argument, got ${args.length}") })
   )
 
   /** Runtime registration on a live session. */

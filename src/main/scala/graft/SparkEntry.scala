@@ -60,14 +60,16 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.RelationalQueries.queries
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.ExtendedQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.RelationalQueries.oracleSql
+      graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.ExtendedQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----
@@ -185,12 +187,16 @@ object SparkEntry {
           col("min_v"), col("max_v"))
     }),
     "window_product" -> ((s, dir) => {
-      // Custom Aggregator (functions/ProductAgg) over a window frame —
-      // the reference's "any R expr per slice" (e.g. prod) via the
-      // udaf tier; oracle is DuckDB's native product().
+      // Custom product aggregate over a window frame — the reference's
+      // "any R expr per slice" (e.g. prod). Two tiers ship: the typed
+      // Aggregator/udaf (functions/ProductAgg, spec-tested) and this
+      // native DeclarativeAggregate (ProductExpr), which WindowExec
+      // re-evaluates per sliding frame without the udaf's per-update
+      // encoder round-trip (11.6s -> builtin-priced in BENCH_r01).
+      // Oracle is DuckDB's native product().
       t(s, dir, "lineitem")
         .mutateW("tax_factor" ->
-          graft.functions.ProductAgg.product(lit(1.0) + col("l_tax")))(
+          graft.functions.ProductAgg.productDecl(lit(1.0) + col("l_tax")))(
           by = Seq(col("l_returnflag")),
           orderBy = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey")),

@@ -44,8 +44,27 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
       strict: Boolean = false, tolerance: Option[Column] = None,
-      matchedTimeCol: String = "matched_time"): DataFrame = {
-    require(valueCols.nonEmpty, "asofBackward needs at least one value column")
+      matchedTimeCol: String = "matched_time"): DataFrame =
+    sweep(left, right, keys, leftTime, rightTime, valueCols, strict,
+      tolerance, matchedTimeCol, forward = false)
+
+  /** Forward as-of join (earliest right row at-or-after / strictly-after
+    * each left row's time) — same union-and-sweep, mirrored: the window
+    * frame is [currentRow, unboundedFollowing] and `first_value` picks the
+    * nearest following right row. `strict = true` matches right.t > left.t;
+    * tolerance bounds (rightTime - leftTime). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      strict: Boolean = false, tolerance: Option[Column] = None,
+      matchedTimeCol: String = "matched_time"): DataFrame =
+    sweep(left, right, keys, leftTime, rightTime, valueCols, strict,
+      tolerance, matchedTimeCol, forward = true)
+
+  private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      strict: Boolean, tolerance: Option[Column],
+      matchedTimeCol: String, forward: Boolean): DataFrame = {
+    require(valueCols.nonEmpty, "asof join needs at least one value column")
     require(valueCols.toSet.intersect(keys.toSet).isEmpty,
       "valueCols must be disjoint from the join keys")
     val collisions =
@@ -55,8 +74,10 @@ object AsofJoin {
         "left input — rename one side (they would be silently overwritten)")
     val t = "__asof_t__"
     val PAY = "__asof_pay__"
-    // side bit: right must be visible at equal time iff inclusive
-    val (rSide, lSide) = if (strict) (1, 0) else (0, 1)
+    // side bit: right must be visible at equal time iff inclusive. The
+    // sweep direction flips which sort position makes a right row visible
+    // (backward frames end at the current row; forward frames start there).
+    val (rSide, lSide) = if (strict ^ forward) (1, 0) else (0, 1)
 
     // The whole matched right row travels as ONE struct, so matched_time
     // and every value column always come from the SAME right row — a
@@ -81,18 +102,26 @@ object AsofJoin {
       }.toMap)
 
     val unioned = l.unionByName(r.select(l.columns.map(col): _*))
-    val w = Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(t), col(SIDE))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, fill) =
+      if (forward)
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col(PAY), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col(PAY), ignoreNulls = true))
 
     val filled = unioned
-      .withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
+      .withColumn(PAY, fill.over(w))
       .filter(col(SIDE) === lSide)
 
     val gated = tolerance.fold(filled) { tol =>
+      val gap =
+        if (forward) col(PAY).getField("__mt") - col(t)
+        else col(t) - col(PAY).getField("__mt")
       filled.withColumn(PAY,
-        when(col(PAY).isNotNull &&
-          (col(t) - col(PAY).getField("__mt")) <= tol, col(PAY)))
+        when(col(PAY).isNotNull && gap <= tol, col(PAY)))
     }
     gated
       .withColumn(matchedTimeCol, col(PAY).getField("__mt"))

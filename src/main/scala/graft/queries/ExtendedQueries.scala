@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 coverage widening: the remaining host-delegated verbs from the
+  * reference's ecosystem (SURVEY.md §2.4 — reshape, set ops, outer joins,
+  * ranking analytics, string/json/regex scalar families) plus the
+  * pipeline-shaped operators a 100 TB curation stack leans on
+  * (sessionization, per-group top-k with map-side pruning, forward as-of,
+  * salted skew aggregation). Every key is oracle-gated against DuckDB on
+  * the same parquet (driver t2 contract).
+  *
+  * Scale notes, per the build brief:
+  *   - `pivot_wide` pins its pivot values explicitly — the two-pass
+  *     auto-discovery `pivot(col)` collects distinct values to the driver;
+  *   - `topk_per_group` aggregates a k-bounded buffer map-side
+  *     (functions/TopKAgg) instead of ranking the full shuffle;
+  *   - `skew_salted_agg` routes a 3-hot-key aggregation through
+  *     (key, salt) subkeys so no single task owns a hot key;
+  *   - `sessionize_gap` is two window passes over ONE sort (same
+  *     partition/order spec — the lag pass establishes the order, the
+  *     running sum reuses it; no second shuffle).
+  */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Same nanos-as-long contract as SparkEntry.events (see its scaladoc). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  /** 30-minute gap threshold in the events table's epoch-nanos unit. */
+  private val GapNs = 1800L * 1000000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_wide" -> ((s, dir) => {
+      // reshape long→wide (tidyr::pivot_wider analog). Values pinned:
+      // pivot(col) without values runs a driver-side distinct first.
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(r4(sum(col("l_quantity"))))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    }),
+    "unpivot_long" -> ((s, dir) => {
+      // reshape wide→long (tidyr::pivot_longer analog) — Spark's native
+      // unpivot (UNION-ALL-free single scan).
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "val")
+    }),
+    "agg_rollup" -> ((s, dir) => {
+      // hierarchical grouping sets (ROLLUP) — complements agg_cube
+      t(s, dir, "orders").rollup("o_orderstatus", "o_orderpriority")
+        .agg(r4(sum(col("o_totalprice"))).as("total"),
+          count(lit(1)).as("n"))
+    }),
+    "set_intersect" -> ((s, dir) => {
+      // INTERSECT (distinct set semantics) — customers with BOTH an
+      // urgent and a low-priority order; complements set_except
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey").as("custkey")))
+    }),
+    "join_full_outer" -> ((s, dir) => {
+      // FULL OUTER join of two aggregates with disjoint key coverage —
+      // both null sides exercised; using-column join coalesces the key
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_urgent"))
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_low"))
+      urgent.join(low, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey").as("custkey"), col("n_urgent"),
+          col("n_low"))
+    }),
+    "skew_salted_agg" -> ((s, dir) => {
+      // salted two-stage aggregation (operators/SkewOps) over lineitem's
+      // 3-value l_returnflag — the hot-key pattern where a plain groupBy
+      // caps parallelism at 3 tasks. Result is identical to the direct
+      // aggregation (the oracle IS the direct aggregation).
+      graft.operators.SkewOps.saltedAgg(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), nSalts = 32)(
+        partials = Seq(sum(col("l_quantity")).as("s"), count(lit(1)).as("n")),
+        finals = Seq(r4(sum(col("s"))).as("sum_qty"),
+          sum(col("n")).cast("long").as("n_rows"),
+          r4(sum(col("s")) / sum(col("n"))).as("avg_qty")))
+    }),
+    "window_ntile" -> ((s, dir) => {
+      // distribution-analytic window family: ntile / percent_rank /
+      // cume_dist sharing one WindowExec
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+    }),
+    "window_first_last" -> ((s, dir) => {
+      // value-analytic window family: first/last/nth over a finite frame
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-1, 1)
+      events(s, dir).select(col("event_id"),
+        first(col("value")).over(w).as("prev_or_cur"),
+        last(col("value")).over(w).as("next_or_cur"),
+        nth_value(col("value"), 2).over(w).as("mid"))
+    }),
+    "topk_per_group" -> ((s, dir) => {
+      // top-k per group via the k-bounded map-side aggregate
+      // (functions/TopKAgg): the shuffle carries O(groups·k) buffer rows,
+      // not every scored row like row_number-then-filter would
+      val tk = graft.functions.TopKAgg.topK(5)(
+        col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").groupBy("o_orderpriority").agg(tk.as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"))
+    }),
+    "sessionize_gap" -> ((s, dir) => {
+      // batch sessionization: a session breaks after a >30 min silence.
+      // Two window passes, one sort: lag() marks boundaries, the running
+      // sum numbers them. The streaming twin (same semantics, O(1) state)
+      // is streaming/StreamingOps sessionization.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("__new_session",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > lit(GapNs), 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("__new_session")).over(run).cast("long"))
+        .select(col("event_id"), col("session_id"))
+    }),
+    "asof_fwd_daily" -> ((s, dir) => {
+      // forward as-of join (operators/AsofJoin.asofForward): each event
+      // picks up the NEXT day's per-user mean (strictly after). Same
+      // union-and-sweep cost model as the backward form.
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("value"), expr("ts div 86400000000000").as("day"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(r4(avg(col("value"))).as("next_mean"))
+      graft.operators.AsofJoin.asofForward(
+          ev.select("event_id", "user_id", "day"), daily,
+          keys = Seq("user_id"), leftTime = "day", rightTime = "day",
+          valueCols = Seq("next_mean"), strict = true,
+          matchedTimeCol = "next_day")
+        .select(col("event_id"), col("next_day"), col("next_mean"))
+    }),
+    "string_agg_sorted" -> ((s, dir) => {
+      // ordered string aggregation (deterministic: collect_list order is
+      // not guaranteed, so sort the array before joining)
+      t(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+            .as("names"),
+          count(lit(1)).as("n"))
+    }),
+    "json_funcs" -> ((s, dir) => {
+      // JSON scalar family over events.props ('{"k": <int>}'): path
+      // extraction (get_json_object), schema-parse (from_json), and a
+      // construct-then-extract round trip (to_json over a struct)
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        expr("from_json(props, 'k INT').k").cast("long").as("k"),
+        get_json_object(to_json(struct(col("event_type").as("t"))), "$.t")
+          .as("t_rt"))
+    }),
+    "text_regex" -> ((s, dir) => {
+      // regex scalar family over documents.text (lower-case word corpus):
+      // first long token, long-token count, vowel-stripped length
+      t(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(col("text"), "[a-z]{6,}", 0).as("first_long"),
+        regexp_count(col("text"), lit("[a-z]{6,}")).cast("long").as("n_long"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+          .as("len_novowel"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pivot_wide" ->
+      """SELECT l_returnflag,
+         round(1e-9 + sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+         round(1e-9 + sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+         FROM lineitem GROUP BY 1""",
+    "unpivot_long" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+         FROM part""",
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         round(1e-9 + sum(o_totalprice), 4) AS total, count(*) AS n
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderpriority = '5-LOW'""",
+    "join_full_outer" ->
+      """WITH u AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+         l AS (SELECT o_custkey, count(*) AS n_low FROM orders
+           WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+         SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
+           u.n_urgent, l.n_low
+         FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey""",
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+         round(1e-9 + sum(l_quantity), 4) AS sum_qty,
+         count(*) AS n_rows,
+         round(1e-9 + sum(l_quantity) / count(*), 4) AS avg_qty
+         FROM lineitem GROUP BY 1""",
+    "window_ntile" ->
+      """SELECT o_orderkey,
+         ntile(4) OVER w AS quartile,
+         round(1e-9 + percent_rank() OVER w, 4) AS pct_rank,
+         round(1e-9 + cume_dist() OVER w, 4) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey)""",
+    "window_first_last" ->
+      """SELECT event_id,
+         first_value(value) OVER w AS prev_or_cur,
+         last_value(value) OVER w AS next_or_cur,
+         nth_value(value, 2) OVER w AS mid
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""",
+    "topk_per_group" ->
+      """SELECT o_orderpriority, rn AS rnk, o_orderkey, o_totalprice
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 5""",
+    "sessionize_gap" ->
+      """WITH g AS (SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                     > 1800000000000
+                THEN 1 ELSE 0 END AS f
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id,
+           CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM g""",
+    "asof_fwd_daily" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         daily AS (SELECT user_id, day, round(1e-9 + avg(value), 4) AS next_mean
+           FROM e GROUP BY 1, 2)
+         SELECT e.event_id, d.day AS next_day, d.next_mean
+         FROM e ASOF LEFT JOIN daily d
+           ON e.user_id = d.user_id AND e.day < d.day""",
+    "string_agg_sorted" ->
+      """SELECT s_nationkey,
+         string_agg(s_name, ',' ORDER BY s_name) AS names,
+         count(*) AS n
+         FROM supplier GROUP BY 1""",
+    "json_funcs" ->
+      """SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         event_type AS t_rt
+         FROM events""",
+    "text_regex" ->
+      """SELECT doc_id,
+         regexp_extract(text, '[a-z]{6,}') AS first_long,
+         CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT)
+           AS n_long,
+         CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+           AS len_novowel
+         FROM documents"""
+  )
+}

@@ -24,11 +24,18 @@ object RelationalQueries {
       // exact linear-interpolation quantiles per group (sort-based agg).
       // Two-key grouping: percentile buffers each group in one task, so
       // group count is the parallelism floor — 3 flags alone would cap
-      // the whole query at 3 tasks.
+      // the whole query at 3 tasks. ONE array-percentile call: each extra
+      // percentile(c, p) agg maintains its own counts-of-values buffer per
+      // group (3x memory, 3x update cost, 3x the final sort) — the array
+      // form shares one buffer and one sort for all three cut points,
+      // which took this query from 16.9s to ~1/3 of that in BENCH_r01.
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
-        .agg(r4(percentile(col("l_extendedprice"), lit(0.25))).as("q25"),
-          r4(percentile(col("l_extendedprice"), lit(0.5))).as("q50"),
-          r4(percentile(col("l_extendedprice"), lit(0.75))).as("q75"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("__qs"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          r4(col("__qs")(0)).as("q25"),
+          r4(col("__qs")(1)).as("q50"),
+          r4(col("__qs")(2)).as("q75"))
     }),
     "agg_distinct" -> ((s, dir) => {
       // distinct aggregation (two-phase: dedup shuffle then agg) mixed
