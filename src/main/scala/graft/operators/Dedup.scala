@@ -315,13 +315,21 @@ object Dedup {
       col("sim").as("sim_a"))
     val r = bands.select(col("chunk"), col("cv"), col("doc_id").as("doc_b"),
       col("sim").as("sim_b"))
+    // A pair agreeing on m chunks meets in m buckets; instead of a global
+    // dropDuplicates shuffle over the candidate stream, keep ONLY the
+    // meeting in the FIRST agreeing chunk — computable from the two
+    // sketches already on the row, so dedup costs zero shuffles and each
+    // qualifying pair is emitted exactly once.
+    val firstAgreeing = (0 until nChunks).map { i =>
+      val ca = shiftright(col("sim_a"), i * width).bitwiseAND(lit((1L << width) - 1))
+      val cb = shiftright(col("sim_b"), i * width).bitwiseAND(lit((1L << width) - 1))
+      (col("chunk") <= i) || (ca =!= cb)
+    }.reduce(_ && _)
     l.join(r, Seq("chunk", "cv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming && firstAgreeing)
       .select("doc_a", "doc_b", "hamming")
   }
 }
