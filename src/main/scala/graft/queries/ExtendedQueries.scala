@@ -180,6 +180,61 @@ object ExtendedQueries {
         get_json_object(to_json(struct(col("event_type").as("t"))), "$.t")
           .as("t_rt"))
     }),
+    "text_tokens_bpe" -> ((s, dir) => {
+      // token counting, both tiers the brief names: whitespace tokens and
+      // a BPE-ish pre-tokenizer regex (GPT-2-style alternation, lookahead
+      // removed so Java regex and DuckDB RE2 agree), plus bytes/token —
+      // the standard "is this prose or noise" pipeline signal.
+      val pat = " ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 ]+| +"
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_ws"),
+        regexp_count(col("text"), lit(pat)).cast("long").as("n_bpe"),
+        r4(when(regexp_count(col("text"), lit(pat)) > 0,
+          length(col("text")).cast("double") /
+            regexp_count(col("text"), lit(pat)))).as("bytes_per_tok"))
+    }),
+    "dedup_editdist" -> ((s, dir) => {
+      // edit-distance near-dup pairs: candidates bucketed by a 12-char
+      // prefix (equi-join — no n² scan), verified with the THRESHOLDED
+      // levenshtein (banded DP: O(len·k) not O(len²), and -1-early-exit
+      // past k=20; the unbounded form is the classic 100 TB trap).
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 12).as("pfx"))
+      val a = d.select(col("pfx"), col("doc_id").as("doc_a"),
+        col("text").as("ta"))
+      val b = d.select(col("pfx"), col("doc_id").as("doc_b"),
+        col("text").as("tb"))
+      a.join(b, Seq("pfx")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb"), 20))
+        .filter(col("dist") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+    }),
+    "sample_stratified" -> ((s, dir) => {
+      // stratified deterministic sampling: per-stratum rates over the same
+      // engine-stable unit hash as sample_hash — downsample dominant
+      // classes, keep rare ones (the curation move for skewed corpora).
+      // Same rows on every run / partitioning / engine.
+      val unit = pmod(graft.operators.Dedup.baseHash(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))), lit(100))
+      val rate = when(col("l_returnflag") === "A", 5)
+        .when(col("l_returnflag") === "N", 10).otherwise(20)
+      t(s, dir, "lineitem").filter(unit < rate)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"))
+    }),
+    "agg_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (beyond rollup/cube's fixed lattices),
+      // through the SQL surface — the reference's tbl_lazy users live here
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+          round(1e-9 + sum(o_totalprice), 4) AS total,
+          count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
     "text_regex" -> ((s, dir) => {
       // regex scalar family over documents.text (lower-case word corpus):
       // first long token, long-token count, vowel-stripped length
@@ -283,6 +338,36 @@ object ExtendedQueries {
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          event_type AS t_rt
          FROM events""",
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+           AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 ]+| +'))
+           AS BIGINT) AS n_bpe,
+         CASE WHEN len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 ]+| +')) > 0
+           THEN round(1e-9 + CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 ]+| +')), 4)
+         END AS bytes_per_tok
+         FROM documents""",
+    "dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, text, substr(text, 1, 12) AS pfx
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.text, b.text) <= 20""",
+    "sample_stratified" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag
+         FROM lineitem
+         WHERE CAST(concat('0x', substr(md5(concat_ws('|', l_orderkey,
+             l_linenumber, l_partkey, l_suppkey)), 1, 15)) AS BIGINT) % 100
+           < CASE WHEN l_returnflag = 'A' THEN 5
+                  WHEN l_returnflag = 'N' THEN 10 ELSE 20 END""",
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         round(1e-9 + sum(o_totalprice), 4) AS total, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     "text_regex" ->
       """SELECT doc_id,
          regexp_extract(text, '[a-z]{6,}') AS first_long,
