@@ -56,6 +56,41 @@ class AsofJoinSpec extends AnyFunSuite {
       "l5" -> (None, None)))
   }
 
+  test("forward inclusive: right row at equal time matches; else nearest after") {
+    val out = asofForward(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .select("k", "lt", "tag", "matched_time", "v")
+    assert(collectMap(out) == Map(
+      "l1" -> (Some(5L), Some(1.0)),   // equal time visible
+      "l2" -> (Some(15L), Some(2.0)),  // next right at 15
+      "l3" -> (None, None),            // nothing after 20
+      "l4" -> (None, None),            // b's only right row is before 7
+      "l5" -> (None, None)))
+  }
+
+  test("forward strict: right row at equal time is invisible") {
+    val out = asofForward(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      strict = true)
+      .select("k", "lt", "tag", "matched_time", "v")
+    assert(collectMap(out) == Map(
+      "l1" -> (Some(15L), Some(2.0)),  // rt=5 not > 5 → next one
+      "l2" -> (Some(15L), Some(2.0)),
+      "l3" -> (None, None),
+      "l4" -> (None, None),
+      "l5" -> (None, None)))
+  }
+
+  test("forward tolerance bounds rt - lt") {
+    val out = asofForward(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      strict = true, tolerance = Some(lit(5L)))
+      .select("k", "lt", "tag", "matched_time", "v")
+    assert(collectMap(out) == Map(
+      "l1" -> (None, None),            // gap 10 > 5
+      "l2" -> (Some(15L), Some(2.0)),  // gap 5 ≤ 5
+      "l3" -> (None, None),
+      "l4" -> (None, None),
+      "l5" -> (None, None)))
+  }
+
   test("a matched right row with a NULL value yields NULL, not an older value") {
     // right: (a, t=1, v=5), (a, t=2, v=NULL); left at t=3 must match the
     // t=2 row — value NULL, matched_time 2 — not resurrect v=5 from t=1
