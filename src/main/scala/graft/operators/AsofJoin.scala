@@ -49,10 +49,13 @@ object AsofJoin {
       tolerance, matchedTimeCol, forward = false)
 
   /** Forward as-of join (earliest right row at-or-after / strictly-after
-    * each left row's time) — same union-and-sweep, mirrored: the window
-    * frame is [currentRow, unboundedFollowing] and `first_value` picks the
-    * nearest following right row. `strict = true` matches right.t > left.t;
-    * tolerance bounds (rightTime - leftTime). */
+    * each left row's time) — same union-and-sweep, run on a DESCENDING
+    * time sort so the incremental `last_value` running frame applies
+    * unchanged. (The tempting [currentRow, unboundedFollowing] frame is an
+    * UnboundedFollowing frame in WindowExec, which RE-AGGREGATES the whole
+    * remaining partition suffix per output row — O(n²) per key; sorting
+    * desc keeps the O(n) one-pass sweep.) `strict = true` matches
+    * right.t > left.t; tolerance bounds (rightTime - leftTime). */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
       strict: Boolean = false, tolerance: Option[Column] = None,
@@ -74,10 +77,10 @@ object AsofJoin {
         "left input — rename one side (they would be silently overwritten)")
     val t = "__asof_t__"
     val PAY = "__asof_pay__"
-    // side bit: right must be visible at equal time iff inclusive. The
-    // sweep direction flips which sort position makes a right row visible
-    // (backward frames end at the current row; forward frames start there).
-    val (rSide, lSide) = if (strict ^ forward) (1, 0) else (0, 1)
+    // side bit: right must be visible at equal time iff inclusive — i.e.
+    // sort before the left row at equal t. Independent of direction: the
+    // forward sweep flips the TIME sort, not the equal-time tiebreak.
+    val (rSide, lSide) = if (strict) (1, 0) else (0, 1)
 
     // The whole matched right row travels as ONE struct, so matched_time
     // and every value column always come from the SAME right row — a
@@ -101,19 +104,18 @@ object AsofJoin {
         c -> lit(null).cast(left.schema(c).dataType)
       }.toMap)
 
+    // One running frame both ways: forward = backward on reversed time.
+    // last(ignoreNulls) over [unboundedPreceding, currentRow] is the
+    // incremental (O(1)-per-row) frame in WindowExec; with t sorted desc
+    // the nearest FOLLOWING right row is the last preceding non-null.
     val unioned = l.unionByName(r.select(l.columns.map(col): _*))
-    val base = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(t), col(SIDE))
-    val (w, fill) =
-      if (forward)
-        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col(PAY), ignoreNulls = true))
-      else
-        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col(PAY), ignoreNulls = true))
+    val tOrd = if (forward) col(t).desc else col(t).asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(tOrd, col(SIDE))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = unioned
-      .withColumn(PAY, fill.over(w))
+      .withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
       .filter(col(SIDE) === lSide)
 
     val gated = tolerance.fold(filled) { tol =>

@@ -292,6 +292,45 @@ object Dedup {
     labels
   }
 
+  /** Edit-distance near-dup pairs: candidates blocked by a text prefix
+    * (equi-join), then verified with the THRESHOLDED levenshtein (banded
+    * DP — O(len·maxDist) and early-exit, vs the O(len²) unbounded form).
+    *
+    * Scale guards, because prefix blocking concentrates boilerplate (a
+    * shared license header / HTML preamble puts 100k docs in ONE bucket
+    * → ~5e9 pairs in a single straggler task):
+    *   - a free length-difference prefilter inside the join condition:
+    *     lev(a,b) ≤ k implies |len(a)−len(b)| ≤ k, so the check is
+    *     lossless and prunes before any DP runs;
+    *   - `maxBucket` (0 = off): drop blocking buckets with more than this
+    *     many docs from pairing entirely — a DOCUMENTED recall trade for
+    *     bounded task size, the same contract as jaccardPairs'
+    *     maxShingleDf. Precision is always exact (every emitted pair is
+    *     DP-verified).
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 12, maxDist: Int = 20,
+      maxBucket: Long = 0L): DataFrame = {
+    val d0 = docs.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+      substring(col(textCol), 1, prefixLen).as("pfx"),
+      length(col(textCol)).as("len"))
+    val d = if (maxBucket > 0) {
+      val ok = d0.groupBy("pfx").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket).select("pfx")
+      d0.join(ok, Seq("pfx"))
+    } else d0
+    val a = d.select(col("pfx"), col("doc_id").as("doc_a"),
+      col("txt").as("ta"), col("len").as("la"))
+    val b = d.select(col("pfx"), col("doc_id").as("doc_b"),
+      col("txt").as("tb"), col("len").as("lb"))
+    a.join(b, Seq("pfx")).filter(col("doc_a") < col("doc_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, via
     * pigeonhole banding: split the 32-bit sketch into (maxHamming+1)
     * chunks — any pair within the hamming budget MUST agree on at least

@@ -195,21 +195,13 @@ object ExtendedQueries {
             regexp_count(col("text"), lit(pat)))).as("bytes_per_tok"))
     }),
     "dedup_editdist" -> ((s, dir) => {
-      // edit-distance near-dup pairs: candidates bucketed by a 12-char
-      // prefix (equi-join — no n² scan), verified with the THRESHOLDED
-      // levenshtein (banded DP: O(len·k) not O(len²), and -1-early-exit
-      // past k=20; the unbounded form is the classic 100 TB trap).
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          substring(col("text"), 1, 12).as("pfx"))
-      val a = d.select(col("pfx"), col("doc_id").as("doc_a"),
-        col("text").as("ta"))
-      val b = d.select(col("pfx"), col("doc_id").as("doc_b"),
-        col("text").as("tb"))
-      a.join(b, Seq("pfx")).filter(col("doc_a") < col("doc_b"))
-        .withColumn("dist", levenshtein(col("ta"), col("tb"), 20))
-        .filter(col("dist") >= 0)
-        .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+      // edit-distance near-dup pairs (operators/Dedup.editDistancePairs):
+      // prefix-blocked candidates, lossless length prefilter, thresholded
+      // banded-DP levenshtein. Bucket cap off here — the oracle is the
+      // exhaustive per-bucket pair scan.
+      graft.operators.Dedup.editDistancePairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        prefixLen = 12, maxDist = 20)
     }),
     "sample_stratified" -> ((s, dir) => {
       // stratified deterministic sampling: per-stratum rates over the same
@@ -340,7 +332,8 @@ object ExtendedQueries {
          FROM events""",
     "text_tokens_bpe" ->
       """SELECT doc_id,
-         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+         CAST(len(list_filter(string_split(trim(regexp_replace(lower(text),
+             '\s+', ' ', 'g')), ' '), x -> len(x) > 0))
            AS BIGINT) AS n_ws,
          CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 ]+| +'))
            AS BIGINT) AS n_bpe,

@@ -103,4 +103,28 @@ class DedupSpec extends AnyFunSuite {
     // docs must not lose them
     assert(pruned == exact)
   }
+
+  test("editDistancePairs: thresholded distances, symmetric-free, a<b") {
+    val d = Seq(
+      (1L, "hello world this is a doc"),
+      (2L, "hello world this is a dog"),   // dist 1 from doc 1
+      (3L, "hello world entirely different tail that is long"),
+      (10L, "zzz unrelated")
+    ).toDF("doc_id", "text")
+    val got = editDistancePairs(d, "doc_id", "text", prefixLen = 5,
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  test("editDistancePairs maxBucket drops oversized blocking buckets") {
+    val d = Seq(
+      (1L, "aaaa x"), (2L, "aaaa y"), (3L, "aaaa z"), // bucket of 3
+      (7L, "bbbb p"), (8L, "bbbb q")                  // bucket of 2
+    ).toDF("doc_id", "text")
+    val capped = editDistancePairs(d, "doc_id", "text", prefixLen = 4,
+        maxDist = 5, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((7L, 8L))) // the size-3 bucket is skipped entirely
+  }
 }
