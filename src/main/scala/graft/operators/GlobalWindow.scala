@@ -64,20 +64,31 @@ object GlobalWindow {
       }
     }(Encoders.row(outSchema))
 
+    // Pin the sweep behind an exchange before fanning out to two
+    // consumers. The local sums are tagged with RUNTIME partition ids;
+    // without this barrier a downstream stage-shape change (e.g. a user's
+    // `coalesce(1)`, which merges into the map stage and makes every
+    // TaskContext id 0) would let the two consumers below evaluate the
+    // sweep under DIFFERENT layouts and mis-join offsets. Behind the
+    // exchange the ids are data, the plans canonicalize equal
+    // (ReusedExchange → the sweep runs once), and no downstream operator
+    // can reach into the sweep stage.
+    val swept = withLocal.repartition(col(PID))
+
     // Pass 2: one total per partition (P rows), exclusive prefix-sum over
     // those P rows (a single-partition window over P values is fine —
     // that's the point of the rewrite), broadcast the offsets back.
     // No driver collect; the whole thing is one lazy plan.
     val pw = org.apache.spark.sql.expressions.Window.orderBy(col(PID))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsetDf = withLocal.groupBy(col(PID))
+    val offsetDf = swept.groupBy(col(PID))
       .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
         count(col(valueCol)).as("pcnt"))
       .withColumn("__gw_off__", coalesce(sum(col("psum")).over(pw), lit(0.0)))
       .withColumn("__gw_offcnt__", coalesce(sum(col("pcnt")).over(pw), lit(0L)))
       .select(col(PID), col("__gw_off__"), col("__gw_offcnt__"))
 
-    withLocal.join(broadcast(offsetDf), Seq(PID))
+    swept.join(broadcast(offsetDf), Seq(PID))
       .withColumn(outCol, when(col(CNT) + col("__gw_offcnt__") > 0,
         col(LOC) + col("__gw_off__")))
       .drop(PID, LOC, CNT, "__gw_off__", "__gw_offcnt__")

@@ -217,6 +217,35 @@ object ExtendedQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_returnflag"))
     }),
+    "order_global_cumsum" -> ((s, dir) => {
+      // GLOBAL cumulative sum — reference path 2 (frame, no .by) at real
+      // size. window_noby_frame shows the semantics on 25 rows; THIS is
+      // the scale path: operators/GlobalWindow range-repartitions on the
+      // order keys, local-sweeps each partition, and broadcast-joins P
+      // per-partition offsets — no single-partition WindowExec (the plan
+      // Spark warns about). l_quantity is integer-valued, so the
+      // reassociated partitioned sum is bit-exact vs the oracle's
+      // sequential one.
+      graft.operators.GlobalWindow.cumSum(
+          t(s, dir, "lineitem"),
+          orderBy = Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          valueCol = "l_quantity", outCol = "cum_qty")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("cum_qty"))
+    }),
+    "dedup_keep_latest" -> ((s, dir) => {
+      // canonical "collapse duplicate group, keep the newest": arg-max
+      // aggregation (max_by) per exact-duplicate fingerprint — one
+      // hash-agg shuffle carrying only (fp, best-so-far), no sort, no
+      // window. doc_id stands in for recency (fixtures carry no ts).
+      t(s, dir, "documents")
+        .groupBy(graft.functions.TextFunctions.fingerprint(col("text"))
+          .as("fp"))
+        .agg(max(col("doc_id")).as("keep_id"),
+          max_by(col("source"), col("doc_id")).as("keep_source"),
+          count(lit(1)).as("n_copies"))
+    }),
     "agg_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS (beyond rollup/cube's fixed lattices),
       // through the SQL surface — the reference's tbl_lazy users live here
@@ -356,6 +385,20 @@ object ExtendedQueries {
              l_linenumber, l_partkey, l_suppkey)), 1, 15)) AS BIGINT) % 100
            < CASE WHEN l_returnflag = 'A' THEN 5
                   WHEN l_returnflag = 'N' THEN 10 ELSE 20 END""",
+    "order_global_cumsum" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(sum(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber,
+           l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_qty
+         FROM lineitem""",
+    "dedup_keep_latest" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fp,
+         max(doc_id) AS keep_id,
+         arg_max(source, doc_id) AS keep_source,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1""",
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
          round(1e-9 + sum(o_totalprice), 4) AS total, count(*) AS n

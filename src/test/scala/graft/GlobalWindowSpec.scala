@@ -56,4 +56,25 @@ class GlobalWindowSpec extends AnyFunSuite {
       s"no range partitioning:\n$p")
     assert(p.contains("BroadcastExchange"), s"offsets not broadcast:\n$p")
   }
+
+  test("downstream coalesce(1) cannot corrupt the sweep (stage-merge regression)") {
+    // coalesce(1) without the pin exchange merges into the map stage:
+    // every TaskContext partition id becomes 0 on the join's left branch
+    // while the offset branch keeps real ids — local sums then join the
+    // wrong (zero) offsets and the cumsum resets at partition boundaries.
+    val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
+        "o_totalprice", "cs", numPartitions = 8)
+      .coalesce(1)
+      .orderBy($"o_orderkey").select("cs").collect().map(_.getDouble(0))
+    val oracle = orders.orderBy($"o_orderkey")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+      .scanLeft(0.0)(_ + _).drop(1)
+    assert(out.length == oracle.length)
+    // o_totalprice is not integer-valued: partitioned summation may differ
+    // by float reassociation, so compare within ulps-scale tolerance.
+    out.zip(oracle).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+        s"$a != $b")
+    }
+  }
 }
