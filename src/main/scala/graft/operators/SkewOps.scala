@@ -40,4 +40,34 @@ object SkewOps {
       .groupBy(keys.map(col): _*)
       .agg(finals.head, finals.tail: _*)
   }
+
+  /** Salted equi-join for a hot-keyed BIG side against a replicable small
+    * side — the shuffle-join skew fix for when the small side is too big
+    * to broadcast outright and AQE's skew splitting doesn't apply (e.g.
+    * the skewed side feeds from an exchange AQE can't re-plan).
+    *
+    * Each big row gets a deterministic salt in [0, nSalts) hashed from
+    * its full row content (reproducible across runs and retries, unlike
+    * rand()); the small side is replicated nSalts× with every salt value;
+    * the join key becomes (keys…, salt), splitting each hot key's rows
+    * over nSalts tasks.
+    *
+    * Join types: `inner`, `left`/`left_outer`, `left_semi`, `left_anti`
+    * — the ones where replicating the RIGHT side cannot duplicate or drop
+    * output rows (each big row still joins exactly its own salt slice).
+    * Anything else would multiply right-side rows; rejected. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase),
+      s"saltedJoin supports ${ok.mkString("/")}, not $joinType " +
+        "(replicating the right side would corrupt other join types)")
+    val bigS = big.withColumn(SALT,
+      pmod(xxhash64(big.columns.map(col): _*), lit(nSalts)).cast("int"))
+    val smallS = small.withColumn(SALT,
+      explode(array((0 until nSalts).map(i => lit(i)): _*)))
+    bigS.join(smallS, keys :+ SALT, joinType).drop(SALT)
+  }
 }

@@ -97,4 +97,66 @@ class OperatorPropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("asofForward (inclusive and strict) equals a naive per-row scan") {
+    check(forAll(asofGen, Gen.oneOf(true, false)) { case ((ls, rs), strict) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val lDf = left.toDF("k", "lt", "rid")
+      val rDf = rs.toDF("k", "rt", "v")
+      val got = graft.operators.AsofJoin
+        .asofForward(lDf, rDf, Seq("k"), "lt", "rt", Seq("v"),
+          strict = strict)
+        .collect().map(r => r.getLong(2) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+      val want = left.map { case (k, t, i) =>
+        val cands = rs.filter(r => r._1 == k &&
+          (if (strict) r._2 > t else r._2 >= t))
+        val best = if (cands.isEmpty) None
+        else Some(cands.minBy(_._2))
+        i -> (best.map(_._2), best.map(_._3))
+      }.toMap
+      got == want
+    })
+  }
+
+  // --- editDistancePairs vs brute force ---------------------------------
+
+  private val edGen: Gen[List[String]] = for {
+    n <- Gen.choose(2, 10)
+    // short strings over a 2-letter alphabet: heavy prefix collisions AND
+    // heavy within-threshold distances
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 8)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString)
+  } yield docs
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs equals brute force over same-prefix pairs") {
+    check(forAll(edGen, Gen.choose(1, 4), Gen.choose(1, 3)) {
+      (texts, prefixLen, maxDist) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = graft.operators.Dedup
+          .editDistancePairs(df, "doc_id", "text", prefixLen, maxDist)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val want = (for {
+          (a, i) <- texts.zipWithIndex; (b, j) <- texts.zipWithIndex
+          if i < j && a.take(prefixLen) == b.take(prefixLen)
+          d = lev(a, b) if d <= maxDist
+        } yield (i.toLong, j.toLong, d.toLong)).toSet
+        got == want
+    })
+  }
 }

@@ -42,4 +42,28 @@ class SkewOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out == Map("a" -> (7.0 / 3), "b" -> 8.0))
   }
+
+  test("saltedJoin equals the plain join for every supported join type") {
+    // hot key "h" dominates the big side; key "x" has no right match,
+    // right key "z" has no left match
+    val big = (1 to 50).map(i => ("h", i)) ++ Seq(("a", 101), ("x", 102))
+    val bigDf = big.toDF("k", "bv")
+    val smallDf = Seq(("h", "H"), ("a", "A"), ("z", "Z")).toDF("k", "sv")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val got = SkewOps.saltedJoin(bigDf, smallDf, Seq("k"), nSalts = 7,
+          joinType = jt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val want = bigDf.join(smallDf, Seq("k"), jt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"join type $jt diverged")
+    }
+  }
+
+  test("saltedJoin rejects right/full joins") {
+    val df = Seq(("a", 1)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(df, df.withColumnRenamed("v", "w"), Seq("k"), 4,
+        joinType = "full_outer")
+    }
+  }
 }
