@@ -256,6 +256,20 @@ object ExtendedQueries {
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     }),
+    "map_struct_funcs" -> ((s, dir) => {
+      // map/struct scalar family: construction, lookup, keys, size, field
+      // extraction. The oracle pins the expected VALUES (DuckDB's MAP
+      // accessors have list-returning quirks, so the SQL states what the
+      // lookups must produce rather than re-deriving them through maps).
+      val m = map(lit("st"), col("o_orderstatus"),
+        lit("pri"), col("o_orderpriority"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        element_at(m, "pri").as("m_pri"),
+        size(m).cast("long").as("m_sz"),
+        array_join(sort_array(map_keys(m)), ",").as("m_keys"),
+        r4(struct(col("o_totalprice").as("p"), col("o_orderstatus").as("s"))
+          .getField("p")).as("s_price"))
+    }),
     "text_regex" -> ((s, dir) => {
       // regex scalar family over documents.text (lower-case word corpus):
       // first long token, long-token count, vowel-stripped length
@@ -404,6 +418,11 @@ object ExtendedQueries {
          round(1e-9 + sum(o_totalprice), 4) AS total, count(*) AS n
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "map_struct_funcs" ->
+      """SELECT o_orderkey, o_orderpriority AS m_pri,
+         CAST(2 AS BIGINT) AS m_sz, 'pri,st' AS m_keys,
+         round(1e-9 + o_totalprice, 4) AS s_price
+         FROM orders""",
     "text_regex" ->
       """SELECT doc_id,
          regexp_extract(text, '[a-z]{6,}') AS first_long,
