@@ -22,13 +22,19 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // A failed query must NOT make the headline number better (its
+    // time-to-crash is usually tiny) — record failures explicitly and
+    // surface them in the JSON so the edit→bench loop can't mistake a
+    // regression-into-exception for a perf win.
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full computation of every column — a bare count()
       // lets Catalyst prune the very expressions we are benchmarking.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $dt%8.2fs")
@@ -37,7 +43,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

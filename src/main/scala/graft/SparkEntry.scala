@@ -23,7 +23,7 @@ import TidierOps._
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.queries.QueryUtil.t(s, dir, name)
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as an
     * illegal type unless read as a raw long of epoch-nanoseconds
@@ -32,10 +32,8 @@ object SparkEntry {
     * ordering exactly (a µs-truncated TimestampType would tie-break
     * differently on sub-µs neighbors). Day-granularity projections use
     * integer `div` (not `/`, which is double division and rounds at 1e18). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.queries.QueryUtil.events(s, dir)
 
   /** ts (epoch-nanos long) → DateType, truncating like CAST(ts AS DATE). */
   private val tsDate = expr("cast(timestamp_micros(ts div 1000) as date)")
@@ -47,7 +45,7 @@ object SparkEntry {
     * disagree based on 1-ulp summation-order noise. The 1e-9 bias (huge vs
     * the ~1e-13 noise, tiny vs any legitimate value gap) pushes halfway
     * values decisively over the boundary in BOTH engines. */
-  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  private def r4(c: Column): Column = graft.queries.QueryUtil.r4(c)
 
   /** Flagship: the reference's README headline (mean over the trailing 7
     * days per group, README.md:26-54) on `events` — per-user mean value over

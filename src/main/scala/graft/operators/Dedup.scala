@@ -115,9 +115,15 @@ object Dedup {
     // prefix index, and verification. Same result as string shingles
     // modulo md5-prefix collisions (< 1e-8 expected spurious matches at
     // gate scale), with one compiled hashing pass and long join keys.
+    // The fused hashing kernel is the dominant per-doc cost and this
+    // frame feeds three branches (postings, prefix index, verification) —
+    // cache it so the corpus is normalized+hashed ONCE, not once per
+    // branch. MEMORY_AND_DISK + LRU eviction keep it safe at scale (the
+    // cached shape is (id, hash-array), far smaller than the text).
     val withH = docs.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
+      .cache()
     val posts = withH.select(col("doc_id"), explode(col("hs")).as("s"))
     val dfCounts0 = posts.groupBy("s").agg(count(lit(1)).as("df_"))
     val dfCounts = if (maxShingleDf > 0) dfCounts0.filter(col("df_") <= maxShingleDf)
@@ -184,10 +190,13 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
+    // cached for the same reason as jaccardPairs' withH: band posting and
+    // verification branches would otherwise re-run the hashing kernel
     val withSh = docs.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("hs"), k))
+      .cache()
     // band keys: "bandIdx:v1-v2" strings; posexplode → (band, key) posts
     val bandKeys = array((0 until nBands).map { j =>
       concat_ws("-", (0 until rowsPerBand).map(r =>
@@ -248,7 +257,7 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id = min doc_id of the component),
     * restricted to docs that appear in at least one pair. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // undirected edge list, both directions — explode instead of a
     // self-union so the (expensive) pair pipeline runs ONCE, and cache
     // so the iteration reuses materialized edges
@@ -289,6 +298,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // Returning silently-wrong labels (a component whose min hasn't
+    // propagated to every node yet) would split one duplicate cluster
+    // into several with no sign anything failed — fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters rounds — the pair " +
+        "graph has a component with diameter > maxIters (e.g. a long " +
+        "near-dup chain); raise maxIters")
     labels
   }
 
@@ -342,10 +358,12 @@ object Dedup {
     val bits = 32
     val nChunks = maxHamming + 1
     val width = bits / nChunks // 8
+    // cached: both sides of the band self-join derive from this frame
     val withSh = docs.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sim", simhashFromHashes(col("hs"), bits))
+      .cache()
     val chunks = array((0 until nChunks).map(j =>
       shiftright(col("sim"), j * width).bitwiseAND(lit((1L << width) - 1))): _*)
     val bands = withSh.select(col("doc_id"), col("sim"),

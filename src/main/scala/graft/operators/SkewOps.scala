@@ -33,8 +33,14 @@ object SkewOps {
   def saltedAgg(df: DataFrame, keys: Seq[String], nSalts: Int)(
       partials: Seq[Column], finals: Seq[Column]): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    df.withColumn(SALT, pmod(spark_partition_id()
-        + monotonically_increasing_id(), lit(nSalts)))
+    // Salt must be a pure function of row CONTENT: a partition-id/row-order
+    // salt re-salts rows differently when Spark recomputes a lost map task
+    // after a fetch failure, double-counting or dropping them in the
+    // stage-2 re-aggregation. Content hashing is retry-stable; the trade
+    // is that fully-identical rows share a salt (a hot key of literally
+    // duplicate rows stays unsplit — dedup first if that's the shape).
+    df.withColumn(SALT,
+        pmod(xxhash64(df.columns.map(col): _*), lit(nSalts)))
       .groupBy((keys.map(col) :+ col(SALT)): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -26,7 +26,7 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  private def r4(c: Column): Column = QueryUtil.r4(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard" -> ((s, dir) => {

@@ -26,15 +26,12 @@ import org.apache.spark.sql.functions._
 object ExtendedQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    QueryUtil.t(s, dir, name)
 
-  /** Same nanos-as-long contract as SparkEntry.events (see its scaladoc). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    QueryUtil.events(s, dir)
 
-  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  private def r4(c: Column): Column = QueryUtil.r4(c)
 
   /** 30-minute gap threshold in the events table's epoch-nanos unit. */
   private val GapNs = 1800L * 1000000000L

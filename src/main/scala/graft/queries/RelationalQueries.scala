@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    QueryUtil.t(s, dir, name)
 
-  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  private def r4(c: Column): Column = QueryUtil.r4(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_quantiles" -> ((s, dir) => {

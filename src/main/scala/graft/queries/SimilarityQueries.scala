@@ -15,7 +15,7 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  private def r4(c: Column): Column = QueryUtil.r4(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, dir) => {

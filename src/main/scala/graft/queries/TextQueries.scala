@@ -15,7 +15,7 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  private def r4(c: Column): Column = QueryUtil.r4(c)
 
   // DuckDB fragments matching TextFunctions
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""

@@ -136,6 +136,29 @@ class StreamingSpec extends AnyFunSuite {
       (10000L, 10000L, 1L, 1.0))) // original session, boundaries intact
   }
 
+  test("sessionize: a burst of adjacent late events coalesces into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = sessionize(ms.toDS(), gapMillis = 1000)
+      .writeStream.format("memory").queryName("late_burst")
+      .outputMode("append").start()
+    ms.addData(KeyedEvent(1, 20000, 1.0))
+    q.processAllAvailable()
+    // a reconnecting client flushes a buffer: three mutually-adjacent
+    // late events (≤ gap apart) plus one isolated late event
+    ms.addData(KeyedEvent(1, 2000, 1.0), KeyedEvent(1, 2500, 2.0),
+      KeyedEvent(1, 2900, 4.0), KeyedEvent(1, 8000, 8.0))
+    q.processAllAvailable()
+    val s = spark.sql(
+      "SELECT startMillis, endMillis, nEvents, sumValue FROM late_burst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    assert(s == Set(
+      (2000L, 2900L, 3L, 7.0),  // burst merged like the batch twin would
+      (8000L, 8000L, 1L, 8.0))) // isolated late event stays a singleton
+  }
+
   test("sessionize (batch): same operator, deterministic closed sessions") {
     val events = Seq(
       KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1800, 2.0),
