@@ -81,6 +81,28 @@ object Multimodal {
     }: _*)
   }
 
+  /** Resize planning on decoded metadata: cap the longer edge at
+    * `maxEdge`, preserving aspect ratio with floor semantics, and report
+    * the output byte budget (w·h·channels, a raw-bitmap stand-in). Pure
+    * arithmetic on the metadata struct — the actual pixel resample lives
+    * behind [[BlobDecoder]] like every other real codec step; THIS step
+    * is what a planner needs to budget shuffle/storage before decoding
+    * anything. floor() is explicit so Spark and DuckDB agree (their
+    * double→int casts round differently); products stay ≤ ~2^21, exact
+    * in doubles. */
+  def resizeMeta(meta: Column, maxEdge: Int): Column = {
+    val w = meta.getField("width").cast("long")
+    val h = meta.getField("height").cast("long")
+    val c = meta.getField("channels").cast("long")
+    val g = greatest(w, h)
+    val nw = when(g <= maxEdge, w)
+      .otherwise(greatest(lit(1L), floor(w * maxEdge / g).cast("long")))
+    val nh = when(g <= maxEdge, h)
+      .otherwise(greatest(lit(1L), floor(h * maxEdge / g).cast("long")))
+    struct(nw.as("new_w"), nh.as("new_h"),
+      (nw * nh * c).as("out_bytes"))
+  }
+
   // --- pluggable real-decoder hook --------------------------------------
 
   /** Decoded media metadata (the real schema would add duration, codec,

@@ -35,6 +35,19 @@ object MultimodalQueries {
           col("m.height").cast("long").as("height"),
           col("m.channels").cast("long").as("channels"))
     }),
+    "mm_resize" -> ((s, dir) => {
+      // resize planning over the pseudo-decode: cap the long edge at 256,
+      // keep aspect (floor), report the raw-bitmap output budget
+      withPayload(s, dir)
+        .select(col("doc_id"), fakeImageMeta(col("p")).as("m"))
+        .select(col("doc_id"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          resizeMeta(col("m"), 256).as("r"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("r.new_w").as("new_w"), col("r.new_h").as("new_h"),
+          col("r.out_bytes").as("out_bytes"))
+    }),
     "mm_features" -> ((s, dir) => {
       // STUB features, real array plumbing. Serialized as integer millis
       // (round(f*1000) recovers the exact generator integer) — engine-
@@ -73,6 +86,28 @@ object MultimodalQueries {
            ${saltedSql("-h")} % 720 + 64 AS height,
            ${saltedSql("-c")} % 3 + 1 AS channels
          FROM b""",
+    "mm_resize" ->
+      s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+         m AS (SELECT doc_id,
+           ${saltedSql("-w")} % 1280 + 64 AS w,
+           ${saltedSql("-h")} % 720 + 64 AS h,
+           ${saltedSql("-c")} % 3 + 1 AS c
+           FROM b)
+         SELECT doc_id, w AS width, h AS height,
+           CASE WHEN greatest(w, h) <= 256 THEN w
+                ELSE greatest(1, CAST(floor(w * 256 / greatest(w, h))
+                  AS BIGINT)) END AS new_w,
+           CASE WHEN greatest(w, h) <= 256 THEN h
+                ELSE greatest(1, CAST(floor(h * 256 / greatest(w, h))
+                  AS BIGINT)) END AS new_h,
+           (CASE WHEN greatest(w, h) <= 256 THEN w
+                ELSE greatest(1, CAST(floor(w * 256 / greatest(w, h))
+                  AS BIGINT)) END
+            * CASE WHEN greatest(w, h) <= 256 THEN h
+                ELSE greatest(1, CAST(floor(h * 256 / greatest(w, h))
+                  AS BIGINT)) END
+            * c) AS out_bytes
+         FROM m""",
     "mm_features" ->
       s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents)
          SELECT doc_id,
