@@ -253,6 +253,22 @@ object ExtendedQueries {
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     }),
+    "agg_approx" -> ((s, dir) => {
+      // sketch/approximate aggregate family — the constant-memory tier
+      // for 100 TB cardinality/quantile work where exact two-phase
+      // distinct or full-sort percentiles don't fit: HLL++
+      // (approx_count_distinct), a mergeable DataSketches HLL sketch
+      // (hll_sketch_agg → estimate; union-able across partitions/days),
+      // and t-digest-style approx_percentile. Deliberately NO DuckDB
+      // oracle: sketch estimates are engine-specific, so the gate records
+      // the weaker rows-only check; ApproxAggSpec pins the error bounds
+      // against the exact answers instead.
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
+          .as("hll_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx_p50"))
+    }),
     "map_struct_funcs" -> ((s, dir) => {
       // map/struct scalar family: construction, lookup, keys, size, field
       // extraction. The oracle pins the expected VALUES (DuckDB's MAP
