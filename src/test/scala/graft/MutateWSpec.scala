@@ -58,6 +58,16 @@ class MutateWSpec extends AnyFunSuite {
       Seq(None, Some(10.0), Some(30.0), Some(50.0), None, Some(1.0), Some(3.0)))
   }
 
+  test("negative before endpoint starts the frame past the current row") {
+    // c(-1, 2) = [cur+1, cur+2]: leading two rows excluding current
+    // (mirror of the negative-after contract, R/mutate.R:98-100).
+    val out = df.mutateW("m" -> sum($"v"))(
+      by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.rows(-1, 2)))
+    assert(rowsFor(out, "m").map(r => Option(r.get(0))) ==
+      Seq(Some(50.0), Some(70.0), Some(40.0), None, Some(5.0), Some(3.0),
+        None))
+  }
+
   test("path 2: frame without .by slides over input row order") {
     val single = df.filter($"g" === "a") // avoid cross-group order dependence
     val out = single.mutateW("s" -> sum($"v"))(frame = Some(Frame.rows(1, 0)))
