@@ -183,13 +183,17 @@ object ExtendedQueries {
       // removed so Java regex and DuckDB RE2 agree), plus bytes/token —
       // the standard "is this prose or noise" pipeline signal.
       val pat = " ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 ]+| +"
+      // two-step select so the regex scan runs ONCE per row — inlining it
+      // into the count, the guard, and the ratio would evaluate the
+      // pattern three times (CSE across a when() is not guaranteed)
       t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
-          .as("n_ws"),
-        regexp_count(col("text"), lit(pat)).cast("long").as("n_bpe"),
-        r4(when(regexp_count(col("text"), lit(pat)) > 0,
-          length(col("text")).cast("double") /
-            regexp_count(col("text"), lit(pat)))).as("bytes_per_tok"))
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_ws"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_bpe"),
+          length(col("text")).as("len"))
+        .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+          r4(when(col("n_bpe") > 0,
+            col("len").cast("double") / col("n_bpe"))).as("bytes_per_tok"))
     }),
     "dedup_editdist" -> ((s, dir) => {
       // edit-distance near-dup pairs (operators/Dedup.editDistancePairs):
