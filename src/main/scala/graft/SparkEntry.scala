@@ -59,7 +59,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.queries.TextQueries.oracleSql ++
@@ -67,7 +68,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.ExtendedQueries.oracleSql
+      graft.queries.ExtendedQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+import graft.operators.Dedup.shingleHashes
+
+/** Training-data-curation query inventory over `documents` — the pipeline
+  * stages a 100 TB pretraining-corpus build runs between raw scrape and
+  * tokenization, each oracle-gated against DuckDB:
+  *
+  *   - text_pii_redact: regex PII masking (emails / IPv4s / phone-like
+  *     numbers). The fixture text carries no PII, so both engines first
+  *     synthesize deterministic PII from doc_id with identical string
+  *     algebra — the redaction regexes then do real work. Patterns are
+  *     deliberately lookahead-free: Java regex and DuckDB's RE2 agree
+  *     only on that common subset (RE2 has no lookaround at all).
+  *   - text_repetition: Gopher-style repetition signals (Rae et al. 2021,
+  *     arXiv:2112.11446 Table A1): distinct-token ratio, top-token
+  *     fraction, duplicate-bigram fraction. Two explode→hash-agg passes;
+  *     partial aggregation makes the shuffle carry (doc, gram) partial
+  *     counts, not raw gram occurrences.
+  *   - decontam_overlap: benchmark decontamination — flag training docs
+  *     sharing any 5-gram with a held-out "benchmark" slice (doc_id ≡ 0
+  *     mod 20), the standard n-gram overlap check (GPT-3 appendix C /
+  *     PaLM-style). The benchmark gram set is tiny relative to the corpus
+  *     → broadcast hash join; the 100 TB training side streams through
+  *     map-side, no shuffle of the big side. Grams travel as the shared
+  *     60-bit md5 kernel hashes (8-byte keys), while the oracle joins the
+  *     gram strings themselves — so the gate also certifies the hash
+  *     kernel's injectivity on this corpus.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def r4(c: Column): Column = QueryUtil.r4(c)
+
+  // ---- PII synthesis + patterns (one definition, both engines) ---------
+
+  /** Lookahead-free patterns, valid and equivalent in Java regex + RE2. */
+  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val Ipv4Pat  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PhonePat = """\b\d{3}-\d{4}\b"""
+
+  private def synthPii(doc: Column, text: Column): Column =
+    concat(text,
+      lit(" contact user"), doc.cast("string"), lit("@mail.example.org ip 10."),
+      (doc % 256).cast("string"), lit(".0."),
+      ((doc * 7) % 256).cast("string"), lit(" tel 555-"),
+      lpad((doc % 10000).cast("string"), 4, "0"))
+
+  private val synthPiiSql =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@mail.example.org ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
+
+  // ---- queries ---------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> ((s, dir) => {
+      // Counts are taken per-pattern on the pre-redaction string; the
+      // replacement tokens contain no digits/@, so the three patterns
+      // are non-overlapping and replacement order is immaterial.
+      val withPii = docs(s, dir)
+        .select(col("doc_id"), synthPii(col("doc_id"), col("text")).as("s"))
+      withPii.select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("s"), EmailPat, "<EMAIL>"),
+            Ipv4Pat, "<IP>"),
+          PhonePat, "<PHONE>").as("redacted"),
+        size(regexp_extract_all(col("s"), lit(EmailPat), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("s"), lit(Ipv4Pat), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(col("s"), lit(PhonePat), lit(0)))
+          .cast("long").as("n_phone"))
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      // Tokens are materialized into a column FIRST so the bigram
+      // zip_with lambda closes over a bound array reference — a lambda
+      // over tokens(text) directly would re-run the normalize+split per
+      // element (interpreted HOF pitfall; see ShingleHashesExpr scaladoc).
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val ts = d.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_toks"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"))
+      // Positional (non-distinct) bigrams via the null-padding zip_with
+      // trick shared with Dedup.shingles.
+      val grams = filter(
+        zip_with(col("toks"),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        g => g.isNotNull)
+      val gstat = d.select(col("doc_id"), explode(grams).as("g2"))
+        .groupBy("doc_id", "g2").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_g"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_g"))
+      ts.join(gstat, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_toks").cast("long").as("n_toks"),
+          r4(col("n_distinct").cast("double") / col("n_toks"))
+            .as("distinct_frac"),
+          r4(col("top_c").cast("double") / col("n_toks")).as("top_tok_frac"),
+          // null (not 0) for single-token docs: no bigrams exist at all
+          r4(col("dup_g").cast("double") / col("n_g")).as("dup_bigram_frac"))
+    }),
+
+    "decontam_overlap" -> ((s, dir) => {
+      // Distinct 5-gram hashes per doc in one compiled kernel pass.
+      val grams = docs(s, dir)
+        .select(col("doc_id"), explode(shingleHashes(col("text"), 5)).as("h"))
+      val bench = grams.filter(col("doc_id") % 20 === 0)
+        .select("h").distinct()
+      val train = grams.filter(col("doc_id") % 20 =!= 0)
+      // count(*) == distinct gram count here: the kernel emits each gram
+      // once per doc and `bench` is distinct, so join multiplicity is 1.
+      train.join(broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_contam"))
+    })
+  )
+
+  // ---- DuckDB oracles --------------------------------------------------
+
+  private val toksView =
+    """WITH t0 AS (
+         SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+         FROM documents
+       ), tk AS (
+         SELECT doc_id, string_split(norm, ' ') AS toks
+         FROM t0 WHERE length(norm) > 0
+       )"""
+
+  val oracleSql: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $synthPiiSql AS s FROM documents)
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(s,
+              '$EmailPat', '<EMAIL>', 'g'),
+              '$Ipv4Pat', '<IP>', 'g'),
+              '$PhonePat', '<PHONE>', 'g') AS redacted,
+            CAST(len(regexp_extract_all(s, '$EmailPat')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(s, '$Ipv4Pat')) AS BIGINT) AS n_ip,
+            CAST(len(regexp_extract_all(s, '$PhonePat')) AS BIGINT) AS n_phone
+          FROM p""",
+
+    "text_repetition" ->
+      s"""$toksView, e AS (
+            SELECT doc_id, unnest(toks) AS tok FROM tk
+          ), tc AS (
+            SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2
+          ), ts AS (
+            SELECT doc_id, sum(c) AS n_toks, count(*) AS n_distinct,
+                   max(c) AS top_c
+            FROM tc GROUP BY 1
+          ), ge AS (
+            SELECT doc_id, unnest(list_transform(range(1, length(toks)),
+                     i -> concat(toks[i], ' ', toks[i+1]))) AS g2
+            FROM tk WHERE length(toks) >= 2
+          ), gc AS (
+            SELECT doc_id, g2, count(*) AS c FROM ge GROUP BY 1, 2
+          ), gs AS (
+            SELECT doc_id, sum(c) AS n_g,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_g
+            FROM gc GROUP BY 1
+          )
+          SELECT ts.doc_id, CAST(ts.n_toks AS BIGINT) AS n_toks,
+                 round(1e-9 + ts.n_distinct::DOUBLE / ts.n_toks, 4)
+                   AS distinct_frac,
+                 round(1e-9 + ts.top_c::DOUBLE / ts.n_toks, 4)
+                   AS top_tok_frac,
+                 round(1e-9 + gs.dup_g::DOUBLE / gs.n_g, 4)
+                   AS dup_bigram_frac
+          FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id""",
+
+    "decontam_overlap" ->
+      s"""$toksView, d AS (
+            SELECT doc_id,
+              CASE WHEN length(toks) >= 5 THEN
+                list_distinct(list_transform(range(1, length(toks) - 3),
+                  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+                              toks[i+3], ' ', toks[i+4])))
+              ELSE CAST([] AS VARCHAR[]) END AS sh
+            FROM tk
+          ), e AS (
+            SELECT doc_id, unnest(sh) AS s FROM d WHERE length(sh) > 0
+          ), b AS (
+            SELECT DISTINCT s FROM e WHERE doc_id % 20 = 0
+          )
+          SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+          FROM e JOIN b ON e.s = b.s
+          WHERE e.doc_id % 20 <> 0
+          GROUP BY 1"""
+  )
+}
