@@ -118,6 +118,38 @@ object CurationQueries {
           r4(col("dup_g").cast("double") / col("n_g")).as("dup_bigram_frac"))
     }),
 
+    "quality_filter_p75" -> ((s, dir) => {
+      // Quantile-gated quality filter: keep docs at or above their
+      // language's 75th-percentile quality score. Both the scores and
+      // the thresholds are 4-decimal-rounded BEFORE the comparison, so
+      // the kept set is decided on bit-identical values in both engines
+      // (raw exact-percentile output can differ by 1 ulp of interpolation
+      // algebra, which would make boundary membership engine-dependent).
+      // Thresholds are |languages| rows → broadcast; the corpus streams.
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        r4(graft.functions.TextFunctions.qualityScore(col("text"))).as("q"))
+      val thr = d.groupBy("lang")
+        .agg(r4(percentile(col("q"), lit(0.75))).as("thr"))
+      d.join(broadcast(thr), Seq("lang"))
+        .filter(col("q") >= col("thr"))
+        .select(col("doc_id"), col("lang"), col("q"), col("thr"))
+    }),
+
+    "dedup_corpus_keep" -> ((s, dir) => {
+      // END-TO-END corpus dedup: near-dup pairs (prefix-filtered Jaccard)
+      // → connected components → drop every member except the min-id
+      // representative. The drop set is |duplicates| rows — broadcast
+      // left-anti join, so the full corpus never shuffles.
+      val d = docs(s, dir)
+      val pairs = graft.operators.Dedup.jaccardPairs(
+        d, "doc_id", "text", n = 3, minJaccard = 0.5)
+      val drop = graft.operators.Dedup.duplicateClusters(pairs)
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select("doc_id")
+      d.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     "decontam_overlap" -> ((s, dir) => {
       // Distinct 5-gram hashes per doc in one compiled kernel pass.
       val grams = docs(s, dir)
@@ -186,6 +218,21 @@ object CurationQueries {
                  round(1e-9 + gs.dup_g::DOUBLE / gs.n_g, 4)
                    AS dup_bigram_frac
           FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id""",
+
+    "quality_filter_p75" ->
+      s"""${TextQueries.qualityPerDocSql}, thr AS (
+            SELECT lang, round(1e-9 + quantile_cont(quality, 0.75), 4) AS thr
+            FROM qd GROUP BY 1
+          )
+          SELECT qd.doc_id, qd.lang, qd.quality AS q, thr.thr
+          FROM qd JOIN thr ON qd.lang = thr.lang
+          WHERE qd.quality >= thr.thr""",
+
+    "dedup_corpus_keep" ->
+      s"""${DedupQueries.clusterCteSql}
+          SELECT d0.doc_id, d0.n_chars
+          FROM documents d0 LEFT JOIN cl ON d0.doc_id = cl.doc_id
+          WHERE cl.cluster_id IS NULL OR cl.cluster_id = d0.doc_id""",
 
     "decontam_overlap" ->
       s"""$toksView, d AS (

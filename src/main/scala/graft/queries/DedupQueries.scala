@@ -140,7 +140,14 @@ object DedupQueries {
          FROM sm a JOIN sm b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
     "dedup_clusters" ->
-      s"""${shView.replaceFirst("WITH", "WITH RECURSIVE")}, e AS (
+      s"""$clusterCteSql SELECT doc_id, cluster_id FROM cl"""
+  )
+
+  /** Recursive-CTE duplicate-cluster chain ending in `cl(doc_id,
+    * cluster_id)` (docs in the j≥0.5 pair graph only) — shared with
+    * CurationQueries' corpus-dedup oracle. */
+  private[queries] lazy val clusterCteSql: String =
+    s"""${shView.replaceFirst("WITH", "WITH RECURSIVE")}, e AS (
            SELECT doc_id, length(sh) AS sz, unnest(sh) AS s
            FROM d WHERE length(sh) > 0
          ), i AS (
@@ -158,8 +165,8 @@ object DedupQueries {
            SELECT src, dst FROM edges
            UNION
            SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
-         )
-         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         FROM reach GROUP BY src"""
-  )
+         ), cl AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src
+         )"""
 }

@@ -40,6 +40,21 @@ object SimilarityQueries {
       cosinePairs(emb(s, dir), minCosine = 0.4)
         .select(col("id_a"), col("id_b"), r4(col("cosine")).as("cosine"))
     }),
+    "agg_vector_centroid" -> ((s, dir) => {
+      // Per-group element-wise mean embedding (class centroids / topic
+      // vectors): posexplode → two-level hash agg. The shuffle carries
+      // (group, dim) partial sums — O(groups × dim), independent of row
+      // count, so this scales to any corpus size. Output is one row per
+      // (group, dimension); r4 absorbs cross-engine summation-order ulps.
+      emb(s, dir)
+        .select((col("vec_id") % 8).as("grp"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("grp", "pos")
+        .agg(r4(avg(col("v").cast("double"))).as("ctr"),
+          count(lit(1)).cast("long").as("n"))
+        .select(col("grp"), (col("pos") + 1).cast("long").as("pos"),
+          col("ctr"), col("n"))
+    }),
     "ann_ivf_topk" -> ((s, dir) => {
       // IVF with DETERMINISTIC centroids (the vectors of vec_id < 8 —
       // no averaging, so both engines see bit-identical centroids),
@@ -84,6 +99,18 @@ object SimilarityQueries {
        FROM ranked WHERE rank <= $k"""
 
   val oracleSql: Map[String, String] = Map(
+    "agg_vector_centroid" ->
+      // parallel unnests in one SELECT zip positionally in DuckDB
+      """WITH e AS (
+           SELECT vec_id % 8 AS grp,
+             unnest(range(1, length(embedding) + 1)) AS pos,
+             unnest(list_transform(range(1, length(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE))) AS v
+           FROM embeddings
+         )
+         SELECT grp, pos, round(1e-9 + avg(v), 4) AS ctr,
+                CAST(count(*) AS BIGINT) AS n
+         FROM e GROUP BY 1, 2""",
     "ann_cosine_topk" -> topkSql("WHERE vec_id < 10", 5),
     "ann_knn_join" -> topkSql("", 3),
     "embedding_dup_pairs" ->

@@ -104,6 +104,28 @@ object TextQueries {
     })
   )
 
+  /** Per-doc quality-score CTE chain ending in `qd(doc_id, lang, quality)`
+    * — the single DuckDB rendering of [[graft.functions.TextFunctions
+    * .qualityScore]], shared with CurationQueries' percentile filter. */
+  private[queries] lazy val qualityPerDocSql: String =
+    s"""$withToks, q AS (
+           SELECT doc_id, lang,
+             least(n_toks / 20.0, 1.0) AS len_sat,
+             greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+               'g')))::DOUBLE / length(text) ELSE 0 END) * 5.0) AS punct_pen,
+             least((CASE WHEN n_toks > 0 THEN
+               (${stopHitsSql(enS)})::DOUBLE / n_toks ELSE 0 END) * 4.0,
+               1.0) AS stop_sig,
+             CASE WHEN n_toks > 0 AND
+               (length(norm) - n_toks + 1)::DOUBLE / n_toks
+                 BETWEEN 2.5 AND 10.0 THEN 1.0 ELSE 0.0 END AS len_plaus
+           FROM tt),
+         qd AS (
+           SELECT doc_id, lang, round(1e-9 + len_sat * 0.25 + punct_pen * 0.25
+             + stop_sig * 0.25 + len_plaus * 0.25, 4) AS quality
+           FROM q)"""
+
   val oracleSql: Map[String, String] = Map(
     "sample_hash" ->
       """SELECT doc_id FROM documents
@@ -146,22 +168,7 @@ object TextQueries {
            ELSE 0 END AS stop_ratio
          FROM tt""",
     "text_quality" ->
-      s"""$withToks, q AS (
-           SELECT doc_id,
-             least(n_toks / 20.0, 1.0) AS len_sat,
-             greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
-               (length(text) - length(regexp_replace(text, '[.,!?;:]', '',
-               'g')))::DOUBLE / length(text) ELSE 0 END) * 5.0) AS punct_pen,
-             least((CASE WHEN n_toks > 0 THEN
-               (${stopHitsSql(enS)})::DOUBLE / n_toks ELSE 0 END) * 4.0,
-               1.0) AS stop_sig,
-             CASE WHEN n_toks > 0 AND
-               (length(norm) - n_toks + 1)::DOUBLE / n_toks
-                 BETWEEN 2.5 AND 10.0 THEN 1.0 ELSE 0.0 END AS len_plaus
-           FROM tt)
-         SELECT doc_id, round(1e-9 + len_sat * 0.25 + punct_pen * 0.25
-           + stop_sig * 0.25 + len_plaus * 0.25, 4) AS quality
-         FROM q""",
+      s"""$qualityPerDocSql SELECT doc_id, quality FROM qd""",
     "text_langid" ->
       s"""$withToks, sc AS (
            SELECT doc_id,
