@@ -177,6 +177,115 @@ object Similarity {
 
   // --- IVF --------------------------------------------------------------
 
+  // --- Product quantization (PQ / ADC) ---------------------------------
+
+  /** PQ codebooks: `books(s)(j)` = (centroid subvector, its precomputed
+    * left-fold ‖·‖²) for 0-based subspace s, code j. A vector's code in
+    * subspace s is the INDEX of its nearest centroid — codes double as
+    * positions into the per-query ADC distance table. */
+  final case class PqCodebooks(subDim: Int,
+      books: Array[Array[(Seq[Double], Double)]]) {
+    def m: Int = books.length
+  }
+
+  /** Deterministic codebooks from existing rows (`id < maxCentroidId`),
+    * ids in ascending order — no k-means iteration, so both engines see
+    * bit-identical centroids (the same trick as [[ivfTopK]]'s centroid
+    * choice). At real scale you'd fit k-means on a sample ONCE, persist
+    * the codebooks, and share them across the fleet — they're a few KB. */
+  def pqCodebooks(vecs: DataFrame, m: Int, maxCentroidId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebooks = {
+    val rows = vecs.filter(col(idCol) < maxCentroidId)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "pqCodebooks: no centroid rows")
+    val d = rows.head._2.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val subDim = d / m
+    val books = Array.tabulate(m) { s =>
+      rows.map { case (_, v) =>
+        val sub: Seq[Double] = v.slice(s * subDim, (s + 1) * subDim).toSeq
+        // left fold — the same summation order as VecDot / the oracle's
+        // list_reduce, so the baked-in norms are bit-identical
+        (sub, sub.foldLeft(0.0)((acc, x) => acc + x * x))
+      }
+    }
+    PqCodebooks(subDim, books)
+  }
+
+  /** ‖a − c‖² via the dot identity `‖a‖² − 2·a·c + ‖c‖²` with a
+    * PRECOMPUTED ‖a‖² column — one VecDot per (row, centroid) instead of
+    * three. The identity (not Σ(aᵢ−cᵢ)²) is also what the oracle mirrors,
+    * term for term, left-associated. */
+  private def adcDist(xNorm: Column, xSub: Column,
+      cent: (Seq[Double], Double)): Column =
+    xNorm - lit(2.0) * dot(xSub, typedLit(cent._1)) + lit(cent._2)
+
+  /** Append `codes` (array<int>): per subspace, the index of the nearest
+    * codebook centroid (L2², ties → lowest index via struct-least). The
+    * 64-dim float vector compresses to m ints — at 100 TB the encoded
+    * corpus is ~16× smaller than the raw embeddings and is the ONLY thing
+    * the ADC scan reads. Pure narrow map, stays in codegen. */
+  def pqEncode(vecs: DataFrame, books: PqCodebooks,
+      vecCol: String = "embedding"): DataFrame = {
+    val withCodes = (0 until books.m).foldLeft(vecs) { (df, s) =>
+      val sub = slice(col(vecCol), s * books.subDim + 1, books.subDim)
+      val d2 = df.withColumn(s"__sub_$s", sub)
+        .withColumn(s"__xn_$s", dot(col(s"__sub_$s"), col(s"__sub_$s")))
+      val cands = books.books(s).zipWithIndex.map { case (cent, j) =>
+        struct(adcDist(col(s"__xn_$s"), col(s"__sub_$s"), cent).as("d"),
+          lit(j).as("j"))
+      }
+      val best = if (cands.length == 1) cands.head else least(cands: _*)
+      d2.withColumn(s"__code_$s", best.getField("j"))
+    }
+    withCodes
+      .withColumn("codes",
+        array((0 until books.m).map(s => col(s"__code_$s")): _*))
+      .drop((0 until books.m)
+        .flatMap(s => Seq(s"__sub_$s", s"__xn_$s", s"__code_$s")): _*)
+  }
+
+  /** Approximate top-k by asymmetric distance computation: the corpus is
+    * scanned as codes only; each query carries an m×|book| table of
+    * subspace distances and scores a candidate with m array lookups — no
+    * corpus-vector FLOPs at query time. Scale shape: tables broadcast
+    * with the (tiny) query side, the encoded corpus streams map-side, and
+    * [[graft.functions.TopKAgg]] prunes to k per query before the
+    * shuffle. Deterministic (fixed codebooks, index tie-breaks), so the
+    * oracle replays it exactly; accuracy vs exact search is a measured
+    * property (see PqSpec), as with any quantized index. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, books: PqCodebooks,
+      k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val enc = pqEncode(corpus.repartition(parallelism), books, vecCol)
+      .select(col(idCol).as("nbr_id"), col("codes"))
+    val qt = (0 until books.m).foldLeft(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))) {
+      (df, s) =>
+        val sub = slice(col("__qv"), s * books.subDim + 1, books.subDim)
+        df.withColumn(s"__qsub_$s", sub)
+          .withColumn(s"__qn_$s", dot(col(s"__qsub_$s"), col(s"__qsub_$s")))
+          .withColumn(s"__tab_$s", array(books.books(s).map(cent =>
+            adcDist(col(s"__qn_$s"), col(s"__qsub_$s"), cent)): _*))
+    }.select(col("query_id") +:
+      (0 until books.m).map(s => col(s"__tab_$s")): _*)
+    val adist = (0 until books.m).map(s =>
+        element_at(col(s"__tab_$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _) // left-to-right, mirroring the oracle's list_reduce
+    val scored = enc.crossJoin(broadcast(qt))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("adist", adist)
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(-col("adist"), col("nbr_id"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("query_id"), col("t.id").as("nbr_id"),
+        (-col("t.score")).as("adist"), (col("r0") + 1).cast("long").as("rank"))
+  }
+
   /** Assign every vector to its nearest of `centroids` (broadcast lookup,
     * narrow). Returns the input plus a `cluster` column — at scale you
     * would write this out partitioned/bucketed by `cluster`, giving

@@ -55,6 +55,18 @@ object SimilarityQueries {
         .select(col("grp"), (col("pos") + 1).cast("long").as("pos"),
           col("ctr"), col("n"))
     }),
+    "ann_pq_topk" -> ((s, dir) => {
+      // Product quantization: 64 dims → 4 subspaces × 16 deterministic
+      // centroids (the subvectors of vec_id < 16, so both engines hold
+      // bit-identical codebooks). The corpus is scanned as 4-int codes;
+      // ADC ranks by table lookups. Exactly reproducible → full oracle
+      // replay; accuracy vs exact search is PqSpec's job.
+      val all = emb(s, dir)
+      val books = pqCodebooks(all, m = 4, maxCentroidId = 16)
+      pqTopK(all, all.filter(col("vec_id") < 10), books, k = 5)
+        .select(col("query_id"), col("nbr_id"),
+          r4(col("adist")).as("adist"), col("rank"))
+    }),
     "ann_ivf_topk" -> ((s, dir) => {
       // IVF with DETERMINISTIC centroids (the vectors of vec_id < 8 —
       // no averaging, so both engines see bit-identical centroids),
@@ -112,6 +124,44 @@ object SimilarityQueries {
                 CAST(count(*) AS BIGINT) AS n
          FROM e GROUP BY 1, 2""",
     "ann_cosine_topk" -> topkSql("WHERE vec_id < 10", 5),
+    // PQ replay: same codebooks (subvectors of vec_id < 16, index ==
+    // vec_id), same L2² algebra (‖x‖² − 2·x·c + ‖c‖², left-associated),
+    // same argmin/rank tie-breaks (lowest index / lowest nbr_id), and the
+    // ADC sum folds the per-subspace terms in subspace order exactly like
+    // Spark's left-to-right `+` chain.
+    "ann_pq_topk" ->
+      s"""WITH sp AS (SELECT unnest([0, 1, 2, 3]) AS s),
+           sub AS (
+             SELECT e.vec_id, sp.s,
+                    e.embedding[sp.s*16 + 1 : sp.s*16 + 16] AS xv
+             FROM embeddings e CROSS JOIN sp),
+           cent AS (
+             SELECT vec_id AS j, s, xv AS cv FROM sub WHERE vec_id < 16),
+           encd AS (
+             SELECT vec_id, s, j AS code FROM (
+               SELECT sub.vec_id, sub.s, cent.j,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY (${dotSql("xv", "xv")} - 2.0 * ${dotSql("xv", "cv")}
+                     + ${dotSql("cv", "cv")}) ASC, cent.j ASC) AS rn
+               FROM sub JOIN cent ON sub.s = cent.s)
+             WHERE rn = 1),
+           tab AS (
+             SELECT q.vec_id AS query_id, q.s, cent.j,
+               (${dotSql("qv", "qv")} - 2.0 * ${dotSql("qv", "cv")}
+                 + ${dotSql("cv", "cv")}) AS dst
+             FROM (SELECT vec_id, s, xv AS qv FROM sub WHERE vec_id < 10) q
+             JOIN cent ON q.s = cent.s),
+           adc AS (
+             SELECT t.query_id, e2.vec_id AS nbr_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(t.dst ORDER BY t.s)), (a, b) -> a + b) AS adist
+             FROM encd e2 JOIN tab t ON e2.s = t.s AND e2.code = t.j
+             WHERE e2.vec_id <> t.query_id
+             GROUP BY 1, 2)
+         SELECT query_id, nbr_id, round(1e-9 + adist, 4) AS adist, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist ASC, nbr_id) AS rank FROM adc)
+         WHERE rank <= 5""",
     "ann_knn_join" -> topkSql("", 3),
     "embedding_dup_pairs" ->
       s"""WITH v AS (SELECT vec_id, embedding AS ev,
