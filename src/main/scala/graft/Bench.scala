@@ -31,18 +31,24 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces full computation of every column — a bare count()
       // lets Catalyst prune the very expressions we are benchmarking.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $dt%8.2fs")
-      name -> dt
+      // A failed query records null, not its time-to-crash: crashing is
+      // usually fast, so including it would make the headline total LOOK
+      // better after a regression-into-exception.
+      name -> (if (ok) Some(dt) else None)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.values.flatten.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

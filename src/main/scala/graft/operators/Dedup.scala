@@ -29,6 +29,25 @@ object Dedup {
 
   import graft.functions.TextFunctions.{normText, tokens}
 
+  /** Materialize a SMALL result eagerly (localCheckpoint truncates lineage
+    * and stores the partitions), then unpersist the big cached input the
+    * pipeline derived from. This scopes the corpus-sized cache to the
+    * operator call: without it, every pair op in a long-lived session
+    * (Verify/Bench run ~80 queries in one SparkSession) leaves a cached
+    * hashed-corpus frame behind until LRU eviction. The checkpointed
+    * output itself is cleaned by the ContextCleaner once unreferenced.
+    * Trade (documented, deliberate): localCheckpoint is not resilient to
+    * executor loss — but losing one mid-query fails the query either way
+    * here, because the lineage it replaces contains non-deterministic-
+    * partition caches of the same data. Pair outputs are orders of
+    * magnitude smaller than the corpus, so the storage cost is trivial. */
+  private def materializeAndRelease(out: DataFrame,
+      cached: DataFrame): DataFrame = {
+    val ck = out.localCheckpoint(true)
+    cached.unpersist()
+    ck
+  }
+
   /** Distinct word n-gram shingles of the normalized text; empty array for
     * docs with fewer than n tokens.
     *
@@ -119,7 +138,8 @@ object Dedup {
     // frame feeds three branches (postings, prefix index, verification) —
     // cache it so the corpus is normalized+hashed ONCE, not once per
     // branch. MEMORY_AND_DISK + LRU eviction keep it safe at scale (the
-    // cached shape is (id, hash-array), far smaller than the text).
+    // cached shape is (id, hash-array), far smaller than the text), and
+    // materializeAndRelease unpersists it before this function returns.
     val withH = docs.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -170,13 +190,14 @@ object Dedup {
       col("xh").as("xh_a"), col("sz").as("za"))
     val fullB = hashed.select(col("doc_id").as("doc_b"),
       col("xh").as("xh_b"), col("sz").as("zb"))
-    cands.join(fullA, Seq("doc_a")).join(fullB, Seq("doc_b"))
+    val out = cands.join(fullA, Seq("doc_a")).join(fullB, Seq("doc_b"))
       .withColumn("inter", graft.functions.HashKernels
         .sortedIntersectCount(col("xh_a"), col("xh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("za") + col("zb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+    materializeAndRelease(out, withH)
   }
 
   /** MinHash-LSH near-dup pairs: signature per row → band keys → bucket
@@ -215,7 +236,7 @@ object Dedup {
     // Verify candidates on sorted hash arrays (codegen merge-count).
     val hashed = withSh.select(col("doc_id"),
       sort_array(col("hs")).as("xh"), size(col("hs")).as("sz"))
-    cands
+    val out = cands
       .join(hashed.select(col("doc_id").as("doc_a"),
         col("xh").as("xh_a"), col("sz").as("za")), Seq("doc_a"))
       .join(hashed.select(col("doc_id").as("doc_b"),
@@ -226,6 +247,7 @@ object Dedup {
         (col("za") + col("zb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+    materializeAndRelease(out, withSh)
   }
 
   // --- SimHash ----------------------------------------------------------
@@ -305,7 +327,9 @@ object Dedup {
       s"duplicateClusters did not converge in $maxIters rounds — the pair " +
         "graph has a component with diameter > maxIters (e.g. a long " +
         "near-dup chain); raise maxIters")
-    labels
+    // Hand back a lineage-free copy and drop the loop's cache: same
+    // session-hygiene contract as materializeAndRelease in the pair ops.
+    materializeAndRelease(labels, labels)
   }
 
   /** Edit-distance near-dup pairs: candidates blocked by a text prefix
@@ -382,11 +406,12 @@ object Dedup {
       val cb = shiftright(col("sim_b"), i * width).bitwiseAND(lit((1L << width) - 1))
       (col("chunk") <= i) || (ca =!= cb)
     }.reduce(_ && _)
-    l.join(r, Seq("chunk", "cv"))
+    val out = l.join(r, Seq("chunk", "cv"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming && firstAgreeing)
       .select("doc_a", "doc_b", "hamming")
+    materializeAndRelease(out, withSh)
   }
 }

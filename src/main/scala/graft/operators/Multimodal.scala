@@ -156,9 +156,28 @@ object Multimodal {
       // decode(), which a close-inside-hasNext scheme leaks.
       var closed = false
       def closeOnce(): Unit = if (!closed) { closed = true; decoder.close() }
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      it.map(b => Decoded(b.id, decoder.decode(b.bytes)))
+      Option(org.apache.spark.TaskContext.get()) match {
+        case Some(ctx) =>
+          ctx.addTaskCompletionListener[Unit](_ => closeOnce())
+          it.map(b => Decoded(b.id, decoder.decode(b.bytes)))
+        case None =>
+          // No task context (plain-iterator callers, some test harnesses):
+          // fall back to close-on-exhaustion plus close-on-throw. Partial
+          // consumption without a failure can still leak here — that is
+          // inherent to the fallback, which is why the listener path is
+          // preferred whenever a TaskContext exists.
+          new Iterator[Decoded] {
+            def hasNext: Boolean = {
+              val h = try it.hasNext
+                      catch { case e: Throwable => closeOnce(); throw e }
+              if (!h) closeOnce()
+              h
+            }
+            def next(): Decoded =
+              try { val b = it.next(); Decoded(b.id, decoder.decode(b.bytes)) }
+              catch { case e: Throwable => closeOnce(); throw e }
+          }
+      }
     }
   }
 }

@@ -17,6 +17,25 @@ object SkewOps {
 
   private val SALT = "__salt__"
 
+  /** Columns usable as xxhash64 input: Spark refuses to hash MapType
+    * (anywhere in the type, map key order is undefined), so salting hashes
+    * only the map-free columns. Requires at least one — a table that is
+    * all maps has no retry-stable content hash. */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case _: MapType       => false
+      case ArrayType(et, _) => ok(et)
+      case StructType(fs)   => fs.forall(f => ok(f.dataType))
+      case _                => true
+    }
+    val cs = df.schema.fields.filter(f => ok(f.dataType)).map(f => col(f.name))
+    require(cs.nonEmpty,
+      "salting needs at least one non-map column to hash (map key order " +
+        "is undefined, so maps cannot contribute to a content salt)")
+    cs.toSeq
+  }
+
   /** Two-stage salted aggregation for algebraic aggregates.
     *
     * @param partials stage-1 aggregates per (keys, salt) — e.g.
@@ -40,7 +59,7 @@ object SkewOps {
     // is that fully-identical rows share a salt (a hot key of literally
     // duplicate rows stays unsplit — dedup first if that's the shape).
     df.withColumn(SALT,
-        pmod(xxhash64(df.columns.map(col): _*), lit(nSalts)))
+        pmod(xxhash64(hashableCols(df): _*), lit(nSalts)))
       .groupBy((keys.map(col) :+ col(SALT)): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)
@@ -53,10 +72,13 @@ object SkewOps {
     * the skewed side feeds from an exchange AQE can't re-plan).
     *
     * Each big row gets a deterministic salt in [0, nSalts) hashed from
-    * its full row content (reproducible across runs and retries, unlike
-    * rand()); the small side is replicated nSalts× with every salt value;
-    * the join key becomes (keys…, salt), splitting each hot key's rows
-    * over nSalts tasks.
+    * its row content (map-free columns only; reproducible across runs and
+    * retries, unlike rand()); the small side is replicated nSalts× with
+    * every salt value; the join key becomes (keys…, salt), splitting each
+    * hot key's rows over nSalts tasks. Same caveat as [[saltedAgg]]:
+    * fully-identical big-side rows share a salt, so a hot key made of
+    * literal duplicate rows stays unsplit — dedup or pre-aggregate first
+    * if that's the shape.
     *
     * Join types: `inner`, `left`/`left_outer`, `left_semi`, `left_anti`
     * — the ones where replicating the RIGHT side cannot duplicate or drop
@@ -71,7 +93,7 @@ object SkewOps {
       s"saltedJoin supports ${ok.mkString("/")}, not $joinType " +
         "(replicating the right side would corrupt other join types)")
     val bigS = big.withColumn(SALT,
-      pmod(xxhash64(big.columns.map(col): _*), lit(nSalts)).cast("int"))
+      pmod(xxhash64(hashableCols(big): _*), lit(nSalts)).cast("int"))
     val smallS = small.withColumn(SALT,
       explode(array((0 until nSalts).map(i => lit(i)): _*)))
     bigS.join(smallS, keys :+ SALT, joinType).drop(SALT)
