@@ -16,8 +16,14 @@ object Bench {
     // processing, not compiler latency (cold-start was ~15s of a 45s run).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
+    // Optional comma-separated subset (dev loop: time one query without the
+    // full sweep). Unset/empty = all queries, the driver contract.
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -27,7 +33,7 @@ object Bench {
     // surface them in the JSON so the edit→bench loop can't mistake a
     // regression-into-exception for a perf win.
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full computation of every column — a bare count()
       // lets Catalyst prune the very expressions we are benchmarking.
