@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's default LoggedOutput prefixes every forked-run stdout line with
+// "[info] ", which breaks machine consumers of Bench's one-line JSON
+// contract (the driver's per-round parse saw `[info] {"metric":...}` and
+// recorded parsed:null for rounds 1-3). StdoutOutput passes the child's
+// stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,6 +20,13 @@ object Bench {
     // full sweep). Unset/empty = all queries, the driver contract.
     val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "").split(",")
       .map(_.trim).filter(_.nonEmpty).toSet
+    // A stale/typoed name in the filter must not silently shrink the run:
+    // the subset JSON would be indistinguishable from a full sweep except
+    // by its query set, and the headline total would look like a perf win.
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) System.err.println(
+      s"[bench] WARNING: SPARK_GRAFT_ONLY names match no query: " +
+        unknown.toSeq.sorted.mkString(","))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
@@ -51,12 +58,20 @@ object Bench {
       // better after a regression-into-exception.
       name -> (if (ok) Some(dt) else None)
     }.toMap
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    // Millisecond precision keeps the one-line JSON compact (~70 queries at
+    // full double precision overflowed the driver's ~2KB output-tail
+    // window, truncating the line's head); ms is far below run-to-run
+    // noise anyway.
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON.
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(r3).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.values.flatten.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val subset = if (only.nonEmpty) "\"subset\":true," else ""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subset"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,13 +40,33 @@ object Dedup {
     * executor loss — but losing one mid-query fails the query either way
     * here, because the lineage it replaces contains non-deterministic-
     * partition caches of the same data. Pair outputs are orders of
-    * magnitude smaller than the corpus, so the storage cost is trivial. */
+    * magnitude smaller than the corpus, so the storage cost is trivial.
+    *
+    * The pair operators expose this behavior via their `eager` parameter
+    * (default true). `eager = false` composes LAZILY instead: no cache, no
+    * checkpoint — the returned frame is a pure plan, downstream filters /
+    * limits can prune work before anything executes, and nothing is pinned
+    * in executor memory. The trade is that the normalize→shingle→hash scan
+    * re-runs once per plan branch (2-3×), and on near-dup-heavy corpora the
+    * un-pinned pair set is recomputed by every downstream action. At the
+    * 100 TB design point, `eager = false` is the right default for
+    * pipelines that immediately aggregate or filter the pairs; `eager =
+    * true` fits interactive sessions and small-to-medium corpora where the
+    * pair set is reused many times. */
   private def materializeAndRelease(out: DataFrame,
       cached: DataFrame): DataFrame = {
     val ck = out.localCheckpoint(true)
     cached.unpersist()
     ck
   }
+
+  /** `.cache()` when eager, identity when lazy (see materializeAndRelease). */
+  private def cacheIf(eager: Boolean)(df: DataFrame): DataFrame =
+    if (eager) df.cache() else df
+
+  private def finish(eager: Boolean)(out: DataFrame,
+      cached: DataFrame): DataFrame =
+    if (eager) materializeAndRelease(out, cached) else out
 
   /** Distinct word n-gram shingles of the normalized text; empty array for
     * docs with fewer than n tokens.
@@ -126,10 +146,17 @@ object Dedup {
     *        uses full shingle sets, so precision is always exact; the cap
     *        can only lose candidate pairs whose prefixes are entirely
     *        ubiquitous — a documented recall trade for bounded skew at
-    *        extreme scale. */
+    *        extreme scale.
+    * @param eager true (default): the result is EAGERLY computed
+    *        (localCheckpoint) and the intermediate hashed-corpus cache is
+    *        released before returning — session-hygienic, but the full
+    *        pair output (worst-case quadratic on near-dup-heavy corpora)
+    *        is pinned and downstream pruning cannot reach into the plan.
+    *        false: fully lazy composition — no cache, no checkpoint, at
+    *        the cost of re-running the hashing scan per plan branch. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5,
-      maxShingleDf: Long = 0L): DataFrame = {
+      maxShingleDf: Long = 0L, eager: Boolean = true): DataFrame = {
     // All downstream math runs on the 60-bit hash of each gram — postings,
     // prefix index, and verification. Same result as string shingles
     // modulo md5-prefix collisions (< 1e-8 expected spurious matches at
@@ -140,10 +167,9 @@ object Dedup {
     // branch. MEMORY_AND_DISK + LRU eviction keep it safe at scale (the
     // cached shape is (id, hash-array), far smaller than the text), and
     // materializeAndRelease unpersists it before this function returns.
-    val withH = docs.select(col(idCol).as("doc_id"),
+    val withH = cacheIf(eager)(docs.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), n).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .cache()
+      .filter(size(col("hs")) > 0))
     val posts = withH.select(col("doc_id"), explode(col("hs")).as("s"))
     val dfCounts0 = posts.groupBy("s").agg(count(lit(1)).as("df_"))
     val dfCounts = if (maxShingleDf > 0) dfCounts0.filter(col("df_") <= maxShingleDf)
@@ -197,7 +223,7 @@ object Dedup {
         (col("za") + col("zb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-    materializeAndRelease(out, withH)
+    finish(eager)(out, withH)
   }
 
   /** MinHash-LSH near-dup pairs: signature per row → band keys → bucket
@@ -205,19 +231,21 @@ object Dedup {
     * only. With rowsPerBand=2 and 16 bands, P(miss) at j=0.9 is ~3e-12, so
     * the verified output equals the exact jaccardPairs result w.h.p. —
     * which is precisely what the oracle checks (end-to-end recall).
+    *
+    * `eager` has the same semantics as [[jaccardPairs]]: true = computed
+    * now + scoped caches, false = pure lazy plan.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, rowsPerBand: Int = 2,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, eager: Boolean = true): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
     // cached for the same reason as jaccardPairs' withH: band posting and
     // verification branches would otherwise re-run the hashing kernel
-    val withSh = docs.select(col(idCol).as("doc_id"),
+    val withSh = cacheIf(eager)(docs.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("sig", minhashSignatureFromHashes(col("hs"), k))
-      .cache()
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), k)))
     // band keys: "bandIdx:v1-v2" strings; posexplode → (band, key) posts
     val bandKeys = array((0 until nBands).map { j =>
       concat_ws("-", (0 until rowsPerBand).map(r =>
@@ -247,7 +275,7 @@ object Dedup {
         (col("za") + col("zb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-    materializeAndRelease(out, withSh)
+    finish(eager)(out, withSh)
   }
 
   // --- SimHash ----------------------------------------------------------
@@ -278,7 +306,12 @@ object Dedup {
     * CC recipe; no driver-side graph, no recursion depth tied to |V|.
     *
     * Output: (doc_id, cluster_id = min doc_id of the component),
-    * restricted to docs that appear in at least one pair. */
+    * restricted to docs that appear in at least one pair.
+    *
+    * NOTE: unlike the pair operators, this one is EAGER by nature — the
+    * label-propagation loop must run jobs to converge, and the result is
+    * returned as a materialized (localCheckpoint) frame. Callers composing
+    * a 100 TB pipeline should treat it as a pipeline breaker. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // undirected edge list, both directions — explode instead of a
     // self-union so the (expensive) pair pipeline runs ONCE, and cache
@@ -376,18 +409,20 @@ object Dedup {
     * chunks — any pair within the hamming budget MUST agree on at least
     * one chunk, so banding has recall exactly 1.0 and the verified output
     * is deterministically equal to the brute-force pair scan the oracle
-    * runs. Shuffle cost: one self-join on (chunkIdx, chunkValue). */
+    * runs. Shuffle cost: one self-join on (chunkIdx, chunkValue).
+    *
+    * `eager` has the same semantics as [[jaccardPairs]]: true = computed
+    * now + scoped caches, false = pure lazy plan. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+      n: Int = 3, maxHamming: Int = 3, eager: Boolean = true): DataFrame = {
     val bits = 32
     val nChunks = maxHamming + 1
     val width = bits / nChunks // 8
     // cached: both sides of the band self-join derive from this frame
-    val withSh = docs.select(col(idCol).as("doc_id"),
+    val withSh = cacheIf(eager)(docs.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("sim", simhashFromHashes(col("hs"), bits))
-      .cache()
+      .withColumn("sim", simhashFromHashes(col("hs"), bits)))
     val chunks = array((0 until nChunks).map(j =>
       shiftright(col("sim"), j * width).bitwiseAND(lit((1L << width) - 1))): _*)
     val bands = withSh.select(col("doc_id"), col("sim"),
@@ -412,6 +447,6 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming && firstAgreeing)
       .select("doc_a", "doc_b", "hamming")
-    materializeAndRelease(out, withSh)
+    finish(eager)(out, withSh)
   }
 }

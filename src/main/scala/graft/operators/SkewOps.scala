@@ -29,7 +29,11 @@ object SkewOps {
       case StructType(fs)   => fs.forall(f => ok(f.dataType))
       case _                => true
     }
-    val cs = df.schema.fields.filter(f => ok(f.dataType)).map(f => col(f.name))
+    // Backtick-quote each name (escaping embedded backticks) before column
+    // resolution: a bare col("a.b") parses the dot as nested-field access
+    // and either fails analysis or binds the wrong thing for valid schemas.
+    def q(n: String) = "`" + n.replace("`", "``") + "`"
+    val cs = df.schema.fields.filter(f => ok(f.dataType)).map(f => df(q(f.name)))
     require(cs.nonEmpty,
       "salting needs at least one non-map column to hash (map key order " +
         "is undefined, so maps cannot contribute to a content salt)")

@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True when the column carries an explicit sort direction (`.asc`/
+    * `.desc`): its ColumnNode is the private[sql] internal.SortOrder, not
+    * a value expression, so it can't be used inside struct()/comparisons. */
+  def isSortOrder(c: Column): Boolean =
+    c.node.isInstanceOf[org.apache.spark.sql.internal.SortOrder]
 }

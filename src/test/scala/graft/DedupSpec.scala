@@ -117,6 +117,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1L)))
   }
 
+  test("eager=false matches eager results and leaves a pure lazy plan") {
+    val eagerPairs = jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lazyDf = jaccardPairs(docs, "doc_id", "text", 3, 0.5, eager = false)
+    // building the plan must not register caches or run jobs
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "lazy mode registered a cache at plan-build time")
+    val lazyPairs = lazyDf.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lazyPairs == eagerPairs)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "lazy mode left a cache behind after execution")
+    // downstream pruning reaches into the lazy plan: a filter on doc_a
+    // appears in the optimized plan, not post-hoc over a checkpoint
+    val pruned = lazyDf.filter(col("doc_a") === lit(-1L))
+    assert(pruned.queryExecution.optimizedPlan.toString.contains("doc_a"))
+    assert(pruned.count() == 0)
+  }
+
   test("editDistancePairs maxBucket drops oversized blocking buckets") {
     val d = Seq(
       (1L, "aaaa x"), (2L, "aaaa y"), (3L, "aaaa z"), // bucket of 3

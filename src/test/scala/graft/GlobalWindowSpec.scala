@@ -48,6 +48,23 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(out == Seq(None, None, Some(2.0), Some(2.0)))
   }
 
+  test("desc order keys (SortOrder) take the unguarded path and still work") {
+    val df = Seq((3L, 1.0), (2L, 2.0), (1L, 4.0)).toDF("k", "v")
+    val out = GlobalWindow.cumSum(df, Seq($"k".desc), "v", "cs",
+        numPartitions = 2)
+      .orderBy($"k".desc).select("cs").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0, 3.0, 7.0))
+  }
+
+  test("divergence guard: key spans ride the broadcast, output drops them") {
+    val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
+      "o_totalprice", "cs", numPartitions = 8)
+    assert(!out.columns.exists(_.startsWith("__gw_")),
+      s"internal columns leaked: ${out.columns.mkString(",")}")
+    // the guard compiles into the plan (raise_error present pre-execution)
+    assert(out.queryExecution.analyzed.toString.contains("raise_error"))
+  }
+
   test("plan: range partitioning, no single-partition exchange of the data") {
     val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
       "o_totalprice", "cs", numPartitions = 8)
