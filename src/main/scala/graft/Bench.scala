@@ -34,29 +34,51 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+      // The warmup allocates heavily (every query's codegen classes,
+      // broadcasts, parquet buffers); left alone, the first major GC of
+      // the 24g heap lands mid-timed-loop and charges ~10s to whichever
+      // query is running (observed as a roaming per-round outlier).
+      // Collect now so the timed loop starts from a settled heap.
+      System.gc()
     }
     // A failed query must NOT make the headline number better (its
     // time-to-crash is usually tiny) — record failures explicitly and
     // surface them in the JSON so the edit→bench loop can't mistake a
     // regression-into-exception for a perf win.
     var failed = List.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full computation of every column — a bare count()
-      // lets Catalyst prune the very expressions we are benchmarking.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2fs")
-      // A failed query records null, not its time-to-crash: crashing is
-      // usually fast, so including it would make the headline total LOOK
-      // better after a regression-into-exception.
-      name -> (if (ok) Some(dt) else None)
+    def timedPass(pass: Int): Map[String, Option[Double]] =
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink forces full computation of every column — a bare
+        // count() lets Catalyst prune the very expressions we benchmark.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] p$pass $name%-22s $dt%8.2fs")
+        // A failed query records null, not its time-to-crash: crashing is
+        // usually fast, so including it would make the headline total LOOK
+        // better after a regression-into-exception.
+        name -> (if (ok) Some(dt) else None)
+      }.toMap
+    // Two timed sweeps, per-query MIN. This box sees periodic external
+    // stalls (~10-70s, observed smearing across alphabetically-consecutive
+    // queries once per run — an outside process, not the queries); a
+    // localized stall cannot inflate the same query in both passes, so the
+    // min is the honest steady-state cost. A query that failed in either
+    // pass stays failed (no masking a flaky crash with its lucky pass).
+    val p1 = timedPass(1)
+    val p2 = timedPass(2)
+    val results = selected.map { case (name, _) =>
+      val best = (p1(name), p2(name)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case _                  => None
+      }
+      name -> best
     }.toMap
     // Millisecond precision keeps the one-line JSON compact (~70 queries at
     // full double precision overflowed the driver's ~2KB output-tail
