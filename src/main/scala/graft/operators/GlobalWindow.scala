@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.DoubleType
 
 /** Scalable global running aggregates.
@@ -12,45 +14,47 @@ import org.apache.spark.sql.types.DoubleType
   * executes it on a SINGLE partition — the documented 100 TB bottleneck
   * (SURVEY.md §4.2). This is the classic two-pass fix:
   *
-  *   1. range-repartition by the order keys (Spark samples split points)
-  *      and compute each range partition's LOCAL running sum;
-  *   2. aggregate one total per partition (P tiny rows), exclusive
+  *   1. split the key space into P contiguous ranges and compute each
+  *      range's LOCAL running sum (an ordinary
+  *      `Window.partitionBy(pid).orderBy(keys)` — one hash shuffle);
+  *   2. aggregate one total per range (P tiny rows), exclusive
   *      prefix-sum those (a window over P rows), and broadcast-join the
   *      offsets back.
   *
-  * The local sweep is an ordinary `Window.partitionBy(pid)` cumulative
-  * sum, where pid = `spark_partition_id()` captured right after the range
-  * exchange: the window's own hash exchange pins the pid projection
-  * between two exchanges, so no downstream stage-shape change (a user's
-  * `coalesce(1)`, AQE) can re-evaluate it under a different layout.
+  * '''Partition id is DATA, not an execution artifact.''' Earlier
+  * versions stamped `spark_partition_id()` after a `repartitionByRange`;
+  * the sweep and the offset aggregation are two branches of a plan
+  * diamond, and because column pruning projects their range exchanges
+  * differently, the exchanges do NOT canonicalize equal — each branch
+  * re-evaluated `spark_partition_id()` independently (verified: the
+  * physical plan contains no ReusedExchange for either branch, with or
+  * without AQE). Row/offset consistency then rested on range-bound
+  * sampling being deterministic — observed true, but not a Spark
+  * contract. This version removes the race class structurally: the range
+  * split points are sampled ONCE (a driver-side, keys-only job — the
+  * same pass `RangePartitioner` runs hidden inside every range exchange)
+  * and compiled into the plan as literals; each row's pid is a pure
+  * expression of its own key (binary when-tree over the sorted bounds),
+  * so every branch — and every task retry, AQE re-plan, or
+  * exchange-reuse decision — computes the identical pid by construction.
   *
-  * '''Row/offset pid consistency.''' The sweep and the offset aggregation
-  * are two branches of a plan diamond, and column pruning gives them
-  * differently-projected children — so their range exchanges do NOT
-  * canonicalize equal and each one evaluates `spark_partition_id()`
-  * independently (verified against the physical plan; there is no
-  * ReusedExchange here). Three facts keep the branches aligned:
-  * (a) `repartitionByRange(parts, ...)` plans as a REPARTITION_BY_NUM
-  * shuffle, which AQE never coalesces — partition boundaries can't be
-  * re-drawn per-branch at runtime; (b) range-bound sampling is observed
-  * deterministic for identical inputs (probed at 200k rows × 32
-  * partitions); (c) because (b) is an observation, not a Spark contract,
-  * the offsets carry each partition's [min, max] order-key span and every
-  * output row VALIDATES its key against the span it joined — divergence
-  * raises an error instead of silently mis-joining offsets (the guard
-  * requires plain ascending order columns; with explicit SortOrder keys
-  * it degrades to the unguarded join).
+  * The sampling job projects only the order keys (column-pruned +
+  * pushed down for scans). Callers whose input is an expensive derived
+  * frame rather than a scan should persist it first, as they would
+  * before any multi-action pipeline.
   *
-  * AQE coalescing merges only ADJACENT shuffle partitions, so even where
-  * coalescing applies, coalesced range partitions remain contiguous key
-  * ranges and pid stays monotone in the key order.
+  * Keys wrapped in an explicit `.asc`/`.desc` (SortOrder) cannot be
+  * compared as a struct, so they fall back to the legacy
+  * `spark_partition_id` path (documented best-effort; plain ascending
+  * columns — the overwhelmingly common cumsum shape — always get the
+  * deterministic path).
   *
-  * Cost: one range shuffle + one pid shuffle + one P-row broadcast —
-  * fully parallel at any scale. With a total order (callers include a
-  * tiebreaker, same contract as any deterministic window) the result
-  * equals the single-partition window exactly for integer-valued data
-  * and within float ulps otherwise (partitioned summation reassociates
-  * the adds).
+  * Cost: one keys-only sampling pass + one hash shuffle (pid) + one
+  * P-row broadcast — fully parallel at any scale. With a total order
+  * (callers include a tiebreaker, same contract as any deterministic
+  * window) the result equals the single-partition window exactly for
+  * integer-valued data and within float ulps otherwise (partitioned
+  * summation reassociates the adds).
   */
 object GlobalWindow {
 
@@ -59,77 +63,127 @@ object GlobalWindow {
   private val CNT = "__gw_cnt__"
   private val OFF = "__gw_off__"
   private val OFFCNT = "__gw_offcnt__"
-  private val KLO = "__gw_klo__"
-  private val KHI = "__gw_khi__"
 
   /** Global cumulative sum of `valueCol` (cast to double) in the total
     * order of `orderBy`, appended as `outCol`. */
   def cumSum(df: DataFrame, orderBy: Seq[Column], valueCol: String,
       outCol: String, numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // Plain columns compose into a comparable struct whose ordering
+    // (lexicographic, nulls-first) matches Window.orderBy's asc default;
+    // SortOrder nodes (.desc/.asc wrappers) cannot, so they take the
+    // legacy path.
+    val plainKeys = orderBy.forall(c => !ColumnShim.isSortOrder(c))
+    if (plainKeys) contentPidCumSum(df, orderBy, valueCol, outCol, parts)
+    else legacyCumSum(df, orderBy, valueCol, outCol, parts)
+  }
 
-    val ranged = df
-      .repartitionByRange(parts, orderBy: _*)
-      .withColumn(PID, spark_partition_id())
+  /** Deterministic path: pid = f(row content) via sampled split points. */
+  private def contentPidCumSum(df: DataFrame, orderBy: Seq[Column],
+      valueCol: String, outCol: String, parts: Int): DataFrame = {
+    val keyStruct = struct(orderBy: _*)
+    val pidExpr = rangePidExpr(df, keyStruct, parts)
+    val ranged = df.withColumn(PID, pidExpr)
 
-    // Pass 1: per-range-partition running sum + running non-null count.
-    // The count distinguishes "sum is 0" from "no values seen yet" — a
-    // window sum is NULL until the first non-null value, and this
-    // operator matches that contract.
+    // Pass 1: per-range running sum + running non-null count. The count
+    // distinguishes "sum is 0" from "no values seen yet" — a window sum
+    // is NULL until the first non-null value; this operator matches that.
     val lw = Window.partitionBy(col(PID)).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = ranged
       .withColumn(LOC, sum(col(valueCol).cast(DoubleType)).over(lw))
       .withColumn(CNT, count(col(valueCol)).over(lw))
 
-    // The divergence guard compares the row's order key against its
-    // partition's key span, which needs a comparable struct — only
-    // buildable from plain (ascending) columns, not SortOrder wrappers.
-    // Spark 4 Columns wrap internal ColumnNodes; a `.desc`/`.asc` key is a
-    // SortOrder NODE (the catalyst SortOrder only appears post-conversion).
-    val guardable =
-      orderBy.forall(c => !org.apache.spark.sql.graft.ColumnShim.isSortOrder(c))
-    def keyStruct: Column = struct(orderBy: _*)
-
-    // Pass 2: one total per partition (P rows), exclusive prefix-sum over
-    // those P rows (a single-partition window over P values is fine —
-    // that's the point of the rewrite), broadcast the offsets back.
-    // No driver collect; the whole thing is one lazy plan.
+    // Pass 2: one total per pid (map-side partial agg → P rows),
+    // exclusive prefix-sum over those P rows (a single-partition window
+    // over P values is fine — that's the point of the rewrite),
+    // broadcast the offsets back. pid here is the SAME expression as in
+    // pass 1, so the branches cannot disagree.
     val pw = Window.orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val baseAggs = Seq(
-      coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
-      count(col(valueCol)).as("pcnt"))
-    val spanAggs = if (guardable)
-      Seq(min(keyStruct).as(KLO), max(keyStruct).as(KHI)) else Nil
     val offsetDf = ranged.groupBy(col(PID))
-      .agg((baseAggs ++ spanAggs).head, (baseAggs ++ spanAggs).tail: _*)
+      .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
+        count(col(valueCol)).as("pcnt"))
       .withColumn(OFF, coalesce(sum(col("psum")).over(pw), lit(0.0)))
       .withColumn(OFFCNT, coalesce(sum(col("pcnt")).over(pw), lit(0L)))
-      .select((Seq(col(PID), col(OFF), col(OFFCNT)) ++
-        (if (guardable) Seq(col(KLO), col(KHI)) else Nil)): _*)
+      .select(col(PID), col(OFF), col(OFFCNT))
 
-    // LEFT join + validation: if the two branches ever disagreed on pid
-    // assignment, a row would land on a missing pid or outside its
-    // partition's key span — raise instead of silently mis-summing.
-    val joined = swept.join(broadcast(offsetDf), Seq(PID), "left")
-    val result = if (guardable) {
-      val diverged = col(OFF).isNull ||
-        keyStruct < col(KLO) || keyStruct > col(KHI)
-      joined.withColumn(outCol,
-        when(diverged, raise_error(concat(
-          lit("GlobalWindow: range-partition assignment diverged between " +
-            "the sweep and offset branches at pid "),
-          col(PID).cast("string"))).cast(DoubleType))
-        .when(col(CNT) + col(OFFCNT) > 0,
-          coalesce(col(LOC), lit(0.0)) + col(OFF)))
-    } else {
-      joined.withColumn(outCol, when(col(CNT) + col(OFFCNT) > 0,
+    swept.join(broadcast(offsetDf), Seq(PID), "left")
+      .withColumn(outCol, when(col(CNT) + col(OFFCNT) > 0,
         coalesce(col(LOC), lit(0.0)) + col(OFF)))
-    }
-    result.drop(PID, LOC, CNT, OFF, OFFCNT, KLO, KHI)
+      .drop(PID, LOC, CNT, OFF, OFFCNT)
+  }
+
+  /** Compile `parts` range buckets over `keyStruct` into a pure
+    * expression: sample split points (content-hash-ordered top-S keeps
+    * the sample deterministic-ish and driver-bounded; any sample gives a
+    * CORRECT pid function, sampling quality only affects balance), then
+    * binary-search them with a when-tree — log2(parts) codegen'd struct
+    * comparisons per row, no interpreted lambdas. */
+  private def rangePidExpr(df: DataFrame, keyStruct: Column,
+      parts: Int): Column = {
+    if (parts <= 1) return lit(0)
+    val keyed = df.select(keyStruct.as("k"))
+    val kType = keyed.schema("k").dataType
+    val sampleSz = math.min(parts * 64, 262144)
+    // TakeOrderedAndProject by key hash = a uniform-ish pseudo-random
+    // sample in one pass with only top-S per partition retained; the
+    // second orderBy sorts just those S rows by key.
+    val sample: Array[Row] = keyed
+      .orderBy(xxhash64(col("k")), col("k"))
+      .limit(sampleSz)
+      .orderBy(col("k"))
+      .collect()
+    if (sample.isEmpty) return lit(0)
+    // Quantile split points, deduplicated (strictly increasing): heavy
+    // key duplication collapses bounds, trading balance for correctness —
+    // equal keys always share a pid.
+    val step = sample.length.toDouble / parts
+    val bounds = (1 until parts)
+      .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
+      .distinct
+      .map(r => ColumnShim.column(Literal.create(r.get(0), kType)))
+    if (bounds.isEmpty) return lit(0)
+    // pid(key) = |{i : bound_i <= key}| via balanced when-tree.
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(keyStruct >= bounds(mid - 1), search(mid, hi))
+          .otherwise(search(lo, mid - 1))
+      }
+    search(0, bounds.length)
+  }
+
+  /** Legacy path for SortOrder keys: pid from `spark_partition_id()`
+    * after a range exchange. Best-effort — the sweep and offset branches
+    * each evaluate the range exchange independently, and consistency
+    * relies on range-bound sampling determinism (observed, not
+    * contractual). Kept only for `.desc`-style keys, which cannot form a
+    * comparable bound struct. */
+  private def legacyCumSum(df: DataFrame, orderBy: Seq[Column],
+      valueCol: String, outCol: String, parts: Int): DataFrame = {
+    val ranged = df
+      .repartitionByRange(parts, orderBy: _*)
+      .withColumn(PID, spark_partition_id())
+    val lw = Window.partitionBy(col(PID)).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = ranged
+      .withColumn(LOC, sum(col(valueCol).cast(DoubleType)).over(lw))
+      .withColumn(CNT, count(col(valueCol)).over(lw))
+    val pw = Window.orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetDf = ranged.groupBy(col(PID))
+      .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
+        count(col(valueCol)).as("pcnt"))
+      .withColumn(OFF, coalesce(sum(col("psum")).over(pw), lit(0.0)))
+      .withColumn(OFFCNT, coalesce(sum(col("pcnt")).over(pw), lit(0L)))
+      .select(col(PID), col(OFF), col(OFFCNT))
+    swept.join(broadcast(offsetDf), Seq(PID), "left")
+      .withColumn(outCol, when(col(CNT) + col(OFFCNT) > 0,
+        coalesce(col(LOC), lit(0.0)) + col(OFF)))
+      .drop(PID, LOC, CNT, OFF, OFFCNT)
   }
 }

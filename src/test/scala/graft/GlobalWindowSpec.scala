@@ -56,21 +56,24 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(out == Seq(1.0, 3.0, 7.0))
   }
 
-  test("divergence guard: key spans ride the broadcast, output drops them") {
+  test("plain keys: pid is content-derived (no spark_partition_id), no leaks") {
     val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
       "o_totalprice", "cs", numPartitions = 8)
     assert(!out.columns.exists(_.startsWith("__gw_")),
       s"internal columns leaked: ${out.columns.mkString(",")}")
-    // the guard compiles into the plan (raise_error present pre-execution)
-    assert(out.queryExecution.analyzed.toString.contains("raise_error"))
+    // pid must be a pure function of row content: any SPARK_PARTITION_ID
+    // in the plan would re-introduce the two-branch consistency race.
+    val analyzed = out.queryExecution.analyzed.toString.toLowerCase
+    assert(!analyzed.contains("spark_partition_id"),
+      "plain-key path must not depend on spark_partition_id")
   }
 
-  test("plan: range partitioning, no single-partition exchange of the data") {
+  test("plan: pid hash shuffle + broadcast offsets, no single-partition sweep") {
     val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
       "o_totalprice", "cs", numPartitions = 8)
     val p = out.queryExecution.executedPlan.toString
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
-      s"no range partitioning:\n$p")
+    assert(p.contains("hashpartitioning(__gw_pid__"),
+      s"sweep not hash-partitioned by content pid:\n$p")
     assert(p.contains("BroadcastExchange"), s"offsets not broadcast:\n$p")
   }
 
