@@ -60,7 +60,9 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.TimeSeriesQueries.queries ++
+      graft.queries.FormatQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.queries.TextQueries.oracleSql ++
@@ -69,7 +71,9 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.ExtendedQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.TimeSeriesQueries.oracleSql ++
+      graft.queries.FormatQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink breadth (SURVEY.md §2.4 "Scans / sources / sinks" row).
+  * The reference delegates ALL I/O to its host (in-memory data.frames or
+  * a DB connection someone else opened); the Spark engine inherits the
+  * full DataSource V2 surface. Each query here proves one format
+  * end-to-end — write the fixture table out through the sink, read it
+  * back through the source, aggregate — and is oracle-gated against
+  * DuckDB reading the ORIGINAL parquet, so any loss in the round trip
+  * (type mangling, quoting, null handling, partition pruning) fails the
+  * hash gate, not just a smoke check.
+  *
+  *   - csv: header + quoting, schema-on-read (no inference pass — a 100
+  *     TB read must never pay a schema-sniffing scan);
+  *   - json: JSON Lines, schema-on-read for the same reason;
+  *   - orc: the second columnar format (predicate pushdown like parquet);
+  *   - partitioned parquet: directory-partitioned sink; the read-back
+  *     filter prunes to matching partitions (PartitionFilters in the
+  *     scan, verified in PlanSpec).
+  *
+  * Round-trip scratch space is keyed by sf-dir basename so warmup
+  * (sf0.001) and the timed/gated run never collide.
+  */
+object FormatQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueryUtil.t(s, dir, name)
+
+  private def r4(c: Column): Column = QueryUtil.r4(c)
+
+  private def scratch(dir: String, fmt: String): String =
+    s"/tmp/graft_roundtrip/${new java.io.File(dir).getName}/$fmt"
+
+  /** The shared post-read aggregation: nation-keyed supplier rollup.
+    * Identical for every flat format, so the only variable is the
+    * round trip itself. */
+  private def supplierAgg(df: DataFrame): DataFrame =
+    df.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), r4(sum(col("s_acctbal"))).as("bal"))
+
+  private val supplierAggSql =
+    """SELECT s_nationkey, count(*) AS n,
+       round(1e-9 + sum(s_acctbal), 4) AS bal
+       FROM supplier GROUP BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val path = scratch(dir, "supplier_csv")
+      sup.write.mode("overwrite").option("header", "true").csv(path)
+      supplierAgg(s.read.schema(sup.schema)
+        .option("header", "true").csv(path))
+    }),
+    "source_json_roundtrip" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val path = scratch(dir, "supplier_json")
+      sup.write.mode("overwrite").json(path)
+      supplierAgg(s.read.schema(sup.schema).json(path))
+    }),
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val path = scratch(dir, "supplier_orc")
+      sup.write.mode("overwrite").orc(path)
+      supplierAgg(s.read.orc(path))
+    }),
+    "sink_partitioned_parquet" -> ((s, dir) => {
+      // directory-partitioned parquet sink; the read-back filter must
+      // prune to the o_orderstatus=F subtree (partition pruning, not a
+      // full scan + filter)
+      val path = scratch(dir, "orders_part")
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          r4(sum(col("o_totalprice"))).as("total"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "source_csv_roundtrip" -> supplierAggSql,
+    "source_json_roundtrip" -> supplierAggSql,
+    "source_orc_roundtrip" -> supplierAggSql,
+    "sink_partitioned_parquet" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         round(1e-9 + sum(o_totalprice), 4) AS total
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY 1"""
+  )
+}

@@ -101,6 +101,34 @@ object RelationalQueries {
         size(split(col("o_orderpriority"), "-")).cast("long").as("pri_parts"),
         element_at(split(col("o_orderpriority"), "-"), 1).as("pri_head"))
     }),
+    "agg_mode_median" -> ((s, dir) => {
+      // exact median (interpolated percentile) + DETERMINISTIC mode:
+      // both engines leave mode() ties unspecified, so the mode is
+      // computed as count-then-argmax with a smallest-value tiebreak —
+      // two tiny hash aggs + a 3-row broadcast join, no ambiguity
+      val li = t(s, dir, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(r4(median(col("l_quantity"))).as("med_qty"))
+      val mode = li.groupBy("l_returnflag", "l_linenumber")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max_by(col("l_linenumber"),
+          struct(col("cnt"), -col("l_linenumber"))).cast("long").as("mode_ln"))
+      med.join(mode, Seq("l_returnflag"))
+    }),
+    "agg_regression" -> ((s, dir) => {
+      // linear-regression aggregate family (regr_*): slope/intercept/R²
+      // of extendedprice over quantity per group — one hash-agg pass,
+      // map-side partial moments
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(regr_count(col("l_extendedprice"), col("l_quantity"))
+            .as("n_pairs"),
+          r4(regr_slope(col("l_extendedprice"), col("l_quantity")))
+            .as("slope"),
+          r4(regr_intercept(col("l_extendedprice"), col("l_quantity")))
+            .as("icept"),
+          r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
+    }),
     "window_ranks" -> ((s, dir) => {
       // ranking/analytic family sharing ONE window: rank, dense_rank,
       // lag, lead (CollapseWindow → single WindowExec)
@@ -162,6 +190,27 @@ object RelationalQueries {
          length(string_split(o_orderpriority, '-')) AS pri_parts,
          string_split(o_orderpriority, '-')[1] AS pri_head
          FROM orders""",
+    "agg_mode_median" ->
+      """WITH med AS (SELECT l_returnflag,
+           round(1e-9 + median(l_quantity), 4) AS med_qty
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT l_returnflag, l_linenumber, count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         m AS (SELECT l_returnflag, l_linenumber AS mode_ln
+           FROM (SELECT l_returnflag, l_linenumber,
+                   row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY cnt DESC, l_linenumber) AS rn
+                 FROM c) WHERE rn = 1)
+         SELECT med.l_returnflag, med.med_qty, m.mode_ln
+         FROM med JOIN m ON med.l_returnflag = m.l_returnflag""",
+    "agg_regression" ->
+      """SELECT l_returnflag,
+         regr_count(l_extendedprice, l_quantity) AS n_pairs,
+         round(1e-9 + regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+         round(1e-9 + regr_intercept(l_extendedprice, l_quantity), 4)
+           AS icept,
+         round(1e-9 + regr_r2(l_extendedprice, l_quantity), 4) AS r2
+         FROM lineitem GROUP BY 1""",
     "window_ranks" ->
       """SELECT o_orderkey,
          rank() OVER w AS rnk,

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing via Spark's NATIVE time-window operators — the
+  * batch twins of the Structured Streaming surface (SURVEY.md §2.4
+  * "Streaming" row; streaming/StreamingOps holds the readStream side).
+  * `window()` / `session_window()` compile to the same TimeWindow
+  * expressions a streaming query uses, so these oracle-gated batch
+  * queries pin down exactly the semantics the streaming variant inherits
+  * (tumble alignment, slide multiplicity, gap-merge boundary).
+  *
+  * All bucketing is integer epoch arithmetic (`unix_micros`/`div`), never
+  * calendar casts: TimeWindow assigns buckets in epoch micros, so
+  * emitting epoch-day/second integers keeps both engines in pure integer
+  * math — no timezone or calendar semantics anywhere in the comparison.
+  *
+  * Scale notes:
+  *   - tumbling/session aggregate per (user, window) — ordinary hash
+  *     aggs, map-side partials, no global window anywhere;
+  *   - sliding multiplies input by windowsPerSlide (7 here) BEFORE the
+  *     shuffle — the canonical trade; for big slides prefer tumble+merge
+  *     (aggregate per tumble, then roll 7 tumbles up in a second tiny
+  *     agg) which this module demonstrates in `window_sliding_week`'s
+  *     plan-shape alternative below (kept simple: explode form, 7x);
+  *   - gap-fill generates `sequence(lo, hi)` per user — bounded by the
+  *     observed span; production would cap the span or bucket coarser.
+  */
+object TimeSeriesQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    QueryUtil.events(s, dir)
+
+  private def r4(c: Column): Column = QueryUtil.r4(c)
+
+  /** events.ts is an epoch-NANOS long (QueryUtil.events); the micros
+    * timestamp feeds the native TimeWindow operators. */
+  private val tts = expr("timestamp_micros(ts div 1000)")
+
+  private val UsPerDay = 86400000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_tumbling_day" -> ((s, dir) => {
+      // native tumbling window: window(ts, '1 day') — epoch-aligned
+      // buckets, one hash agg over (user, window)
+      events(s, dir)
+        .groupBy(col("user_id"), window(tts, "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .select(col("user_id"),
+          expr(s"unix_micros(w.start) div $UsPerDay").as("day"),
+          col("n"), col("sum_v"))
+    }),
+    "window_sliding_week" -> ((s, dir) => {
+      // native sliding window: window(ts, '7 days', '1 day') — every
+      // event lands in 7 epoch-aligned windows; starts span
+      // [day-6, day]
+      events(s, dir)
+        .groupBy(col("user_id"), window(tts, "7 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_v"))
+        .select(col("user_id"),
+          expr(s"unix_micros(w.start) div $UsPerDay").as("win_start_day"),
+          col("n"), col("avg_v"))
+    }),
+    "window_session_native" -> ((s, dir) => {
+      // native session_window(ts, '30 minutes'): per-event windows
+      // [t, t+gap) merged while overlapping — an event at EXACTLY
+      // prev+gap starts a new session (end-exclusive), which the oracle
+      // mirrors with a `diff >= gap` break in micros. Batch twin of
+      // sessionize_gap (same corpus, different operator: session-merge
+      // aggregation instead of two window passes).
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(tts, "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("sess_start_us"),
+          col("n"), col("sum_v"))
+    }),
+    "resample_gapfill" -> ((s, dir) => {
+      // time-series resample: daily sums per user with silent days
+      // filled as 0.0 across each user's [first, last] day span —
+      // sequence + explode calendar, broadcast-friendly left join
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("value"))
+      val daily = e.groupBy("user_id", "day")
+        .agg(r4(sum(col("value"))).as("day_sum"))
+      val cal = daily.groupBy("user_id")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("day_sum"), lit(0.0)).as("day_sum"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "window_tumbling_day" ->
+      """SELECT user_id,
+         epoch_ns(ts) // 86400000000000 AS day,
+         count(*) AS n,
+         round(1e-9 + sum(value), 4) AS sum_v
+         FROM events GROUP BY 1, 2""",
+    "window_sliding_week" ->
+      """WITH e AS (SELECT user_id, value,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         x AS (SELECT user_id, value,
+           unnest(generate_series(day - 6, day)) AS win_start_day FROM e)
+         SELECT user_id, win_start_day,
+           count(*) AS n, round(1e-9 + avg(value), 4) AS avg_v
+         FROM x GROUP BY 1, 2""",
+    "window_session_native" ->
+      """WITH e AS (SELECT user_id, value,
+           epoch_ns(ts) // 1000 AS tus FROM events),
+         g AS (SELECT user_id, value, tus,
+           CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+         sess AS (SELECT user_id, value, tus,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(tus) AS sess_start_us,
+           count(*) AS n, round(1e-9 + sum(value), 4) AS sum_v
+         FROM sess GROUP BY user_id, sid""",
+    "resample_gapfill" ->
+      """WITH e AS (SELECT user_id,
+           epoch_ns(ts) // 86400000000000 AS day, value FROM events),
+         d AS (SELECT user_id, day, round(1e-9 + sum(value), 4) AS day_sum
+           FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+           FROM d GROUP BY 1),
+         cal AS (SELECT user_id,
+           unnest(generate_series(lo, hi)) AS day FROM span)
+         SELECT cal.user_id, cal.day,
+           coalesce(d.day_sum, 0.0) AS day_sum
+         FROM cal LEFT JOIN d ON cal.user_id = d.user_id
+           AND cal.day = d.day"""
+  )
+}

@@ -87,6 +87,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("array_intersect"), "string intersection survived")
   }
 
+  test("partitioned-parquet read-back prunes to the filtered partition") {
+    // The sink_partitioned_parquet contract: a filter on the partition
+    // column must become a PartitionFilters entry on the scan — never a
+    // full-scan-then-filter.
+    val path = "/tmp/graft_plan_spec/orders_part"
+    spark.read.parquet(s"$dir/orders.parquet").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(path)
+    val df = spark.read.parquet(path).filter($"o_orderstatus" === "F")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val f = formatted(df)
+    val pf = f.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderstatus") && pf.contains("F"),
+      s"partition filter not pruned at scan: $pf\n$f")
+    // and the row filter must NOT appear as a post-scan Filter on data rows
+    assert(!plan(df).contains("Filter (o_orderstatus"),
+      "partition predicate evaluated per-row instead of pruning")
+  }
+
+  test("time-window aggs are hash aggs over (key, window) — no WindowExec") {
+    // Tumbling/session windows must compile to TimeWindow projections +
+    // hash aggregation (streaming-transferable), not analytic windows.
+    val q = SparkEntry.queries("window_tumbling_day")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+    assert(!p.contains("Window ["), s"unexpected WindowExec:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline (no interpreted gaps)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = docs.select(col("doc_id"),
