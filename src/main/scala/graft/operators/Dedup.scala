@@ -297,26 +297,78 @@ object Dedup {
   def simhashFromHashes(hashCol: Column, bits: Int = 32): Column =
     graft.functions.HashKernels.simhashOf(hashCol, bits)
 
-  /** Duplicate CLUSTERS from a near-dup pair graph: connected components
-    * by hash-min label propagation. Every doc (node) repeatedly adopts
-    * the smallest doc_id reachable over pair edges; converges in
-    * O(diameter) rounds — near-dup clusters are shallow (dupes of a
-    * common source), so the loop is bounded by `maxIters` and each round
-    * is two shuffles (join + min-agg). This is the standard distributed
-    * CC recipe; no driver-side graph, no recursion depth tied to |V|.
+  /** Duplicate CLUSTERS from a near-dup pair graph: connected components,
+    * with an ADAPTIVE strategy keyed on pair-graph size — the same shape
+    * decision AQE makes between broadcast and shuffle joins:
+    *
+    *   - pair graph ≤ `driverEdgeLimit` edges → collect the edge list and
+    *     run union-find with path compression on the driver (O(E·α(E)),
+    *     milliseconds), then parallelize the labels back. The pair graph
+    *     of a deduped corpus is orders of magnitude smaller than the
+    *     corpus itself (it holds only near-duplicate DOCS, not rows), so
+    *     this bounded collect is the common case even at large scale —
+    *     exactly as a broadcast join collects its small side.
+    *   - larger → distributed hash-min label propagation: every doc
+    *     repeatedly adopts the smallest doc_id reachable over pair edges;
+    *     converges in O(diameter) rounds (near-dup clusters are shallow),
+    *     bounded by `maxIters`, each round two shuffles (join + min-agg).
     *
     * Output: (doc_id, cluster_id = min doc_id of the component),
     * restricted to docs that appear in at least one pair.
     *
-    * NOTE: unlike the pair operators, this one is EAGER by nature — the
-    * label-propagation loop must run jobs to converge, and the result is
-    * returned as a materialized (localCheckpoint) frame. Callers composing
-    * a 100 TB pipeline should treat it as a pipeline breaker. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * NOTE: unlike the pair operators, this one is EAGER by nature — both
+    * strategies must run jobs (a count + either a bounded collect or the
+    * propagation loop), and the result is returned as a materialized
+    * frame. Callers composing a 100 TB pipeline should treat it as a
+    * pipeline breaker. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+      driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    val dedup = pairs.select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint(true) // pair pipeline runs ONCE; both the count
+                             // and the chosen strategy reuse it
+    if (dedup.count() <= driverEdgeLimit) unionFindClusters(dedup)
+    else propagateClusters(dedup, maxIters)
+  }
+
+  /** Small-graph path: driver union-find (path compression + union by
+    * min-id root). The collect is bounded by duplicateClusters'
+    * driverEdgeLimit — the broadcast-join contract. */
+  private def unionFindClusters(edgesDf: DataFrame): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val edges = edgesDf.select(col("doc_a").cast("long"),
+      col("doc_b").cast("long")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union toward the SMALLER root: the root IS min(component), so no
+      // second pass to compute cluster ids
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val labels = parent.keysIterator
+      .map(v => (v, find(v))).toSeq.sortBy(_._1)
+    spark.createDataset(labels).toDF("doc_id", "cluster_id")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+  }
+
+  /** Large-graph path: distributed hash-min label propagation. */
+  private def propagateClusters(dedup: DataFrame, maxIters: Int): DataFrame = {
     // undirected edge list, both directions — explode instead of a
-    // self-union so the (expensive) pair pipeline runs ONCE, and cache
+    // self-union (input is already checkpointed by the caller), cached
     // so the iteration reuses materialized edges
-    val edges = pairs.select(explode(array(
+    val edges = dedup.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))

@@ -93,6 +93,19 @@ class DedupSpec extends AnyFunSuite {
     assert(duplicateClusters(empty).collect().isEmpty)
   }
 
+  test("duplicateClusters: distributed path (driverEdgeLimit=0) agrees") {
+    // force the label-propagation strategy and check it matches union-find
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 4L))
+      .toDF("doc_a", "doc_b")
+    val dist = duplicateClusters(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == uf)
+    assert(dist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("maxShingleDf pruning keeps planted high-jaccard pairs") {
     val pruned = jaccardPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 50)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
