@@ -101,6 +101,30 @@ object RelationalQueries {
         size(split(col("o_orderpriority"), "-")).cast("long").as("pri_parts"),
         element_at(split(col("o_orderpriority"), "-"), 1).as("pri_head"))
     }),
+    "profile_stats" -> ((s, dir) => {
+      // data-profiling utility: one pass, one row — row count, per-column
+      // null and distinct cardinalities, numeric/date extrema. The
+      // single-agg shape is what a 100 TB profiler wants: every stat
+      // shares one scan + one (tiny) shuffle of partial buffers.
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_price"),
+        countDistinct(col("o_custkey")).as("nd_cust"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        r4(min(col("o_totalprice"))).as("min_price"),
+        r4(max(col("o_totalprice"))).as("max_price"),
+        min(col("o_orderdate").cast("date").cast("string")).as("min_date"),
+        max(col("o_orderdate").cast("date").cast("string")).as("max_date"))
+    }),
+    "agg_histogram" -> ((s, dir) => {
+      // fixed-width histogram: bucket = floor((x - lo) / w) — pure
+      // integer result of identical IEEE double ops in both engines;
+      // a groupBy over ~50 buckets, map-side partials carry the load
+      t(s, dir, "lineitem")
+        .select(floor((col("l_extendedprice") - lit(900.0)) / lit(2000.0))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }),
     "agg_mode_median" -> ((s, dir) => {
       // exact median (interpolated percentile) + DETERMINISTIC mode:
       // both engines leave mode() ties unspecified, so the mode is
@@ -190,6 +214,20 @@ object RelationalQueries {
          length(string_split(o_orderpriority, '-')) AS pri_parts,
          string_split(o_orderpriority, '-')[1] AS pri_head
          FROM orders""",
+    "profile_stats" ->
+      """SELECT count(*) AS n_rows,
+         count(o_totalprice) AS n_price,
+         count(DISTINCT o_custkey) AS nd_cust,
+         count(DISTINCT o_orderstatus) AS nd_status,
+         round(1e-9 + min(o_totalprice), 4) AS min_price,
+         round(1e-9 + max(o_totalprice), 4) AS max_price,
+         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS min_date,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS max_date
+         FROM orders""",
+    "agg_histogram" ->
+      """SELECT CAST(floor((l_extendedprice - 900.0) / 2000.0) AS BIGINT)
+           AS bucket, count(*) AS n
+         FROM lineitem GROUP BY 1""",
     "agg_mode_median" ->
       """WITH med AS (SELECT l_returnflag,
            round(1e-9 + median(l_quantity), 4) AS med_qty
