@@ -67,7 +67,24 @@ object GlobalWindow {
   /** Global cumulative sum of `valueCol` (cast to double) in the total
     * order of `orderBy`, appended as `outCol`. */
   def cumSum(df: DataFrame, orderBy: Seq[Column], valueCol: String,
-      outCol: String, numPartitions: Int = 0): DataFrame = {
+      outCol: String, numPartitions: Int = 0): DataFrame =
+    groupedCumSum(df, Nil, orderBy, valueCol, outCol, numPartitions)
+
+  /** Grouped running sum for FEW-HOT-GROUPS data — the other place the
+    * single-stream window bottleneck hides: `Window.partitionBy(flag)`
+    * over a 3-value flag runs the whole table through 3 tasks no matter
+    * the cluster size. Same two-pass trick, one level down: pid splits
+    * each group's rows into `parts` contiguous order-key ranges (global
+    * sampled bounds shared across groups), the local sweep partitions by
+    * (group, pid) — parallelism G×P instead of G — and the offsets
+    * prefix-sum runs per group over P tiny rows.
+    *
+    * Groups clustered inside a narrow slice of the GLOBAL key
+    * distribution degrade toward the plain window (their rows share few
+    * pids) — acceptable for the hot-group shape this targets, where
+    * every group spans the key domain. */
+  def groupedCumSum(df: DataFrame, by: Seq[String], orderBy: Seq[Column],
+      valueCol: String, outCol: String, numPartitions: Int = 0): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -76,41 +93,44 @@ object GlobalWindow {
     // SortOrder nodes (.desc/.asc wrappers) cannot, so they take the
     // legacy path.
     val plainKeys = orderBy.forall(c => !ColumnShim.isSortOrder(c))
-    if (plainKeys) contentPidCumSum(df, orderBy, valueCol, outCol, parts)
-    else legacyCumSum(df, orderBy, valueCol, outCol, parts)
+    if (plainKeys) contentPidCumSum(df, by, orderBy, valueCol, outCol, parts)
+    else legacyCumSum(df, by, orderBy, valueCol, outCol, parts)
   }
 
   /** Deterministic path: pid = f(row content) via sampled split points. */
-  private def contentPidCumSum(df: DataFrame, orderBy: Seq[Column],
-      valueCol: String, outCol: String, parts: Int): DataFrame = {
+  private def contentPidCumSum(df: DataFrame, by: Seq[String],
+      orderBy: Seq[Column], valueCol: String, outCol: String,
+      parts: Int): DataFrame = {
     val keyStruct = struct(orderBy: _*)
     val pidExpr = rangePidExpr(df, keyStruct, parts)
     val ranged = df.withColumn(PID, pidExpr)
+    val byCols = by.map(col)
 
-    // Pass 1: per-range running sum + running non-null count. The count
-    // distinguishes "sum is 0" from "no values seen yet" — a window sum
-    // is NULL until the first non-null value; this operator matches that.
-    val lw = Window.partitionBy(col(PID)).orderBy(orderBy: _*)
+    // Pass 1: per-(group, range) running sum + running non-null count.
+    // The count distinguishes "sum is 0" from "no values seen yet" — a
+    // window sum is NULL until the first non-null value; this operator
+    // matches that.
+    val lw = Window.partitionBy((byCols :+ col(PID)): _*).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = ranged
       .withColumn(LOC, sum(col(valueCol).cast(DoubleType)).over(lw))
       .withColumn(CNT, count(col(valueCol)).over(lw))
 
-    // Pass 2: one total per pid (map-side partial agg → P rows),
-    // exclusive prefix-sum over those P rows (a single-partition window
-    // over P values is fine — that's the point of the rewrite),
-    // broadcast the offsets back. pid here is the SAME expression as in
-    // pass 1, so the branches cannot disagree.
-    val pw = Window.orderBy(col(PID))
+    // Pass 2: one total per (group, pid) (map-side partial agg → G×P
+    // rows), exclusive prefix-sum per group over its P rows (a window
+    // over G×P tiny rows — that's the point of the rewrite), broadcast
+    // the offsets back. pid here is the SAME expression as in pass 1,
+    // so the branches cannot disagree.
+    val pw = Window.partitionBy(byCols: _*).orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsetDf = ranged.groupBy(col(PID))
+    val offsetDf = ranged.groupBy((byCols :+ col(PID)): _*)
       .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
         count(col(valueCol)).as("pcnt"))
       .withColumn(OFF, coalesce(sum(col("psum")).over(pw), lit(0.0)))
       .withColumn(OFFCNT, coalesce(sum(col("pcnt")).over(pw), lit(0L)))
-      .select(col(PID), col(OFF), col(OFFCNT))
+      .select((byCols ++ Seq(col(PID), col(OFF), col(OFFCNT))): _*)
 
-    swept.join(broadcast(offsetDf), Seq(PID), "left")
+    swept.join(broadcast(offsetDf), by :+ PID, "left")
       .withColumn(outCol, when(col(CNT) + col(OFFCNT) > 0,
         coalesce(col(LOC), lit(0.0)) + col(OFF)))
       .drop(PID, LOC, CNT, OFF, OFFCNT)
@@ -163,25 +183,27 @@ object GlobalWindow {
     * relies on range-bound sampling determinism (observed, not
     * contractual). Kept only for `.desc`-style keys, which cannot form a
     * comparable bound struct. */
-  private def legacyCumSum(df: DataFrame, orderBy: Seq[Column],
-      valueCol: String, outCol: String, parts: Int): DataFrame = {
+  private def legacyCumSum(df: DataFrame, by: Seq[String],
+      orderBy: Seq[Column], valueCol: String, outCol: String,
+      parts: Int): DataFrame = {
+    val byCols = by.map(col)
     val ranged = df
-      .repartitionByRange(parts, orderBy: _*)
+      .repartitionByRange(parts, (byCols ++ orderBy): _*)
       .withColumn(PID, spark_partition_id())
-    val lw = Window.partitionBy(col(PID)).orderBy(orderBy: _*)
+    val lw = Window.partitionBy((byCols :+ col(PID)): _*).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = ranged
       .withColumn(LOC, sum(col(valueCol).cast(DoubleType)).over(lw))
       .withColumn(CNT, count(col(valueCol)).over(lw))
-    val pw = Window.orderBy(col(PID))
+    val pw = Window.partitionBy(byCols: _*).orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsetDf = ranged.groupBy(col(PID))
+    val offsetDf = ranged.groupBy((byCols :+ col(PID)): _*)
       .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
         count(col(valueCol)).as("pcnt"))
       .withColumn(OFF, coalesce(sum(col("psum")).over(pw), lit(0.0)))
       .withColumn(OFFCNT, coalesce(sum(col("pcnt")).over(pw), lit(0L)))
-      .select(col(PID), col(OFF), col(OFFCNT))
-    swept.join(broadcast(offsetDf), Seq(PID), "left")
+      .select((byCols ++ Seq(col(PID), col(OFF), col(OFFCNT))): _*)
+    swept.join(broadcast(offsetDf), by :+ PID, "left")
       .withColumn(outCol, when(col(CNT) + col(OFFCNT) > 0,
         coalesce(col(LOC), lit(0.0)) + col(OFF)))
       .drop(PID, LOC, CNT, OFF, OFFCNT)

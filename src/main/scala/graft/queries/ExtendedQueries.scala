@@ -235,6 +235,23 @@ object ExtendedQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("cum_qty"))
     }),
+    "order_cumsum_scaled" -> ((s, dir) => {
+      // GROUPED running sum for FEW-HOT-GROUPS data: order_cumsum's
+      // semantics (cumulative qty per l_returnflag) but parallelism
+      // G×P instead of G — Window.partitionBy over a 3-value flag runs
+      // the whole table through 3 tasks at ANY cluster size, which at
+      // 100 TB is ~33 TB per task. GlobalWindow.groupedCumSum splits
+      // each group over sampled order-key ranges, sweeps (group, range)
+      // locally, and broadcast-joins G×P prefix offsets. Same oracle as
+      // order_cumsum: the rewrite must be exactly value-equal.
+      graft.operators.GlobalWindow.groupedCumSum(
+          t(s, dir, "lineitem"), by = Seq("l_returnflag"),
+          orderBy = Seq(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          valueCol = "l_quantity", outCol = "cum_qty")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("cum_qty")).as("cum_qty"))
+    }),
     "dedup_keep_latest" -> ((s, dir) => {
       // canonical "collapse duplicate group, keep the newest": arg-max
       // aggregation (max_by) per exact-duplicate fingerprint — one
@@ -422,6 +439,12 @@ object ExtendedQueries {
            l_partkey, l_suppkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS cum_qty
+         FROM lineitem""",
+    "order_cumsum_scaled" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(1e-9 + sum(l_quantity) OVER (PARTITION BY l_returnflag
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_qty
          FROM lineitem""",
     "dedup_keep_latest" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))

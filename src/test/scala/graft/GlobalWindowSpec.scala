@@ -56,6 +56,26 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(out == Seq(1.0, 3.0, 7.0))
   }
 
+  test("groupedCumSum equals the per-group window, with G×P parallelism") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    val single = li.withColumn("cs", sum($"l_quantity").over(w))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"cs")
+      .collect().map(r => key(r) -> r.getDouble(4)).toMap
+    val scaled = GlobalWindow.groupedCumSum(li, Seq("l_returnflag"),
+        Seq($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+        "l_quantity", "cs", numPartitions = 8)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"cs")
+      .collect().map(r => key(r) -> r.getDouble(4)).toMap
+    assert(scaled.keySet == single.keySet)
+    // l_quantity is integer-valued: partitioned summation is bit-exact
+    scaled.foreach { case (k, v) => assert(v == single(k), s"key $k") }
+  }
+
   test("plain keys: pid is content-derived (no spark_partition_id), no leaks") {
     val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
       "o_totalprice", "cs", numPartitions = 8)
