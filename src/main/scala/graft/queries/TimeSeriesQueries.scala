@@ -64,11 +64,13 @@ object TimeSeriesQueries {
     }),
     "window_session_native" -> ((s, dir) => {
       // native session_window(ts, '30 minutes'): per-event windows
-      // [t, t+gap) merged while overlapping — an event at EXACTLY
-      // prev+gap starts a new session (end-exclusive), which the oracle
-      // mirrors with a `diff >= gap` break in micros. Batch twin of
-      // sessionize_gap (same corpus, different operator: session-merge
-      // aggregation instead of two window passes).
+      // [t, t+gap] merged while touching — an event at EXACTLY prev+gap
+      // still MERGES (verified identically in batch and streaming,
+      // StreamingSpec "runs IDENTICALLY"), so the oracle breaks only on
+      // `diff > gap` in micros — the same strict-inequality convention
+      // as sessionize_gap. Batch twin of sessionize_gap (same corpus,
+      // different operator: session-merge aggregation instead of two
+      // window passes).
       events(s, dir)
         .groupBy(col("user_id"), session_window(tts, "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
@@ -114,7 +116,7 @@ object TimeSeriesQueries {
            epoch_ns(ts) // 1000 AS tus FROM events),
          g AS (SELECT user_id, value, tus,
            CASE WHEN lag(tus) OVER w IS NULL
-                  OR tus - lag(tus) OVER w >= 1800000000
+                  OR tus - lag(tus) OVER w > 1800000000
                 THEN 1 ELSE 0 END AS brk
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
          sess AS (SELECT user_id, value, tus,

@@ -56,6 +56,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("native session_window runs IDENTICALLY in streaming and batch") {
+    // window_session_native's claim: the batch query pins the exact
+    // semantics the streaming twin inherits. Run the SAME session_window
+    // aggregation as a watermarked stream and as a batch frame over the
+    // same rows — merged sessions, boundaries, and sums must be equal.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = ms.toDF.toDF("ts", "user_id", "value")
+    val out = df.withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("n"), col("sum_v"))
+    val q = out.writeStream.format("memory").queryName("sessnative")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (t("2026-01-01 00:00:00"), 1L, 1.0),
+      (t("2026-01-01 00:29:59"), 1L, 2.0),  // 29:59 gap → same session
+      (t("2026-01-01 00:59:59"), 1L, 4.0),  // EXACTLY prev+gap → MERGES
+      (t("2026-01-01 01:30:00"), 1L, 8.0),  // 30:01 after prev → NEW
+      (t("2026-01-01 00:00:00"), 2L, 16.0))
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+        "SELECT user_id, start, n, sum_v FROM sessnative ORDER BY 1, 2")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+    val batch = rows.toDF("ts", "user_id", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("n"), col("sum_v"))
+      .orderBy(col("user_id"), col("start"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed == batch)
+    // boundary pin: the merge is gap-INCLUSIVE (an event at exactly
+    // prev+gap joins the session) — the window_session_native oracle
+    // breaks strictly on diff > gap for this reason
+    assert(streamed == Seq(
+      (1L, "2026-01-01 00:00:00.0", 3L, 7.0),
+      (1L, "2026-01-01 01:30:00.0", 1L, 8.0),
+      (2L, "2026-01-01 00:00:00.0", 1L, 16.0)))
+  }
+
   test("sessionize (streaming): a gap larger than gapMillis closes the session") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[KeyedEvent]
