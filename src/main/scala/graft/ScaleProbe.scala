@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Single-node scale probes beyond the gate fixtures: synthetic 10M-row
+  * frames, deterministic content, noop sink. Not part of the driver
+  * contract — run manually (`sbt "runMain graft.ScaleProbe"`) to refresh
+  * the README's measured-at-scale paragraph after touching the probed
+  * operators. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val df = spark.range(n).select(col("id"),
+        (col("id") % 97).cast("double").as("v"),
+        pmod(xxhash64(col("id")), lit(5)).as("flag"))
+      .repartition(32)
+
+    def time(name: String)(thunk: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      thunk
+      println(f"[probe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+    def sink(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+
+    // warm the scan + codegen once
+    sink(df)
+
+    time("global cumSum (two-pass)") {
+      sink(graft.operators.GlobalWindow.cumSum(df, Seq(col("id")), "v", "cs"))
+    }
+    time("grouped cumSum 5 flags (two-pass)") {
+      sink(graft.operators.GlobalWindow.groupedCumSum(df, Seq("flag"),
+        Seq(col("id")), "v", "cs"))
+    }
+    time("grouped window (5-task cap)") {
+      val w = Window.partitionBy(col("flag")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sink(df.withColumn("cs", sum(col("v")).over(w)))
+    }
+    spark.stop()
+  }
+}

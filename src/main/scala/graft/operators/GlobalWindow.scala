@@ -101,7 +101,9 @@ object GlobalWindow {
   private def contentPidCumSum(df: DataFrame, by: Seq[String],
       orderBy: Seq[Column], valueCol: String, outCol: String,
       parts: Int): DataFrame = {
-    val keyStruct = struct(orderBy: _*)
+    // single-key fast path: compare the bare column — a struct per
+    // comparison costs an InternalRow allocation per row per tree level
+    val keyStruct = if (orderBy.size == 1) orderBy.head else struct(orderBy: _*)
     val pidExpr = rangePidExpr(df, keyStruct, parts)
     val ranged = df.withColumn(PID, pidExpr)
     val byCols = by.map(col)
@@ -159,11 +161,16 @@ object GlobalWindow {
     if (sample.isEmpty) return lit(0)
     // Quantile split points, deduplicated (strictly increasing): heavy
     // key duplication collapses bounds, trading balance for correctness —
-    // equal keys always share a pid.
+    // equal keys always share a pid. NULL bounds are dropped (possible on
+    // the bare-column fast path when null keys are common): `key >= NULL`
+    // is NULL, which the when-tree would route left unconditionally; null
+    // KEYS themselves route left to pid 0 on every branch — consistently
+    // in both plan branches, matching asc-nulls-first order.
     val step = sample.length.toDouble / parts
     val bounds = (1 until parts)
       .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
       .distinct
+      .filterNot(_.isNullAt(0))
       .map(r => ColumnShim.column(Literal.create(r.get(0), kType)))
     if (bounds.isEmpty) return lit(0)
     // pid(key) = |{i : bound_i <= key}| via balanced when-tree.
