@@ -142,6 +142,40 @@ class OperatorPropertySpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("groupedCumSum equals a sequential per-group scan (nulls, dup keys)") {
+    // adversarial shapes for the content-pid path: duplicate order keys
+    // (bounds collapse), null values (count gating), few rows over many
+    // requested partitions (empty pids), 1-3 hot groups
+    val rowGen: Gen[List[(Long, Long, Option[Double])]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        flag <- Gen.choose(0L, 2L)
+        key <- Gen.choose(0L, 8L) // heavy duplication
+        v <- Gen.option(Gen.choose(-5, 5).map(_.toDouble))
+      } yield (flag, key, v))
+    } yield rows
+    check(forAll(rowGen, Gen.choose(1, 9)) { (rows, parts) =>
+      // unique tiebreaker id, as the operator contract requires
+      val df = rows.zipWithIndex
+        .map { case ((f, k, v), i) => (f, k, i.toLong, v) }
+        .toDF("flag", "k", "rid", "v")
+      val got = graft.operators.GlobalWindow.groupedCumSum(df, Seq("flag"),
+          Seq($"k", $"rid"), "v", "cs", numPartitions = parts)
+        .select($"rid", $"cs").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val want = rows.zipWithIndex.map { case ((f, k, v), i) => (f, k, i.toLong, v) }
+        .groupBy(_._1).flatMap { case (_, grp) =>
+          var acc = 0.0; var seen = false
+          grp.sortBy(t => (t._2, t._3)).map { case (_, _, rid, v) =>
+            v.foreach { x => acc += x; seen = true }
+            rid -> (if (seen) Some(acc) else None)
+          }
+        }
+      got == want
+    })
+  }
+
   test("editDistancePairs equals brute force over same-prefix pairs") {
     check(forAll(edGen, Gen.choose(1, 4), Gen.choose(1, 3)) {
       (texts, prefixLen, maxDist) =>
