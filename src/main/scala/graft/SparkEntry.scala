@@ -223,6 +223,37 @@ object SparkEntry {
           matchedTimeCol = "prev_day")
         .select(col("event_id"), col("prev_day"), col("prev_mean"))
     }),
+    "asof_tolerance_daily" -> ((s, dir) => {
+      // Backward as-of with a TOLERANCE window (pandas merge_asof
+      // semantics): matches farther than 3 days back are nulled. Same
+      // union-and-sweep plan as asof_join_daily; the tolerance is a
+      // post-sweep gate, not a join-condition rescan.
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("value"), expr("ts div 86400000000000").as("day"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(r4(avg(col("value"))).as("prev_mean"))
+      graft.operators.AsofJoin.asofBackward(
+          ev.select("event_id", "user_id", "day"), daily,
+          keys = Seq("user_id"), leftTime = "day", rightTime = "day",
+          valueCols = Seq("prev_mean"), strict = true,
+          tolerance = Some(lit(3L)), matchedTimeCol = "prev_day")
+        .select(col("event_id"), col("prev_day"), col("prev_mean"))
+    }),
+    "window_complete_range" -> ((s, dir) => {
+      // `.complete = TRUE` over a RANGE (Period) frame: the window is
+      // complete iff its VALUE span [day-3, day] lies inside the
+      // partition's observed index span (slider's slide_index contract —
+      // edge truncation, not gap density). Pins the range branch of the
+      // TidierOps gate in the oracle harness (window_complete covers the
+      // rows branch).
+      events(s, dir)
+        .mutateW("avg_v" -> avg(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.days(3, 0)),
+          index = Some(tsDate),
+          complete = true)
+        .select(col("event_id"), r4(col("avg_v")).as("avg_v"))
+    }),
     "range_join_firstweek" -> ((s, dir) => {
       // Binned range join (operators/RangeJoin): events falling inside
       // each user's first active week — equi join on (user, bin) + exact
@@ -335,6 +366,30 @@ object SparkEntry {
          SELECT e.event_id, f.lo, f.hi
          FROM e JOIN f ON e.user_id = f.user_id
            AND e.day BETWEEN f.lo AND f.hi""",
+    "asof_tolerance_daily" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         daily AS (SELECT user_id, day, round(1e-9 + avg(value), 4) AS prev_mean
+           FROM e GROUP BY 1, 2),
+         j AS (SELECT e.event_id, e.day, d.day AS md, d.prev_mean AS pm
+           FROM e ASOF LEFT JOIN daily d
+             ON e.user_id = d.user_id AND e.day > d.day)
+         SELECT event_id,
+           CASE WHEN day - md <= 3 THEN md END AS prev_day,
+           CASE WHEN day - md <= 3 THEN pm END AS prev_mean
+         FROM j""",
+    "window_complete_range" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events)
+         SELECT event_id,
+           CASE WHEN day - 3 >= min(day) OVER u AND day <= max(day) OVER u
+                THEN round(1e-9 + avg(value) OVER w, 4) END AS avg_v
+         FROM e
+         WINDOW u AS (PARTITION BY user_id),
+           w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 3 PRECEDING AND 0 FOLLOWING)""",
     "asof_join_daily" ->
       """WITH e AS (SELECT event_id, user_id, value,
            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day

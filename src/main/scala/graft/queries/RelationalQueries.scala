@@ -101,6 +101,29 @@ object RelationalQueries {
         size(split(col("o_orderpriority"), "-")).cast("long").as("pri_parts"),
         element_at(split(col("o_orderpriority"), "-"), 1).as("pri_head"))
     }),
+    "agg_conditional" -> ((s, dir) => {
+      // conditional/boolean aggregate family: count_if, filtered sums
+      // (sum-of-when — Spark's FILTER-clause analog), bool_and/bool_or —
+      // one hash-agg pass
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count_if(col("l_quantity") > 25).as("n_bulk"),
+          r4(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+            .otherwise(lit(0.0)))).as("disc_rev"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_deep"))
+    }),
+    "date_funcs" -> ((s, dir) => {
+      // calendar scalar family: offsets (days/months, month-end clamped),
+      // last_day, month truncation, quarter/ISO week/day-of-week
+      t(s, dir, "orders").select(col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        add_months(col("o_orderdate").cast("date"), 2).as("plus2mo"),
+        last_day(col("o_orderdate").cast("date")).as("eom"),
+        trunc(col("o_orderdate").cast("date"), "mm").as("month_start"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow1"))
+    }),
     "profile_stats" -> ((s, dir) => {
       // data-profiling utility: one pass, one row — row count, per-column
       // null and distinct cardinalities, numeric/date extrema. The
@@ -213,6 +236,26 @@ object RelationalQueries {
          round(1e-9 + sqrt(o_totalprice), 4) AS sqrt_price,
          length(string_split(o_orderpriority, '-')) AS pri_parts,
          string_split(o_orderpriority, '-')[1] AS pri_head
+         FROM orders""",
+    "agg_conditional" ->
+      """SELECT l_returnflag,
+         count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+         round(1e-9 + sum(CASE WHEN l_discount > 0.05
+           THEN l_extendedprice ELSE 0.0 END), 4) AS disc_rev,
+         bool_and(l_quantity > 0) AS all_pos,
+         bool_or(l_discount > 0.09) AS any_deep
+         FROM lineitem GROUP BY 1""",
+    "date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) + 30 AS plus30,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+           AS plus2mo,
+         last_day(CAST(o_orderdate AS DATE)) AS eom,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+           AS month_start,
+         quarter(o_orderdate) AS qtr,
+         weekofyear(o_orderdate) AS iso_week,
+         dayofweek(o_orderdate) + 1 AS dow1
          FROM orders""",
     "profile_stats" ->
       """SELECT count(*) AS n_rows,
