@@ -327,7 +327,20 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .localCheckpoint(true) // pair pipeline runs ONCE; both the count
                              // and the chosen strategy reuse it
-    if (dedup.count() <= driverEdgeLimit) unionFindClusters(dedup)
+    // The union-find path is integral-id only: ids round-trip through
+    // Long and the result is cast back to the input type, so the chosen
+    // strategy never changes the output schema. Other id types (string
+    // fingerprints, …) always take the distributed path — a silent
+    // cast-to-long would null them out.
+    val integral = {
+      import org.apache.spark.sql.types._
+      Seq("doc_a", "doc_b").forall(c => dedup.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    if (integral && dedup.count() <= driverEdgeLimit)
+      unionFindClusters(dedup)
     else propagateClusters(dedup, maxIters)
   }
 
@@ -337,6 +350,7 @@ object Dedup {
   private def unionFindClusters(edgesDf: DataFrame): DataFrame = {
     val spark = edgesDf.sparkSession
     import spark.implicits._
+    val idType = edgesDf.schema("doc_a").dataType
     val edges = edgesDf.select(col("doc_a").cast("long"),
       col("doc_b").cast("long")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -360,6 +374,7 @@ object Dedup {
     val labels = parent.keysIterator
       .map(v => (v, find(v))).toSeq.sortBy(_._1)
     spark.createDataset(labels).toDF("doc_id", "cluster_id")
+      .select(col("doc_id").cast(idType), col("cluster_id").cast(idType))
       .repartition(spark.sessionState.conf.numShufflePartitions)
   }
 
@@ -377,10 +392,12 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-    // labels only ever decrease, so Σ(cluster_id) is a strictly
-    // decreasing convergence witness — one tiny agg per round instead
-    // of a change-detection join.
-    var prevSum = Option.empty[Long]
+    // Convergence witness: labels only ever DECREASE, so a round that
+    // changes zero labels is the fixed point. The changed flag is
+    // computed as a column inside the round's own frame, so detection
+    // costs no extra join and works for ANY orderable id type (the old
+    // Σ(cluster_id) witness was numeric-only and needed one confirming
+    // extra round).
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -392,16 +409,22 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          coalesce(col("nbr_min") < col("cluster_id"), lit(false))
+            .as("__chg"))
         .cache()
       // sum() over zero rows is NULL (empty pair graph ⇒ empty labels) —
-      // treat as converged immediately rather than NPE on the null cell.
-      val sumRow = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id"))).first()
-      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      // treat as converged immediately.
+      val chgRow = next.agg(
+        org.apache.spark.sql.functions.sum(col("__chg").cast("long"))).first()
+      val nChanged = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0)
       labels.unpersist()
+      // keep `labels` = the CACHED frame itself (a .drop projection here
+      // would no longer match the cache entry, so round N+1's unpersist
+      // would leak round N's cache); __chg is pruned away by the next
+      // round's joins and dropped once at the end.
       labels = next
-      converged = prevSum.contains(sum)
-      prevSum = Some(sum)
+      converged = nChanged == 0L
       i += 1
     }
     edges.unpersist()
@@ -414,7 +437,7 @@ object Dedup {
         "near-dup chain); raise maxIters")
     // Hand back a lineage-free copy and drop the loop's cache: same
     // session-hygiene contract as materializeAndRelease in the pair ops.
-    materializeAndRelease(labels, labels)
+    materializeAndRelease(labels.drop("__chg"), labels)
   }
 
   /** Edit-distance near-dup pairs: candidates blocked by a text prefix

@@ -7,19 +7,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.DoubleType
 
-/** Scalable global running aggregates.
+/** Scalable global and few-hot-groups running aggregates.
   *
   * `Window.orderBy(...)` with no `partitionBy` is semantically what the
   * reference's path-2 frames mean (SURVEY.md §2.1 path 2), but Spark
   * executes it on a SINGLE partition — the documented 100 TB bottleneck
-  * (SURVEY.md §4.2). This is the classic two-pass fix:
+  * (SURVEY.md §4.2). Grouped running aggregates over a low-cardinality
+  * key hit the same wall: `Window.partitionBy(flag)` caps at G tasks.
+  * Both get the classic two-pass fix:
   *
   *   1. split the key space into P contiguous ranges and compute each
-  *      range's LOCAL running sum (an ordinary
-  *      `Window.partitionBy(pid).orderBy(keys)` — one hash shuffle);
-  *   2. aggregate one total per range (P tiny rows), exclusive
-  *      prefix-sum those (a window over P rows), and broadcast-join the
-  *      offsets back.
+  *      (group, range)'s LOCAL running sum (an ordinary
+  *      `Window.partitionBy(group, pid).orderBy(keys)` — one hash
+  *      shuffle, G×P-way parallel);
+  *   2. aggregate one total per (group, range) (G×P tiny rows),
+  *      exclusive prefix-sum per group, and broadcast-join the offsets
+  *      back.
   *
   * '''Partition id is DATA, not an execution artifact.''' Earlier
   * versions stamped `spark_partition_id()` after a `repartitionByRange`;
@@ -49,20 +52,28 @@ import org.apache.spark.sql.types.DoubleType
   * columns — the overwhelmingly common cumsum shape — always get the
   * deterministic path).
   *
-  * Cost: one keys-only sampling pass + one hash shuffle (pid) + one
-  * P-row broadcast — fully parallel at any scale. With a total order
-  * (callers include a tiebreaker, same contract as any deterministic
-  * window) the result equals the single-partition window exactly for
+  * Cost: one keys-only sampling pass + one hash shuffle (group, pid) +
+  * one G×P-row broadcast — fully parallel at any scale. With a total
+  * order (callers include a tiebreaker, same contract as any
+  * deterministic window) the result equals the plain window exactly for
   * integer-valued data and within float ulps otherwise (partitioned
   * summation reassociates the adds).
   */
 object GlobalWindow {
 
   private val PID = "__gw_pid__"
+  private val KEY = "__gw_key__"
   private val LOC = "__gw_loc__"
   private val CNT = "__gw_cnt__"
   private val OFF = "__gw_off__"
   private val OFFCNT = "__gw_offcnt__"
+
+  /** Range-split count ceiling: the pid when-tree materializes one node
+    * per split, so splits track shuffle partitions only up to a bound
+    * that keeps the expression tree small (a 2048-way prefix structure
+    * saturates any realistic cumsum; beyond it the tree itself becomes
+    * the cost). */
+  private val MaxSplits = 2048
 
   /** Global cumulative sum of `valueCol` (cast to double) in the total
     * order of `orderBy`, appended as `outCol`. */
@@ -70,42 +81,56 @@ object GlobalWindow {
       outCol: String, numPartitions: Int = 0): DataFrame =
     groupedCumSum(df, Nil, orderBy, valueCol, outCol, numPartitions)
 
-  /** Grouped running sum for FEW-HOT-GROUPS data — the other place the
-    * single-stream window bottleneck hides: `Window.partitionBy(flag)`
-    * over a 3-value flag runs the whole table through 3 tasks no matter
-    * the cluster size. Same two-pass trick, one level down: pid splits
-    * each group's rows into `parts` contiguous order-key ranges (global
-    * sampled bounds shared across groups), the local sweep partitions by
-    * (group, pid) — parallelism G×P instead of G — and the offsets
-    * prefix-sum runs per group over P tiny rows.
-    *
-    * Groups clustered inside a narrow slice of the GLOBAL key
-    * distribution degrade toward the plain window (their rows share few
-    * pids) — acceptable for the hot-group shape this targets, where
-    * every group spans the key domain. */
+  /** Grouped running sum for FEW-HOT-GROUPS data — parallelism G×P
+    * instead of the G-task cap of `Window.partitionBy(group)`. Groups
+    * clustered inside a narrow slice of the GLOBAL key distribution
+    * degrade toward the plain window (their rows share few pids) —
+    * acceptable for the hot-group shape this targets, where every group
+    * spans the key domain. */
   def groupedCumSum(df: DataFrame, by: Seq[String], orderBy: Seq[Column],
       valueCol: String, outCol: String, numPartitions: Int = 0): DataFrame = {
-    val parts =
+    val parts = math.min(MaxSplits,
       if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions)
     // Plain columns compose into a comparable struct whose ordering
     // (lexicographic, nulls-first) matches Window.orderBy's asc default;
     // SortOrder nodes (.desc/.asc wrappers) cannot, so they take the
     // legacy path.
     val plainKeys = orderBy.forall(c => !ColumnShim.isSortOrder(c))
-    if (plainKeys) contentPidCumSum(df, by, orderBy, valueCol, outCol, parts)
-    else legacyCumSum(df, by, orderBy, valueCol, outCol, parts)
+    val ranged =
+      if (plainKeys) {
+        // single-key fast path: compare the bare column — a struct per
+        // comparison costs an InternalRow allocation per row per tree
+        // level. Multi-key: hoist the struct into ONE projected column so
+        // the tree's O(parts) nodes reference it instead of re-building it.
+        if (orderBy.size == 1) {
+          val pid = rangePidExpr(df, orderBy.head, parts)
+          df.withColumn(PID, pid)
+        } else {
+          val keyed = df.withColumn(KEY, struct(orderBy: _*))
+          keyed.withColumn(PID, rangePidExpr(keyed, col(KEY), parts))
+            .drop(KEY)
+        }
+      } else {
+        // Legacy path for SortOrder keys: pid from spark_partition_id()
+        // after a range exchange. Best-effort — the sweep and offset
+        // branches each evaluate the range exchange independently, and
+        // consistency relies on range-bound sampling determinism
+        // (observed, not contractual). Kept only for `.desc`-style keys,
+        // which cannot form a comparable bound value.
+        df.repartitionByRange(parts, (by.map(col) ++ orderBy): _*)
+          .withColumn(PID, spark_partition_id())
+      }
+    sweepAndJoin(ranged, by, orderBy, valueCol, outCol)
   }
 
-  /** Deterministic path: pid = f(row content) via sampled split points. */
-  private def contentPidCumSum(df: DataFrame, by: Seq[String],
-      orderBy: Seq[Column], valueCol: String, outCol: String,
-      parts: Int): DataFrame = {
-    // single-key fast path: compare the bare column — a struct per
-    // comparison costs an InternalRow allocation per row per tree level
-    val keyStruct = if (orderBy.size == 1) orderBy.head else struct(orderBy: _*)
-    val pidExpr = rangePidExpr(df, keyStruct, parts)
-    val ranged = df.withColumn(PID, pidExpr)
+  /** The shared two-pass scaffold over a pid-stamped frame: local sweep,
+    * per-(group, pid) totals, per-group exclusive prefix, broadcast join
+    * back. Group keys join NULL-SAFELY (`<=>`): `Window.partitionBy`
+    * treats a NULL group as a real group, and a null-unsafe join would
+    * silently null out that whole group's output. */
+  private def sweepAndJoin(ranged: DataFrame, by: Seq[String],
+      orderBy: Seq[Column], valueCol: String, outCol: String): DataFrame = {
     val byCols = by.map(col)
 
     // Pass 1: per-(group, range) running sum + running non-null count.
@@ -121,33 +146,39 @@ object GlobalWindow {
     // Pass 2: one total per (group, pid) (map-side partial agg → G×P
     // rows), exclusive prefix-sum per group over its P rows (a window
     // over G×P tiny rows — that's the point of the rewrite), broadcast
-    // the offsets back. pid here is the SAME expression as in pass 1,
+    // the offsets back. pid is the SAME data/expression in both passes,
     // so the branches cannot disagree.
     val pw = Window.partitionBy(byCols: _*).orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val offBy = by.map(b => s"__gw_by_$b")
     val offsetDf = ranged.groupBy((byCols :+ col(PID)): _*)
       .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
         count(col(valueCol)).as("pcnt"))
       .withColumn(OFF, coalesce(sum(col("psum")).over(pw), lit(0.0)))
       .withColumn(OFFCNT, coalesce(sum(col("pcnt")).over(pw), lit(0L)))
-      .select((byCols ++ Seq(col(PID), col(OFF), col(OFFCNT))): _*)
+      .select((by.zip(offBy).map { case (b, o) => col(b).as(o) } ++
+        Seq(col(PID), col(OFF), col(OFFCNT))): _*)
 
-    swept.join(broadcast(offsetDf), by :+ PID, "left")
+    val joinCond = (by.zip(offBy).map { case (b, o) => col(b) <=> col(o) } :+
+      (swept(PID) === offsetDf(PID))).reduce(_ && _)
+    swept.join(broadcast(offsetDf), joinCond, "left")
       .withColumn(outCol, when(col(CNT) + col(OFFCNT) > 0,
         coalesce(col(LOC), lit(0.0)) + col(OFF)))
-      .drop(PID, LOC, CNT, OFF, OFFCNT)
+      .drop(offsetDf(PID))
+      .drop((offBy :+ PID) :+ LOC: _*)
+      .drop(CNT, OFF, OFFCNT)
   }
 
-  /** Compile `parts` range buckets over `keyStruct` into a pure
-    * expression: sample split points (content-hash-ordered top-S keeps
-    * the sample deterministic-ish and driver-bounded; any sample gives a
-    * CORRECT pid function, sampling quality only affects balance), then
-    * binary-search them with a when-tree — log2(parts) codegen'd struct
+  /** Compile `parts` range buckets over `key` into a pure expression:
+    * sample split points (content-hash-ordered top-S keeps the sample
+    * deterministic-ish and driver-bounded; any sample gives a CORRECT
+    * pid function, sampling quality only affects balance), then
+    * binary-search them with a when-tree — log2(parts) codegen'd
     * comparisons per row, no interpreted lambdas. */
-  private def rangePidExpr(df: DataFrame, keyStruct: Column,
+  private def rangePidExpr(df: DataFrame, key: Column,
       parts: Int): Column = {
     if (parts <= 1) return lit(0)
-    val keyed = df.select(keyStruct.as("k"))
+    val keyed = df.select(key.as("k"))
     val kType = keyed.schema("k").dataType
     val sampleSz = math.min(parts * 64, 262144)
     // TakeOrderedAndProject by key hash = a uniform-ish pseudo-random
@@ -178,41 +209,9 @@ object GlobalWindow {
       if (lo == hi) lit(lo)
       else {
         val mid = (lo + hi + 1) / 2
-        when(keyStruct >= bounds(mid - 1), search(mid, hi))
+        when(key >= bounds(mid - 1), search(mid, hi))
           .otherwise(search(lo, mid - 1))
       }
     search(0, bounds.length)
-  }
-
-  /** Legacy path for SortOrder keys: pid from `spark_partition_id()`
-    * after a range exchange. Best-effort — the sweep and offset branches
-    * each evaluate the range exchange independently, and consistency
-    * relies on range-bound sampling determinism (observed, not
-    * contractual). Kept only for `.desc`-style keys, which cannot form a
-    * comparable bound struct. */
-  private def legacyCumSum(df: DataFrame, by: Seq[String],
-      orderBy: Seq[Column], valueCol: String, outCol: String,
-      parts: Int): DataFrame = {
-    val byCols = by.map(col)
-    val ranged = df
-      .repartitionByRange(parts, (byCols ++ orderBy): _*)
-      .withColumn(PID, spark_partition_id())
-    val lw = Window.partitionBy((byCols :+ col(PID)): _*).orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = ranged
-      .withColumn(LOC, sum(col(valueCol).cast(DoubleType)).over(lw))
-      .withColumn(CNT, count(col(valueCol)).over(lw))
-    val pw = Window.partitionBy(byCols: _*).orderBy(col(PID))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsetDf = ranged.groupBy((byCols :+ col(PID)): _*)
-      .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
-        count(col(valueCol)).as("pcnt"))
-      .withColumn(OFF, coalesce(sum(col("psum")).over(pw), lit(0.0)))
-      .withColumn(OFFCNT, coalesce(sum(col("pcnt")).over(pw), lit(0L)))
-      .select((byCols ++ Seq(col(PID), col(OFF), col(OFFCNT))): _*)
-    swept.join(broadcast(offsetDf), by :+ PID, "left")
-      .withColumn(outCol, when(col(CNT) + col(OFFCNT) > 0,
-        coalesce(col(LOC), lit(0.0)) + col(OFF)))
-      .drop(PID, LOC, CNT, OFF, OFFCNT)
   }
 }

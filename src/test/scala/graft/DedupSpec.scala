@@ -93,6 +93,21 @@ class DedupSpec extends AnyFunSuite {
     assert(duplicateClusters(empty).collect().isEmpty)
   }
 
+  test("duplicateClusters: output schema is strategy-independent") {
+    // int ids: union-find must cast back (not widen to long); string ids
+    // must route to the distributed path instead of null-casting
+    val intPairs = Seq((1, 2), (2, 3)).toDF("doc_a", "doc_b")
+    val small = duplicateClusters(intPairs)
+    val large = duplicateClusters(intPairs, driverEdgeLimit = 0)
+    assert(small.schema == large.schema)
+    assert(small.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
+      large.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap)
+    val strPairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val got = duplicateClusters(strPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("duplicateClusters: distributed path (driverEdgeLimit=0) agrees") {
     // force the label-propagation strategy and check it matches union-find
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 4L))

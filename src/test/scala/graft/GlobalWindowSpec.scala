@@ -76,6 +76,19 @@ class GlobalWindowSpec extends AnyFunSuite {
     scaled.foreach { case (k, v) => assert(v == single(k), s"key $k") }
   }
 
+  test("NULL group key is a real group (null-safe offsets join)") {
+    // Window.partitionBy treats a NULL group as a group; a null-unsafe
+    // offsets join would silently null the whole group's output.
+    val df = Seq((Option.empty[String], 1L, 2.0),
+        (Option.empty[String], 2L, 3.0), (Some("a"), 1L, 5.0))
+      .toDF("flag", "k", "v")
+    val out = GlobalWindow.groupedCumSum(df, Seq("flag"), Seq($"k"),
+        "v", "cs", numPartitions = 4)
+      .orderBy($"flag".asc_nulls_first, $"k")
+      .select("cs").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(2.0, 5.0, 5.0))
+  }
+
   test("plain keys: pid is content-derived (no spark_partition_id), no leaks") {
     val out = GlobalWindow.cumSum(orders, Seq($"o_orderkey"),
       "o_totalprice", "cs", numPartitions = 8)

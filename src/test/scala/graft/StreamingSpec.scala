@@ -78,13 +78,14 @@ class StreamingSpec extends AnyFunSuite {
       (t("2026-01-01 00:59:59"), 1L, 4.0),  // EXACTLY prev+gap → MERGES
       (t("2026-01-01 01:30:00"), 1L, 8.0),  // 30:01 after prev → NEW
       (t("2026-01-01 00:00:00"), 2L, 16.0))
-    ms.addData(rows: _*)
-    q.processAllAvailable()
-    val streamed = spark.sql(
-        "SELECT user_id, start, n, sum_v FROM sessnative ORDER BY 1, 2")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
-        r.getLong(2), r.getDouble(3))).toSeq
-    q.stop()
+    val streamed = try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      spark.sql(
+          "SELECT user_id, start, n, sum_v FROM sessnative ORDER BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSeq
+    } finally q.stop()
     val batch = rows.toDF("ts", "user_id", "value")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
