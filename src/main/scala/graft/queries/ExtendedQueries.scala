@@ -290,6 +290,33 @@ object ExtendedQueries {
           .as("hll_parts"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx_p50"))
     }),
+    "array_funcs" -> ((s, dir) => {
+      // array scalar family: construction (sequence), slice, reverse,
+      // distinct-union set algebra, membership/position, and the
+      // higher-order transform/filter/aggregate trio — each with an
+      // exact DuckDB list-function twin
+      val arr = sequence(lit(1L), pmod(col("o_orderkey"), lit(6)) + 1)
+      t(s, dir, "orders").select(col("o_orderkey"),
+        size(arr).cast("long").as("n"),
+        element_at(arr, -1).as("last_el"),
+        array_join(slice(arr, 1, 3), "-").as("head3"),
+        array_join(reverse(arr), "-").as("rev"),
+        array_contains(arr, 3L).as("has3"),
+        array_position(arr, 2L).as("pos2"),
+        array_join(array_intersect(arr, array(lit(2L), lit(4L), lit(6L))),
+          "-").as("evens"),
+        array_join(transform(arr, x => x * 10), "-").as("x10"),
+        array_join(filter(arr, x => x % 2 === 1), "-").as("odds"),
+        aggregate(arr, lit(0L), (acc, x) => acc + x).as("tot"))
+    }),
+    "agg_bitwise" -> ((s, dir) => {
+      // bitwise aggregate family over per-group key bits
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(bit_and(col("l_linenumber")).cast("long").as("and_ln"),
+          bit_or(col("l_linenumber")).cast("long").as("or_ln"),
+          bit_xor(col("l_linenumber")).cast("long").as("xor_ln"),
+          count(lit(1)).as("n"))
+    }),
     "map_struct_funcs" -> ((s, dir) => {
       // map/struct scalar family: construction, lookup, keys, size, field
       // extraction. The oracle pins the expected VALUES (DuckDB's MAP
@@ -458,6 +485,30 @@ object ExtendedQueries {
          round(1e-9 + sum(o_totalprice), 4) AS total, count(*) AS n
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "array_funcs" ->
+      """WITH a AS (SELECT o_orderkey,
+           range(1, (o_orderkey % 6) + 2) AS arr FROM orders)
+         SELECT o_orderkey,
+           length(arr) AS n,
+           arr[-1] AS last_el,
+           array_to_string(arr[1:3], '-') AS head3,
+           array_to_string(list_reverse(arr), '-') AS rev,
+           list_contains(arr, 3) AS has3,
+           CAST(coalesce(list_position(arr, 2), 0) AS BIGINT) AS pos2,
+           coalesce(array_to_string(list_filter(arr,
+             x -> list_contains([2, 4, 6], x)), '-'), '') AS evens,
+           array_to_string(list_transform(arr, x -> x * 10), '-') AS x10,
+           array_to_string(list_filter(arr, x -> x % 2 = 1), '-') AS odds,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+             (acc, x) -> acc + x) AS tot
+         FROM a""",
+    "agg_bitwise" ->
+      """SELECT l_returnflag,
+         CAST(bit_and(l_linenumber) AS BIGINT) AS and_ln,
+         CAST(bit_or(l_linenumber) AS BIGINT) AS or_ln,
+         CAST(bit_xor(l_linenumber) AS BIGINT) AS xor_ln,
+         count(*) AS n
+         FROM lineitem GROUP BY 1""",
     "map_struct_funcs" ->
       """SELECT o_orderkey, o_orderpriority AS m_pri,
          CAST(2 AS BIGINT) AS m_sz, 'pri,st' AS m_keys,
