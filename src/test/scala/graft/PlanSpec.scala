@@ -105,6 +105,34 @@ class PlanSpec extends AnyFunSuite {
       "partition predicate evaluated per-row instead of pruning")
   }
 
+  test("IVF buckets as physical partitions: a probe prunes to its clusters") {
+    // The 100 TB similarity-search path (Similarity.ivfAssign scaladoc):
+    // write the corpus partitioned by IVF cluster; an nProbe query then
+    // reads ONLY its probed clusters' subtrees via partition pruning —
+    // the scan must carry the cluster PartitionFilters, not a row filter.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter($"vec_id" < 4)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1)
+    val path = "/tmp/graft_plan_spec/ivf_part"
+    graft.operators.Similarity.ivfAssign(emb, cents)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val probed = spark.read.parquet(path)
+      .filter($"cluster".isin(0L, 2L))
+      .select("vec_id", "embedding")
+    val f = formatted(probed)
+    val pf = f.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cluster") && pf.toUpperCase.contains("IN (0,2"),
+      s"probe not partition-pruned: $pf\n$f")
+    // and the cluster predicate is NOT evaluated per data row (it exists
+    // only as the scan's partition filter — a residual row Filter would
+    // mean pruning didn't happen)
+    assert(!plan(probed).contains("Filter (cluster"),
+      "cluster predicate evaluated per-row instead of pruning")
+    assert(probed.count() > 0)
+  }
+
   test("time-window aggs are hash aggs over (key, window) — no WindowExec") {
     // Tumbling/session windows must compile to TimeWindow projections +
     // hash aggregation (streaming-transferable), not analytic windows.
