@@ -239,6 +239,22 @@ object SparkEntry {
           tolerance = Some(lit(3L)), matchedTimeCol = "prev_day")
         .select(col("event_id"), col("prev_day"), col("prev_mean"))
     }),
+    "window_range_months" -> ((s, dir) => {
+      // CALENDAR-month Period frame ([add_months(d,-1), d] per user) —
+      // the reference accepts months(k) Periods, whose per-row clamped
+      // widths rangeBetween cannot express. operators/CalendarWindow
+      // renders it as prefix sums + a strict backward as-of at each
+      // row's boundary (O(n log n)), not a quadratic range self-join;
+      // the oracle IS the quadratic self-join, so the rewrite must be
+      // value-identical.
+      graft.operators.CalendarWindow.trailingMonths(
+          events(s, dir).select(col("event_id"), col("user_id"),
+            col("value"), tsDate.as("d")),
+          by = Seq("user_id"), index = col("d"),
+          valueCol = "value", months = 1)
+        .select(col("event_id"), col("win_cnt"),
+          r4(col("win_avg")).as("win_avg"))
+    }),
     "window_complete_range" -> ((s, dir) => {
       // `.complete = TRUE` over a RANGE (Period) frame: the window is
       // complete iff its VALUE span [day-3, day] lies inside the
@@ -379,6 +395,14 @@ object SparkEntry {
            CASE WHEN day - md <= 3 THEN md END AS prev_day,
            CASE WHEN day - md <= 3 THEN pm END AS prev_mean
          FROM j""",
+    "window_range_months" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
+           FROM events)
+         SELECT a.event_id, count(b.value) AS win_cnt,
+           round(1e-9 + avg(b.value), 4) AS win_avg
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) AND a.d
+         GROUP BY 1""",
     "window_complete_range" ->
       """WITH e AS (SELECT event_id, user_id, value,
            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
