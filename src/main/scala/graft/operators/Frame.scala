@@ -55,4 +55,13 @@ object Frame {
   /** Second-granularity Period frame. */
   def seconds(before: Long, after: Long): Frame =
     Frame(Seconds(before), Seconds(after))
+  /** Month Periods (`c(months(k), ...)`) have per-row clamped widths that
+    * no constant-offset range frame can express — use
+    * [[CalendarWindow.trailingMonths]], which renders them as prefix sums
+    * + an as-of boundary lookup. This stub exists so the API surface
+    * documents the routing instead of silently lacking the unit. */
+  def months(before: Long, after: Long): Frame =
+    throw new UnsupportedOperationException(
+      "month Period frames are calendar-width (per-row clamped bounds); " +
+        "use CalendarWindow.trailingMonths(df, by, index, valueCol, months)")
 }
