@@ -223,10 +223,13 @@ object Similarity {
     xNorm - lit(2.0) * dot(xSub, typedLit(cent._1)) + lit(cent._2)
 
   /** Append `codes` (array<int>): per subspace, the index of the nearest
-    * codebook centroid (L2², ties → lowest index via struct-least). The
-    * 64-dim float vector compresses to m ints — at 100 TB the encoded
-    * corpus is ~16× smaller than the raw embeddings and is the ONLY thing
-    * the ADC scan reads. Pure narrow map, stays in codegen. */
+    * codebook centroid (L2², ties → lowest index via struct-least; a
+    * least-over-doubles + when-chain variant was tried and measured 7x
+    * SLOWER — each distance expression appears twice and the duplicated
+    * VecDot trees blow the whole-stage method budget). The 64-dim float
+    * vector compresses to m ints — at 100 TB the encoded corpus is ~16×
+    * smaller than the raw embeddings and is the ONLY thing the ADC scan
+    * reads. Pure narrow map, stays in codegen. */
   def pqEncode(vecs: DataFrame, books: PqCodebooks,
       vecCol: String = "embedding"): DataFrame = {
     val withCodes = (0 until books.m).foldLeft(vecs) { (df, s) =>
