@@ -46,6 +46,19 @@ object ScaleProbe {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       sink(df.withColumn("cs", sum(col("v")).over(w)))
     }
+
+    // calendar-month trailing window: 10M events, 100k users, ~1 year
+    val ev = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(100000)).as("user_id"),
+        date_add(lit(java.sql.Date.valueOf("2025-01-01")),
+          pmod(xxhash64(col("id"), lit(1)), lit(365)).cast("int")).as("dt"),
+        (col("id") % 97).cast("double").as("v"))
+      .repartition(32)
+    sink(ev)
+    time("trailingMonths 10M evts (prefix+asof)") {
+      sink(graft.operators.CalendarWindow.trailingMonths(ev,
+        Seq("user_id"), col("dt"), "v", months = 1))
+    }
     spark.stop()
   }
 }
