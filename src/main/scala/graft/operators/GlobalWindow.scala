@@ -77,6 +77,18 @@ object GlobalWindow {
 
   /** Global cumulative sum of `valueCol` (cast to double) in the total
     * order of `orderBy`, appended as `outCol`. */
+  /** The prefix-decomposable running aggregates: local per-range result
+    * ⊕ an offset folded from whole preceding ranges. Sum/Count/Min/Max
+    * are the associative kernels; Avg rides on Sum+Count. */
+  sealed trait RunningAgg
+  object RunningAgg {
+    case object Sum extends RunningAgg
+    case object Count extends RunningAgg
+    case object Min extends RunningAgg
+    case object Max extends RunningAgg
+    case object Avg extends RunningAgg
+  }
+
   def cumSum(df: DataFrame, orderBy: Seq[Column], valueCol: String,
       outCol: String, numPartitions: Int = 0): DataFrame =
     groupedCumSum(df, Nil, orderBy, valueCol, outCol, numPartitions)
@@ -88,7 +100,18 @@ object GlobalWindow {
     * acceptable for the hot-group shape this targets, where every group
     * spans the key domain. */
   def groupedCumSum(df: DataFrame, by: Seq[String], orderBy: Seq[Column],
-      valueCol: String, outCol: String, numPartitions: Int = 0): DataFrame = {
+      valueCol: String, outCol: String, numPartitions: Int = 0): DataFrame =
+    groupedCumAgg(df, by, orderBy, valueCol, outCol, RunningAgg.Sum,
+      numPartitions)
+
+  /** Generalized scalable running aggregate (sum/count/min/max/avg) —
+    * any aggregate whose global running value decomposes into a local
+    * per-range running value combined with a fold of whole preceding
+    * ranges. Same plan shape for every kind: pid stamp, one hash
+    * shuffle, G×P offset rows, broadcast join. */
+  def groupedCumAgg(df: DataFrame, by: Seq[String], orderBy: Seq[Column],
+      valueCol: String, outCol: String, agg: RunningAgg,
+      numPartitions: Int = 0): DataFrame = {
     val parts = math.min(MaxSplits,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -121,7 +144,7 @@ object GlobalWindow {
         df.repartitionByRange(parts, (by.map(col) ++ orderBy): _*)
           .withColumn(PID, spark_partition_id())
       }
-    sweepAndJoin(ranged, by, orderBy, valueCol, outCol)
+    sweepAndJoin(ranged, by, orderBy, valueCol, outCol, agg)
   }
 
   /** The shared two-pass scaffold over a pid-stamped frame: local sweep,
@@ -130,43 +153,76 @@ object GlobalWindow {
     * treats a NULL group as a real group, and a null-unsafe join would
     * silently null out that whole group's output. */
   private def sweepAndJoin(ranged: DataFrame, by: Seq[String],
-      orderBy: Seq[Column], valueCol: String, outCol: String): DataFrame = {
+      orderBy: Seq[Column], valueCol: String, outCol: String,
+      agg: RunningAgg): DataFrame = {
+    import RunningAgg._
     val byCols = by.map(col)
+    val v = () => col(valueCol)
+    val SUM = "__gw_psum__"; val MIN = "__gw_pmin__"; val MAX = "__gw_pmax__"
+    val OFFMIN = "__gw_offmin__"; val OFFMAX = "__gw_offmax__"
 
-    // Pass 1: per-(group, range) running sum + running non-null count.
-    // The count distinguishes "sum is 0" from "no values seen yet" — a
-    // window sum is NULL until the first non-null value; this operator
-    // matches that.
+    // Pass 1: per-(group, range) running partials. The running non-null
+    // count is always computed: it distinguishes "sum is 0" from "no
+    // values seen yet" (a window agg is NULL until the first non-null
+    // value; count itself is the one aggregate that starts at 0).
     val lw = Window.partitionBy((byCols :+ col(PID)): _*).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = ranged
-      .withColumn(LOC, sum(col(valueCol).cast(DoubleType)).over(lw))
-      .withColumn(CNT, count(col(valueCol)).over(lw))
+    val needSum = agg == Sum || agg == Avg
+    val needMin = agg == Min
+    val needMax = agg == Max
+    var swept = ranged.withColumn(CNT, count(v()).over(lw))
+    if (needSum) swept =
+      swept.withColumn(LOC, sum(v().cast(DoubleType)).over(lw))
+    if (needMin) swept = swept.withColumn(LOC, min(v()).over(lw))
+    if (needMax) swept = swept.withColumn(LOC, max(v()).over(lw))
 
     // Pass 2: one total per (group, pid) (map-side partial agg → G×P
-    // rows), exclusive prefix-sum per group over its P rows (a window
+    // rows), exclusive prefix-fold per group over its P rows (a window
     // over G×P tiny rows — that's the point of the rewrite), broadcast
     // the offsets back. pid is the SAME data/expression in both passes,
     // so the branches cannot disagree.
     val pw = Window.partitionBy(byCols: _*).orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offBy = by.map(b => s"__gw_by_$b")
-    val offsetDf = ranged.groupBy((byCols :+ col(PID)): _*)
-      .agg(coalesce(sum(col(valueCol).cast(DoubleType)), lit(0.0)).as("psum"),
-        count(col(valueCol)).as("pcnt"))
-      .withColumn(OFF, coalesce(sum(col("psum")).over(pw), lit(0.0)))
+    val partials = Seq(count(v()).as("pcnt")) ++
+      (if (needSum) Seq(coalesce(sum(v().cast(DoubleType)), lit(0.0)).as(SUM))
+       else Nil) ++
+      (if (needMin) Seq(min(v()).as(MIN)) else Nil) ++
+      (if (needMax) Seq(max(v()).as(MAX)) else Nil)
+    var offsetDf = ranged.groupBy((byCols :+ col(PID)): _*)
+      .agg(partials.head, partials.tail: _*)
       .withColumn(OFFCNT, coalesce(sum(col("pcnt")).over(pw), lit(0L)))
-      .select((by.zip(offBy).map { case (b, o) => col(b).as(o) } ++
-        Seq(col(PID), col(OFF), col(OFFCNT))): _*)
+    if (needSum) offsetDf =
+      offsetDf.withColumn(OFF, coalesce(sum(col(SUM)).over(pw), lit(0.0)))
+    if (needMin) offsetDf = offsetDf.withColumn(OFFMIN, min(col(MIN)).over(pw))
+    if (needMax) offsetDf = offsetDf.withColumn(OFFMAX, max(col(MAX)).over(pw))
+    val offOut = Seq(col(PID), col(OFFCNT)) ++
+      (if (needSum) Seq(col(OFF)) else Nil) ++
+      (if (needMin) Seq(col(OFFMIN)) else Nil) ++
+      (if (needMax) Seq(col(OFFMAX)) else Nil)
+    offsetDf = offsetDf.select(
+      (by.zip(offBy).map { case (b, o) => col(b).as(o) } ++ offOut): _*)
 
+    // Combine: local ⊕ offset. least/greatest skip NULLs, which is
+    // exactly "no values yet on that side"; the count gate preserves the
+    // NULL-until-first-value window contract for everything except
+    // Count, which genuinely starts at 0.
+    val combined: Column = agg match {
+      case Sum   => when(col(CNT) + col(OFFCNT) > 0,
+        coalesce(col(LOC), lit(0.0)) + col(OFF))
+      case Avg   => when(col(CNT) + col(OFFCNT) > 0,
+        (coalesce(col(LOC), lit(0.0)) + col(OFF)) / (col(CNT) + col(OFFCNT)))
+      case Count => col(CNT) + col(OFFCNT)
+      case Min   => least(col(LOC), col(OFFMIN))
+      case Max   => greatest(col(LOC), col(OFFMAX))
+    }
     val joinCond = (by.zip(offBy).map { case (b, o) => col(b) <=> col(o) } :+
       (swept(PID) === offsetDf(PID))).reduce(_ && _)
     swept.join(broadcast(offsetDf), joinCond, "left")
-      .withColumn(outCol, when(col(CNT) + col(OFFCNT) > 0,
-        coalesce(col(LOC), lit(0.0)) + col(OFF)))
+      .withColumn(outCol, combined)
       .drop(offsetDf(PID))
       .drop((offBy :+ PID) :+ LOC: _*)
-      .drop(CNT, OFF, OFFCNT)
+      .drop(CNT, OFF, OFFCNT, SUM, MIN, MAX, OFFMIN, OFFMAX)
   }
 
   /** Compile `parts` range buckets over `key` into a pure expression:

@@ -235,6 +235,20 @@ object ExtendedQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("cum_qty"))
     }),
+    "order_global_cummax" -> ((s, dir) => {
+      // running MAX via the generalized two-pass algebra: local per-range
+      // running max ⊕ greatest of whole preceding ranges — same plan
+      // shape as the cumsum rewrite, exact (max is order-insensitive, no
+      // float reassociation caveat)
+      graft.operators.GlobalWindow.groupedCumAgg(
+          t(s, dir, "lineitem"), by = Nil,
+          orderBy = Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          valueCol = "l_extendedprice", outCol = "run_max",
+          agg = graft.operators.GlobalWindow.RunningAgg.Max)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("run_max"))
+    }),
     "order_cumsum_scaled" -> ((s, dir) => {
       // GROUPED running sum for FEW-HOT-GROUPS data: order_cumsum's
       // semantics (cumulative qty per l_returnflag) but parallelism
@@ -466,6 +480,12 @@ object ExtendedQueries {
            l_partkey, l_suppkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS cum_qty
+         FROM lineitem""",
+    "order_global_cummax" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         max(l_extendedprice) OVER (ORDER BY l_orderkey, l_linenumber,
+           l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
          FROM lineitem""",
     "order_cumsum_scaled" ->
       """SELECT l_orderkey, l_linenumber,

@@ -76,6 +76,34 @@ class GlobalWindowSpec extends AnyFunSuite {
     scaled.foreach { case (k, v) => assert(v == single(k), s"key $k") }
   }
 
+  test("groupedCumAgg: min/max/count/avg match the plain window") {
+    import graft.operators.GlobalWindow.RunningAgg
+    val df = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(2.0)),
+        (1L, 4L, Some(7.0)), (2L, 1L, None), (2L, 2L, Some(3.0)))
+      .toDF("g", "k", "v")
+    val w = Window.partitionBy($"g").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.select($"g", $"k",
+        min($"v").over(w).as("mn"), max($"v").over(w).as("mx"),
+        count($"v").over(w).as("ct"), avg($"v").over(w).as("av"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    def run(a: RunningAgg, out: String) =
+      graft.operators.GlobalWindow.groupedCumAgg(df, Seq("g"), Seq($"k"),
+        "v", out, a, numPartitions = 3)
+    val mn = run(RunningAgg.Min, "o").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(3)).toMap
+    val mx = run(RunningAgg.Max, "o").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(3)).toMap
+    val ct = run(RunningAgg.Count, "o").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(3)).toMap
+    val av = run(RunningAgg.Avg, "o").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(3)).toMap
+    expect.foreach { case (key, Seq(emn, emx, ect, eav)) =>
+      assert(mn(key) == emn, s"min $key"); assert(mx(key) == emx, s"max $key")
+      assert(ct(key) == ect, s"count $key"); assert(av(key) == eav, s"avg $key")
+    }
+  }
+
   test("NULL group key is a real group (null-safe offsets join)") {
     // Window.partitionBy treats a NULL group as a group; a null-unsafe
     // offsets join would silently null the whole group's output.
