@@ -37,6 +37,40 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(got(4L) == ((3L, 14.0)))
   }
 
+  test("property: random gapped dates across 1-3 users equal brute force") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(0, 30)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 2L)
+        // days around year boundaries and month-length variety
+        off <- Gen.choose(0, 430)
+        v <- Gen.choose(-4, 9).map(_.toDouble)
+      } yield (u, java.time.LocalDate.of(2023, 12, 15).plusDays(off), v))
+      m <- Gen.choose(0, 3)
+    } yield (rows, m)
+    val prop = forAll(gen) { case (rows, m) =>
+      val df = rows.zipWithIndex.map { case ((u, day, v), i) =>
+        (i.toLong, u, java.sql.Date.valueOf(day), v)
+      }.toDF("event_id", "user_id", "dt", "value")
+      val got = CalendarWindow.trailingMonths(df, Seq("user_id"),
+          col("dt"), "value", months = m)
+        .select($"event_id", $"win_cnt", $"win_sum").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = rows.zipWithIndex.map { case ((u, day, _), i) =>
+        val lo = day.minusMonths(m)
+        val inWin = rows.filter { case (u2, b, _) =>
+          u2 == u && !b.isBefore(lo) && !b.isAfter(day) }
+        i.toLong -> ((inWin.size.toLong, inWin.map(_._3).sum))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("plan: no range self-join — as-of sweep + prefix windows only") {
     val rows = Seq((1L, d("2023-01-01"), 1.0))
       .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
