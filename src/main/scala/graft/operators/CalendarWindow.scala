@@ -43,6 +43,13 @@ object CalendarWindow {
     val DAY = "__cw_day__"
     val LO = "__cw_lo__"
     val byCols = by.map(col)
+    // same contract as AsofJoin: colliding output names would survive as
+    // duplicate columns and make every downstream select ambiguous
+    val outCols = Seq(s"${out}_sum", s"${out}_cnt", s"${out}_avg", DAY)
+    val collisions = outCols.toSet.intersect(df.columns.toSet)
+    require(collisions.isEmpty,
+      s"output columns ${collisions.mkString(", ")} already exist on the " +
+        "input — pass a different `out` prefix")
 
     val keyed = df.withColumn(DAY, index)
     // 1. per-(group, day) partials, then per-group running prefix
@@ -64,10 +71,19 @@ object CalendarWindow {
       valueCols = Seq("__cs", "__cc"), strict = true,
       matchedTimeCol = "__mt")
 
-    // 3. prefix difference, joined back to every input row by (group, day)
-    val winCols = matched
-      .join(cum.select((byCols ++ Seq(col(DAY), col("__cs").as("__cse"),
-        col("__cc").as("__cce"))): _*), by :+ DAY)
+    // 3. prefix difference, joined back to every input row by (group, day).
+    // Both joins below are NULL-SAFE (<=>): Window/groupBy upstream treat
+    // a NULL group or NULL index day as real groups, and a null-unsafe
+    // equi-join would silently DROP those rows (GlobalWindow.sweepAndJoin
+    // uses <=> for the same reason).
+    val mn = (by :+ DAY).map(c => s"__cw_m_$c")
+    val matchedR = matched.toDF(matched.columns.map(c =>
+      if ((by :+ DAY).contains(c)) s"__cw_m_$c" else c): _*)
+    val mCond = (by :+ DAY).zip(mn)
+      .map { case (l, r) => col(l) <=> col(r) }.reduce(_ && _)
+    val winCols = cum.select((byCols ++ Seq(col(DAY), col("__cs").as("__cse"),
+        col("__cc").as("__cce"))): _*)
+      .join(matchedR, mCond).drop(mn: _*)
       .select((byCols ++ Seq(col(DAY),
         (col("__cse") - coalesce(col("__cs"), lit(0.0).cast(
           df.schema(valueCol).dataType))).as("__rawsum"),
@@ -81,6 +97,16 @@ object CalendarWindow {
           col("__rawsum").cast("double") / col(s"${out}_cnt")))
       .drop("__rawsum")
 
-    keyed.join(winCols, by :+ DAY).drop(DAY)
+    // NULL-SAFE join-back: Window/groupBy upstream treat a NULL group or
+    // NULL index day as real groups, and a null-unsafe equi-join would
+    // silently DROP those rows from the output (GlobalWindow.sweepAndJoin
+    // uses <=> for the same reason).
+    val rn = (by :+ DAY).map(c => s"__cw_r_$c")
+    val winR = winCols.toDF(
+      winCols.columns.map(c =>
+        if ((by :+ DAY).contains(c)) s"__cw_r_$c" else c): _*)
+    val cond = (by :+ DAY).zip(rn)
+      .map { case (l, r) => col(l) <=> col(r) }.reduce(_ && _)
+    keyed.join(winR, cond).drop(rn: _*).drop(DAY)
   }
 }

@@ -40,22 +40,48 @@ object Decontam {
     // standard bloom sizing: bits = -items * ln(fpp) / ln(2)^2
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate silently CLAMPS its arguments to the
+    // runtime-filter conf caps; a clamped sketch would deliver a far
+    // worse fpp than requested with no sign anything degraded — fail
+    // loudly and point at the confs instead.
+    val conf = bench.sparkSession.sessionState.conf
+    val maxItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (items=$expectedItems, bits=$numBits) exceeds the " +
+        s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits) and " +
+        "would be silently clamped to a worse fpp — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits} " +
+        "or lower expectedItems/fpp")
     val gram = explode(Dedup.shingleHashes(col(textCol), n)).as("g")
     val agg = ColumnShim.column(new BloomFilterAggregate(
         ColumnShim.expression(col("g")),
         Literal(expectedItems), Literal(numBits))
       .toAggregateExpression())
     val row = bench.select(gram).select(agg.as("bf")).head()
+    // an aggregate over ZERO grams yields NULL; probing with a null
+    // sketch would make might_contain NULL for every row and the drop
+    // filter would then remove the ENTIRE corpus silently
+    require(!row.isNullAt(0),
+      "benchmark produced no n-grams (empty frame, null text, or every " +
+        s"doc shorter than n=$n tokens) — refusing to build a null sketch")
     row.getAs[Array[Byte]](0)
   }
 
   /** Probe column: TRUE when any n-gram of `textCol` might be in the
     * sketch. Narrow (no shuffle, no join): `exists` over the gram array
-    * against a literal sketch. */
+    * against a literal sketch. NULL text coalesces to FALSE — a doc with
+    * no grams cannot share an n-gram with the suite, so it must be KEPT
+    * (a bare `exists` would be NULL there, and `filter(!NULL)` would
+    * silently drop every null-text doc). */
   def mightOverlap(textCol: Column, bloom: Array[Byte], n: Int = 5): Column =
-    exists(Dedup.shingleHashes(textCol, n), g =>
-      ColumnShim.column(BloomFilterMightContain(
-        Literal(bloom, BinaryType), ColumnShim.expression(g))))
+    coalesce(
+      exists(Dedup.shingleHashes(textCol, n), g =>
+        ColumnShim.column(BloomFilterMightContain(
+          Literal(bloom, BinaryType), ColumnShim.expression(g)))),
+      lit(false))
 
   /** Drop every corpus doc that might share an n-gram with the suite —
     * guaranteed to drop all truly-contaminated docs (no false

@@ -317,42 +317,54 @@ object Dedup {
     * restricted to docs that appear in at least one pair.
     *
     * NOTE: unlike the pair operators, this one is EAGER by nature — both
-    * strategies must run jobs (a count + either a bounded collect or the
+    * strategies must run jobs (a bounded early-out collect or the
     * propagation loop), and the result is returned as a materialized
     * frame. Callers composing a 100 TB pipeline should treat it as a
     * pipeline breaker. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
       driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(driverEdgeLimit < Int.MaxValue,
+      "driverEdgeLimit must stay below Int.MaxValue (bounded collect)")
     val dedup = pairs.select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .localCheckpoint(true) // pair pipeline runs ONCE; both the count
-                             // and the chosen strategy reuse it
     // The union-find path is integral-id only: ids round-trip through
-    // Long and the result is cast back to the input type, so the chosen
-    // strategy never changes the output schema. Other id types (string
-    // fingerprints, …) always take the distributed path — a silent
-    // cast-to-long would null them out.
-    val integral = {
-      import org.apache.spark.sql.types._
-      Seq("doc_a", "doc_b").forall(c => dedup.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      })
+    // Long and the result is cast back to the WIDER of the two input id
+    // types — the same type the distributed path's struct coercion
+    // produces — so the chosen strategy never changes the output schema.
+    // Other id types (string fingerprints, …) always take the
+    // distributed path — a silent cast-to-long would null them out.
+    import org.apache.spark.sql.types._
+    def width(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4
+      case _ => -1
     }
-    if (integral && dedup.count() <= driverEdgeLimit)
-      unionFindClusters(dedup)
-    else propagateClusters(dedup, maxIters)
+    val widths = Seq("doc_a", "doc_b").map(c => width(dedup.schema(c).dataType))
+    if (widths.forall(_ > 0)) {
+      // single bounded action with an early-out: limit+collect stops as
+      // soon as the cap is exceeded (CollectLimit), no checkpoint pinned
+      // in executor storage and no separate count job. The oversized
+      // case re-runs the pair pipeline once for the distributed loop —
+      // the rare branch, and the loop caches its own edge list.
+      val idType = dedup.schema(
+        if (widths(0) >= widths(1)) "doc_a" else "doc_b").dataType
+      val head = dedup
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .limit(driverEdgeLimit.toInt + 1).collect()
+      if (head.length <= driverEdgeLimit)
+        return unionFindClusters(dedup.sparkSession,
+          head.map(r => (r.getLong(0), r.getLong(1))), idType)
+    }
+    propagateClusters(dedup, maxIters)
   }
 
   /** Small-graph path: driver union-find (path compression + union by
-    * min-id root). The collect is bounded by duplicateClusters'
-    * driverEdgeLimit — the broadcast-join contract. */
-  private def unionFindClusters(edgesDf: DataFrame): DataFrame = {
-    val spark = edgesDf.sparkSession
+    * min-id root) over a bounded collected edge list — the
+    * broadcast-join contract. */
+  private def unionFindClusters(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import spark.implicits._
-    val idType = edgesDf.schema("doc_a").dataType
-    val edges = edgesDf.select(col("doc_a").cast("long"),
-      col("doc_b").cast("long")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var root = x
@@ -381,8 +393,8 @@ object Dedup {
   /** Large-graph path: distributed hash-min label propagation. */
   private def propagateClusters(dedup: DataFrame, maxIters: Int): DataFrame = {
     // undirected edge list, both directions — explode instead of a
-    // self-union (input is already checkpointed by the caller), cached
-    // so the iteration reuses materialized edges
+    // self-union so the pair pipeline above runs once per cache fill,
+    // cached so the iteration reuses materialized edges
     val edges = dedup.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))

@@ -71,6 +71,30 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("NULL group keys are real groups (null-safe join-back, no row loss)") {
+    val rows = Seq(
+      (1L, Option(7L), d("2023-01-01"), 1.0),
+      (2L, Option(7L), d("2023-01-10"), 2.0),
+      (3L, Option.empty[Long], d("2023-01-01"), 4.0),
+      (4L, Option.empty[Long], d("2023-01-20"), 8.0))
+      .toDF("event_id", "user_id", "dt", "value")
+    val got = CalendarWindow.trailingMonths(rows, Seq("user_id"),
+        col("dt"), "value", months = 1)
+      .select($"event_id", $"win_sum").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 4.0, 4L -> 12.0))
+  }
+
+  test("colliding output names are rejected, not silently duplicated") {
+    val rows = Seq((1L, d("2023-01-01"), 1.0, 9.9))
+      .toDF("event_id", "dt", "value", "win_sum")
+      .withColumn("user_id", lit(1L))
+    intercept[IllegalArgumentException] {
+      CalendarWindow.trailingMonths(rows, Seq("user_id"), col("dt"),
+        "value", months = 1)
+    }
+  }
+
   test("plan: no range self-join — as-of sweep + prefix windows only") {
     val rows = Seq((1L, d("2023-01-01"), 1.0))
       .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))

@@ -44,6 +44,30 @@ class DecontamSpec extends AnyFunSuite {
       s"$fp false positives of $clean clean docs")
   }
 
+  test("null/short text is KEPT (no grams can't overlap); empty bench fails loudly") {
+    val bloom = Decontam.buildGramBloom(docs.limit(20), "text", n = 5,
+      expectedItems = 1 << 12, fpp = 0.01)
+    val corpus = Seq((1L, null.asInstanceOf[String]), (2L, "too short"),
+        (3L, docs.select("text").head().getString(0)))
+      .toDF("doc_id", "text")
+    val kept = Decontam.dropContaminated(corpus, "text", bloom, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L).subsetOf(kept),
+      "gram-free docs must never be dropped")
+    // a benchmark with no extractable grams must refuse, not produce a
+    // null sketch that would drop the whole corpus
+    val emptyBench = Seq((1L, "a b")).toDF("doc_id", "text") // < 5 tokens
+    intercept[IllegalArgumentException] {
+      Decontam.buildGramBloom(emptyBench, "text", n = 5,
+        expectedItems = 1 << 12, fpp = 0.01)
+    }
+    // oversizing past the session's bloom caps must refuse, not clamp
+    intercept[IllegalArgumentException] {
+      Decontam.buildGramBloom(docs.limit(5), "text", n = 5,
+        expectedItems = 1L << 30, fpp = 0.001)
+    }
+  }
+
   test("bloom probe plan is narrow: no join, no shuffle on the corpus") {
     val bloom = Decontam.buildGramBloom(docs.limit(20), "text", n = 5,
       expectedItems = 1 << 12, fpp = 0.01)

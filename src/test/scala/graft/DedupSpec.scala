@@ -106,6 +106,16 @@ class DedupSpec extends AnyFunSuite {
     val got = duplicateClusters(strPairs).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+    // mixed integral widths widen to the COMMON type on both strategies,
+    // and long ids above Int.MaxValue survive the driver round-trip
+    val big = 5000000000L
+    val mixed = Seq((1, big), (2, big + 1)).toDF("a32", "b64")
+      .select(col("a32").as("doc_a"), col("b64").as("doc_b"))
+    val uf = duplicateClusters(mixed)
+    val dist = duplicateClusters(mixed, driverEdgeLimit = 0)
+    assert(uf.schema == dist.schema)
+    assert(uf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   test("duplicateClusters: distributed path (driverEdgeLimit=0) agrees") {
