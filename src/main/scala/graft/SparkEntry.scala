@@ -255,6 +255,26 @@ object SparkEntry {
         .select(col("event_id"), col("win_cnt"),
           r4(col("win_avg")).as("win_avg"))
     }),
+    "window_range_months_offset" -> ((s, dir) => {
+      // GENERAL month Period frame c(months(2), months(-1)) — the
+      // reference's c(days(7), days(-1)) example shape (R/mutate.R:98-100)
+      // at month granularity (R/mutate.R:164-165 admits any Period pair):
+      // window [add_months(d,-2), add_months(d,-1)], current month
+      // EXCLUDED. Routed through mutateW → CalendarWindow.monthsAgg
+      // (prefix sums + two as-of boundary lookups; min/max ride the
+      // daily-partial expansion join) — O(n log n), vs the oracle's
+      // quadratic pair scan.
+      events(s, dir).select(col("event_id"), col("user_id"),
+          col("value"), tsDate.as("d"))
+        .mutateW("win_cnt" -> count(col("value")),
+            "win_avg" -> avg(col("value")),
+            "win_max" -> max(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.months(2, -1)),
+          index = Some(col("d")))
+        .select(col("event_id"), col("win_cnt"),
+          r4(col("win_avg")).as("win_avg"), col("win_max"))
+    }),
     "window_complete_range" -> ((s, dir) => {
       // `.complete = TRUE` over a RANGE (Period) frame: the window is
       // complete iff its VALUE span [day-3, day] lies inside the
@@ -402,6 +422,16 @@ object SparkEntry {
            round(1e-9 + avg(b.value), 4) AS win_avg
          FROM e a JOIN e b ON a.user_id = b.user_id
            AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) AND a.d
+         GROUP BY 1""",
+    "window_range_months_offset" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
+           FROM events)
+         SELECT a.event_id, count(b.value) AS win_cnt,
+           round(1e-9 + avg(b.value), 4) AS win_avg,
+           max(b.value) AS win_max
+         FROM e a LEFT JOIN e b ON a.user_id = b.user_id
+           AND b.d BETWEEN CAST(a.d - INTERVAL 2 MONTH AS DATE)
+                       AND CAST(a.d - INTERVAL 1 MONTH AS DATE)
          GROUP BY 1""",
     "window_complete_range" ->
       """WITH e AS (SELECT event_id, user_id, value,

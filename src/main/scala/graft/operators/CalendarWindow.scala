@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Calendar-Period range frames — the reference's `.frame` accepts ANY
   * lubridate Period, including `months(k)` (R/mutate.R:164-165 checks
-  * only "numeric or Period"); day/second Periods map onto Spark's
-  * `rangeBetween` (TidierOps), but month windows have per-row widths
-  * (`[add_months(d, -k), d]` clamps at month ends), which a constant-
-  * offset range frame cannot express.
+  * only "numeric or Period"), and the two endpoints are independent:
+  * `c(months(2), months(-1))` is the month-granular analogue of the
+  * documented `c(days(7), days(-1))` example (R/mutate.R:98-100) — the
+  * window `[add_months(d, -2), add_months(d, -1)]`, excluding the
+  * current month. Month windows have per-row widths (`add_months`
+  * clamps at month ends), which a constant-offset `rangeBetween` frame
+  * cannot express.
   *
   * The naive rendering — a range self-join collecting every (row,
   * in-window row) pair — re-materializes each window like the
@@ -19,94 +22,273 @@ import org.apache.spark.sql.functions._
   *
   *   1. collapse to per-(group, day) partials and PREFIX-SUM them
   *      (one window sweep — running sum/count per group);
-  *   2. as-of join (strict, backward) each row's boundary
-  *      `lo = add_months(day, -k)` into that cumulative series: the
-  *      last prefix STRICTLY BEFORE lo;
-  *   3. window aggregate = prefix(day) − prefix(lo⁻) — inclusive of lo,
-  *      like SQL BETWEEN and slider's closed interval.
+  *   2. as-of join each row's boundaries into that cumulative series:
+  *      STRICT backward at `lo = add_months(day, -before)` (last prefix
+  *      strictly before the window start) and INCLUSIVE backward at
+  *      `hi = add_months(day, after)` (last prefix at-or-before the
+  *      window end — the identity lookup when `after == 0`);
+  *   3. window aggregate = prefix(hi) − prefix(lo⁻) — inclusive of both
+  *      endpoints, like SQL BETWEEN and slider's closed interval.
   *
   * Cost: two hash shuffles on the group keys (prefix window + as-of
-  * sweep) over |distinct (group, day)| rows, then one join back —
+  * sweeps) over |distinct (group, day)| rows, then one join back —
   * O(n log n), no pair blowup, same shape at any window width.
+  *
+  * Min/max are not prefix-decomposable, so [[MonthsOp.Min]]/[[MonthsOp.Max]]
+  * take the second-best distributed shape: daily partial min/max
+  * (|distinct (group, day)| rows, NOT raw rows) binned-interval-joined to
+  * each window's day span and re-aggregated — expansion factor is the
+  * window width in DAYS per distinct day, independent of row density, and
+  * the join is an equi hash join on (group, bin), never a nested loop.
   */
 object CalendarWindow {
+
+  /** Window aggregate kind for [[monthsAgg]]. Sum/Count/CountAll/Avg ride
+    * the O(n log n) prefix-difference path; Min/Max the daily-partial
+    * interval-expansion path. */
+  sealed trait MonthsOp
+  object MonthsOp {
+    /** `sum(value)` over the month window. */
+    case object Sum extends MonthsOp
+    /** `count(value)` (non-null values) over the month window. */
+    case object Count extends MonthsOp
+    /** `count(*)` (all rows) over the month window; `valueCol` ignored. */
+    case object CountAll extends MonthsOp
+    /** `avg(value)` over the month window. */
+    case object Avg extends MonthsOp
+    /** `min(value)` over the month window (expansion path). */
+    case object Min extends MonthsOp
+    /** `max(value)` over the month window (expansion path). */
+    case object Max extends MonthsOp
+  }
+
+  /** One output column of [[monthsAgg]]: `out` = `op(valueCol)` over each
+    * row's month window. */
+  final case class MonthsAggSpec(out: String, op: MonthsOp, valueCol: String)
+
+  private val DAY = "__cw_day__"
+  private val LO = "__cw_lo__"
+  private val HI = "__cw_hi__"
+  private val GMIN = "__cw_gmin__"
+  private val GMAX = "__cw_gmax__"
 
   /** Trailing-months window aggregates of `valueCol` over
     * `[add_months(index, -months), index]` per `by` group, appended as
     * `<out>_sum`, `<out>_cnt`, `<out>_avg` (null-safe: days without
     * values contribute nothing; an all-null window yields NULL sum/avg
     * and 0 cnt, matching SQL aggregate semantics). `index` must be a
-    * DateType column expression. */
+    * DateType column expression. The `after == 0` special case of
+    * [[monthsAgg]]. */
   def trailingMonths(df: DataFrame, by: Seq[String], index: Column,
       valueCol: String, months: Int, out: String = "win"): DataFrame = {
     require(months >= 0, "months must be >= 0")
-    val DAY = "__cw_day__"
-    val LO = "__cw_lo__"
-    val byCols = by.map(col)
+    import MonthsOp._
+    monthsAgg(df, by, index, Seq(
+      MonthsAggSpec(s"${out}_sum", Sum, valueCol),
+      MonthsAggSpec(s"${out}_cnt", Count, valueCol),
+      MonthsAggSpec(s"${out}_avg", Avg, valueCol)),
+      before = months, after = 0)
+  }
+
+  /** General calendar-month Period frame: for every input row, aggregate
+    * `spec.valueCol` over the rows of the same `by` group whose `index`
+    * day falls in `[add_months(day, -before), add_months(day, after)]`
+    * (inclusive both ends — slider's closed interval). Negative `after`
+    * shifts the window entirely before the current row
+    * (`before = 2, after = -1` = the reference's `c(months(2),
+    * months(-1))`); negative `before` shifts it after. Appends one
+    * column per spec; empty windows yield NULL (count ops yield 0).
+    *
+    * @param complete `.complete = TRUE` gating (R/mutate.R:58-62): a
+    *   window is complete iff its VALUE span `[lo, hi]` lies inside the
+    *   group's observed index span — edge-truncated windows yield NULL
+    *   for every spec (the same contract as the range branch of
+    *   [[TidierOps]]'s gate, oracle-pinned by `window_complete_range`).
+    */
+  def monthsAgg(df: DataFrame, by: Seq[String], index: Column,
+      specs: Seq[MonthsAggSpec], before: Int, after: Int,
+      complete: Boolean = false): DataFrame = {
+    import MonthsOp._
+    require(specs.nonEmpty, "monthsAgg needs at least one spec")
+    require(-before <= after,
+      s"empty month frame: [add_months(d, ${-before}), add_months(d, $after)]" +
+        " starts after it ends")
+    val outs = specs.map(_.out)
+    require(outs.distinct.size == outs.size,
+      s"duplicate output names: ${outs.diff(outs.distinct).mkString(", ")}")
     // same contract as AsofJoin: colliding output names would survive as
     // duplicate columns and make every downstream select ambiguous
-    val outCols = Seq(s"${out}_sum", s"${out}_cnt", s"${out}_avg", DAY)
-    val collisions = outCols.toSet.intersect(df.columns.toSet)
-    require(collisions.isEmpty,
-      s"output columns ${collisions.mkString(", ")} already exist on the " +
-        "input — pass a different `out` prefix")
+    val bad = (outs.toSet + DAY).intersect(df.columns.toSet)
+    require(bad.isEmpty,
+      s"output columns ${bad.mkString(", ")} already exist on the " +
+        "input — pass different `out` names")
 
+    val byCols = by.map(col)
     val keyed = df.withColumn(DAY, index)
-    // 1. per-(group, day) partials, then per-group running prefix
+
+    // ---- 1. per-(group, day) partials for EVERY spec, one groupBy ----
+    val prefixCols =
+      specs.collect { case MonthsAggSpec(_, Sum | Count | Avg, v) => v }.distinct
+    val needAll = specs.exists(_.op == CountAll)
+    val minCols = specs.collect { case MonthsAggSpec(_, Min, v) => v }.distinct
+    val maxCols = specs.collect { case MonthsAggSpec(_, Max, v) => v }.distinct
+    val partials: Seq[Column] =
+      prefixCols.flatMap(v => Seq(sum(col(v)).as(s"__s_$v"),
+        count(col(v)).as(s"__c_$v"))) ++
+      (if (needAll) Seq(count(lit(1)).as("__call")) else Nil) ++
+      minCols.map(v => min(col(v)).as(s"__mn_$v")) ++
+      maxCols.map(v => max(col(v)).as(s"__mx_$v"))
     val daily = keyed.groupBy((byCols :+ col(DAY)): _*)
-      .agg(sum(col(valueCol)).as("__s"), count(col(valueCol)).as("__c"))
-    val pw = Window.partitionBy(byCols: _*).orderBy(col(DAY))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = daily
-      .withColumn("__cs", sum(col("__s")).over(pw))
-      .withColumn("__cc", sum(col("__c")).over(pw))
-      .select((byCols ++ Seq(col(DAY), col("__cs"), col("__cc"))): _*)
+      .agg(partials.head, partials.tail: _*)
 
-    // 2. strict backward as-of at each distinct (group, day)'s lo
-    val bounds = cum.select((byCols :+ col(DAY)): _*)
-      .withColumn(LO, add_months(col(DAY), -months))
-    val matched = AsofJoin.asofBackward(
-      bounds, cum.withColumnRenamed(DAY, "__rt"),
-      keys = by, leftTime = LO, rightTime = "__rt",
-      valueCols = Seq("__cs", "__cc"), strict = true,
-      matchedTimeCol = "__mt")
+    // every distinct (group, day) with its window's value bounds
+    val bounds = daily.select((byCols :+ col(DAY)): _*)
+      .withColumn(LO, add_months(col(DAY), -before))
+      .withColumn(HI, add_months(col(DAY), after))
 
-    // 3. prefix difference, joined back to every input row by (group, day).
-    // Both joins below are NULL-SAFE (<=>): Window/groupBy upstream treat
-    // a NULL group or NULL index day as real groups, and a null-unsafe
-    // equi-join would silently DROP those rows (GlobalWindow.sweepAndJoin
-    // uses <=> for the same reason).
-    val mn = (by :+ DAY).map(c => s"__cw_m_$c")
-    val matchedR = matched.toDF(matched.columns.map(c =>
-      if ((by :+ DAY).contains(c)) s"__cw_m_$c" else c): _*)
-    val mCond = (by :+ DAY).zip(mn)
-      .map { case (l, r) => col(l) <=> col(r) }.reduce(_ && _)
-    val winCols = cum.select((byCols ++ Seq(col(DAY), col("__cs").as("__cse"),
-        col("__cc").as("__cce"))): _*)
-      .join(matchedR, mCond).drop(mn: _*)
-      .select((byCols ++ Seq(col(DAY),
-        (col("__cse") - coalesce(col("__cs"), lit(0.0).cast(
-          df.schema(valueCol).dataType))).as("__rawsum"),
-        (col("__cce") - coalesce(col("__cc"), lit(0L))).as(s"${out}_cnt"))): _*)
-      // empty window (only null values in range) → NULL sum/avg, 0 cnt —
-      // SQL aggregate semantics, not a fabricated 0.0
-      .withColumn(s"${out}_sum",
-        when(col(s"${out}_cnt") > 0, col("__rawsum")))
-      .withColumn(s"${out}_avg",
-        when(col(s"${out}_cnt") > 0,
-          col("__rawsum").cast("double") / col(s"${out}_cnt")))
-      .drop("__rawsum")
+    // ---- 2a. prefix path: running sums + boundary as-ofs ----
+    val runCols = prefixCols.flatMap(v => Seq(s"__s_$v" -> s"__cs_$v",
+      s"__c_$v" -> s"__cc_$v")) ++
+      (if (needAll) Seq("__call" -> "__ccall") else Nil)
+    val win0: DataFrame = if (runCols.nonEmpty) {
+      val pw = Window.partitionBy(byCols: _*).orderBy(col(DAY))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      var cum = daily
+      for ((src, dst) <- runCols) cum = cum.withColumn(dst, sum(col(src)).over(pw))
+      cum = cum.select((byCols ++ (col(DAY) +: runCols.map(p => col(p._2)))): _*)
+
+      // strict backward as-of at lo: last prefix STRICTLY BEFORE the start
+      val loRight = runCols.foldLeft(cum.withColumnRenamed(DAY, "__rt")) {
+        case (d, (_, c)) => d.withColumnRenamed(c, s"__lo$c")
+      }
+      val withLo = AsofJoin.asofBackward(bounds, loRight, keys = by,
+        leftTime = LO, rightTime = "__rt",
+        valueCols = runCols.map(p => s"__lo${p._2}"), strict = true,
+        matchedTimeCol = "__cw_mtlo__").drop("__cw_mtlo__")
+      // inclusive backward as-of at hi: last prefix AT-OR-BEFORE the end.
+      // after == 0 → hi == day → the row's own prefix; skip the sweep.
+      val withHi = if (after == 0) {
+        val hiR = runCols.foldLeft(cum) { case (d, (_, c)) =>
+          d.withColumnRenamed(c, s"__hi$c") }
+        joinNullSafe(withLo, hiR, by :+ DAY, "__cw_h_")
+      } else {
+        val hiRight = runCols.foldLeft(cum.withColumnRenamed(DAY, "__rt")) {
+          case (d, (_, c)) => d.withColumnRenamed(c, s"__hi$c")
+        }
+        AsofJoin.asofBackward(withLo, hiRight, keys = by,
+          leftTime = HI, rightTime = "__rt",
+          valueCols = runCols.map(p => s"__hi${p._2}"), strict = false,
+          matchedTimeCol = "__cw_mthi__").drop("__cw_mthi__")
+      }
+      withHi
+    } else bounds
+
+    // ---- 2b. expansion path: daily min/max partials × window day spans ----
+    val win1: DataFrame = if (minCols.nonEmpty || maxCols.nonEmpty) {
+      val epoch = to_date(lit("1970-01-01"))
+      val mmDaily = daily.select((byCols ++ (col(DAY) +:
+        (minCols.map(v => col(s"__mn_$v")) ++
+         maxCols.map(v => col(s"__mx_$v"))))): _*)
+        .withColumn("__pd", datediff(col(DAY), epoch))
+      val spans = bounds
+        .withColumn("__lod", datediff(col(LO), epoch))
+        .withColumn("__hid", datediff(col(HI), epoch))
+        .withColumnRenamed(DAY, "__wday")
+        .drop(LO, HI)
+      // binned interval join (RangeJoin's shape, inlined for NULL-SAFE
+      // group keys — a plain using-join would drop NULL-key groups that
+      // groupBy/Window upstream treat as real): explode each window to
+      // its bins, equi-join on (group <=>, bin), exact recheck.
+      val width = math.max(1L, (before + after) * 31L + 1L)
+      val BIN = "__cw_bin__"
+      val p = mmDaily.withColumn(BIN, floor(col("__pd") / width))
+      val iPre = spans.withColumn(BIN, explode(sequence(
+        floor(col("__lod") / width), floor(col("__hid") / width))))
+      val iCols = by.map(c => s"__cw_i_$c")
+      val i = iPre.toDF(iPre.columns.map(c =>
+        if (by.contains(c)) s"__cw_i_$c" else c): _*)
+      val cond = by.zip(iCols).map { case (l, r) => col(l) <=> col(r) }
+        .foldLeft(p(BIN) === i(BIN))(_ && _)
+      val joined = p.join(i, cond)
+        .filter(col("__pd") >= col("__lod") && col("__pd") <= col("__hid"))
+      val mmAggs = minCols.map(v => min(col(s"__mn_$v")).as(s"__wmn_$v")) ++
+        maxCols.map(v => max(col(s"__mx_$v")).as(s"__wmx_$v"))
+      joined.groupBy((iCols.map(col) :+ col("__wday")): _*)
+        .agg(mmAggs.head, mmAggs.tail: _*)
+        .withColumnRenamed("__wday", DAY)
+        .toDF // (group renamed __cw_i_*, DAY, window min/max cols)
+    } else null
+
+    // ---- 3. assemble per-(group, day) window values ----
+    var win = win0
+    if (win1 != null) {
+      // left join: windows whose day span contains no data get NULL min/max
+      val r = win1.withColumnRenamed(DAY, "__cw_d1__")
+      val cond = by.map(c => win(c) <=> r(s"__cw_i_$c"))
+        .foldLeft(win(DAY) <=> r("__cw_d1__"))(_ && _)
+      win = win.join(r, cond, "left")
+        .drop("__cw_d1__").drop(by.map(c => s"__cw_i_$c"): _*)
+    }
+
+    // `.complete` gate: window value-span inside the group's index span
+    val gate: Option[Column] = if (complete) {
+      val span =
+        if (by.nonEmpty)
+          daily.groupBy(byCols: _*)
+            .agg(min(col(DAY)).as(GMIN), max(col(DAY)).as(GMAX))
+        else daily.agg(min(col(DAY)).as(GMIN), max(col(DAY)).as(GMAX))
+      win =
+        if (by.nonEmpty) joinNullSafe(win, span, by, "__cw_g_")
+        else win.crossJoin(broadcast(span))
+      Some(col(LO) >= col(GMIN) && col(HI) <= col(GMAX))
+    } else None
+
+    val outCols: Seq[Column] = specs.map { sp =>
+      val c = sp.op match {
+        case Sum =>
+          val cnt = col(s"__hi__cc_${sp.valueCol}") -
+            coalesce(col(s"__lo__cc_${sp.valueCol}"), lit(0L))
+          val sumT = daily.schema(s"__s_${sp.valueCol}").dataType
+          when(cnt > 0, coalesce(col(s"__hi__cs_${sp.valueCol}"),
+            lit(0).cast(sumT)) -
+            coalesce(col(s"__lo__cs_${sp.valueCol}"), lit(0).cast(sumT)))
+        case Count =>
+          coalesce(col(s"__hi__cc_${sp.valueCol}"), lit(0L)) -
+            coalesce(col(s"__lo__cc_${sp.valueCol}"), lit(0L))
+        case CountAll =>
+          coalesce(col("__hi__ccall"), lit(0L)) -
+            coalesce(col("__lo__ccall"), lit(0L))
+        case Avg =>
+          val cnt = coalesce(col(s"__hi__cc_${sp.valueCol}"), lit(0L)) -
+            coalesce(col(s"__lo__cc_${sp.valueCol}"), lit(0L))
+          val sumT = daily.schema(s"__s_${sp.valueCol}").dataType
+          val raw = coalesce(col(s"__hi__cs_${sp.valueCol}"),
+            lit(0).cast(sumT)) -
+            coalesce(col(s"__lo__cs_${sp.valueCol}"), lit(0).cast(sumT))
+          when(cnt > 0, raw.cast("double") / cnt)
+        case Min => col(s"__wmn_${sp.valueCol}")
+        case Max => col(s"__wmx_${sp.valueCol}")
+      }
+      gate.fold(c)(g => when(g, c)).as(sp.out)
+    }
+    val winVals = win.select((byCols ++ (col(DAY) +: outCols)): _*)
 
     // NULL-SAFE join-back: Window/groupBy upstream treat a NULL group or
     // NULL index day as real groups, and a null-unsafe equi-join would
     // silently DROP those rows from the output (GlobalWindow.sweepAndJoin
     // uses <=> for the same reason).
-    val rn = (by :+ DAY).map(c => s"__cw_r_$c")
-    val winR = winCols.toDF(
-      winCols.columns.map(c =>
-        if ((by :+ DAY).contains(c)) s"__cw_r_$c" else c): _*)
-    val cond = (by :+ DAY).zip(rn)
-      .map { case (l, r) => col(l) <=> col(r) }.reduce(_ && _)
-    keyed.join(winR, cond).drop(rn: _*).drop(DAY)
+    joinNullSafe(keyed, winVals, by :+ DAY, "__cw_r_").drop(DAY)
+  }
+
+  /** Null-safe inner equi-join on `keys`, dropping the right copy of the
+    * keys (renamed with `pfx` to keep the condition unambiguous). */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String], pfx: String): DataFrame = {
+    val rn = keys.map(c => s"$pfx$c")
+    val r = right.toDF(right.columns.map(c =>
+      if (keys.contains(c)) s"$pfx$c" else c): _*)
+    val cond = keys.zip(rn).map { case (l, rr) => col(l) <=> col(rr) }
+      .reduce(_ && _)
+    left.join(r, cond).drop(rn: _*)
   }
 }

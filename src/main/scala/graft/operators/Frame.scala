@@ -27,6 +27,12 @@ object FrameEndpoint {
   final case class Days(n: Long) extends FrameEndpoint
   /** Second endpoint (RANGE frame over an epoch-second index). */
   final case class Seconds(n: Long) extends FrameEndpoint
+  /** Calendar-month endpoint (`months(k)` Period, R/mutate.R:164-165).
+    * Month windows have per-row clamped widths that `rangeBetween`
+    * cannot express; [[TidierOps.mutateW]] routes frames with Months
+    * endpoints to [[CalendarWindow.monthsAgg]] (prefix sums + as-of
+    * boundary lookups) instead of compiling a WindowSpec. */
+  final case class Months(n: Long) extends FrameEndpoint
 }
 
 final case class Frame(before: FrameEndpoint, after: FrameEndpoint) {
@@ -37,6 +43,9 @@ final case class Frame(before: FrameEndpoint, after: FrameEndpoint) {
     case Days(_) | Seconds(_) => true
     case _                    => false
   }
+  /** True when either endpoint is a calendar-month Period —
+    * [[TidierOps.mutateW]] routes these to [[CalendarWindow.monthsAgg]]. */
+  def isMonths: Boolean = Seq(before, after).exists(_.isInstanceOf[Months])
   /** Both endpoints finite — the only case `.complete` gating can truncate
     * (unbounded frames are always "complete" in slider's sense). */
   def isFinite: Boolean = before != Unbounded && after != Unbounded
@@ -55,13 +64,13 @@ object Frame {
   /** Second-granularity Period frame. */
   def seconds(before: Long, after: Long): Frame =
     Frame(Seconds(before), Seconds(after))
-  /** Month Periods (`c(months(k), ...)`) have per-row clamped widths that
-    * no constant-offset range frame can express — use
-    * [[CalendarWindow.trailingMonths]], which renders them as prefix sums
-    * + an as-of boundary lookup. This stub exists so the API surface
-    * documents the routing instead of silently lacking the unit. */
+  /** `c(months(before), months(after))` calendar-month Period frame
+    * (R/mutate.R:164-165; the month-granular analogue of the
+    * `c(days(7), days(-1))` example at R/mutate.R:98-100 — negative
+    * `after` shifts the window before the current row). Month windows
+    * have per-row clamped widths, so [[TidierOps.mutateW]] routes these
+    * to [[CalendarWindow.monthsAgg]] (prefix sums + as-of boundary
+    * lookups — O(n log n)) instead of a `rangeBetween` WindowSpec. */
   def months(before: Long, after: Long): Frame =
-    throw new UnsupportedOperationException(
-      "month Period frames are calendar-width (per-row clamped bounds); " +
-        "use CalendarWindow.trailingMonths(df, by, index, valueCol, months)")
+    Frame(Months(before), Months(after))
 }

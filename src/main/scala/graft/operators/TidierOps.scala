@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** Spark-native rendering of the reference's windowed-mutate operator
@@ -30,6 +31,79 @@ object TidierOps {
 
   private val RID = "__tidier_rid__" // captured input row id (order restore)
   private val IDX = "__tidier_idx__" // numeric projection of the index col
+
+  /** Month-frame branch of [[TidierDF.mutateW]]: translate each expression
+    * into a [[CalendarWindow.MonthsAggSpec]] (sum/count/avg ride the
+    * O(n log n) prefix path; min/max the daily-partial expansion path) and
+    * evaluate them all in ONE CalendarWindow pass. Same-name overwrite
+    * (`withColumn` semantics) is preserved by computing under temp names. */
+  private def monthsMutate(df: DataFrame, exprs: Seq[(String, Column)],
+      by: Seq[Column], frame: Frame, index: Option[Column],
+      complete: Boolean, restoreOrder: Boolean): DataFrame = {
+    import CalendarWindow.{MonthsAggSpec, MonthsOp}
+    val (b, a) = (frame.before, frame.after) match {
+      case (FrameEndpoint.Months(x), FrameEndpoint.Months(y)) =>
+        (x.toInt, y.toInt)
+      case _ => throw new IllegalArgumentException(
+        "month frames cannot mix units: both endpoints must be Months " +
+          "(use Days/Seconds frames for sub-month granularity)")
+    }
+    require(index.isDefined,
+      "a Months (Period) frame requires an index column (.index)")
+    val byNames = by.map(attrName(_, ".by"))
+    val specs = exprs.zipWithIndex.map { case ((name, c), i) =>
+      val (op, v) = parseMonthsAgg(c)
+      (name, MonthsAggSpec(s"__tidier_mout_${i}__", op, v))
+    }
+    val withRid =
+      if (restoreOrder) df.withColumn(RID, monotonically_increasing_id())
+      else df
+    val res = CalendarWindow.monthsAgg(withRid, byNames,
+      index.get.cast(DateType), specs.map(_._2), before = b, after = a,
+      complete = complete)
+    var out = specs.foldLeft(res) { case (d, (name, sp)) =>
+      d.withColumn(name, col(sp.out)).drop(sp.out)
+    }
+    if (restoreOrder) out = out.orderBy(col(RID)).drop(RID)
+    out
+  }
+
+  private def attrName(c: Column, what: String): String =
+    ColumnShim.attrNameOf(c).getOrElse(throw new IllegalArgumentException(
+      s"month frames require plain column references in $what (got: $c)"))
+
+  /** Recognize the aggregate family CalendarWindow can evaluate over a
+    * month window: sum/count/avg/mean/min/max over one column, plus
+    * count(lit) = count(*). Anything else gets a routing error naming the
+    * supported family (the reference evaluates ANY R function per slice —
+    * O(n·w); callers needing that generality can expand pairs explicitly
+    * with RangeJoin.intervalJoin, which is the same cost model). */
+  private def parseMonthsAgg(c: Column): (CalendarWindow.MonthsOp, String) = {
+    import CalendarWindow.MonthsOp._
+    ColumnShim.simpleAggCall(c) match {
+      case Some((fn, false, args)) =>
+        val op = fn match {
+          case "sum"          => Sum
+          case "count"        => Count
+          case "avg" | "mean" => Avg
+          case "min"          => Min
+          case "max"          => Max
+          case other => throw new UnsupportedOperationException(
+            s"month Period frames support sum/count/avg/min/max " +
+              s"(got: $other)")
+        }
+        (op, args) match {
+          case (Count, Seq(None))    => (CountAll, "")
+          case (_, Seq(Some(name))) => (op, name)
+          case _ => throw new UnsupportedOperationException(
+            s"month Period frames support $fn over a single column " +
+              s"(got: $c)")
+        }
+      case _ => throw new UnsupportedOperationException(
+        "month Period frames support sum/count/avg/min/max over a single " +
+          s"column (got: $c)")
+    }
+  }
 
   implicit class TidierDF(val df: DataFrame) {
 
@@ -80,6 +154,13 @@ object TidierOps {
         return df.withColumns(exprs.toMap)
       }
 
+      // Months (Period) frames have per-row clamped widths no WindowSpec
+      // can express — route to CalendarWindow (prefix sums + as-of
+      // boundary lookups) instead of compiling a frame.
+      if (frame.exists(_.isMonths))
+        return monthsMutate(df, exprs, by, frame.get, index, complete,
+          restoreOrder)
+
       val isRange = frame.exists(_.isRange)
       require(!isRange || index.isDefined,
         "a Days/Seconds (Period) frame requires an index column (.index)")
@@ -111,6 +192,8 @@ object TidierOps {
         case FrameEndpoint.Rows(n)    => if (isBefore) -n else n
         case FrameEndpoint.Days(n)    => if (isBefore) -n else n
         case FrameEndpoint.Seconds(n) => if (isBefore) -n else n
+        case FrameEndpoint.Months(_)  => throw new IllegalStateException(
+          "Months endpoints are routed to CalendarWindow before frame compile")
       }
 
       val spec: WindowSpec = frame match {

@@ -13,6 +13,35 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** If the column is a plain attribute reference (`col("x")`), its
+    * dotted name. The `internal.ColumnNode` AST is `private[sql]`, so
+    * operator code (e.g. TidierOps' month-frame routing) introspects
+    * through these two helpers instead of matching nodes directly. */
+  def attrNameOf(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
+      Some(a.nameParts.mkString("."))
+    case _ => None
+  }
+
+  /** If the column is an unresolved function call whose every argument is
+    * a plain attribute or a literal: (lower-cased function name,
+    * isDistinct, args) where each arg is Some(attrName) or None for a
+    * literal. Any other shape → None. */
+  def simpleAggCall(c: Column): Option[(String, Boolean, Seq[Option[String]])] =
+    c.node match {
+      case f: org.apache.spark.sql.internal.UnresolvedFunction =>
+        val args = f.arguments.map {
+          case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
+            Some(Some(a.nameParts.mkString(".")))
+          case _: org.apache.spark.sql.internal.Literal => Some(None)
+          case _                                        => None
+        }
+        if (args.forall(_.isDefined))
+          Some((f.functionName.toLowerCase, f.isDistinct, args.map(_.get)))
+        else None
+      case _ => None
+    }
+
   /** True when the column carries an explicit sort direction (`.asc`/
     * `.desc`): its ColumnNode is the private[sql] internal.SortOrder, not
     * a value expression, so it can't be used inside struct()/comparisons. */

@@ -95,6 +95,105 @@ class CalendarWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("offset frame c(months(2), months(-1)) via mutateW equals brute force") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    // [add_months(d,-2), add_months(d,-1)] — the current month is EXCLUDED
+    val rows = Seq(
+      (1L, d("2023-01-15"), 1.0), (2L, d("2023-02-10"), 2.0),
+      (3L, d("2023-03-15"), 4.0), (4L, d("2023-03-31"), 8.0),
+      (5L, d("2023-04-30"), 16.0), (6L, d("2023-05-31"), 32.0))
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    val got = rows.mutateW(
+        "win_sum" -> sum(col("value")), "win_cnt" -> count(col("value")),
+        "win_min" -> min(col("value")), "win_max" -> max(col("value")),
+        "win_all" -> count(lit(1)))(
+        by = Seq(col("user_id")), frame = Some(Frame.months(2, -1)),
+        index = Some(col("dt")))
+      .select($"event_id", $"win_sum", $"win_cnt", $"win_min", $"win_max",
+        $"win_all")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          r.getLong(5)))).toMap
+    val data = Seq((1L, "2023-01-15", 1.0), (2L, "2023-02-10", 2.0),
+      (3L, "2023-03-15", 4.0), (4L, "2023-03-31", 8.0),
+      (5L, "2023-04-30", 16.0), (6L, "2023-05-31", 32.0))
+      .map { case (id, ds, v) => (id, java.time.LocalDate.parse(ds), v) }
+    val want = data.map { case (id, day, _) =>
+      val lo = day.minusMonths(2); val hi = day.minusMonths(1)
+      val w = data.filter { case (_, b, _) => !b.isBefore(lo) && !b.isAfter(hi) }
+        .map(_._3)
+      id -> ((if (w.isEmpty) None else Some(w.sum), w.size.toLong,
+        w.minOption, w.maxOption, w.size.toLong))
+    }.toMap
+    assert(got == want)
+    // Mar 31: window = [Jan 31, Feb 28 (clamped)] — catches Feb 10 only
+    assert(got(4L) == ((Some(2.0), 1L, Some(2.0), Some(2.0), 1L)))
+    // Jan 15: empty window → NULL sum/min/max, 0 counts
+    assert(got(1L) == ((None, 0L, None, None, 0L)))
+  }
+
+  test("property: offset/min/max/countAll on random gapped dates == brute force") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 2L)
+        off <- Gen.choose(0, 430)
+        v <- Gen.choose(-4, 9).map(_.toDouble)
+      } yield (u, java.time.LocalDate.of(2023, 12, 15).plusDays(off), v))
+      b <- Gen.choose(-2, 3)
+      ext <- Gen.choose(0, 3)
+    } yield (rows, b, -b + ext)
+    val prop = forAll(gen) { case (rows, bMo, aMo) =>
+      val df = rows.zipWithIndex.map { case ((u, day, v), i) =>
+        (i.toLong, u, java.sql.Date.valueOf(day), v)
+      }.toDF("event_id", "user_id", "dt", "value")
+      val got = df.mutateW(
+          "ws" -> sum(col("value")), "wc" -> count(col("value")),
+          "wmn" -> min(col("value")), "wmx" -> max(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.months(bMo, aMo)), index = Some(col("dt")))
+        .select($"event_id", $"ws", $"wc", $"wmn", $"wmx").collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)), r.getLong(2), Option(r.get(3)),
+            Option(r.get(4))))).toMap
+      val want = rows.zipWithIndex.map { case ((u, day, _), i) =>
+        val lo = day.minusMonths(bMo); val hi = day.plusMonths(aMo)
+        val w = rows.filter { case (u2, b2, _) =>
+          u2 == u && !b2.isBefore(lo) && !b2.isAfter(hi) }.map(_._3)
+        i.toLong -> ((if (w.isEmpty) None else Some(w.sum), w.size.toLong,
+          w.minOption, w.maxOption))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test(".complete gates edge-truncated month windows to NULL") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    val rows = Seq(
+      (1L, d("2023-01-10"), 1.0), (2L, d("2023-02-15"), 2.0),
+      (3L, d("2023-03-20"), 4.0), (4L, d("2023-04-25"), 8.0))
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    val got = rows.mutateW("wc" -> count(col("value")))(
+        by = Seq(col("user_id")), frame = Some(Frame.months(1, 0)),
+        index = Some(col("dt")), complete = true)
+      .select($"event_id", $"wc").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // group span = [Jan 10, Apr 25]; a window [d-1mo, d] is complete iff
+    // d-1mo >= Jan 10 — so Jan 10 (lo = Dec 10) is truncated → NULL.
+    // Rows sit > 1 month apart, so each complete window holds itself only.
+    assert(got == Map(1L -> None, 2L -> Some(1L), 3L -> Some(1L),
+      4L -> Some(1L)))
+  }
+
   test("plan: no range self-join — as-of sweep + prefix windows only") {
     val rows = Seq((1L, d("2023-01-01"), 1.0))
       .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
