@@ -325,7 +325,13 @@ object Dedup {
       driverEdgeLimit: Long = 1L << 20): DataFrame = {
     require(driverEdgeLimit < Int.MaxValue,
       "driverEdgeLimit must stay below Int.MaxValue (bounded collect)")
+    // NULL ids are dropped BEFORE the strategy split: a null identifies no
+    // document, and previously the two strategies disagreed on such edges
+    // (driver union-find NPE'd on getLong; the distributed loop silently
+    // treated null as an isolated node) — behavior must not depend on
+    // which path the edge-count heuristic picks.
     val dedup = pairs.select(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
       .dropDuplicates("doc_a", "doc_b")
     // The union-find path is integral-id only: ids round-trip through
     // Long and the result is cast back to the WIDER of the two input id

@@ -62,6 +62,7 @@ import org.apache.spark.sql.types.DoubleType
 object GlobalWindow {
 
   private val PID = "__gw_pid__"
+  private val OPID = "__gw_opid__" // offset-side alias of PID (join clarity)
   private val KEY = "__gw_key__"
   private val LOC = "__gw_loc__"
   private val CNT = "__gw_cnt__"
@@ -72,11 +73,10 @@ object GlobalWindow {
     * per split, so splits track shuffle partitions only up to a bound
     * that keeps the expression tree small (a 2048-way prefix structure
     * saturates any realistic cumsum; beyond it the tree itself becomes
-    * the cost). */
-  private val MaxSplits = 2048
+    * the cost). A larger explicit `numPartitions` is silently clamped
+    * here — public so callers can see the ceiling they'll get. */
+  val MaxSplits = 2048
 
-  /** Global cumulative sum of `valueCol` (cast to double) in the total
-    * order of `orderBy`, appended as `outCol`. */
   /** The prefix-decomposable running aggregates: local per-range result
     * ⊕ an offset folded from whole preceding ranges. Sum/Count/Min/Max
     * are the associative kernels; Avg rides on Sum+Count. */
@@ -89,6 +89,16 @@ object GlobalWindow {
     case object Avg extends RunningAgg
   }
 
+  /** Global cumulative sum of `valueCol` (cast to double) in the total
+    * order of `orderBy`, appended as `outCol`.
+    *
+    * NOTE: constructing the result runs an EAGER driver-side sampling job
+    * over `df` projected to the order keys (the same hidden pass every
+    * range exchange runs) — an un-persisted expensive derived input
+    * recomputes its lineage for that sample plus once per consuming plan
+    * branch. Persist such inputs first, as before any multi-action
+    * pipeline. `numPartitions` is capped at [[MaxSplits]] (2048); 0 means
+    * the session's shuffle parallelism. */
   def cumSum(df: DataFrame, orderBy: Seq[Column], valueCol: String,
       outCol: String, numPartitions: Int = 0): DataFrame =
     groupedCumSum(df, Nil, orderBy, valueCol, outCol, numPartitions)
@@ -98,7 +108,8 @@ object GlobalWindow {
     * clustered inside a narrow slice of the GLOBAL key distribution
     * degrade toward the plain window (their rows share few pids) —
     * acceptable for the hot-group shape this targets, where every group
-    * spans the key domain. */
+    * spans the key domain. Eager-sampling + `numPartitions` cap notes on
+    * [[cumSum]] apply here too. */
   def groupedCumSum(df: DataFrame, by: Seq[String], orderBy: Seq[Column],
       valueCol: String, outCol: String, numPartitions: Int = 0): DataFrame =
     groupedCumAgg(df, by, orderBy, valueCol, outCol, RunningAgg.Sum,
@@ -196,7 +207,13 @@ object GlobalWindow {
       offsetDf.withColumn(OFF, coalesce(sum(col(SUM)).over(pw), lit(0.0)))
     if (needMin) offsetDf = offsetDf.withColumn(OFFMIN, min(col(MIN)).over(pw))
     if (needMax) offsetDf = offsetDf.withColumn(OFFMAX, max(col(MAX)).over(pw))
-    val offOut = Seq(col(PID), col(OFFCNT)) ++
+    // The offset side's pid is RENAMED (like the `__gw_by_` group keys):
+    // both frames share lineage, and a `swept(PID) === offsetDf(PID)`
+    // condition is exactly the self-join ambiguity class Spark resolves
+    // heuristically (it logged "trivially true equals predicate" warnings)
+    // — two distinct attribute names make the equi-join unambiguous under
+    // any plan rewrite.
+    val offOut = Seq(col(PID).as(OPID), col(OFFCNT)) ++
       (if (needSum) Seq(col(OFF)) else Nil) ++
       (if (needMin) Seq(col(OFFMIN)) else Nil) ++
       (if (needMax) Seq(col(OFFMAX)) else Nil)
@@ -217,11 +234,10 @@ object GlobalWindow {
       case Max   => greatest(col(LOC), col(OFFMAX))
     }
     val joinCond = (by.zip(offBy).map { case (b, o) => col(b) <=> col(o) } :+
-      (swept(PID) === offsetDf(PID))).reduce(_ && _)
+      (col(PID) === col(OPID))).reduce(_ && _)
     swept.join(broadcast(offsetDf), joinCond, "left")
       .withColumn(outCol, combined)
-      .drop(offsetDf(PID))
-      .drop((offBy :+ PID) :+ LOC: _*)
+      .drop((offBy :+ PID :+ OPID) :+ LOC: _*)
       .drop(CNT, OFF, OFFCNT, SUM, MIN, MAX, OFFMIN, OFFMAX)
   }
 

@@ -125,12 +125,17 @@ object CurationQueries {
       // the kept set is decided on bit-identical values in both engines
       // (raw exact-percentile output can differ by 1 ulp of interpolation
       // algebra, which would make boundary membership engine-dependent).
-      // Thresholds are |languages| rows → broadcast; the corpus streams.
-      val d = docs(s, dir).select(col("doc_id"), col("lang"),
-        r4(graft.functions.TextFunctions.qualityScore(col("text"))).as("q"))
-      val thr = d.groupBy("lang")
-        .agg(r4(percentile(col("q"), lit(0.75))).as("thr"))
-      d.join(broadcast(thr), Seq("lang"))
+      // SINGLE-PASS shape: the multi-regex qualityScore runs ONCE per doc
+      // (the earlier agg+join form evaluated it in both plan branches);
+      // the per-lang p75 comes from a whole-partition window over the
+      // NARROW (doc_id, lang, q) projection — the full text never
+      // shuffles, only 3 tiny columns move, so the low-cardinality lang
+      // partitioning is a few tasks over megabytes, not the corpus.
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          r4(graft.functions.TextFunctions.qualityScore(col("text"))).as("q"))
+        .withColumn("thr", r4(percentile(col("q"), lit(0.75))
+          .over(Window.partitionBy("lang"))))
         .filter(col("q") >= col("thr"))
         .select(col("doc_id"), col("lang"), col("q"), col("thr"))
     }),

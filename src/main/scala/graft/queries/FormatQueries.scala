@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *     filter prunes to matching partitions (PartitionFilters in the
   *     scan, verified in PlanSpec).
   *
-  * Round-trip scratch space is keyed by sf-dir basename so warmup
-  * (sf0.001) and the timed/gated run never collide.
+  * Round-trip scratch space is keyed by (session applicationId, sf-dir
+  * basename): the sf key keeps warmup (sf0.001) and the timed/gated run
+  * apart, the appId keeps two CONCURRENT harness runs over the same
+  * fixture from overwriting each other's scratch mid-read. A JVM
+  * shutdown hook removes this session's scratch tree (cleanup can't
+  * happen inside a query — the returned DataFrame reads the scratch
+  * lazily, after the query function has returned).
   */
 object FormatQueries {
 
@@ -31,8 +36,20 @@ object FormatQueries {
 
   private def r4(c: Column): Column = QueryUtil.r4(c)
 
-  private def scratch(dir: String, fmt: String): String =
-    s"/tmp/graft_roundtrip/${new java.io.File(dir).getName}/$fmt"
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
+
+  private def scratch(s: SparkSession, dir: String, fmt: String): String = {
+    val root = s"/tmp/graft_roundtrip/${s.sparkContext.applicationId}"
+    if (cleanupRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }))
+    s"$root/${new java.io.File(dir).getName}/$fmt"
+  }
 
   /** The shared post-read aggregation: nation-keyed supplier rollup.
     * Identical for every flat format, so the only variable is the
@@ -49,20 +66,20 @@ object FormatQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
-      val path = scratch(dir, "supplier_csv")
+      val path = scratch(s, dir, "supplier_csv")
       sup.write.mode("overwrite").option("header", "true").csv(path)
       supplierAgg(s.read.schema(sup.schema)
         .option("header", "true").csv(path))
     }),
     "source_json_roundtrip" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
-      val path = scratch(dir, "supplier_json")
+      val path = scratch(s, dir, "supplier_json")
       sup.write.mode("overwrite").json(path)
       supplierAgg(s.read.schema(sup.schema).json(path))
     }),
     "source_orc_roundtrip" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
-      val path = scratch(dir, "supplier_orc")
+      val path = scratch(s, dir, "supplier_orc")
       sup.write.mode("overwrite").orc(path)
       supplierAgg(s.read.orc(path))
     }),
@@ -70,7 +87,7 @@ object FormatQueries {
       // directory-partitioned parquet sink; the read-back filter must
       // prune to the o_orderstatus=F subtree (partition pruning, not a
       // full scan + filter)
-      val path = scratch(dir, "orders_part")
+      val path = scratch(s, dir, "orders_part")
       t(s, dir, "orders").write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(path)
       s.read.parquet(path)

@@ -118,6 +118,20 @@ class DedupSpec extends AnyFunSuite {
       dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("duplicateClusters: null-id edges are dropped on BOTH strategies") {
+    // a null identifies no document — previously union-find NPE'd while
+    // the distributed loop kept the non-null side, so the answer depended
+    // on the edge-count heuristic
+    val pairs = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(3L)),
+      (Option(4L), Option.empty[Long])).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L)
+    val uf = duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = duplicateClusters(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == want && dist == want)
+  }
+
   test("duplicateClusters: distributed path (driverEdgeLimit=0) agrees") {
     // force the label-propagation strategy and check it matches union-find
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 4L))
