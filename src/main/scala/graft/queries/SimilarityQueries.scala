@@ -40,6 +40,26 @@ object SimilarityQueries {
       cosinePairs(emb(s, dir), minCosine = 0.4)
         .select(col("id_a"), col("id_b"), r4(col("cosine")).as("cosine"))
     }),
+    "embedding_dup_pairs_lsh" -> ((s, dir) => {
+      // The SUB-QUADRATIC embedding near-dup path, oracle-gated: SRP-LSH
+      // banding + exact re-scoring (srpNearPairs) instead of the n² scan
+      // behind `embedding_dup_pairs`. The fixture's organic max cosine is
+      // ~0.6 (SURVEY §2.5), so near-dup structure is PLANTED
+      // deterministically in both engines: each vec_id < 500 gets a twin
+      // at 2·x (exact in IEEE float — exponent bump, no rounding — and
+      // sign(dot(2x, r)) == sign(dot(x, r)), so the twin's SRP signature
+      // is IDENTICAL bit-for-bit). Every qualifying pair therefore shares
+      // ALL bands — recall is structurally 1, not probabilistically ~1 —
+      // which is exactly the recall-1 regime where an LSH output can be
+      // hash-gated against the exact pair scan. Precision is exact by
+      // construction (candidates are re-scored), so output == oracle.
+      val base = emb(s, dir).filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val twins = base.select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      srpNearPairs(base.unionByName(twins), minCosine = 0.95)
+        .select(col("id_a"), col("id_b"), r4(col("cosine")).as("cosine"))
+    }),
     "agg_vector_centroid" -> ((s, dir) => {
       // Per-group element-wise mean embedding (class centroids / topic
       // vectors): posexplode → two-level hash agg. The shuffle carries
@@ -173,6 +193,25 @@ object SimilarityQueries {
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE sqrt(a.nrm * b.nrm) > 0
            AND ${dotSql("a.ev", "b.ev")} / sqrt(a.nrm * b.nrm) >= 0.4""",
+    // exact pair scan over the SAME planted-twin corpus; the LSH result
+    // must equal it (recall-1 regime — see the query comment)
+    "embedding_dup_pairs_lsh" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 500),
+           corpus AS (
+             SELECT vec_id, embedding FROM base
+             UNION ALL
+             SELECT vec_id + 10000000,
+                    list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+             FROM base),
+           v AS (SELECT vec_id, embedding AS ev,
+                 ${dotSql("embedding", "embedding")} AS nrm FROM corpus)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(1e-9 + ${dotSql("a.ev", "b.ev")}
+                  / sqrt(a.nrm * b.nrm), 4) AS cosine
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE sqrt(a.nrm * b.nrm) > 0
+           AND ${dotSql("a.ev", "b.ev")} / sqrt(a.nrm * b.nrm) >= 0.95""",
     // IVF replay: same centroids (vec_id < 8), same assignment tie-break
     // (cosine DESC, cid DESC = Spark's greatest-struct), same probe
     // tie-break (cosine DESC, cid ASC = array_sort on (-cos, cid)),
