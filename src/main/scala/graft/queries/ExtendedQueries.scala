@@ -294,15 +294,29 @@ object ExtendedQueries {
       // distinct or full-sort percentiles don't fit: HLL++
       // (approx_count_distinct), a mergeable DataSketches HLL sketch
       // (hll_sketch_agg → estimate; union-able across partitions/days),
-      // and t-digest-style approx_percentile. Deliberately NO DuckDB
-      // oracle: sketch estimates are engine-specific, so the gate records
-      // the weaker rows-only check; ApproxAggSpec pins the error bounds
-      // against the exact answers instead.
+      // and t-digest-style approx_percentile. Sketch ESTIMATES are
+      // engine-specific and can never hash-match a DuckDB oracle — so the
+      // key outputs the exact group cardinalities (oracle-computable)
+      // plus WITHIN-TOLERANCE verdicts of each approximation against the
+      // exact answer computed in the same aggregation; the oracle pins
+      // the exact values and asserts every verdict TRUE. That upgrades
+      // the entry from rows-only to a full rows+schema+hash gate while
+      // still gating what an approximation can honestly promise (its
+      // error bound; tighter pinning lives in ApproxAggSpec).
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        approx_count_distinct(col("l_partkey")).as("apx_parts"),
-        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
-          .as("hll_parts"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx_p50"))
+          countDistinct(col("l_partkey")).as("parts_exact"),
+          approx_count_distinct(col("l_partkey")).as("__apx"),
+          expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("__hll"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__p50a"),
+          expr("percentile(l_extendedprice, 0.45)").as("__p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("__p55"))
+        .select(col("l_returnflag"), col("parts_exact"),
+          (abs(col("__apx") - col("parts_exact")) <=
+            col("parts_exact") * 0.1).as("apx_parts_ok"),
+          (abs(col("__hll") - col("parts_exact")) <=
+            col("parts_exact") * 0.1).as("hll_parts_ok"),
+          (col("__p50a") >= col("__p45") && col("__p50a") <= col("__p55"))
+            .as("apx_p50_ok"))
     }),
     "array_funcs" -> ((s, dir) => {
       // array scalar family: construction (sequence), slice, reverse,
@@ -505,6 +519,14 @@ object ExtendedQueries {
          round(1e-9 + sum(o_totalprice), 4) AS total, count(*) AS n
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    // exact cardinality is oracle-computable; the approximation verdicts
+    // must all be TRUE (the Spark side checks each estimate against the
+    // exact answer computed in the same aggregation)
+    "agg_approx" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS parts_exact,
+         TRUE AS apx_parts_ok, TRUE AS hll_parts_ok, TRUE AS apx_p50_ok
+         FROM lineitem GROUP BY 1""",
     "array_funcs" ->
       """WITH a AS (SELECT o_orderkey,
            range(1, (o_orderkey % 6) + 2) AS arr FROM orders)
