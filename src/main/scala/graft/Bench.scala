@@ -93,7 +93,18 @@ object Bench {
     val total = results.values.flatten.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subset = if (only.nonEmpty) "\"subset\":true," else ""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subset"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subset"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures a bounded TAIL of stdout; with ~100 queries the
+    // line's head (the headline total) can fall outside that window. The
+    // same line is persisted so the round artifact / future rounds carry
+    // the exact total either way ("bench_last.json" is committed with the
+    // repo; /tmp survives the sbt process for the driver's collection).
+    for (p <- Seq("/tmp/bench.json", "bench_last.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -302,6 +302,22 @@ object SparkEntry {
           Seq("user_id"), "day", "lo", "hi", binWidth = 7)
         .select(col("event_id"), col("lo"), col("hi"))
     }),
+    "window_range_numeric" -> ((s, dir) => {
+      // UNITLESS numeric range frame (slide_index over a non-time index,
+      // R/mutate.R:55-56): per-nation sliding value-window over account
+      // balance, [bal-1000, bal-10] — asymmetric with a NEGATIVE after
+      // endpoint, so the current row sits outside its own window. Empty
+      // windows → 0 cnt / NULL avg. RANGE frames include order-key peers,
+      // so the result is deterministic without a tiebreaker.
+      t(s, dir, "customer")
+        .mutateW("n_win" -> count(col("c_acctbal")),
+            "avg_win" -> avg(col("c_acctbal")))(
+          by = Seq(col("c_nationkey")),
+          frame = Some(Frame.range(1000, -10)),
+          index = Some(col("c_acctbal")))
+        .select(col("c_custkey"), col("n_win"),
+          r4(col("avg_win")).as("avg_win"))
+    }),
     "window_noby_frame" -> ((s, dir) => {
       // Path 2: frame without partition — single-partition global window;
       // kept on the 25-row `nation` table by design (SURVEY §4.2 scale note).
@@ -415,6 +431,12 @@ object SparkEntry {
            CASE WHEN day - md <= 3 THEN md END AS prev_day,
            CASE WHEN day - md <= 3 THEN pm END AS prev_mean
          FROM j""",
+    "window_range_numeric" ->
+      """SELECT c_custkey, count(c_acctbal) OVER w AS n_win,
+           round(1e-9 + avg(c_acctbal) OVER w, 4) AS avg_win
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+           RANGE BETWEEN 1000 PRECEDING AND 10 PRECEDING)""",
     "window_range_months" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
            FROM events)

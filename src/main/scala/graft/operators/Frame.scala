@@ -27,6 +27,13 @@ object FrameEndpoint {
   final case class Days(n: Long) extends FrameEndpoint
   /** Second endpoint (RANGE frame over an epoch-second index). */
   final case class Seconds(n: Long) extends FrameEndpoint
+  /** Unitless numeric endpoint (RANGE frame over ANY numeric index) —
+    * the reference's `slide_index` accepts any numeric `.index`
+    * (R/mutate.R:55-56 constrains the index only to "orderable"), so a
+    * frame need not be a time Period at all: `c(500, 500)` over a price
+    * index means [price−500, price+500]. Compiled to `rangeBetween`
+    * over the index column verbatim (no granularity projection). */
+  final case class Range(n: Long) extends FrameEndpoint
   /** Calendar-month endpoint (`months(k)` Period, R/mutate.R:164-165).
     * Month windows have per-row clamped widths that `rangeBetween`
     * cannot express; [[TidierOps.mutateW]] routes frames with Months
@@ -40,8 +47,8 @@ final case class Frame(before: FrameEndpoint, after: FrameEndpoint) {
   /** True when either endpoint is value-based (Days/Seconds) — requires an
     * index column and compiles to `rangeBetween`. */
   def isRange: Boolean = Seq(before, after).exists {
-    case Days(_) | Seconds(_) => true
-    case _                    => false
+    case Days(_) | Seconds(_) | Range(_) => true
+    case _                               => false
   }
   /** True when either endpoint is a calendar-month Period —
     * [[TidierOps.mutateW]] routes these to [[CalendarWindow.monthsAgg]]. */
@@ -64,6 +71,10 @@ object Frame {
   /** Second-granularity Period frame. */
   def seconds(before: Long, after: Long): Frame =
     Frame(Seconds(before), Seconds(after))
+  /** Unitless numeric range frame over any numeric `.index`
+    * (`slide_index` with a non-time index). */
+  def range(before: Long, after: Long): Frame =
+    Frame(Range(before), Range(after))
   /** `c(months(before), months(after))` calendar-month Period frame
     * (R/mutate.R:164-165; the month-granular analogue of the
     * `c(days(7), days(-1))` example at R/mutate.R:98-100 — negative

@@ -173,14 +173,24 @@ object TidierOps {
 
       // Range frames order on a numeric projection of the index at the
       // frame's granularity (DateType/TimestampType aren't valid
-      // rangeBetween order types for long offsets).
+      // rangeBetween order types for long offsets). A frame must not mix
+      // units — its two finite endpoints measure the same axis.
       val prepared = if (isRange) {
-        val granularityIsDays = frame.get.isRange && (Seq(frame.get.before,
-          frame.get.after).exists(_.isInstanceOf[FrameEndpoint.Days]))
-        val idxNum =
-          if (granularityIsDays)
+        val units = Seq(frame.get.before, frame.get.after).collect {
+          case e: FrameEndpoint.Days    => "days"
+          case e: FrameEndpoint.Seconds => "seconds"
+          case e: FrameEndpoint.Range   => "range"
+        }.distinct
+        require(units.size == 1,
+          s"range frame mixes units (${units.mkString(", ")}) — both " +
+            "value endpoints must share one unit")
+        val idxNum = units.head match {
+          case "days" =>
             datediff(index.get.cast(DateType), to_date(lit("1970-01-01")))
-          else index.get.cast(TimestampType).cast("long")
+          case "seconds" => index.get.cast(TimestampType).cast("long")
+          // unitless: the numeric index IS the range axis, verbatim
+          case _ => index.get
+        }
         withRid.withColumn(IDX, idxNum)
       } else withRid
 
@@ -192,6 +202,7 @@ object TidierOps {
         case FrameEndpoint.Rows(n)    => if (isBefore) -n else n
         case FrameEndpoint.Days(n)    => if (isBefore) -n else n
         case FrameEndpoint.Seconds(n) => if (isBefore) -n else n
+        case FrameEndpoint.Range(n)   => if (isBefore) -n else n
         case FrameEndpoint.Months(_)  => throw new IllegalStateException(
           "Months endpoints are routed to CalendarWindow before frame compile")
       }

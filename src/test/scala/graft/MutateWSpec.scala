@@ -86,6 +86,30 @@ class MutateWSpec extends AnyFunSuite {
       Seq(None, Some(1.0), None))
   }
 
+  test("unitless numeric range frame slides over the index VALUES") {
+    // index = v (a price-like axis, not time): frame [v-15, v-5] catches
+    // values 10..25 behind the current one
+    val out = df.mutateW("s" -> sum(col("v")))(
+      by = Seq(col("g")), frame = Some(Frame.range(15, -5)),
+      index = Some(col("v")))
+      .select("g", "o", "s").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    // a: v=10 → [-5,5] none; v=20 → [5,15]: 10; v=30 → [15,25]: 20;
+    // v=40 → [25,35]: 30. b: v=1 → none; v=2 → none (range [-13,-3]);
+    // v=3 → [-12,-2]: none
+    assert(out == Map(("a", 1) -> None, ("a", 2) -> Some(10.0),
+      ("a", 3) -> Some(20.0), ("a", 4) -> Some(30.0),
+      ("b", 1) -> None, ("b", 2) -> None, ("b", 3) -> None))
+  }
+
+  test("mixed-unit range frames are rejected") {
+    intercept[IllegalArgumentException] {
+      df.mutateW("s" -> sum(col("v")))(
+        frame = Some(Frame(FrameEndpoint.Days(1), FrameEndpoint.Range(1))),
+        index = Some(col("o"))).collect()
+    }
+  }
+
   test("Inf endpoints: c(Inf, Inf) equals whole-group aggregate") {
     val out = df.mutateW("m" -> avg($"v"))(
       by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.unbounded))
