@@ -37,6 +37,78 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("SqlMutate renders the windowed-mutate verb to equivalent pure SQL") {
+    // the reference's tbl_lazy audience: same verb spec, SQL backend.
+    // Every supported shape must be VALUE-equivalent to the DataFrame path.
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Frame, TidierOps}
+    import TidierOps._
+    import graft.sql.SqlMutate
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, java.sql.Date.valueOf("2024-01-01"), 10.0),
+      ("a", 2, java.sql.Date.valueOf("2024-01-03"), 20.0),
+      ("a", 3, java.sql.Date.valueOf("2024-01-07"), 30.0),
+      ("a", 4, java.sql.Date.valueOf("2024-01-08"), 40.0),
+      ("b", 1, java.sql.Date.valueOf("2024-02-01"), 1.0),
+      ("b", 2, java.sql.Date.valueOf("2024-02-02"), 2.0))
+      .toDF("g", "o", "d", "v")
+    df.createOrReplaceTempView("sqlmutate_t")
+    def same(sql: String, viaDf: org.apache.spark.sql.DataFrame): Unit = {
+      val a = spark.sql(sql).collect().map(_.toSeq).toSet
+      val b = viaDf.collect().map(_.toSeq).toSet
+      assert(a == b, s"SQL != DataFrame for:\n$sql")
+    }
+    // frames + complete (rows), desc order — the headline shape
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("s" -> "sum(v)"),
+        by = Seq("g"), orderBy = Seq("o DESC"),
+        frame = Some(Frame.rows(1, 0)), complete = true),
+      df.mutateW("s" -> sum(col("v")))(by = Seq(col("g")),
+        orderBy = Seq(col("o").desc), frame = Some(Frame.rows(1, 0)),
+        complete = true))
+    // range (days) frame + complete over the index span
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("m" -> "avg(v)"),
+        by = Seq("g"), frame = Some(Frame.days(3, 0)),
+        index = Some("d"), complete = true),
+      df.mutateW("m" -> avg(col("v")))(by = Seq(col("g")),
+        frame = Some(Frame.days(3, 0)), index = Some(col("d")),
+        complete = true))
+    // running cumulative
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("cs" -> "sum(v)"),
+        by = Seq("g"), orderBy = Seq("o")),
+      df.mutateW("cs" -> sum(col("v")))(by = Seq(col("g")),
+        orderBy = Seq(col("o"))))
+    // whole-group aggregate
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("mx" -> "max(v)"),
+        by = Seq("g")),
+      df.mutateW("mx" -> max(col("v")))(by = Seq(col("g"))))
+    // unitless numeric range, asymmetric negative after
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("n" -> "count(v)"),
+        by = Seq("g"), frame = Some(Frame.range(15, -5)),
+        index = Some("v")),
+      df.mutateW("n" -> count(col("v")))(by = Seq(col("g")),
+        frame = Some(Frame.range(15, -5)), index = Some(col("v"))))
+    // plain mutate (path 1)
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("v2" -> "v * 2")),
+      df.mutateW("v2" -> (col("v") * 2))())
+    // month frames route users to the DataFrame API
+    intercept[UnsupportedOperationException] {
+      SqlMutate.render("sqlmutate_t", Seq("s" -> "sum(v)"),
+        by = Seq("g"), frame = Some(Frame.months(1, 0)), index = Some("d"))
+    }
+    // rows frame without an order is rejected (SQL has no input order)
+    intercept[IllegalArgumentException] {
+      SqlMutate.render("sqlmutate_t", Seq("s" -> "sum(v)"),
+        frame = Some(Frame.rows(1, 1)))
+    }
+  }
+
   test("arity errors are reported at analysis time") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
