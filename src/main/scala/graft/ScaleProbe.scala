@@ -59,6 +59,47 @@ object ScaleProbe {
       sink(graft.operators.CalendarWindow.trailingMonths(ev,
         Seq("user_id"), col("dt"), "v", months = 1))
     }
+
+    // Dedup stack at sf1-equivalent corpus size (documents scales ~5k
+    // rows per 0.1 sf → sf1 ≈ 50k docs; DEDUP_DOCS env overrides).
+    // Synthetic docs: 40 words from a 1k-word vocab, content a pure
+    // function of doc id; every 20th doc is a NEAR-DUP of its
+    // predecessor (same word stream, one word substituted) so the
+    // planted pair set is ~n/20 and candidate-vs-result precision is
+    // measurable. Empirically validates the prefix-filter postings²
+    // claim: candidate count should sit near the planted-pair count,
+    // NOT near n².
+    val nDocs = sys.env.getOrElse("DEDUP_DOCS", "50000").toLong
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(40)), i => concat(lit("w"),
+          pmod(xxhash64(
+            when(col("id") % 20 === 0 and col("id") > 0,
+              col("id") - 1).otherwise(col("id")), i),
+            lit(1000)))), " ").as("text"))
+      // the substitution: dup docs append a marker word instead of a
+      // shared 41st word — J(orig, dup) = 38/44 ≈ 0.86 on 3-shingles
+      .withColumn("text", concat(col("text"), lit(" "),
+        when(col("doc_id") % 20 === 0 and col("doc_id") > 0, lit("zz"))
+          .otherwise(lit("yy"))))
+      .repartition(32)
+    sink(docs)
+    val planted = nDocs / 20
+    time(s"jaccardPairs ${nDocs / 1000}k docs (prefix filter)") {
+      val c = graft.operators.Dedup.jaccardPairs(
+        docs, "doc_id", "text", n = 3, minJaccard = 0.5).count()
+      println(s"[probe]   jaccard pairs found: $c (planted ~$planted)")
+    }
+    time(s"minhashPairs ${nDocs / 1000}k docs (LSH bands)") {
+      val c = graft.operators.Dedup.minhashPairs(
+        docs, "doc_id", "text", n = 3, k = 32, rowsPerBand = 2,
+        minJaccard = 0.5).count()
+      println(s"[probe]   minhash pairs found: $c (planted ~$planted)")
+    }
+    time(s"simhashPairs ${nDocs / 1000}k docs (pigeonhole)") {
+      val c = graft.operators.Dedup.simhashPairs(
+        docs, "doc_id", "text", n = 3, maxHamming = 3).count()
+      println(s"[probe]   simhash pairs found: $c")
+    }
     spark.stop()
   }
 }
