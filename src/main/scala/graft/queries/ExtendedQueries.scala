@@ -303,20 +303,31 @@ object ExtendedQueries {
       // the entry from rows-only to a full rows+schema+hash gate while
       // still gating what an approximation can honestly promise (its
       // error bound; tighter pinning lives in ApproxAggSpec).
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-          countDistinct(col("l_partkey")).as("parts_exact"),
+      {
+      // PLAN NOTE: countDistinct must NOT share an Aggregate with the
+      // TypedImperativeAggregates (percentile / hll_sketch / approx_
+      // percentile): the distinct rewrite EXPANDs the input and the mixed
+      // node degrades to a sort-based aggregate evaluating the imperative
+      // buffers per-row — measured 11.3s vs 0.3-1.3s per family alone at
+      // sf0.1. Two hash aggregates + a broadcast join on the 3-row group
+      // key keep each family in its fast operator.
+      val li = t(s, dir, "lineitem")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("parts_exact"))
+      li.groupBy("l_returnflag").agg(
           approx_count_distinct(col("l_partkey")).as("__apx"),
           expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("__hll"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__p50a"),
-          expr("percentile(l_extendedprice, 0.45)").as("__p45"),
-          expr("percentile(l_extendedprice, 0.55)").as("__p55"))
+          expr("percentile(l_extendedprice, 0.5)").as("__p50"))
+        .join(broadcast(exact), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("parts_exact"),
           (abs(col("__apx") - col("parts_exact")) <=
             col("parts_exact") * 0.1).as("apx_parts_ok"),
           (abs(col("__hll") - col("parts_exact")) <=
             col("parts_exact") * 0.1).as("hll_parts_ok"),
-          (col("__p50a") >= col("__p45") && col("__p50a") <= col("__p55"))
+          (abs(col("__p50a") - col("__p50")) <= col("__p50") * 0.02)
             .as("apx_p50_ok"))
+      }
     }),
     "array_funcs" -> ((s, dir) => {
       // array scalar family: construction (sequence), slice, reverse,
