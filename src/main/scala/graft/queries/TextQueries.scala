@@ -101,6 +101,22 @@ object TextQueries {
       docs(s, dir)
         .groupBy(fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+    "pack_sequences" -> ((s, dir) => {
+      // Sequence packing (LLM-pretraining prep): concatenate docs in a
+      // stable global order and chunk the token stream into fixed
+      // 8192-token budgets — each doc's sequence id is the budget bin
+      // holding its START offset. The running offset uses
+      // GlobalWindow.cumSum (content-derived range pids, G×P-parallel),
+      // NOT a single-partition Window.orderBy — packing a 100 TB corpus
+      // is exactly the global-running-sum shape that operator exists for.
+      val d = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_toks"))
+      graft.operators.GlobalWindow.cumSum(
+          d, Seq(col("doc_id")), "n_toks", "__cum")
+        .select(col("doc_id"), col("n_toks"),
+          floor((col("__cum") - col("n_toks")) / 8192.0).cast("long")
+            .as("seq_id"))
     })
   )
 
@@ -127,6 +143,13 @@ object TextQueries {
            FROM q)"""
 
   val oracleSql: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""$withToks
+         SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(floor((sum(n_toks) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+             / 8192.0) AS BIGINT) AS seq_id
+         FROM tt""",
     "sample_hash" ->
       """SELECT doc_id FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
