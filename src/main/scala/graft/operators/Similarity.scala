@@ -327,4 +327,41 @@ object Similarity {
         when(denom > 0, dot(col("q_vec"), col("nbr_vec")) / denom))
     topKRank(cands, k)
   }
+
+  /** kNN GRAPH via IVF: top-k neighbors for EVERY corpus row —
+    * the sub-quadratic sibling of [[cosineTopK]]'s self-join form. Each
+    * row scores only the rows in its `nProbe` nearest clusters:
+    * O(n²·nProbe/C) score work instead of O(n²). Unlike [[ivfTopK]],
+    * whose SMALL query side is broadcast, both sides here are the corpus,
+    * so candidates come from a SHUFFLE equi-join on the cluster id — the
+    * corpus is hashed C-way, never broadcast and never crossed. At real
+    * scale C is thousands of centroids, so per-cluster candidate lists
+    * stay bounded; a hot cluster is AQE's skew-split case, not a plan
+    * rewrite. Probe/rank tie-breaks match [[ivfTopK]] exactly. */
+  def ivfKnnJoin(corpus: DataFrame, centroids: Array[(Long, Seq[Double])],
+      k: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val assigned = ivfAssign(corpus.repartition(parallelism), centroids, vecCol)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+        col("cluster"), dot(col(vecCol), col(vecCol)).as("nbr_nrm"))
+    val qProbes = corpus.repartition(parallelism)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        dot(col(vecCol), col(vecCol)).as("q_nrm"))
+      .withColumn("probes", {
+        val scored = centroids.map { case (cid, cvec) =>
+          struct(coalesce(-cosine(col("q_vec"), typedLit(cvec)),
+            lit(Double.PositiveInfinity)).as("neg"), lit(cid).as("cid"))
+        }
+        slice(array_sort(array(scored: _*)), 1, nProbe)
+      })
+      .withColumn("cluster", explode(transform(col("probes"), _.getField("cid"))))
+      .select("query_id", "q_vec", "q_nrm", "cluster")
+    val denom = sqrt(col("q_nrm") * col("nbr_nrm"))
+    val cands = qProbes.join(assigned, Seq("cluster"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        when(denom > 0, dot(col("q_vec"), col("nbr_vec")) / denom))
+    topKRank(cands, k)
+  }
 }

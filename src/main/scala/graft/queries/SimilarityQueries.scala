@@ -87,6 +87,22 @@ object SimilarityQueries {
         .select(col("query_id"), col("nbr_id"),
           r4(col("adist")).as("adist"), col("rank"))
     }),
+    "ann_knn_join_ivf" -> ((s, dir) => {
+      // SUB-QUADRATIC kNN graph: same output shape as ann_knn_join (top-3
+      // per vector) but each vector scores only its 2 probed IVF clusters
+      // (~n/4 of the corpus) via a SHUFFLE join on cluster id — no n²
+      // cross join and no corpus broadcast. Approximate vs the exact
+      // graph but exactly reproducible (deterministic centroids), so the
+      // oracle replays the probe pipeline in SQL.
+      val all = emb(s, dir)
+      val cents = all.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1)
+      ivfKnnJoin(all, cents, k = 3, nProbe = 2)
+        .select(col("query_id"), col("nbr_id"),
+          r4(col("cosine")).as("cosine"), col("rank"))
+    }),
     "ann_ivf_topk" -> ((s, dir) => {
       // IVF with DETERMINISTIC centroids (the vectors of vec_id < 8 —
       // no averaging, so both engines see bit-identical centroids),
@@ -216,39 +232,45 @@ object SimilarityQueries {
     // (cosine DESC, cid DESC = Spark's greatest-struct), same probe
     // tie-break (cosine DESC, cid ASC = array_sort on (-cos, cid)),
     // same final ranking.
-    "ann_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
-                        FROM embeddings WHERE vec_id < 8),
-           v AS (SELECT vec_id, embedding AS ev,
-                 ${dotSql("embedding", "embedding")} AS nrm
-                 FROM embeddings),
-           vc AS (SELECT v.vec_id, v.nrm, cent.cid,
-                  ${cosineSql("v.ev", "cent.cv")} AS s
-                  FROM v CROSS JOIN cent),
-           asg AS (SELECT vec_id, nrm, cid AS cluster FROM (
-                    SELECT vc.*, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY s DESC, cid DESC) AS rn FROM vc)
-                   WHERE rn = 1),
-           qp AS (SELECT vec_id AS query_id, nrm AS qnrm, cid AS cluster
-                  FROM (
-                    SELECT vc.*, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY s DESC, cid ASC) AS rn
-                    FROM vc WHERE vec_id < 10)
-                  WHERE rn <= 2),
-           cand AS (SELECT qp.query_id, a.vec_id AS nbr_id,
-                    CASE WHEN sqrt(qp.qnrm * a.nrm) > 0 THEN
-                      ${dotSql("qe.embedding", "ne.embedding")}
-                        / sqrt(qp.qnrm * a.nrm) END AS cos_raw
-                    FROM qp
-                    JOIN asg a ON qp.cluster = a.cluster
-                               AND qp.query_id <> a.vec_id
-                    JOIN embeddings qe ON qe.vec_id = qp.query_id
-                    JOIN embeddings ne ON ne.vec_id = a.vec_id),
-           ranked AS (SELECT query_id, nbr_id, cos_raw,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos_raw DESC, nbr_id) AS rank
-                      FROM cand)
-         SELECT query_id, nbr_id, round(1e-9 + cos_raw, 4) AS cosine, rank
-         FROM ranked WHERE rank <= 3"""
+    "ann_ivf_topk" -> ivfSql("WHERE vec_id < 10", k = 3, nProbe = 2),
+    // same replay with EVERY vector as a query — the kNN-graph form
+    "ann_knn_join_ivf" -> ivfSql("", k = 3, nProbe = 2)
   )
+
+  /** IVF probe-pipeline replay, parameterized over the query-side filter
+    * (shared by `ann_ivf_topk` and `ann_knn_join_ivf`). */
+  private def ivfSql(queryFilter: String, k: Int, nProbe: Int): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                      FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, embedding AS ev,
+               ${dotSql("embedding", "embedding")} AS nrm
+               FROM embeddings),
+         vc AS (SELECT v.vec_id, v.nrm, cent.cid,
+                ${cosineSql("v.ev", "cent.cv")} AS s
+                FROM v CROSS JOIN cent),
+         asg AS (SELECT vec_id, nrm, cid AS cluster FROM (
+                  SELECT vc.*, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY s DESC, cid DESC) AS rn FROM vc)
+                 WHERE rn = 1),
+         qp AS (SELECT vec_id AS query_id, nrm AS qnrm, cid AS cluster
+                FROM (
+                  SELECT vc.*, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY s DESC, cid ASC) AS rn
+                  FROM vc $queryFilter)
+                WHERE rn <= $nProbe),
+         cand AS (SELECT qp.query_id, a.vec_id AS nbr_id,
+                  CASE WHEN sqrt(qp.qnrm * a.nrm) > 0 THEN
+                    ${dotSql("qe.embedding", "ne.embedding")}
+                      / sqrt(qp.qnrm * a.nrm) END AS cos_raw
+                  FROM qp
+                  JOIN asg a ON qp.cluster = a.cluster
+                             AND qp.query_id <> a.vec_id
+                  JOIN embeddings qe ON qe.vec_id = qp.query_id
+                  JOIN embeddings ne ON ne.vec_id = a.vec_id),
+         ranked AS (SELECT query_id, nbr_id, cos_raw,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, nbr_id) AS rank
+                    FROM cand)
+       SELECT query_id, nbr_id, round(1e-9 + cos_raw, 4) AS cosine, rank
+       FROM ranked WHERE rank <= $k"""
 }
