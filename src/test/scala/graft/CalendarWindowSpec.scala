@@ -194,6 +194,22 @@ class CalendarWindowSpec extends AnyFunSuite {
       4L -> Some(1L)))
   }
 
+  test("no-by (global) month window works — empty key as-of sweep") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    val rows = Seq(
+      (1L, d("2023-01-10"), 1.0), (2L, d("2023-01-25"), 2.0),
+      (3L, d("2023-02-20"), 4.0), (4L, d("2023-03-05"), 8.0))
+      .toDF("event_id", "dt", "value")
+    val got = rows.mutateW("ws" -> sum(col("value")))(
+        frame = Some(Frame.months(1, 0)), index = Some(col("dt")))
+      .select($"event_id", $"ws").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // windows: Jan10→{1}, Jan25→{1,2}, Feb20→{2,4} (Jan25 ≥ Jan20),
+    // Mar5→{3,4} (Feb20 ≥ Feb5)
+    assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 12.0))
+  }
+
   test("plan: no range self-join — as-of sweep + prefix windows only") {
     val rows = Seq((1L, d("2023-01-01"), 1.0))
       .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
