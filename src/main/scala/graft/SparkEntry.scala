@@ -275,6 +275,22 @@ object SparkEntry {
         .select(col("event_id"), col("win_cnt"),
           r4(col("win_avg")).as("win_avg"), col("win_max"))
     }),
+    "window_complete_months" -> ((s, dir) => {
+      // `.complete = TRUE` over a MONTH Period frame: complete iff the
+      // window's value span [add_months(d,-1), d] lies inside the user's
+      // observed index span — the months analogue of
+      // window_complete_range, gating CalendarWindow.monthsAgg's gate
+      // branch in the oracle harness (previously spec-only).
+      events(s, dir).select(col("event_id"), col("user_id"),
+          col("value"), tsDate.as("d"))
+        .mutateW("c_cnt" -> count(col("value")),
+            "c_avg" -> avg(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.months(1, 0)),
+          index = Some(col("d")), complete = true)
+        .select(col("event_id"), col("c_cnt"),
+          r4(col("c_avg")).as("c_avg"))
+    }),
     "window_complete_range" -> ((s, dir) => {
       // `.complete = TRUE` over a RANGE (Period) frame: the window is
       // complete iff its VALUE span [day-3, day] lies inside the
@@ -455,6 +471,22 @@ object SparkEntry {
            AND b.d BETWEEN CAST(a.d - INTERVAL 2 MONTH AS DATE)
                        AND CAST(a.d - INTERVAL 1 MONTH AS DATE)
          GROUP BY 1""",
+    "window_complete_months" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
+           FROM events),
+         s AS (SELECT user_id, min(d) AS dmin, max(d) AS dmax
+           FROM e GROUP BY 1)
+         SELECT a.event_id,
+           CASE WHEN CAST(a.d - INTERVAL 1 MONTH AS DATE) >= s.dmin
+                 AND a.d <= s.dmax THEN count(b.value) END AS c_cnt,
+           CASE WHEN CAST(a.d - INTERVAL 1 MONTH AS DATE) >= s.dmin
+                 AND a.d <= s.dmax
+                THEN round(1e-9 + avg(b.value), 4) END AS c_avg
+         FROM e a
+         JOIN s ON a.user_id = s.user_id
+         LEFT JOIN e b ON a.user_id = b.user_id
+           AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) AND a.d
+         GROUP BY a.event_id, s.dmin, s.dmax, a.d""",
     "window_complete_range" ->
       """WITH e AS (SELECT event_id, user_id, value,
            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
