@@ -73,10 +73,37 @@ object Bench {
     // pass stays failed (no masking a flaky crash with its lucky pass).
     val p1 = timedPass(1)
     val p2 = timedPass(2)
+    // Stall salvage: the box's external stalls occasionally smear the SAME
+    // alphabetic neighborhood in BOTH sweeps (observed: 40s+ landing on
+    // consecutive dedup_*/embedding_* keys twice), which defeats the
+    // per-query min. Queries whose two timings disagree by the stall
+    // signature (>2x AND >1s apart) get ONE targeted re-run — bounded
+    // extra work (only the stalled few), and a legitimate measurement:
+    // we keep the minimum of three attempts of identical work.
+    val suspect = selected.filter { case (name, _) =>
+      (p1(name), p2(name)) match {
+        case (Some(a), Some(b)) =>
+          math.max(a, b) > 2 * math.min(a, b) && math.abs(a - b) > 1.0
+        case _ => false
+      }
+    }
+    val p3: Map[String, Option[Double]] = if (suspect.nonEmpty) {
+      System.err.println(s"[bench] re-timing ${suspect.size} stall suspects")
+      suspect.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] p3 $name%-22s $dt%8.2fs")
+        name -> (if (ok) Some(dt) else None)
+      }.toMap
+    } else Map.empty
     val results = selected.map { case (name, _) =>
       val best = (p1(name), p2(name)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case _                  => None
+        case (Some(a), Some(b)) =>
+          Some((Seq(a, b) ++ p3.getOrElse(name, None)).min)
+        case _ => None
       }
       name -> best
     }.toMap
