@@ -59,6 +59,14 @@ object ScaleProbe {
       sink(graft.operators.CalendarWindow.trailingMonths(ev,
         Seq("user_id"), col("dt"), "v", months = 1))
     }
+    time("monthsAgg offset c(2,-1) 10M evts") {
+      import graft.operators.CalendarWindow.{MonthsAggSpec, MonthsOp}
+      sink(graft.operators.CalendarWindow.monthsAgg(ev, Seq("user_id"),
+        col("dt"), Seq(MonthsAggSpec("w_sum", MonthsOp.Sum, "v"),
+          MonthsAggSpec("w_cnt", MonthsOp.Count, "v"),
+          MonthsAggSpec("w_max", MonthsOp.Max, "v")),
+        before = 2, after = -1))
+    }
 
     // Dedup stack at sf1-equivalent corpus size (documents scales ~5k
     // rows per 0.1 sf → sf1 ≈ 50k docs; DEDUP_DOCS env overrides).
