@@ -194,6 +194,45 @@ class CalendarWindowSpec extends AnyFunSuite {
       4L -> Some(1L)))
   }
 
+  test("NULL values: skipped by sum/count/avg/min/max, all-null window = NULL") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    val rows = Seq(
+      (1L, d("2023-01-10"), Option(2.0)), (2L, d("2023-01-15"), Option.empty[Double]),
+      (3L, d("2023-01-20"), Option(6.0)), (4L, d("2023-03-10"), Option.empty[Double]))
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    val got = rows.mutateW("wc" -> count(col("value")), "ws" -> sum(col("value")),
+        "wmn" -> min(col("value")), "wa" -> count(lit(1)))(
+        by = Seq(col("user_id")), frame = Some(Frame.months(1, 0)),
+        index = Some(col("dt")))
+      .select($"event_id", $"wc", $"ws", $"wmn", $"wa").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))).toMap
+    // row 4's window [Feb 10, Mar 10] holds only itself (null value):
+    // count 0, sum/min NULL, count(*) 1
+    assert(got(4L) == ((0L, None, None, 1L)))
+    // row 3's window catches rows 1-3; the null at Jan 15 is skipped
+    assert(got(3L) == ((2L, Some(8.0), Some(2.0), 3L)))
+  }
+
+  test("mutateSE months frame: string keys + restored input order") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    // deliberately shuffled input order; mutateSE must restore it
+    val rows = Seq(
+      (3L, 1L, d("2023-03-15"), 4.0), (1L, 1L, d("2023-01-15"), 1.0),
+      (2L, 1L, d("2023-02-10"), 2.0))
+      .toDF("event_id", "user_id", "dt", "value")
+    val out = rows.mutateSE("ws" -> sum(col("value")))(
+      by = Seq("user_id"), frame = Some(Frame.months(1, 0)), index = Some("dt"))
+    assert(out.select("event_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 1L, 2L))
+    val m = out.select($"event_id", $"ws").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Mar 15's window starts Feb 15 — Feb 10 falls OUTSIDE it
+    assert(m == Map(1L -> 1.0, 2L -> 3.0, 3L -> 4.0))
+  }
+
   test("no-by (global) month window works — empty key as-of sweep") {
     import graft.operators.TidierOps._
     import graft.operators.Frame
