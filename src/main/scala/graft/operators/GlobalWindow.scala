@@ -256,9 +256,9 @@ object GlobalWindow {
     * e.g. the underlying files changed between calls — can only skew
     * balance, never results. Bounded LRU (64 entries). */
   private val boundsMemo =
-    new java.util.LinkedHashMap[(Int, Int), Array[Row]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, Int), Seq[Any]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int), Array[Row]]): Boolean =
+          e: java.util.Map.Entry[(Int, Int), Seq[Any]]): Boolean =
         size() > 64
     }
 
@@ -267,36 +267,37 @@ object GlobalWindow {
     if (parts <= 1) return lit(0)
     val keyed = df.select(key.as("k"))
     val kType = keyed.schema("k").dataType
-    val sampleSz = math.min(parts * 64, 262144)
     val memoKey = (keyed.queryExecution.analyzed.semanticHash(), parts)
-    // TakeOrderedAndProject by key hash = a uniform-ish pseudo-random
-    // sample in one pass with only top-S per partition retained; the
-    // second orderBy sorts just those S rows by key.
-    val sample: Array[Row] = boundsMemo.synchronized {
+    val boundVals: Seq[Any] = boundsMemo.synchronized {
       Option(boundsMemo.get(memoKey))
     }.getOrElse {
-      val s = keyed
+      val sampleSz = math.min(parts * 64, 262144)
+      // TakeOrderedAndProject by key hash = a uniform-ish pseudo-random
+      // sample in one pass with only top-S per partition retained; the
+      // second orderBy sorts just those S rows by key.
+      val sample: Array[Row] = keyed
         .orderBy(xxhash64(col("k")), col("k"))
         .limit(sampleSz)
         .orderBy(col("k"))
         .collect()
-      boundsMemo.synchronized { boundsMemo.put(memoKey, s) }
-      s
+      // Quantile split points, deduplicated (strictly increasing): heavy
+      // key duplication collapses bounds, trading balance for correctness —
+      // equal keys always share a pid. NULL bounds are dropped (possible on
+      // the bare-column fast path when null keys are common): `key >= NULL`
+      // is NULL, which the when-tree would route left unconditionally; null
+      // KEYS themselves route left to pid 0 on every branch — consistently
+      // in both plan branches, matching asc-nulls-first order.
+      val step = sample.length.toDouble / parts
+      val vals: Seq[Any] = (1 until parts)
+        .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
+        .distinct
+        .filterNot(_.isNullAt(0))
+        .map(_.get(0))
+      // only the ≤ parts-1 split VALUES are retained, never the sample
+      boundsMemo.synchronized { boundsMemo.put(memoKey, vals) }
+      vals
     }
-    if (sample.isEmpty) return lit(0)
-    // Quantile split points, deduplicated (strictly increasing): heavy
-    // key duplication collapses bounds, trading balance for correctness —
-    // equal keys always share a pid. NULL bounds are dropped (possible on
-    // the bare-column fast path when null keys are common): `key >= NULL`
-    // is NULL, which the when-tree would route left unconditionally; null
-    // KEYS themselves route left to pid 0 on every branch — consistently
-    // in both plan branches, matching asc-nulls-first order.
-    val step = sample.length.toDouble / parts
-    val bounds = (1 until parts)
-      .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
-      .distinct
-      .filterNot(_.isNullAt(0))
-      .map(r => ColumnShim.column(Literal.create(r.get(0), kType)))
+    val bounds = boundVals.map(v => ColumnShim.column(Literal.create(v, kType)))
     if (bounds.isEmpty) return lit(0)
     // pid(key) = |{i : bound_i <= key}| via balanced when-tree.
     def search(lo: Int, hi: Int): Column =
