@@ -157,21 +157,30 @@ object CalendarWindow {
       for ((src, dst) <- runCols) cum = cum.withColumn(dst, sum(col(src)).over(pw))
       cum = cum.select((byCols ++ (col(DAY) +: runCols.map(p => col(p._2)))): _*)
 
+      // The as-of LEFT frame is cum itself with bounds attached — so the
+      // after == 0 case (hi == day) keeps its OWN prefix as the hi lookup
+      // with no extra join; the general case drops the raw prefixes and
+      // sweeps both boundaries.
+      val withBounds = cum
+        .withColumn(LO, add_months(col(DAY), -before))
+        .withColumn(HI, add_months(col(DAY), after))
+      val left0 =
+        if (after == 0)
+          runCols.foldLeft(withBounds) { case (d, (_, c)) =>
+            d.withColumnRenamed(c, s"__hi$c") }
+        else withBounds.drop(runCols.map(_._2): _*)
       // strict backward as-of at lo: last prefix STRICTLY BEFORE the start
       val loRight = runCols.foldLeft(cum.withColumnRenamed(DAY, "__rt")) {
         case (d, (_, c)) => d.withColumnRenamed(c, s"__lo$c")
       }
-      val withLo = AsofJoin.asofBackward(bounds, loRight, keys = by,
+      val withLo = AsofJoin.asofBackward(left0, loRight, keys = by,
         leftTime = LO, rightTime = "__rt",
         valueCols = runCols.map(p => s"__lo${p._2}"), strict = true,
         matchedTimeCol = "__cw_mtlo__").drop("__cw_mtlo__")
-      // inclusive backward as-of at hi: last prefix AT-OR-BEFORE the end.
-      // after == 0 → hi == day → the row's own prefix; skip the sweep.
-      val withHi = if (after == 0) {
-        val hiR = runCols.foldLeft(cum) { case (d, (_, c)) =>
-          d.withColumnRenamed(c, s"__hi$c") }
-        joinNullSafe(withLo, hiR, by :+ DAY, "__cw_h_")
-      } else {
+      // inclusive backward as-of at hi: last prefix AT-OR-BEFORE the end
+      // (skipped when after == 0 — carried on left0 above)
+      if (after == 0) withLo
+      else {
         val hiRight = runCols.foldLeft(cum.withColumnRenamed(DAY, "__rt")) {
           case (d, (_, c)) => d.withColumnRenamed(c, s"__hi$c")
         }
@@ -180,7 +189,6 @@ object CalendarWindow {
           valueCols = runCols.map(p => s"__hi${p._2}"), strict = false,
           matchedTimeCol = "__cw_mthi__").drop("__cw_mthi__")
       }
-      withHi
     } else bounds
 
     // ---- 2b. expansion path: daily min/max partials × window day spans ----
