@@ -238,16 +238,13 @@ object CalendarWindow {
         .drop("__cw_d1__").drop(by.map(c => s"__cw_i_$c"): _*)
     }
 
-    // `.complete` gate: window value-span inside the group's index span
+    // `.complete` gate: window value-span inside the group's index span —
+    // computed as a whole-partition window over the per-(group, day) frame
+    // itself (G×D tiny rows), no extra aggregate or join
     val gate: Option[Column] = if (complete) {
-      val span =
-        if (by.nonEmpty)
-          daily.groupBy(byCols: _*)
-            .agg(min(col(DAY)).as(GMIN), max(col(DAY)).as(GMAX))
-        else daily.agg(min(col(DAY)).as(GMIN), max(col(DAY)).as(GMAX))
-      win =
-        if (by.nonEmpty) joinNullSafe(win, span, by, "__cw_g_")
-        else win.crossJoin(broadcast(span))
+      val spanW = Window.partitionBy(byCols: _*)
+      win = win.withColumn(GMIN, min(col(DAY)).over(spanW))
+        .withColumn(GMAX, max(col(DAY)).over(spanW))
       Some(col(LO) >= col(GMIN) && col(HI) <= col(GMAX))
     } else None
 
