@@ -82,19 +82,19 @@ object CurationQueries {
     }),
 
     "text_repetition" -> ((s, dir) => {
-      // Tokens are materialized into a column FIRST so the bigram
-      // zip_with lambda closes over a bound array reference — a lambda
-      // over tokens(text) directly would re-run the normalize+split per
-      // element (interpreted HOF pitfall; see ShingleHashesExpr scaladoc).
+      // ZERO-SHUFFLE shape: all three Gopher signals are per-document
+      // facts, so they are computed per ROW from the SORTED token/bigram
+      // arrays (adjacency runs) instead of the earlier explode → two
+      // hash-agg passes → join — at corpus scale that removes two full
+      // (doc, gram) shuffles and the tokenizer's second evaluation.
+      // Tokens are materialized into a column FIRST so the array lambdas
+      // close over a bound reference — a lambda over tokens(text) would
+      // re-run the normalize+split per element (interpreted HOF pitfall;
+      // see ShingleHashesExpr scaladoc). The lambdas here are trivial
+      // comparisons — no regex/tokenizer inside.
       val d = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
-      val ts = d.select(col("doc_id"), explode(col("toks")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum("c").as("n_toks"),
-          count(lit(1)).as("n_distinct"),
-          max("c").as("top_c"))
       // Positional (non-distinct) bigrams via the null-padding zip_with
       // trick shared with Dedup.shingles.
       val grams = filter(
@@ -102,20 +102,39 @@ object CurationQueries {
           slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
           (a, b) => concat(a, lit(" "), b)),
         g => g.isNotNull)
-      val gstat = d.select(col("doc_id"), explode(grams).as("g2"))
-        .groupBy("doc_id", "g2").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum("c").as("n_g"),
-          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_g"))
-      ts.join(gstat, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          col("n_toks").cast("long").as("n_toks"),
-          r4(col("n_distinct").cast("double") / col("n_toks"))
-            .as("distinct_frac"),
-          r4(col("top_c").cast("double") / col("n_toks")).as("top_tok_frac"),
-          // null (not 0) for single-token docs: no bigrams exist at all
-          r4(col("dup_g").cast("double") / col("n_g")).as("dup_bigram_frac"))
+      val wg = d.withColumn("st", sort_array(col("toks")))
+        .withColumn("sg", sort_array(grams))
+      // 1-based position predicates over a sorted array (when() guards:
+      // ANSI mode makes element_at(_, 0) an error, so the boundary arm
+      // must short-circuit)
+      def neqPrev(arr: Column)(i: Column): Column =
+        when(i === 1, lit(true))
+          .otherwise(element_at(arr, i) =!= element_at(arr, i - 1))
+      def neqNext(arr: Column)(i: Column): Column =
+        when(i === size(arr), lit(true))
+          .otherwise(element_at(arr, i) =!= element_at(arr, i + 1))
+      val nT = size(col("st"))
+      val nG = size(col("sg"))
+      // run starts in the sorted tokens: their count = distinct tokens,
+      // the max gap to the next start = the top token's frequency
+      val starts = filter(sequence(lit(1), nT), i => neqPrev(col("st"))(i))
+      val runLens = zip_with(starts,
+        slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+        (st, en) => coalesce(en, nT + 1) - st)
+      // a bigram occurs once iff it differs from BOTH sorted neighbors;
+      // duplicate-gram mass = all grams minus the once-only ones.
+      // (nG === 0 guard also keeps sequence(1, 0) from going descending.)
+      val uniqG = when(nG === 0, lit(0)).otherwise(size(filter(
+        sequence(lit(1), nG),
+        i => neqPrev(col("sg"))(i) && neqNext(col("sg"))(i))))
+      wg.select(
+        col("doc_id"),
+        nT.cast("long").as("n_toks"),
+        r4(size(starts).cast("double") / nT).as("distinct_frac"),
+        r4(array_max(runLens).cast("double") / nT).as("top_tok_frac"),
+        // null (not 0) for single-token docs: no bigrams exist at all
+        when(nG > 0, r4((nG - uniqG).cast("double") / nG))
+          .as("dup_bigram_frac"))
     }),
 
     "quality_filter_p75" -> ((s, dir) => {
