@@ -288,11 +288,13 @@ object GlobalWindow {
       // KEYS themselves route left to pid 0 on every branch — consistently
       // in both plan branches, matching asc-nulls-first order.
       val step = sample.length.toDouble / parts
-      val vals: Seq[Any] = (1 until parts)
-        .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
-        .distinct
-        .filterNot(_.isNullAt(0))
-        .map(_.get(0))
+      val vals: Seq[Any] =
+        if (sample.isEmpty) Nil // empty input → single pid 0
+        else (1 until parts)
+          .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
+          .distinct
+          .filterNot(_.isNullAt(0))
+          .map(_.get(0))
       // only the ≤ parts-1 split VALUES are retained, never the sample
       boundsMemo.synchronized { boundsMemo.put(memoKey, vals) }
       vals
