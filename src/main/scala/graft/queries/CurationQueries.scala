@@ -186,6 +186,30 @@ object CurationQueries {
       train.join(broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_contam"))
+    }),
+
+    "decontam_bloom" -> ((s, dir) => {
+      // The BLOOM-SKETCH decontamination path (operators/Decontam),
+      // oracle-gated on its safety contract: a Bloom filter can only
+      // over-approximate, so every EXACTLY-contaminated doc must probe
+      // TRUE (zero false negatives). The key outputs the exact overlap
+      // set (oracle-computable — same construction as decontam_overlap)
+      // with each doc's sketch verdict; the oracle pins the doc list and
+      // asserts TRUE throughout. False-positive rate is the fpp
+      // trade-off, pinned separately in DecontamSpec.
+      val d = docs(s, dir)
+      val bloom = graft.operators.Decontam.buildGramBloom(
+        d.filter(col("doc_id") % 20 === 0), "text", n = 5,
+        expectedItems = 1L << 20, fpp = 0.001)
+      val grams = d
+        .select(col("doc_id"), explode(shingleHashes(col("text"), 5)).as("h"))
+      val bg = grams.filter(col("doc_id") % 20 === 0).select("h").distinct()
+      val contam = grams.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bg), "h").select("doc_id").distinct()
+      d.join(contam, Seq("doc_id"))
+        .select(col("doc_id"),
+          graft.operators.Decontam.mightOverlap(col("text"), bloom, 5)
+            .as("bloom_hit"))
     })
   )
 
@@ -275,6 +299,25 @@ object CurationQueries {
           SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_contam
           FROM e JOIN b ON e.s = b.s
           WHERE e.doc_id % 20 <> 0
-          GROUP BY 1"""
+          GROUP BY 1""",
+    // the bloom path's zero-false-negative contract: every exactly-
+    // contaminated doc must carry a TRUE sketch verdict
+    "decontam_bloom" ->
+      s"""$toksView, d AS (
+            SELECT doc_id,
+              CASE WHEN length(toks) >= 5 THEN
+                list_distinct(list_transform(range(1, length(toks) - 3),
+                  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+                              toks[i+3], ' ', toks[i+4])))
+              ELSE CAST([] AS VARCHAR[]) END AS sh
+            FROM tk
+          ), e AS (
+            SELECT doc_id, unnest(sh) AS s FROM d WHERE length(sh) > 0
+          ), b AS (
+            SELECT DISTINCT s FROM e WHERE doc_id % 20 = 0
+          )
+          SELECT DISTINCT e.doc_id, TRUE AS bloom_hit
+          FROM e JOIN b ON e.s = b.s
+          WHERE e.doc_id % 20 <> 0"""
   )
 }

@@ -82,6 +82,21 @@ object ExtendedQueries {
         .select(col("o_custkey").as("custkey"), col("n_urgent"),
           col("n_low"))
     }),
+    "join_salted" -> ((s, dir) => {
+      // salted equi-JOIN (operators/SkewOps.saltedJoin): the big side's
+      // salt is content-derived, the small side replicated nSalts times,
+      // so a hot join key spreads over nSalts tasks instead of one.
+      // Result must equal the plain join — the oracle IS the plain join.
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.SkewOps.saltedJoin(li, sup, Seq("l_suppkey"),
+          nSalts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(sum(col("rev"))).as("rev"))
+    }),
     "skew_salted_agg" -> ((s, dir) => {
       // salted two-stage aggregation (operators/SkewOps) over lineitem's
       // 3-value l_returnflag — the hot-key pattern where a plain groupBy
@@ -411,6 +426,11 @@ object ExtendedQueries {
          SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
            u.n_urgent, l.n_low
          FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey""",
+    "join_salted" ->
+      """SELECT s_nationkey, count(*) AS n,
+         round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1""",
     "skew_salted_agg" ->
       """SELECT l_returnflag,
          round(1e-9 + sum(l_quantity), 4) AS sum_qty,
