@@ -77,6 +77,25 @@ object ScaleProbe {
     // measurable. Empirically validates the prefix-filter postings²
     // claim: candidate count should sit near the planted-pair count,
     // NOT near n².
+    // Skewed shuffle join: half the fact rows share ONE key. Broadcast is
+    // disabled so both forms shuffle — the plain join lands the hot key
+    // on a single reducer; the salted join spreads it over nSalts tasks.
+    val sk = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(1000))).as("k"),
+        col("id").as("v"))
+      .repartition(32)
+    val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    sink(sk)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    time("plain shuffle join (1 hot key)") {
+      sink(sk.join(dim, "k"))
+    }
+    time("salted join nSalts=32 (same data)") {
+      sink(graft.operators.SkewOps.saltedJoin(sk, dim, Seq("k"), nSalts = 32))
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     val nDocs = sys.env.getOrElse("DEDUP_DOCS", "50000").toLong
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
         array_join(transform(sequence(lit(1), lit(40)), i => concat(lit("w"),
