@@ -291,6 +291,57 @@ object SparkEntry {
         .select(col("event_id"), col("c_cnt"),
           r4(col("c_avg")).as("c_avg"))
     }),
+    "window_range_months_std" -> ((s, dir) => {
+      // Second-moment aggregates over a MONTH Period frame: stddev/
+      // variance are prefix-decomposable via a sum-of-squares running
+      // column, so they ride CalendarWindow's O(n log n) prefix+as-of
+      // path (one extra prefix column), not the reference's per-slice
+      // re-aggregation (R/mutate.R:208,586 evaluates any R fn per
+      // window — O(n·w)). Oracle = quadratic pair scan with
+      // stddev_samp/var_samp.
+      events(s, dir).select(col("event_id"), col("user_id"),
+          col("value"), tsDate.as("d"))
+        .mutateW("win_cnt" -> count(col("value")),
+            "win_std" -> stddev(col("value")),
+            "win_var" -> variance(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.months(1, 0)),
+          index = Some(col("d")))
+        .select(col("event_id"), col("win_cnt"),
+          r4(col("win_std")).as("win_std"),
+          r4(col("win_var")).as("win_var"))
+    }),
+    "window_range_weeks" -> ((s, dir) => {
+      // weeks(k) Period sugar — the reference accepts ANY lubridate
+      // Period (R/mutate.R:164-165); a week is exactly 7 days under
+      // Period arithmetic, so Frame.weeks(1, 0) ≡ days(7, 0) and routes
+      // through the plain rangeBetween path. Pins the constructor
+      // algebra end-to-end.
+      events(s, dir)
+        .mutateW("w_cnt" -> count(col("value")),
+            "w_sum" -> sum(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.weeks(1, 0)),
+          index = Some(tsDate))
+        .select(col("event_id"), col("w_cnt"), r4(col("w_sum")).as("w_sum"))
+    }),
+    "window_range_months_days" -> ((s, dir) => {
+      // COMPOUND Period frame c(months(1) + days(3), days(-2)) — legal
+      // lubridate, accepted by the reference's class check
+      // (R/mutate.R:164-165). Boundary algebra composes:
+      // [date_add(add_months(d,-1),-3), date_add(d,-2)] — the current
+      // row sits OUTSIDE its own window, so single-event users have
+      // empty windows (0 cnt / NULL avg). Exercises both day-offset
+      // boundaries and the hi as-of sweep.
+      events(s, dir).select(col("event_id"), col("user_id"),
+          col("value"), tsDate.as("d"))
+        .mutateW("md_cnt" -> count(col("value")),
+            "md_avg" -> avg(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.monthsDays(1, 3, 0, -2)),
+          index = Some(col("d")))
+        .select(col("event_id"), col("md_cnt"), r4(col("md_avg")).as("md_avg"))
+    }),
     "window_complete_range" -> ((s, dir) => {
       // `.complete = TRUE` over a RANGE (Period) frame: the window is
       // complete iff its VALUE span [day-3, day] lies inside the
@@ -470,6 +521,33 @@ object SparkEntry {
          FROM e a LEFT JOIN e b ON a.user_id = b.user_id
            AND b.d BETWEEN CAST(a.d - INTERVAL 2 MONTH AS DATE)
                        AND CAST(a.d - INTERVAL 1 MONTH AS DATE)
+         GROUP BY 1""",
+    "window_range_months_std" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
+           FROM events)
+         SELECT a.event_id, count(b.value) AS win_cnt,
+           round(1e-9 + stddev_samp(b.value), 4) AS win_std,
+           round(1e-9 + var_samp(b.value), 4) AS win_var
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) AND a.d
+         GROUP BY 1""",
+    "window_range_weeks" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events)
+         SELECT event_id, count(value) OVER w AS w_cnt,
+           round(1e-9 + sum(value) OVER w, 4) AS w_sum
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+           RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)""",
+    "window_range_months_days" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
+           FROM events)
+         SELECT a.event_id, count(b.value) AS md_cnt,
+           round(1e-9 + avg(b.value), 4) AS md_avg
+         FROM e a LEFT JOIN e b ON a.user_id = b.user_id
+           AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) - 3
+                       AND a.d - 2
          GROUP BY 1""",
     "window_complete_months" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d

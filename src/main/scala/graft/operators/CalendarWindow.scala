@@ -43,8 +43,9 @@ import org.apache.spark.sql.functions._
   */
 object CalendarWindow {
 
-  /** Window aggregate kind for [[monthsAgg]]. Sum/Count/CountAll/Avg ride
-    * the O(n log n) prefix-difference path; Min/Max the daily-partial
+  /** Window aggregate kind for [[monthsAgg]]. Sum/Count/CountAll/Avg/
+    * Var/Std ride the O(n log n) prefix-difference path (Var/Std via an
+    * extra sum-of-squares prefix); Min/Max the daily-partial
     * interval-expansion path. */
   sealed trait MonthsOp
   object MonthsOp {
@@ -60,6 +61,13 @@ object CalendarWindow {
     case object Min extends MonthsOp
     /** `max(value)` over the month window (expansion path). */
     case object Max extends MonthsOp
+    /** `var_samp(value)` over the month window — prefix-decomposable via
+      * a sum-of-squares running column: var = (Σx² − (Σx)²/n)/(n−1),
+      * clamped at 0 against floating cancellation; NULL for n ≤ 1
+      * (SQL var_samp semantics). */
+    case object Var extends MonthsOp
+    /** `stddev_samp(value)` over the month window — `sqrt` of [[Var]]. */
+    case object Std extends MonthsOp
   }
 
   /** One output column of [[monthsAgg]]: `out` = `op(valueCol)` over each
@@ -104,15 +112,30 @@ object CalendarWindow {
     *   group's observed index span — edge-truncated windows yield NULL
     *   for every spec (the same contract as the range branch of
     *   [[TidierOps]]'s gate, oracle-pinned by `window_complete_range`).
+    * @param beforeDays extra day component of the before endpoint
+    *   (compound lubridate Period `months(before) + days(beforeDays)`,
+    *   R/mutate.R:164-165): lo = `date_add(add_months(d, -before),
+    *   -beforeDays)`. 0 = pure month frame.
+    * @param afterDays extra day component of the after endpoint:
+    *   hi = `date_add(add_months(d, after), afterDays)`.
     */
   def monthsAgg(df: DataFrame, by: Seq[String], index: Column,
       specs: Seq[MonthsAggSpec], before: Int, after: Int,
-      complete: Boolean = false): DataFrame = {
+      complete: Boolean = false,
+      beforeDays: Int = 0, afterDays: Int = 0): DataFrame = {
     import MonthsOp._
     require(specs.nonEmpty, "monthsAgg needs at least one spec")
-    require(-before <= after,
-      s"empty month frame: [add_months(d, ${-before}), add_months(d, $after)]" +
-        " starts after it ends")
+    // statically-nonempty check: hi − lo spans (before+after) months of
+    // 28..31 days each plus (beforeDays+afterDays) days; reject only
+    // frames empty for EVERY date (max month span: 31 d/mo when the
+    // month total is positive, 28 when negative). Reduces to the exact
+    // `-before <= after` for pure month frames. Per-row empty windows
+    // just yield NULL, same as any other empty window.
+    val monthsSpan = before.toLong + after
+    require((if (monthsSpan >= 0) monthsSpan * 31 else monthsSpan * 28) +
+        beforeDays + afterDays >= 0,
+      s"empty month frame: [d - (${before}mo ${beforeDays}d), " +
+        s"d + (${after}mo ${afterDays}d)] starts after it ends")
     val outs = specs.map(_.out)
     require(outs.distinct.size == outs.size,
       s"duplicate output names: ${outs.diff(outs.distinct).mkString(", ")}")
@@ -126,15 +149,34 @@ object CalendarWindow {
     val byCols = by.map(col)
     val keyed = df.withColumn(DAY, index)
 
+    // compound-Period boundary algebra: lubridate's `d - (months(m) +
+    // days(k))` composes as `date_add(add_months(d, -m), -k)` (pure month
+    // frames keep the bare add_months, preserving their existing plans)
+    def loOf(d: Column): Column = {
+      val m = add_months(d, -before)
+      if (beforeDays == 0) m else date_add(m, -beforeDays)
+    }
+    def hiOf(d: Column): Column = {
+      val m = add_months(d, after)
+      if (afterDays == 0) m else date_add(m, afterDays)
+    }
+    // hi == day (the identity lookup, no second as-of sweep) only when
+    // the after endpoint is exactly zero in BOTH units
+    val afterZero = after == 0 && afterDays == 0
+
     // ---- 1. per-(group, day) partials for EVERY spec, one groupBy ----
-    val prefixCols =
-      specs.collect { case MonthsAggSpec(_, Sum | Count | Avg, v) => v }.distinct
+    val prefixCols = specs.collect {
+      case MonthsAggSpec(_, Sum | Count | Avg | Var | Std, v) => v }.distinct
+    val sqCols =
+      specs.collect { case MonthsAggSpec(_, Var | Std, v) => v }.distinct
     val needAll = specs.exists(_.op == CountAll)
     val minCols = specs.collect { case MonthsAggSpec(_, Min, v) => v }.distinct
     val maxCols = specs.collect { case MonthsAggSpec(_, Max, v) => v }.distinct
     val partials: Seq[Column] =
       prefixCols.flatMap(v => Seq(sum(col(v)).as(s"__s_$v"),
         count(col(v)).as(s"__c_$v"))) ++
+      sqCols.map(v =>
+        sum(col(v).cast("double") * col(v).cast("double")).as(s"__q_$v")) ++
       (if (needAll) Seq(count(lit(1)).as("__call")) else Nil) ++
       minCols.map(v => min(col(v)).as(s"__mn_$v")) ++
       maxCols.map(v => max(col(v)).as(s"__mx_$v"))
@@ -143,12 +185,13 @@ object CalendarWindow {
 
     // every distinct (group, day) with its window's value bounds
     val bounds = daily.select((byCols :+ col(DAY)): _*)
-      .withColumn(LO, add_months(col(DAY), -before))
-      .withColumn(HI, add_months(col(DAY), after))
+      .withColumn(LO, loOf(col(DAY)))
+      .withColumn(HI, hiOf(col(DAY)))
 
     // ---- 2a. prefix path: running sums + boundary as-ofs ----
     val runCols = prefixCols.flatMap(v => Seq(s"__s_$v" -> s"__cs_$v",
       s"__c_$v" -> s"__cc_$v")) ++
+      sqCols.map(v => s"__q_$v" -> s"__cq_$v") ++
       (if (needAll) Seq("__call" -> "__ccall") else Nil)
     val win0: DataFrame = if (runCols.nonEmpty) {
       val pw = Window.partitionBy(byCols: _*).orderBy(col(DAY))
@@ -162,10 +205,10 @@ object CalendarWindow {
       // with no extra join; the general case drops the raw prefixes and
       // sweeps both boundaries.
       val withBounds = cum
-        .withColumn(LO, add_months(col(DAY), -before))
-        .withColumn(HI, add_months(col(DAY), after))
+        .withColumn(LO, loOf(col(DAY)))
+        .withColumn(HI, hiOf(col(DAY)))
       val left0 =
-        if (after == 0)
+        if (afterZero)
           runCols.foldLeft(withBounds) { case (d, (_, c)) =>
             d.withColumnRenamed(c, s"__hi$c") }
         else withBounds.drop(runCols.map(_._2): _*)
@@ -178,8 +221,8 @@ object CalendarWindow {
         valueCols = runCols.map(p => s"__lo${p._2}"), strict = true,
         matchedTimeCol = "__cw_mtlo__").drop("__cw_mtlo__")
       // inclusive backward as-of at hi: last prefix AT-OR-BEFORE the end
-      // (skipped when after == 0 — carried on left0 above)
-      if (after == 0) withLo
+      // (skipped when the after endpoint is zero — carried on left0 above)
+      if (afterZero) withLo
       else {
         val hiRight = runCols.foldLeft(cum.withColumnRenamed(DAY, "__rt")) {
           case (d, (_, c)) => d.withColumnRenamed(c, s"__hi$c")
@@ -207,7 +250,8 @@ object CalendarWindow {
       // group keys — a plain using-join would drop NULL-key groups that
       // groupBy/Window upstream treat as real): explode each window to
       // its bins, equi-join on (group <=>, bin), exact recheck.
-      val width = math.max(1L, (before + after) * 31L + 1L)
+      val width =
+        math.max(1L, (before + after) * 31L + beforeDays + afterDays + 1L)
       val BIN = "__cw_bin__"
       val p = mmDaily.withColumn(BIN, floor(col("__pd") / width))
       val iPre = spans.withColumn(BIN, explode(sequence(
@@ -273,6 +317,20 @@ object CalendarWindow {
           when(cnt > 0, raw.cast("double") / cnt)
         case Min => col(s"__wmn_${sp.valueCol}")
         case Max => col(s"__wmx_${sp.valueCol}")
+        case Var | Std =>
+          // var_samp = (Σx² − (Σx)²/n) / (n−1): three prefix differences,
+          // clamped at 0 against floating cancellation; NULL for n ≤ 1
+          val v = sp.valueCol
+          val n = coalesce(col(s"__hi__cc_$v"), lit(0L)) -
+            coalesce(col(s"__lo__cc_$v"), lit(0L))
+          val sumT = daily.schema(s"__s_$v").dataType
+          val s1 = (coalesce(col(s"__hi__cs_$v"), lit(0).cast(sumT)) -
+            coalesce(col(s"__lo__cs_$v"), lit(0).cast(sumT))).cast("double")
+          val s2 = coalesce(col(s"__hi__cq_$v"), lit(0d)) -
+            coalesce(col(s"__lo__cq_$v"), lit(0d))
+          val variance =
+            when(n > 1, greatest((s2 - s1 * s1 / n) / (n - lit(1)), lit(0d)))
+          if (sp.op == Var) variance else sqrt(variance)
       }
       gate.fold(c)(g => when(g, c)).as(sp.out)
     }

@@ -40,6 +40,12 @@ object FrameEndpoint {
     * endpoints to [[CalendarWindow.monthsAgg]] (prefix sums + as-of
     * boundary lookups) instead of compiling a WindowSpec. */
   final case class Months(n: Long) extends FrameEndpoint
+  /** Compound calendar Period endpoint (`months(m) + days(d)` — legal
+    * lubridate, accepted by the reference's class check, R/mutate.R:164-165).
+    * Endpoint algebra composes: the boundary is
+    * `date_add(add_months(index, ±m), ±d)`, so [[CalendarWindow.monthsAgg]]
+    * handles it on the same prefix+as-of path as pure month frames. */
+  final case class MonthsDays(months: Long, days: Long) extends FrameEndpoint
 }
 
 final case class Frame(before: FrameEndpoint, after: FrameEndpoint) {
@@ -50,9 +56,13 @@ final case class Frame(before: FrameEndpoint, after: FrameEndpoint) {
     case Days(_) | Seconds(_) | Range(_) => true
     case _                               => false
   }
-  /** True when either endpoint is a calendar-month Period —
-    * [[TidierOps.mutateW]] routes these to [[CalendarWindow.monthsAgg]]. */
-  def isMonths: Boolean = Seq(before, after).exists(_.isInstanceOf[Months])
+  /** True when either endpoint is a calendar-month (or compound
+    * months+days) Period — [[TidierOps.mutateW]] routes these to
+    * [[CalendarWindow.monthsAgg]]. */
+  def isMonths: Boolean = Seq(before, after).exists {
+    case Months(_) | MonthsDays(_, _) => true
+    case _                            => false
+  }
   /** Both endpoints finite — the only case `.complete` gating can truncate
     * (unbounded frames are always "complete" in slider's sense). */
   def isFinite: Boolean = before != Unbounded && after != Unbounded
@@ -84,4 +94,22 @@ object Frame {
     * lookups — O(n log n)) instead of a `rangeBetween` WindowSpec. */
   def months(before: Long, after: Long): Frame =
     Frame(Months(before), Months(after))
+  /** `c(weeks(before), weeks(after))` Period frame — the reference
+    * accepts ANY lubridate Period (R/mutate.R:164-165), and a week is
+    * exactly 7 days under Period arithmetic, so this is constructor
+    * sugar over [[days]]. */
+  def weeks(before: Long, after: Long): Frame = days(7 * before, 7 * after)
+  /** `c(years(before), years(after))` Period frame — a year is exactly
+    * 12 months under lubridate Period arithmetic (clamping included:
+    * `ymd("2024-02-29") - years(1)` and `- months(12)` agree), so this
+    * is constructor sugar over [[months]]. */
+  def years(before: Long, after: Long): Frame = months(12 * before, 12 * after)
+  /** Compound `c(months(bm) + days(bd), months(am) + days(ad))` Period
+    * frame (legal lubridate, R/mutate.R:164-165) — boundary algebra is
+    * `date_add(add_months(d, ±m), ±k)`, evaluated by
+    * [[CalendarWindow.monthsAgg]] on the prefix+as-of path. */
+  def monthsDays(beforeMonths: Long, beforeDays: Long,
+      afterMonths: Long, afterDays: Long): Frame =
+    Frame(MonthsDays(beforeMonths, beforeDays),
+      MonthsDays(afterMonths, afterDays))
 }

@@ -41,13 +41,19 @@ object TidierOps {
       by: Seq[Column], frame: Frame, index: Option[Column],
       complete: Boolean, restoreOrder: Boolean): DataFrame = {
     import CalendarWindow.{MonthsAggSpec, MonthsOp}
-    val (b, a) = (frame.before, frame.after) match {
-      case (FrameEndpoint.Months(x), FrameEndpoint.Months(y)) =>
-        (x.toInt, y.toInt)
+    // both endpoints must be month-family Periods (pure Months or
+    // compound MonthsDays — the reference requires one shared Period
+    // class per frame, R/mutate.R:165)
+    def monthDay(e: FrameEndpoint): (Int, Int) = e match {
+      case FrameEndpoint.Months(x)        => (x.toInt, 0)
+      case FrameEndpoint.MonthsDays(m, d) => (m.toInt, d.toInt)
       case _ => throw new IllegalArgumentException(
         "month frames cannot mix units: both endpoints must be Months " +
-          "(use Days/Seconds frames for sub-month granularity)")
+          "or MonthsDays (use Days/Seconds frames for sub-month " +
+          "granularity)")
     }
+    val (b, bd) = monthDay(frame.before)
+    val (a, ad) = monthDay(frame.after)
     require(index.isDefined,
       "a Months (Period) frame requires an index column (.index)")
     val byNames = by.map(attrName(_, ".by"))
@@ -60,7 +66,7 @@ object TidierOps {
       else df
     val res = CalendarWindow.monthsAgg(withRid, byNames,
       index.get.cast(DateType), specs.map(_._2), before = b, after = a,
-      complete = complete)
+      complete = complete, beforeDays = bd, afterDays = ad)
     var out = specs.foldLeft(res) { case (d, (name, sp)) =>
       d.withColumn(name, col(sp.out)).drop(sp.out)
     }
@@ -73,8 +79,9 @@ object TidierOps {
       s"month frames require plain column references in $what (got: $c)"))
 
   /** Recognize the aggregate family CalendarWindow can evaluate over a
-    * month window: sum/count/avg/mean/min/max over one column, plus
-    * count(lit) = count(*). Anything else gets a routing error naming the
+    * month window: sum/count/avg/mean/min/max/stddev/variance over one
+    * column, plus count(lit) = count(*). Anything else gets a routing
+    * error naming the
     * supported family (the reference evaluates ANY R function per slice —
     * O(n·w); callers needing that generality can expand pairs explicitly
     * with RangeJoin.intervalJoin, which is the same cost model). */
@@ -83,14 +90,16 @@ object TidierOps {
     ColumnShim.simpleAggCall(c) match {
       case Some((fn, false, args)) =>
         val op = fn match {
-          case "sum"          => Sum
-          case "count"        => Count
-          case "avg" | "mean" => Avg
-          case "min"          => Min
-          case "max"          => Max
+          case "sum"                            => Sum
+          case "count"                          => Count
+          case "avg" | "mean"                   => Avg
+          case "min"                            => Min
+          case "max"                            => Max
+          case "stddev" | "stddev_samp" | "std" => Std
+          case "variance" | "var_samp"          => Var
           case other => throw new UnsupportedOperationException(
-            s"month Period frames support sum/count/avg/min/max " +
-              s"(got: $other)")
+            s"month Period frames support sum/count/avg/min/max/" +
+              s"stddev/variance (got: $other)")
         }
         (op, args) match {
           case (Count, Seq(None))    => (CountAll, "")
@@ -176,10 +185,16 @@ object TidierOps {
       // rangeBetween order types for long offsets). A frame must not mix
       // units — its two finite endpoints measure the same axis.
       val prepared = if (isRange) {
+        // Rows is collected too (as a distinct unit) so a hand-built
+        // Rows+Period mix is rejected like a Days+Seconds mix, instead
+        // of the Rows endpoint being silently reinterpreted as a value
+        // offset on the index axis (reference requires both endpoints
+        // share one class, R/mutate.R:165)
         val units = Seq(frame.get.before, frame.get.after).collect {
-          case e: FrameEndpoint.Days    => "days"
-          case e: FrameEndpoint.Seconds => "seconds"
-          case e: FrameEndpoint.Range   => "range"
+          case _: FrameEndpoint.Days    => "days"
+          case _: FrameEndpoint.Seconds => "seconds"
+          case _: FrameEndpoint.Range   => "range"
+          case _: FrameEndpoint.Rows    => "rows"
         }.distinct
         require(units.size == 1,
           s"range frame mixes units (${units.mkString(", ")}) — both " +
@@ -203,8 +218,9 @@ object TidierOps {
         case FrameEndpoint.Days(n)    => if (isBefore) -n else n
         case FrameEndpoint.Seconds(n) => if (isBefore) -n else n
         case FrameEndpoint.Range(n)   => if (isBefore) -n else n
-        case FrameEndpoint.Months(_)  => throw new IllegalStateException(
-          "Months endpoints are routed to CalendarWindow before frame compile")
+        case FrameEndpoint.Months(_) | FrameEndpoint.MonthsDays(_, _) =>
+          throw new IllegalStateException(
+            "Months endpoints are routed to CalendarWindow before frame compile")
       }
 
       val spec: WindowSpec = frame match {

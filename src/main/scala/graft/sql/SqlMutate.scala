@@ -61,10 +61,13 @@ object SqlMutate {
     // Numeric projection of the index at the frame's granularity —
     // the same projection TidierOps compiles (IDX column).
     def idxSql: String = {
+      // Rows collected too: a hand-built Rows+Period mix must be
+      // rejected, not silently reinterpreted on the index axis
       val units = Seq(frame.get.before, frame.get.after).collect {
         case _: FrameEndpoint.Days    => "days"
         case _: FrameEndpoint.Seconds => "seconds"
         case _: FrameEndpoint.Range   => "range"
+        case _: FrameEndpoint.Rows    => "rows"
       }.distinct
       require(units.size == 1,
         s"range frame mixes units (${units.mkString(", ")})")
@@ -83,8 +86,8 @@ object SqlMutate {
       case FrameEndpoint.Days(n)    => Some(if (isBefore) -n else n)
       case FrameEndpoint.Seconds(n) => Some(if (isBefore) -n else n)
       case FrameEndpoint.Range(n)   => Some(if (isBefore) -n else n)
-      case FrameEndpoint.Months(_)  => throw new IllegalStateException(
-        "months rejected above")
+      case FrameEndpoint.Months(_) | FrameEndpoint.MonthsDays(_, _) =>
+        throw new IllegalStateException("months rejected above")
     }
     def boundSql(n: Option[Long], isBefore: Boolean): String = n match {
       case None => if (isBefore) "UNBOUNDED PRECEDING"

@@ -249,6 +249,133 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 6.0, 4L -> 12.0))
   }
 
+  test("property: stddev/variance over month frames == brute force on gapped dates") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 2L)
+        off <- Gen.choose(0, 430)
+        v <- Gen.choose(-4, 9).map(_.toDouble)
+      } yield (u, java.time.LocalDate.of(2023, 12, 15).plusDays(off), v))
+      m <- Gen.choose(0, 2)
+    } yield (rows, m)
+    val prop = forAll(gen) { case (rows, m) =>
+      val df = rows.zipWithIndex.map { case ((u, day, v), i) =>
+        (i.toLong, u, java.sql.Date.valueOf(day), v)
+      }.toDF("event_id", "user_id", "dt", "value")
+      val got = df.mutateW(
+          "wv" -> variance(col("value")), "wsd" -> stddev(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.months(m, 0)), index = Some(col("dt")))
+        .select($"event_id", $"wv", $"wsd").collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+            Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+      // brute-force sample variance per window (two-pass, no prefix
+      // cancellation — the numerically independent formulation)
+      val want = rows.zipWithIndex.map { case ((u, day, _), i) =>
+        val lo = day.minusMonths(m)
+        val w = rows.filter { case (u2, b, _) =>
+          u2 == u && !b.isBefore(lo) && !b.isAfter(day) }.map(_._3)
+        val v = if (w.size <= 1) None else {
+          val mean = w.sum / w.size
+          Some(w.map(x => (x - mean) * (x - mean)).sum / (w.size - 1))
+        }
+        i.toLong -> ((v, v.map(math.sqrt)))
+      }.toMap
+      got.keySet == want.keySet && got.forall { case (k, (gv, gs)) =>
+        val (wv, ws) = want(k)
+        def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+          case (None, None)       => true
+          case (Some(x), Some(y)) => math.abs(x - y) <= 1e-9 * (1 + y.abs)
+          case _                  => false
+        }
+        close(gv, wv) && close(gs, ws)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: compound months+days frames == brute force on gapped dates") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 2L)
+        off <- Gen.choose(0, 430)
+        v <- Gen.choose(-4, 9).map(_.toDouble)
+      } yield (u, java.time.LocalDate.of(2023, 12, 15).plusDays(off), v))
+      bMo <- Gen.choose(0, 2)
+      bD <- Gen.choose(2, 5)
+      aD <- Gen.choose(-2, 3) // bD + aD >= 0 keeps the frame nonempty
+    } yield (rows, bMo, bD, aD)
+    val prop = forAll(gen) { case (rows, bMo, bD, aD) =>
+      val df = rows.zipWithIndex.map { case ((u, day, v), i) =>
+        (i.toLong, u, java.sql.Date.valueOf(day), v)
+      }.toDF("event_id", "user_id", "dt", "value")
+      val got = df.mutateW(
+          "ws" -> sum(col("value")), "wc" -> count(col("value")),
+          "wmx" -> max(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.monthsDays(bMo, bD, 0, aD)),
+          index = Some(col("dt")))
+        .select($"event_id", $"ws", $"wc", $"wmx").collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)), r.getLong(2), Option(r.get(3))))).toMap
+      // lubridate order: months applied first, then days —
+      // date_add(add_months(d, ±m), ±k)
+      val want = rows.zipWithIndex.map { case ((u, day, _), i) =>
+        val lo = day.minusMonths(bMo).minusDays(bD)
+        val hi = day.plusDays(aD)
+        val w = rows.filter { case (u2, b, _) =>
+          u2 == u && !b.isBefore(lo) && !b.isAfter(hi) }.map(_._3)
+        i.toLong -> ((if (w.isEmpty) None else Some(w.sum), w.size.toLong,
+          w.maxOption))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("empty compound frames are rejected; clamping note case") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    val rows = Seq((1L, d("2023-03-31"), 1.0))
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    // [d + 2d, d - 2d] is empty for every date → rejected at build
+    intercept[IllegalArgumentException] {
+      rows.mutateW("ws" -> sum(col("value")))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame.monthsDays(0, -2, 0, -2)),
+        index = Some(col("dt"))).collect()
+    }
+    // month-end clamp composes with the day offset: Mar 31 − 1mo = Feb 28
+    // (clamped), then −3d = Feb 25 — NOT Mar 31 − 34d = Feb 25... (equal
+    // here) — use Jan 31: −1mo = Dec 31, −3d = Dec 28
+    val r2 = Seq((1L, d("2023-01-31"), 1.0), (2L, d("2022-12-28"), 2.0),
+      (3L, d("2022-12-27"), 4.0))
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    val got = r2.mutateW("ws" -> sum(col("value")))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame.monthsDays(1, 3, 0, 0)),
+        index = Some(col("dt")))
+      .select($"event_id", $"ws").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Jan 31 window = [Dec 28, Jan 31]: catches Dec 28 but not Dec 27
+    assert(got(1L) == 3.0)
+  }
+
   test("plan: no range self-join — as-of sweep + prefix windows only") {
     val rows = Seq((1L, d("2023-01-01"), 1.0))
       .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))

@@ -110,6 +110,42 @@ class MutateWSpec extends AnyFunSuite {
     }
   }
 
+  test("Rows+Period endpoint mixes are rejected, not reinterpreted") {
+    // a hand-built Frame(Rows, Days) must fail like Days+Seconds — the
+    // reference requires both .frame endpoints share one class
+    // (R/mutate.R:165); silently reading Rows(2) as a 2-unit value
+    // offset on the index axis would be wrong
+    intercept[IllegalArgumentException] {
+      df.mutateW("s" -> sum(col("v")))(
+        frame = Some(Frame(FrameEndpoint.Rows(2), FrameEndpoint.Days(1))),
+        index = Some(col("o"))).collect()
+    }
+    // SQL renderer: same contract
+    intercept[IllegalArgumentException] {
+      graft.sql.SqlMutate.render("t", Seq("s" -> "sum(v)"),
+        frame = Some(Frame(FrameEndpoint.Rows(2), FrameEndpoint.Days(1))),
+        index = Some("o"))
+    }
+  }
+
+  test("weeks/years Period sugar routes to days/months frames") {
+    // weeks = 7 days exactly; years = 12 months exactly (lubridate
+    // Period arithmetic, clamping included)
+    assert(Frame.weeks(1, 0) == Frame.days(7, 0))
+    assert(Frame.weeks(2, -1) == Frame.days(14, -7))
+    assert(Frame.years(1, 0) == Frame.months(12, 0))
+    assert(Frame.years(0, 2) == Frame.months(0, 24))
+    // and the weeks frame evaluates — equal to the equivalent days frame
+    val idx = Seq(("a", "2024-01-01", 1.0), ("a", "2024-01-05", 2.0),
+      ("a", "2024-01-09", 4.0), ("a", "2024-02-01", 8.0))
+      .toDF("g", "d", "v").withColumn("d", to_date($"d"))
+    val a = idx.mutateW("s" -> sum(col("v")))(
+      by = Seq(col("g")), frame = Some(Frame.weeks(1, 0)),
+      index = Some(col("d"))).orderBy("d").select("s")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a == Seq(1.0, 3.0, 6.0, 8.0))
+  }
+
   test("Inf endpoints: c(Inf, Inf) equals whole-group aggregate") {
     val out = df.mutateW("m" -> avg($"v"))(
       by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.unbounded))
