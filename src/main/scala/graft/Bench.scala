@@ -120,8 +120,16 @@ object Bench {
     val total = results.values.flatten.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subset = if (only.nonEmpty) "\"subset\":true," else ""
+    // Self-diagnosing artifact: record WHICH queries tripped the stall
+    // signature and got the targeted third run — min-of-three applied
+    // selectively is a one-sided policy, so the JSON must say where it
+    // was applied for a reader comparing rounds to discount those
+    // entries (driver-visible per-query numbers in a stall-smeared run
+    // disagreed with steady state by up to 8x in round 5).
+    val suspectJson = suspect.map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subset"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subset"queries":$qs,"failed":$failedJson,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded TAIL of stdout; with ~100 queries the
     // line's head (the headline total) can fall outside that window. The

@@ -35,6 +35,16 @@ object Decontam {
   /** Build the gram bloom sketch (bytes) from the held-out suite:
     * one distributed aggregation over `shingleHashes(textCol, n)`. */
   def buildGramBloom(bench: DataFrame, textCol: String, n: Int = 5,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.001): Array[Byte] =
+    buildGramBloomFromHashes(
+      bench.select(explode(Dedup.shingleHashes(col(textCol), n)).as("g")),
+      "g", expectedItems, fpp)
+
+  /** Build the sketch from an ALREADY-PROJECTED gram-hash frame — lets a
+    * caller that also needs the exact gram set (e.g. the oracle-gated
+    * safety check) derive both from one shingle projection instead of
+    * re-evaluating the tokenizer kernel per consumer. */
+  def buildGramBloomFromHashes(grams: DataFrame, hashCol: String,
       expectedItems: Long = 1L << 22, fpp: Double = 0.001): Array[Byte] = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     // standard bloom sizing: bits = -items * ln(fpp) / ln(2)^2
@@ -44,7 +54,7 @@ object Decontam {
     // runtime-filter conf caps; a clamped sketch would deliver a far
     // worse fpp than requested with no sign anything degraded — fail
     // loudly and point at the confs instead.
-    val conf = bench.sparkSession.sessionState.conf
+    val conf = grams.sparkSession.sessionState.conf
     val maxItems = conf.getConfString(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val maxBits = conf.getConfString(
@@ -55,18 +65,17 @@ object Decontam {
         "would be silently clamped to a worse fpp — raise " +
         "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits} " +
         "or lower expectedItems/fpp")
-    val gram = explode(Dedup.shingleHashes(col(textCol), n)).as("g")
     val agg = ColumnShim.column(new BloomFilterAggregate(
-        ColumnShim.expression(col("g")),
+        ColumnShim.expression(col(hashCol)),
         Literal(expectedItems), Literal(numBits))
       .toAggregateExpression())
-    val row = bench.select(gram).select(agg.as("bf")).head()
+    val row = grams.select(agg.as("bf")).head()
     // an aggregate over ZERO grams yields NULL; probing with a null
     // sketch would make might_contain NULL for every row and the drop
     // filter would then remove the ENTIRE corpus silently
     require(!row.isNullAt(0),
       "benchmark produced no n-grams (empty frame, null text, or every " +
-        s"doc shorter than n=$n tokens) — refusing to build a null sketch")
+        s"doc shorter than n tokens) — refusing to build a null sketch")
     row.getAs[Array[Byte]](0)
   }
 
@@ -77,8 +86,14 @@ object Decontam {
     * (a bare `exists` would be NULL there, and `filter(!NULL)` would
     * silently drop every null-text doc). */
   def mightOverlap(textCol: Column, bloom: Array[Byte], n: Int = 5): Column =
+    mightOverlapHashes(Dedup.shingleHashes(textCol, n), bloom)
+
+  /** Probe over an ALREADY-COMPUTED gram-hash array column — pairs with
+    * [[buildGramBloomFromHashes]] so a pipeline that projected
+    * `shingleHashes` once can probe without re-running the kernel. */
+  def mightOverlapHashes(hashesCol: Column, bloom: Array[Byte]): Column =
     coalesce(
-      exists(Dedup.shingleHashes(textCol, n), g =>
+      exists(hashesCol, g =>
         ColumnShim.column(BloomFilterMightContain(
           Literal(bloom, BinaryType), ColumnShim.expression(g)))),
       lit(false))

@@ -47,10 +47,10 @@ import org.apache.spark.sql.types.DoubleType
   * before any multi-action pipeline.
   *
   * Keys wrapped in an explicit `.asc`/`.desc` (SortOrder) cannot be
-  * compared as a struct, so they fall back to the legacy
-  * `spark_partition_id` path (documented best-effort; plain ascending
-  * columns — the overwhelmingly common cumsum shape — always get the
-  * deterministic path).
+  * compared as a struct, so they get a per-field lexicographic
+  * comparator compiled in each key's declared direction and null
+  * ordering ([[sortedPidExpr]]) — same literal-bounds determinism as
+  * the plain path; no `spark_partition_id` anywhere.
   *
   * Cost: one keys-only sampling pass + one hash shuffle (group, pid) +
   * one G×P-row broadcast — fully parallel at any scale. With a total
@@ -146,14 +146,13 @@ object GlobalWindow {
             .drop(KEY)
         }
       } else {
-        // Legacy path for SortOrder keys: pid from spark_partition_id()
-        // after a range exchange. Best-effort — the sweep and offset
-        // branches each evaluate the range exchange independently, and
-        // consistency relies on range-bound sampling determinism
-        // (observed, not contractual). Kept only for `.desc`-style keys,
-        // which cannot form a comparable bound value.
-        df.repartitionByRange(parts, (by.map(col) ++ orderBy): _*)
-          .withColumn(PID, spark_partition_id())
+        // `.asc`/`.desc`-wrapped keys: same literal-bounds construction,
+        // with the bound comparison compiled per-field in the declared
+        // direction and null ordering (a struct comparison can't express
+        // mixed directions). No spark_partition_id anywhere — every plan
+        // branch computes the identical pid by construction.
+        df.withColumn(PID,
+          sortedPidExpr(df, orderBy.map(ColumnShim.sortSpec), parts))
       }
     sweepAndJoin(ranged, by, orderBy, valueCol, outCol, agg)
   }
@@ -241,64 +240,72 @@ object GlobalWindow {
       .drop(CNT, OFF, OFFCNT, SUM, MIN, MAX, OFFMIN, OFFMAX)
   }
 
-  /** Compile `parts` range buckets over `key` into a pure expression:
-    * sample split points (content-hash-ordered top-S keeps the sample
-    * deterministic-ish and driver-bounded; any sample gives a CORRECT
-    * pid function, sampling quality only affects balance), then
-    * binary-search them with a when-tree — log2(parts) codegen'd
-    * comparisons per row, no interpreted lambdas. */
   /** Sampled-bounds memo, keyed by (semantic hash of the keys-only
-    * analyzed plan, parts). Re-invoking cumSum/groupedCumAgg on the same
-    * frame shape (benchmark reruns, iterative pipelines, plan diamonds
-    * built by callers) skips the driver-side sampling job. SAFE BY
+    * analyzed plan, the key schema + direction signature, parts). The
+    * signature guards the (astronomically unlikely) 32-bit semanticHash
+    * collision between plans whose key columns differ in type or sort
+    * direction — a collision would otherwise replay cached values into
+    * `Literal.create(v, kType)` with a mismatched type and crash query
+    * construction. Re-invoking cumSum/groupedCumAgg on the same frame
+    * shape (benchmark reruns, iterative pipelines, plan diamonds built
+    * by callers) skips the driver-side sampling job. SAFE BY
     * CONSTRUCTION: any bounds yield a CORRECT pid function (sampling
     * quality only affects partition balance), so even a stale entry —
     * e.g. the underlying files changed between calls — can only skew
     * balance, never results. Bounded LRU (64 entries). */
   private val boundsMemo =
-    new java.util.LinkedHashMap[(Int, Int), Seq[Any]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, String, Int), Seq[Seq[Any]]](
+        64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int), Seq[Any]]): Boolean =
+          e: java.util.Map.Entry[(Int, String, Int), Seq[Seq[Any]]]): Boolean =
         size() > 64
     }
+
+  /** Quantile split rows over `keyed` (already projected to the key
+    * columns) in the total order of `sortCols`: a one-pass
+    * TakeOrderedAndProject by key hash (uniform-ish pseudo-random sample,
+    * top-S per partition retained), the retained S rows sorted by the
+    * actual key order, then `parts`-quantile stepping, deduplicated.
+    * Heavy key duplication collapses bounds — trading balance for
+    * correctness; equal keys always share a pid. */
+  private def sampleBounds(keyed: DataFrame, sortCols: Seq[Column],
+      sig: String, parts: Int): Seq[Seq[Any]] = {
+    val memoKey = (keyed.queryExecution.analyzed.semanticHash(), sig, parts)
+    boundsMemo.synchronized {
+      Option(boundsMemo.get(memoKey))
+    }.getOrElse {
+      val sampleSz = math.min(parts * 64, 262144)
+      val hash = xxhash64(struct(keyed.columns.map(col): _*))
+      val sample: Array[Row] = keyed
+        .orderBy(hash +: sortCols: _*)
+        .limit(sampleSz)
+        .orderBy(sortCols: _*)
+        .collect()
+      val step = sample.length.toDouble / parts
+      val vals: Seq[Seq[Any]] =
+        if (sample.isEmpty) Nil // empty input → single pid 0
+        else (1 until parts)
+          .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
+          .map(_.toSeq)
+          .distinct
+      // only the ≤ parts-1 split VALUES are retained, never the sample
+      boundsMemo.synchronized { boundsMemo.put(memoKey, vals) }
+      vals
+    }
+  }
 
   private def rangePidExpr(df: DataFrame, key: Column,
       parts: Int): Column = {
     if (parts <= 1) return lit(0)
     val keyed = df.select(key.as("k"))
     val kType = keyed.schema("k").dataType
-    val memoKey = (keyed.queryExecution.analyzed.semanticHash(), parts)
-    val boundVals: Seq[Any] = boundsMemo.synchronized {
-      Option(boundsMemo.get(memoKey))
-    }.getOrElse {
-      val sampleSz = math.min(parts * 64, 262144)
-      // TakeOrderedAndProject by key hash = a uniform-ish pseudo-random
-      // sample in one pass with only top-S per partition retained; the
-      // second orderBy sorts just those S rows by key.
-      val sample: Array[Row] = keyed
-        .orderBy(xxhash64(col("k")), col("k"))
-        .limit(sampleSz)
-        .orderBy(col("k"))
-        .collect()
-      // Quantile split points, deduplicated (strictly increasing): heavy
-      // key duplication collapses bounds, trading balance for correctness —
-      // equal keys always share a pid. NULL bounds are dropped (possible on
-      // the bare-column fast path when null keys are common): `key >= NULL`
-      // is NULL, which the when-tree would route left unconditionally; null
-      // KEYS themselves route left to pid 0 on every branch — consistently
-      // in both plan branches, matching asc-nulls-first order.
-      val step = sample.length.toDouble / parts
-      val vals: Seq[Any] =
-        if (sample.isEmpty) Nil // empty input → single pid 0
-        else (1 until parts)
-          .map(i => sample(math.min((i * step).toInt, sample.length - 1)))
-          .distinct
-          .filterNot(_.isNullAt(0))
-          .map(_.get(0))
-      // only the ≤ parts-1 split VALUES are retained, never the sample
-      boundsMemo.synchronized { boundsMemo.put(memoKey, vals) }
-      vals
-    }
+    // NULL bounds are dropped (possible on the bare-column fast path when
+    // null keys are common): `key >= NULL` is NULL, which the when-tree
+    // would route left unconditionally; null KEYS themselves route left
+    // to pid 0 on every branch — consistently in both plan branches,
+    // matching asc-nulls-first order.
+    val boundVals = sampleBounds(keyed, Seq(col("k")), kType.sql, parts)
+      .filterNot(r => r.head == null).map(_.head)
     val bounds = boundVals.map(v => ColumnShim.column(Literal.create(v, kType)))
     if (bounds.isEmpty) return lit(0)
     // pid(key) = |{i : bound_i <= key}| via balanced when-tree.
@@ -310,5 +317,65 @@ object GlobalWindow {
           .otherwise(search(lo, mid - 1))
       }
     search(0, bounds.length)
+  }
+
+  /** Literal-bounds pid for `.asc`/`.desc`-wrapped order keys: the same
+    * sampled-quantile when-tree as [[rangePidExpr]], with the bound
+    * comparison compiled as a per-field lexicographic predicate in each
+    * key's declared direction and null ordering (struct comparison can't
+    * express descending or nulls-last fields, and dropping null bounds
+    * isn't an option because null keys may legitimately sort LAST here).
+    * The comparators are built from `when` chains that always yield
+    * true/false — never NULL — so negation is two-valued and every plan
+    * branch routes identically. */
+  private def sortedPidExpr(df: DataFrame,
+      specs: Seq[(Column, Boolean, Boolean)], parts: Int): Column = {
+    if (parts <= 1) return lit(0)
+    val names = specs.indices.map(i => s"__gw_k$i")
+    val keyed = df.select(specs.zip(names).map { case ((c, _, _), n) =>
+      c.as(n) }: _*)
+    val types = keyed.schema.fields.map(_.dataType)
+    val sortCols = specs.zip(names).map { case ((_, asc, nf), n) =>
+      (asc, nf) match {
+        case (true, true)   => col(n).asc_nulls_first
+        case (true, false)  => col(n).asc_nulls_last
+        case (false, true)  => col(n).desc_nulls_first
+        case (false, false) => col(n).desc_nulls_last
+      }
+    }
+    val sig = types.map(_.sql).mkString(",") + "|" +
+      specs.map { case (_, asc, nf) =>
+        (if (asc) "a" else "d") + (if (nf) "f" else "l") }.mkString
+    val boundRows = sampleBounds(keyed, sortCols, sig, parts)
+    if (boundRows.isEmpty) return lit(0)
+
+    // strict "row-key < bound" in sort order, totally ordered over NULLs
+    def fieldLt(f: Column, b: Column, asc: Boolean,
+        nullsFirst: Boolean): Column = {
+      val cmp = if (asc) f < b else f > b
+      if (nullsFirst)
+        when(f.isNull && b.isNotNull, lit(true))
+          .when(f.isNull || b.isNull, lit(false))
+          .otherwise(cmp)
+      else
+        when(b.isNull && f.isNotNull, lit(true))
+          .when(f.isNull || b.isNull, lit(false))
+          .otherwise(cmp)
+    }
+    def lexLt(bound: Seq[Any]): Column =
+      specs.zipWithIndex.foldRight(lit(false): Column) {
+        case (((child, asc, nf), i), rest) =>
+          val b = ColumnShim.column(Literal.create(bound(i), types(i)))
+          fieldLt(child, b, asc, nf) || (child <=> b && rest)
+      }
+    // pid(key) = |{i : bound_i <= key}| = |{i : NOT key < bound_i}|
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(!lexLt(boundRows(mid - 1)), search(mid, hi))
+          .otherwise(search(lo, mid - 1))
+      }
+    search(0, boundRows.length)
   }
 }

@@ -50,8 +50,31 @@ object Similarity {
     * single-file scans otherwise leave the whole O(|Q|·|C|) score loop on
     * one core (a 1000-executor cluster reading one 10 MB dimension file
     * has the same failure mode). */
+  /** Conf key for the brute-force row cap honored by [[cosineTopK]] and
+    * [[cosinePairs]] — the declared-exact O(n²) baselines. Oracle/fixture
+    * scale passes comfortably; a 100×-scale misuse fails loudly naming
+    * the sub-quadratic sibling instead of running for hours. Same
+    * bounded-input contract the driver-collect paths already honor. */
+  val BruteRowsCapConf = "spark.graft.similarity.maxBruteRows"
+  private val DefaultBruteCap = 2000000L
+
+  /** Fail fast when `df` exceeds the configured brute-force cap: counts
+    * with a `limit(cap+1)` early-out (never a full scan past the cap). */
+  private def bruteForceGuard(df: DataFrame, what: String,
+      sibling: String): Unit = {
+    val cap = df.sparkSession.conf
+      .get(BruteRowsCapConf, DefaultBruteCap.toString).toLong
+    val capInt = math.min(cap, Int.MaxValue - 1L).toInt
+    val n = df.select(lit(1).as("one")).limit(capInt + 1).count()
+    require(n <= cap,
+      s"$what is an O(n²) exact baseline capped at $cap rows (input " +
+        s"exceeds it) — use $sibling for corpora beyond the cap, or " +
+        s"raise $BruteRowsCapConf if the quadratic scan is intended")
+  }
+
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    bruteForceGuard(corpus, "cosineTopK", "ivfTopK (or ivfKnnJoin)")
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
         dot(col(vecCol), col(vecCol)).as("nbr_nrm"))
@@ -90,6 +113,7 @@ object Similarity {
     * sub-quadratic path for corpora where n² is no longer an option. */
   def cosinePairs(vecs: DataFrame, minCosine: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    bruteForceGuard(vecs, "cosinePairs", "srpNearPairs")
     val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
     val normed = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       dot(col(vecCol), col(vecCol)).as("nrm"))

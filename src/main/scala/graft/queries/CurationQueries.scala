@@ -197,19 +197,25 @@ object CurationQueries {
       // with each doc's sketch verdict; the oracle pins the doc list and
       // asserts TRUE throughout. False-positive rate is the fpp
       // trade-off, pinned separately in DecontamSpec.
+      // ONE ShingleHashesExpr projection per doc: bench docs are shingled
+      // once (bg — also fed to the bloom build via FromHashes), train
+      // docs once (`hs` carried through probe AND explode — the probe is
+      // an exists() over the already-computed array, and the exact-gram
+      // explode reads the same attribute; no kernel re-evaluation).
       val d = docs(s, dir)
-      val bloom = graft.operators.Decontam.buildGramBloom(
-        d.filter(col("doc_id") % 20 === 0), "text", n = 5,
-        expectedItems = 1L << 20, fpp = 0.001)
-      val grams = d
-        .select(col("doc_id"), explode(shingleHashes(col("text"), 5)).as("h"))
-      val bg = grams.filter(col("doc_id") % 20 === 0).select("h").distinct()
-      val contam = grams.filter(col("doc_id") % 20 =!= 0)
-        .join(broadcast(bg), "h").select("doc_id").distinct()
-      d.join(contam, Seq("doc_id"))
-        .select(col("doc_id"),
-          graft.operators.Decontam.mightOverlap(col("text"), bloom, 5)
-            .as("bloom_hit"))
+      val withHs = d.select(col("doc_id"),
+        shingleHashes(col("text"), 5).as("hs"))
+      val bg = withHs.filter(col("doc_id") % 20 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      val bloom = graft.operators.Decontam.buildGramBloomFromHashes(
+        bg, "h", expectedItems = 1L << 20, fpp = 0.001)
+      val probed = withHs.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("bloom_hit",
+          graft.operators.Decontam.mightOverlapHashes(col("hs"), bloom))
+      probed.select(col("doc_id"), col("bloom_hit"), explode(col("hs")).as("h"))
+        .join(broadcast(bg), "h")
+        .groupBy("doc_id")
+        .agg(first(col("bloom_hit")).as("bloom_hit"))
     })
   )
 

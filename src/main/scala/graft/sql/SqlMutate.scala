@@ -13,14 +13,18 @@ import graft.operators.{Frame, FrameEndpoint}
   * window clauses. GraftExtensionsSpec proves the rendered SQL
   * value-equivalent to the DataFrame path on every supported shape.
   *
-  * Deliberate deltas from the DataFrame verb, both inherent to SQL:
+  * Month Period frames render as a CTE chain ([[monthsSql]]) — the same
+  * prefix+as-of pipeline CalendarWindow builds, in pure SQL — for the
+  * prefix-decomposable aggregate family (sum/count/count(*)/avg/stddev/
+  * variance).
+  *
+  * Deliberate deltas from the DataFrame verb, inherent to SQL:
   *   - a frame without `.order_by` slides over INPUT ROW ORDER in the
   *     reference (slider semantics) — SQL result sets have no input
   *     order, so that shape is rejected here (the reference's own SQL
   *     branch forces an explicit order for the same reason);
-  *   - month Period frames compile to a multi-step plan (prefix sums +
-  *     as-of), not a window clause — use the DataFrame API
-  *     (CalendarWindow / mutateW) for those.
+  *   - month-frame min/max ride the interval-expansion path, which has
+  *     no faithful single-statement rendering — DataFrame API only.
   */
 object SqlMutate {
 
@@ -46,10 +50,8 @@ object SqlMutate {
       return s"SELECT *, ${exprs.map { case (n, e) => s"$e AS $n" }
         .mkString(", ")} FROM $table"
 
-    if (frame.exists(_.isMonths)) throw new UnsupportedOperationException(
-      "month Period frames are multi-step plans (prefix sums + as-of " +
-        "boundary lookups), not window clauses — use the DataFrame API " +
-        "(TidierOps.mutateW with Frame.months / CalendarWindow.monthsAgg)")
+    if (frame.exists(_.isMonths))
+      return monthsSql(table, exprs, by, frame.get, index, complete)
     val isRange = frame.exists(_.isRange)
     require(!isRange || index.isDefined,
       "a Days/Seconds/Range frame requires an index (.index)")
@@ -141,5 +143,188 @@ object SqlMutate {
     val windows = s"w AS ($winBody)" +
       (if (needP) s", p AS (${if (part.isEmpty) "" else part})" else "")
     s"SELECT *, $items FROM $table WINDOW $windows"
+  }
+
+  // ---- month Period frames: the prefix+as-of pipeline as a CTE chain ----
+
+  private sealed trait MAgg
+  private object MAgg {
+    case object Sum extends MAgg; case object Count extends MAgg
+    case object CountAll extends MAgg; case object Avg extends MAgg
+    case object Var extends MAgg; case object Std extends MAgg
+  }
+  private val AggCall = """(?i)^\s*([a-z_]+)\s*\(\s*(\*|1|[\w.`]+)\s*\)\s*$""".r
+
+  /** Render a month-Period frame as the same multi-step plan
+    * [[graft.operators.CalendarWindow.monthsAgg]] builds — pure SQL, no
+    * DataFrame API:
+    *
+    *   1. `daily`: per-(group, day) partial sums/counts (+ sum of squares
+    *      for stddev/variance);
+    *   2. `cum`: running prefix per group over days;
+    *   3. `un`: the prefix rows UNION ALL one probe row per (group, day,
+    *      boundary) — `lo = add_months(day, -before)` and
+    *      `hi + 1 day` (an inclusive-at-hi lookup is a strict lookup at
+    *      the next day, so ONE strict sweep serves both boundaries);
+    *      probes sort BEFORE data rows at equal time (`rk`), so a
+    *      running `last_value IGNORE NULLS` sees exactly the prefix
+    *      strictly before each boundary;
+    *   4. `win`: pivot each (group, day)'s two probe rows back to
+    *      columns; window aggregate = prefix(hi) − prefix(lo⁻);
+    *   5. join back to the input on (group, CAST(index AS DATE)),
+    *      null-safely (NULL groups/days are real groups upstream).
+    *
+    * Same O(n log n) shape as the DataFrame path — no quadratic range
+    * self-join. Month-frame min/max (the interval-expansion path) stay
+    * DataFrame-only: they are not prefix-decomposable and their binned
+    * self-join has no faithful single-statement rendering. */
+  private def monthsSql(table: String, exprs: Seq[(String, String)],
+      by: Seq[String], frame: Frame, index: Option[String],
+      complete: Boolean): String = {
+    require(index.isDefined,
+      "a Months (Period) frame requires an index (.index)")
+    def monthDay(e: FrameEndpoint): (Long, Long) = e match {
+      case FrameEndpoint.Months(m)        => (m, 0L)
+      case FrameEndpoint.MonthsDays(m, d) => (m, d)
+      case _ => throw new IllegalArgumentException(
+        "month frames cannot mix units: both endpoints must be Months " +
+          "or MonthsDays")
+    }
+    val (b, bd) = monthDay(frame.before)
+    val (a, ad) = monthDay(frame.after)
+
+    import MAgg._
+    val parsed: Seq[(String, MAgg, String)] = exprs.map { case (n, e) =>
+      e match {
+        case AggCall(fn, arg) =>
+          val op = fn.toLowerCase match {
+            case "sum"                            => Sum
+            case "count"                          => Count
+            case "avg" | "mean"                   => Avg
+            case "stddev" | "stddev_samp" | "std" => Std
+            case "variance" | "var_samp"          => Var
+            case "min" | "max" => throw new UnsupportedOperationException(
+              "month-frame min/max ride the interval-expansion path, " +
+                "which has no single-statement SQL rendering — use the " +
+                "DataFrame API (mutateW / CalendarWindow.monthsAgg)")
+            case other => throw new UnsupportedOperationException(
+              s"month Period frames support sum/count/avg/stddev/variance" +
+                s" in SQL (got: $other)")
+          }
+          if (op == Count && (arg == "*" || arg == "1")) (n, CountAll, "")
+          else if (arg == "*" || arg == "1")
+            throw new UnsupportedOperationException(
+              s"$fn(*) is not an aggregate over a column (got: $e)")
+          else (n, op, arg)
+        case _ => throw new UnsupportedOperationException(
+          "month Period frames support simple aggregate calls over one " +
+            s"column in SQL (got: $e)")
+      }
+    }
+    // distinct value columns, indexed for stable generated aliases
+    val vcols = parsed.collect {
+      case (_, Sum | Count | Avg | Var | Std, v) => v }.distinct
+    val vi = vcols.zipWithIndex.toMap
+    val sqcols = parsed.collect { case (_, Var | Std, v) => v }.distinct
+    val needAll = parsed.exists(_._2 == CountAll)
+
+    val byL = by.mkString(", ")
+    val byPfx = if (by.isEmpty) "" else s"$byL, "
+    val pb = if (by.isEmpty) "" else s"PARTITION BY $byL "
+    def loSql(d: String) = {
+      val m = s"add_months($d, ${-b})"
+      if (bd == 0) m else s"date_add($m, ${-bd})"
+    }
+    def hiSql(d: String) = {
+      val m = s"add_months($d, $a)"
+      if (ad == 0) m else s"date_add($m, $ad)"
+    }
+
+    val dailyAggs = vcols.flatMap { v => val i = vi(v)
+      Seq(s"sum($v) AS s_$i", s"count($v) AS c_$i") ++
+        (if (sqcols.contains(v))
+           Seq(s"sum(CAST($v AS DOUBLE) * CAST($v AS DOUBLE)) AS q_$i")
+         else Nil)
+    } ++ (if (needAll) Seq("count(1) AS call") else Nil)
+    val runPairs: Seq[(String, String)] = vcols.flatMap { v => val i = vi(v)
+      Seq(s"s_$i" -> s"cs_$i", s"c_$i" -> s"cc_$i") ++
+        (if (sqcols.contains(v)) Seq(s"q_$i" -> s"cq_$i") else Nil)
+    } ++ (if (needAll) Seq("call" -> "ccall") else Nil)
+    val cumCols = runPairs.map { case (s, d) => s"sum($s) OVER cw AS $d" }
+    val runNames = runPairs.map(_._2)
+
+    val nullRun = runNames.map(c => s"NULL AS $c").mkString(", ")
+    val sweepCols = runNames.map(c =>
+      s"last_value($c) IGNORE NULLS OVER sw AS l_$c").mkString(", ")
+    val pivotCols = runNames.flatMap(c => Seq(
+      s"max(CASE WHEN kind = 'h' THEN l_$c END) AS hi_$c",
+      s"max(CASE WHEN kind = 'l' THEN l_$c END) AS lo_$c")).mkString(", ")
+    val gateCols = if (complete)
+      s", min(day) OVER (${pb.trim}) AS gmin, max(day) OVER (${pb.trim}) AS gmax"
+    else ""
+
+    def outSql(op: MAgg, v: String): String = {
+      val i = if (v.nonEmpty) vi(v) else -1
+      def cnt = s"(coalesce(hi_cc_$i, 0) - coalesce(lo_cc_$i, 0))"
+      def raw = s"(coalesce(hi_cs_$i, 0) - coalesce(lo_cs_$i, 0))"
+      op match {
+        case Sum => s"CASE WHEN $cnt > 0 THEN $raw END"
+        case Count => cnt
+        case CountAll => "(coalesce(hi_ccall, 0) - coalesce(lo_ccall, 0))"
+        case Avg => s"CASE WHEN $cnt > 0 THEN CAST($raw AS DOUBLE) / $cnt END"
+        case Var | Std =>
+          val n = cnt
+          val s1 = s"CAST($raw AS DOUBLE)"
+          val s2 = s"(coalesce(hi_cq_$i, 0D) - coalesce(lo_cq_$i, 0D))"
+          val varc = s"CASE WHEN $n > 1 THEN " +
+            s"greatest(($s2 - $s1 * $s1 / $n) / ($n - 1), 0D) END"
+          if (op == Var) varc else s"sqrt($varc)"
+      }
+    }
+    val gated = parsed.map { case (n, op, v) =>
+      val o = outSql(op, v)
+      val g = if (complete)
+        s"CASE WHEN ${loSql("day")} >= gmin AND ${hiSql("day")} <= gmax " +
+          s"THEN $o END"
+      else o
+      s"$g AS $n"
+    }.mkString(", ")
+
+    val joinOn = (by.map(c => s"b.$c <=> w.$c") :+
+      s"CAST(b.${index.get} AS DATE) <=> w.day").mkString(" AND ")
+
+    s"""WITH g_daily AS (
+  SELECT $byPfx CAST(${index.get} AS DATE) AS day, ${dailyAggs.mkString(", ")}
+  FROM $table GROUP BY $byPfx CAST(${index.get} AS DATE)
+), g_cum AS (
+  SELECT $byPfx day, ${cumCols.mkString(", ")}
+  FROM g_daily
+  WINDOW cw AS (${pb}ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g_un AS (
+  SELECT $byPfx day AS t, 1 AS rk, CAST(NULL AS STRING) AS kind,
+         CAST(NULL AS DATE) AS pday, ${runNames.mkString(", ")}
+  FROM g_cum
+  UNION ALL
+  SELECT $byPfx ${loSql("day")} AS t, 0 AS rk, 'l' AS kind, day AS pday,
+         $nullRun
+  FROM g_cum
+  UNION ALL
+  SELECT $byPfx date_add(${hiSql("day")}, 1) AS t, 0 AS rk, 'h' AS kind,
+         day AS pday, $nullRun
+  FROM g_cum
+), g_sweep AS (
+  SELECT $byPfx t, kind, pday, $sweepCols
+  FROM g_un
+  WINDOW sw AS (${pb}ORDER BY t, rk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g_win AS (
+  SELECT $byPfx pday AS day, $pivotCols
+  FROM g_sweep WHERE kind IS NOT NULL
+  GROUP BY $byPfx pday
+)
+SELECT b.*, $gated
+FROM $table b
+JOIN (SELECT *$gateCols FROM g_win) w ON $joinOn"""
   }
 }

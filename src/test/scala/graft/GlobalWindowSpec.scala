@@ -48,12 +48,62 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(out == Seq(None, None, Some(2.0), Some(2.0)))
   }
 
-  test("desc order keys (SortOrder) take the unguarded path and still work") {
+  test("desc order keys compile to literal bounds — no range exchange, " +
+      "no spark_partition_id") {
     val df = Seq((3L, 1.0), (2L, 2.0), (1L, 4.0)).toDF("k", "v")
     val out = GlobalWindow.cumSum(df, Seq($"k".desc), "v", "cs",
         numPartitions = 2)
-      .orderBy($"k".desc).select("cs").collect().map(_.getDouble(0)).toSeq
-    assert(out == Seq(1.0, 3.0, 7.0))
+    val got = out.orderBy($"k".desc).select("cs").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 3.0, 7.0))
+    val analyzed = out.queryExecution.analyzed.toString.toLowerCase
+    assert(!analyzed.contains("spark_partition_id"),
+      "desc-key path must not depend on spark_partition_id")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"desc-key path must not range-exchange:\n$p")
+    assert(p.contains("hashpartitioning(__gw_pid__"),
+      s"sweep not hash-partitioned by content pid:\n$p")
+  }
+
+  test("desc cumsum over a real table matches the single-partition window") {
+    val w = Window.orderBy($"o_orderkey".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val single = orders.withColumn("cs", sum($"o_totalprice").over(w))
+      .select($"o_orderkey", $"cs").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scaled = GlobalWindow.cumSum(orders, Seq($"o_orderkey".desc),
+        "o_totalprice", "cs", numPartitions = 8)
+      .select($"o_orderkey", $"cs").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scaled.keySet == single.keySet)
+    // FP prefix sums reassociate across ranges — compare within ulps
+    scaled.foreach { case (k, v) =>
+      assert(math.abs(v - single(k)) <= 1e-6 * (1 + single(k).abs),
+        s"key $k: $v vs ${single(k)}")
+    }
+  }
+
+  test("mixed-direction multi-key with nulls matches the plain window") {
+    // g asc_nulls_last, k desc: exercises the per-field lexicographic
+    // comparator (direction + null ordering per field) end-to-end
+    val df = Seq((Some(2L), 1L, 1.0), (Some(1L), 2L, 2.0), (None, 3L, 4.0),
+        (Some(1L), 4L, 8.0), (None, 5L, 16.0), (Some(2L), 6L, 32.0))
+      .toDF("a", "k", "v")
+    val w = Window.orderBy($"a".asc_nulls_last, $"k".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val single = df.withColumn("cs", sum($"v").over(w))
+      .select($"k", $"cs").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scaled = GlobalWindow.cumSum(df,
+        Seq($"a".asc_nulls_last, $"k".desc), "v", "cs", numPartitions = 3)
+      .select($"k", $"cs").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scaled == single)
+    assert(!GlobalWindow.cumSum(df, Seq($"a".asc_nulls_last, $"k".desc),
+        "v", "cs", numPartitions = 3)
+      .queryExecution.analyzed.toString.toLowerCase
+      .contains("spark_partition_id"))
   }
 
   test("groupedCumSum equals the per-group window, with G×P parallelism") {

@@ -97,9 +97,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
     same(
       SqlMutate.render("sqlmutate_t", Seq("v2" -> "v * 2")),
       df.mutateW("v2" -> (col("v") * 2))())
-    // month frames route users to the DataFrame API
+    // month Period frame from PURE SQL — the CTE chain renders the same
+    // prefix+as-of pipeline as CalendarWindow (sum/count/count(*)/avg/
+    // stddev/variance); value-equivalent to the DataFrame path
+    same(
+      SqlMutate.render("sqlmutate_t",
+        Seq("ms" -> "sum(v)", "mc" -> "count(v)", "ma" -> "avg(v)",
+          "mall" -> "count(*)", "mv" -> "variance(v)", "msd" -> "stddev(v)"),
+        by = Seq("g"), frame = Some(Frame.months(1, 0)), index = Some("d")),
+      df.mutateW("ms" -> sum(col("v")), "mc" -> count(col("v")),
+          "ma" -> avg(col("v")), "mall" -> count(lit(1)),
+          "mv" -> variance(col("v")), "msd" -> stddev(col("v")))(
+        by = Seq(col("g")), frame = Some(Frame.months(1, 0)),
+        index = Some(col("d"))))
+    // offset month frame (negative after: current month excluded) +
+    // .complete gating; no-by global month frame
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("ms" -> "sum(v)"),
+        by = Seq("g"), frame = Some(Frame.months(2, -1)), index = Some("d"),
+        complete = true),
+      df.mutateW("ms" -> sum(col("v")))(
+        by = Seq(col("g")), frame = Some(Frame.months(2, -1)),
+        index = Some(col("d")), complete = true))
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("ms" -> "sum(v)"),
+        frame = Some(Frame.months(1, 0)), index = Some("d")),
+      df.mutateW("ms" -> sum(col("v")))(
+        frame = Some(Frame.months(1, 0)), index = Some(col("d"))))
+    // compound months+days endpoints render too
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("ms" -> "sum(v)"),
+        by = Seq("g"), frame = Some(Frame.monthsDays(1, 3, 0, -2)),
+        index = Some("d")),
+      df.mutateW("ms" -> sum(col("v")))(
+        by = Seq(col("g")), frame = Some(Frame.monthsDays(1, 3, 0, -2)),
+        index = Some(col("d"))))
+    // month-frame min/max (interval-expansion path) stay DataFrame-only
     intercept[UnsupportedOperationException] {
-      SqlMutate.render("sqlmutate_t", Seq("s" -> "sum(v)"),
+      SqlMutate.render("sqlmutate_t", Seq("s" -> "max(v)"),
         by = Seq("g"), frame = Some(Frame.months(1, 0)), index = Some("d"))
     }
     // rows frame without an order is rejected (SQL has no input order)

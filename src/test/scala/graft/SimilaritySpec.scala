@@ -49,6 +49,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("brute-force baselines fail fast past the row cap, naming the " +
+      "sub-quadratic sibling") {
+    val conf = graft.operators.Similarity.BruteRowsCapConf
+    spark.conf.set(conf, "3")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        cosineTopK(emb, emb.limit(2), 2)
+      }
+      assert(e1.getMessage.contains("ivf"), e1.getMessage)
+      assert(e1.getMessage.contains(conf), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cosinePairs(emb, 0.9)
+      }
+      assert(e2.getMessage.contains("srpNearPairs"), e2.getMessage)
+      // within the cap both still construct (and the guard's limit()
+      // early-out never scanned past cap+1 rows)
+      cosineTopK(emb.limit(3), emb.limit(2), 2)
+      cosinePairs(emb.limit(3), 0.9)
+    } finally spark.conf.unset(conf)
+  }
+
   test("topKRank (bounded-buffer agg) equals the window-function top-k") {
     val q = emb.filter($"vec_id" < 20)
     val scored = emb.select($"vec_id".as("nbr_id"), $"embedding".as("nv"))
