@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * clamps at month ends), which a constant-offset `rangeBetween` frame
   * cannot express.
   *
+  * COMPATIBILITY NOTE (deliberate semantic delta from the reference):
+  * boundaries use `add_months`' month-end CLAMPING (Mar 31 − 1 month =
+  * Feb 28), the standard SQL-engine semantics (DuckDB INTERVAL
+  * arithmetic clamps identically). lubridate Period arithmetic yields
+  * NA for nonexistent dates (`ymd("2023-03-31") - months(1)` is NA), so
+  * a literal slider replay can differ on rows landing on clamped
+  * month-ends. See SURVEY.md §2.3's compatibility note.
+  *
   * The naive rendering — a range self-join collecting every (row,
   * in-window row) pair — re-materializes each window like the
   * reference's slider does: O(n·w) pairs, quadratic on dense groups.

@@ -40,6 +40,40 @@ object TimeSeriesQueries {
 
   private val UsPerDay = 86400000000L
 
+  /** Monotone suffix for memory-sink query names — each invocation gets
+    * a fresh sink table (Bench re-runs keys in one session) and drops it
+    * after collecting. */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val cleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Stage the single-file events fixture into a directory for the
+    * file streaming source (FileStreamSource lists a directory; the
+    * fixture layout is flat files). AppId-keyed like FormatQueries'
+    * scratch, copied once per (app, sf-dir), removed by a shutdown
+    * hook. */
+  private def stagedEventsDir(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
+    if (cleanupRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }))
+    val staged = s"$root/${new java.io.File(dir).getName}/events"
+    val target = new java.io.File(staged, "events.parquet")
+    if (!target.isFile) {
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"), target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    staged
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_tumbling_day" -> ((s, dir) => {
       // native tumbling window: window(ts, '1 day') — epoch-aligned
@@ -77,6 +111,40 @@ object TimeSeriesQueries {
         .select(col("user_id"),
           unix_micros(col("w.start")).as("sess_start_us"),
           col("n"), col("sum_v"))
+    }),
+    "window_stream_tumbling" -> ((s, dir) => {
+      // REAL Structured Streaming execution in the oracle harness (the
+      // streaming surface was spec-only through round 5): the bounded
+      // events file is readStream'd, run through StreamingOps.mutateStreamW
+      // (watermark + tumbling 1-day window + .by user) under
+      // Trigger.AvailableNow to COMPLETION, and the memory-sink table —
+      // the stream's own output, not a batch re-computation — is returned
+      // for the DuckDB hash gate. Complete output mode makes the final
+      // sink state exactly the full aggregation (Append would hold back
+      // windows above the end-of-stream watermark), so the run is
+      // deterministic — no flakiness. The collected sink is an aggregate
+      // bounded like a broadcast side (|users|×|days|), not raw events.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema // also sets the nanosAsLong conf
+      // FileStreamSource requires a DIRECTORY source; the fixture is a
+      // single flat file, so stage it into an appId-keyed scratch dir
+      // (same pattern + shutdown-hook cleanup as FormatQueries' round
+      // trips — the file is MB-scale fixture data, not a big copy)
+      val src = s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      val agg = graft.streaming.StreamingOps.mutateStreamW(
+        src.withColumn("tts", tts), "tts", watermark = "1 day",
+        windowLen = "1 day", by = Seq(col("user_id")))(
+        "n" -> count(lit(1)), "sum_v" -> sum(col("value")))
+      val qn = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("user_id"),
+        expr(s"unix_micros(window.start) div $UsPerDay").as("day"),
+        col("n"), r4(col("sum_v")).as("sum_v"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
     }),
     "resample_gapfill" -> ((s, dir) => {
       // time-series resample: daily sums per user with silent days
@@ -126,6 +194,12 @@ object TimeSeriesQueries {
          SELECT user_id, min(tus) AS sess_start_us,
            count(*) AS n, round(1e-9 + sum(value), 4) AS sum_v
          FROM sess GROUP BY user_id, sid""",
+    "window_stream_tumbling" ->
+      """SELECT user_id,
+         epoch_ns(ts) // 86400000000000 AS day,
+         count(*) AS n,
+         round(1e-9 + sum(value), 4) AS sum_v
+         FROM events GROUP BY 1, 2""",
     "resample_gapfill" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day, value FROM events),
