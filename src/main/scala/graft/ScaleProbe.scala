@@ -67,6 +67,25 @@ object ScaleProbe {
           MonthsAggSpec("w_max", MonthsOp.Max, "v")),
         before = 2, after = -1))
     }
+    // the min/max EXPANSION branch under a WIDE (6-month) window — its
+    // cost model is (window days / distinct day) × daily partials, the
+    // one CalendarWindow branch whose expansion factor hadn't been
+    // probed at scale. Paired with the same-width prefix-path probe so
+    // the README can quote the expansion premium directly.
+    time("monthsAgg min/max WIDE c(6,0) 10M") {
+      import graft.operators.CalendarWindow.{MonthsAggSpec, MonthsOp}
+      sink(graft.operators.CalendarWindow.monthsAgg(ev, Seq("user_id"),
+        col("dt"), Seq(MonthsAggSpec("w_min", MonthsOp.Min, "v"),
+          MonthsAggSpec("w_max", MonthsOp.Max, "v")),
+        before = 6, after = 0))
+    }
+    time("monthsAgg sum/std WIDE c(6,0) 10M") {
+      import graft.operators.CalendarWindow.{MonthsAggSpec, MonthsOp}
+      sink(graft.operators.CalendarWindow.monthsAgg(ev, Seq("user_id"),
+        col("dt"), Seq(MonthsAggSpec("w_sum", MonthsOp.Sum, "v"),
+          MonthsAggSpec("w_std", MonthsOp.Std, "v")),
+        before = 6, after = 0))
+    }
 
     // Dedup stack at sf1-equivalent corpus size (documents scales ~5k
     // rows per 0.1 sf → sf1 ≈ 50k docs; DEDUP_DOCS env overrides).

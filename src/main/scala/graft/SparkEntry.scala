@@ -311,6 +311,25 @@ object SparkEntry {
           r4(col("win_std")).as("win_std"),
           r4(col("win_var")).as("win_var"))
     }),
+    "window_range_months_median" -> ((s, dir) => {
+      // NON-prefix-decomposable aggregate over a month Period frame:
+      // median has no running form, so mutateW routes the whole set
+      // through CalendarWindow.monthsAggGeneral — the binned expansion
+      // join evaluating ANY Spark aggregate per window (the reference
+      // evaluates any R fn per slice; same O(n·w̄) cost model,
+      // distributed as a hash join + hash agg). Exact interpolated
+      // median matches DuckDB's. The mixed set also carries a count —
+      // proving the marker substitution on the expansion join's padding
+      // rows.
+      events(s, dir).select(col("event_id"), col("user_id"),
+          col("value"), tsDate.as("d"))
+        .mutateW("med_v" -> expr("median(value)"),
+            "n_all" -> count(lit(1)))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.months(1, 0)),
+          index = Some(col("d")))
+        .select(col("event_id"), r4(col("med_v")).as("med_v"), col("n_all"))
+    }),
     "window_range_weeks" -> ((s, dir) => {
       // weeks(k) Period sugar — the reference accepts ANY lubridate
       // Period (R/mutate.R:164-165); a week is exactly 7 days under
@@ -528,6 +547,15 @@ object SparkEntry {
          SELECT a.event_id, count(b.value) AS win_cnt,
            round(1e-9 + stddev_samp(b.value), 4) AS win_std,
            round(1e-9 + var_samp(b.value), 4) AS win_var
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) AND a.d
+         GROUP BY 1""",
+    "window_range_months_median" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
+           FROM events)
+         SELECT a.event_id,
+           round(1e-9 + median(b.value), 4) AS med_v,
+           count(*) AS n_all
          FROM e a JOIN e b ON a.user_id = b.user_id
            AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) AND a.d
          GROUP BY 1""",

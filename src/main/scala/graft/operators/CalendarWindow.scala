@@ -351,6 +351,96 @@ object CalendarWindow {
     joinNullSafe(keyed, winVals, by :+ DAY, "__cw_r_").drop(DAY)
   }
 
+  /** GENERAL month-frame aggregates — ANY Spark aggregate expression per
+    * window, the full analogue of the reference evaluating an arbitrary
+    * R function per slice (R/mutate.R:208,586). Not prefix-decomposable
+    * (medians, percentiles, collect-based aggregates), so this rides the
+    * honest expansion cost model: every window's day span is binned and
+    * equi-joined (group <=>, bin) to the RAW rows — O(n·w̄) joined rows,
+    * the same work the reference's slider does, but distributed as a
+    * hash join + hash aggregation instead of a per-row interpreted loop.
+    * [[TidierOps.mutateW]] routes month frames here automatically when
+    * any expression falls outside [[monthsAgg]]'s prefix family.
+    *
+    * Aggregates are evaluated over the raw input columns of the joined
+    * rows; empty windows contribute LEFT-JOIN null rows, so null-skipping
+    * SQL aggregates yield NULL/0 correctly. `count(*)`-style row counts
+    * must count a raw-side column (e.g. the marker the TidierOps routing
+    * substitutes) — a bare `count(1)` would count the join's padding
+    * rows. */
+  def monthsAggGeneral(df: DataFrame, by: Seq[String], index: Column,
+      exprs: Seq[(String, Column)], before: Int, after: Int,
+      complete: Boolean = false,
+      beforeDays: Int = 0, afterDays: Int = 0): DataFrame = {
+    require(exprs.nonEmpty, "monthsAggGeneral needs at least one expr")
+    val outs = exprs.map(_._1)
+    require(outs.distinct.size == outs.size,
+      s"duplicate output names: ${outs.diff(outs.distinct).mkString(", ")}")
+    val bad = (outs.toSet + DAY).intersect(df.columns.toSet)
+    require(bad.isEmpty,
+      s"output columns ${bad.mkString(", ")} already exist on the " +
+        "input — pass different `out` names")
+    def loOf(d: Column): Column = {
+      val m = add_months(d, -before)
+      if (beforeDays == 0) m else date_add(m, -beforeDays)
+    }
+    def hiOf(d: Column): Column = {
+      val m = add_months(d, after)
+      if (afterDays == 0) m else date_add(m, afterDays)
+    }
+    val byCols = by.map(col)
+    val keyed = df.withColumn(DAY, index)
+    val epoch = to_date(lit("1970-01-01"))
+
+    // distinct windows with binned day spans (RangeJoin's shape, inlined
+    // for NULL-SAFE group keys, same as the min/max branch of monthsAgg)
+    val width = math.max(1L,
+      (math.abs(before) + math.abs(after)) * 31L +
+        math.abs(beforeDays) + math.abs(afterDays) + 1L)
+    val BIN = "__cw_bin__"
+    val spans = keyed.select((byCols :+ col(DAY)): _*).distinct()
+      .withColumn("__lod", datediff(loOf(col(DAY)), epoch))
+      .withColumn("__hid", datediff(hiOf(col(DAY)), epoch))
+      .withColumnRenamed(DAY, "__wday")
+    val iCols = by.map(c => s"__cw_i_$c")
+    // NULL index days produce NULL spans — keep ONE padding bin so the
+    // window row survives (left-join padding → NULL outputs, and the
+    // join-back keeps the input row) instead of silently dropping it
+    val iPre = spans.withColumn(BIN, explode(coalesce(sequence(
+      least(floor(col("__lod") / width), floor(col("__hid") / width)),
+      floor(col("__hid") / width)), array(lit(0L)))))
+    val i = iPre.toDF(iPre.columns.map(c =>
+      if (by.contains(c)) s"__cw_i_$c" else c): _*)
+    val raw = keyed.withColumn("__pd", datediff(col(DAY), epoch))
+      .withColumn(BIN, floor(col("__pd") / width))
+      .drop(DAY)
+    // LEFT join from windows: empty windows keep their padding rows so
+    // the aggregate result is NULL/0, not a silently missing window. The
+    // range recheck lives in the JOIN CONDITION to preserve left rows.
+    val cond = by.zip(iCols).map { case (l, r) => col(l) <=> col(r) }
+      .foldLeft(i(BIN) === raw(BIN) &&
+        col("__pd") >= col("__lod") && col("__pd") <= col("__hid"))(_ && _)
+    val joined = i.join(raw, cond, "left")
+    val aggs = exprs.map { case (n, e) => e.as(n) }
+    var win = joined.groupBy((iCols.map(col) :+ col("__wday")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    val gate: Option[Column] = if (complete) {
+      val spanW = Window.partitionBy(iCols.map(col): _*)
+      win = win.withColumn(GMIN, min(col("__wday")).over(spanW))
+        .withColumn(GMAX, max(col("__wday")).over(spanW))
+      Some(loOf(col("__wday")) >= col(GMIN) &&
+        hiOf(col("__wday")) <= col(GMAX))
+    } else None
+    val outCols = exprs.map { case (n, _) =>
+      gate.fold(col(n))(g => when(g, col(n))).as(n) }
+    val winVals = win.select(
+      (iCols.map(col) ++ (col("__wday") +: outCols)): _*)
+      .toDF((by ++ (DAY +: outs)): _*)
+
+    joinNullSafe(keyed, winVals, by :+ DAY, "__cw_r_").drop(DAY)
+  }
+
   /** Null-safe inner equi-join on `keys`, dropping the right copy of the
     * keys (renamed with `pfx` to keep the condition unambiguous). */
   private def joinNullSafe(left: DataFrame, right: DataFrame,

@@ -33,9 +33,12 @@ object TidierOps {
   private val IDX = "__tidier_idx__" // numeric projection of the index col
 
   /** Month-frame branch of [[TidierDF.mutateW]]: translate each expression
-    * into a [[CalendarWindow.MonthsAggSpec]] (sum/count/avg ride the
-    * O(n log n) prefix path; min/max the daily-partial expansion path) and
-    * evaluate them all in ONE CalendarWindow pass. Same-name overwrite
+    * into a [[CalendarWindow.MonthsAggSpec]] (sum/count/avg/stddev/variance
+    * ride the O(n log n) prefix path; min/max the daily-partial expansion
+    * path) and evaluate them all in ONE CalendarWindow pass; expression
+    * sets containing ANY aggregate outside that family (median,
+    * percentile, collect...) route through the raw-row expansion join
+    * ([[CalendarWindow.monthsAggGeneral]]) instead. Same-name overwrite
     * (`withColumn` semantics) is preserved by computing under temp names. */
   private def monthsMutate(df: DataFrame, exprs: Seq[(String, Column)],
       by: Seq[Column], frame: Frame, index: Option[Column],
@@ -57,18 +60,56 @@ object TidierOps {
     require(index.isDefined,
       "a Months (Period) frame requires an index column (.index)")
     val byNames = by.map(attrName(_, ".by"))
-    val specs = exprs.zipWithIndex.map { case ((name, c), i) =>
-      val (op, v) = parseMonthsAgg(c)
-      (name, MonthsAggSpec(s"__tidier_mout_${i}__", op, v))
-    }
     val withRid =
       if (restoreOrder) df.withColumn(RID, monotonically_increasing_id())
       else df
-    val res = CalendarWindow.monthsAgg(withRid, byNames,
-      index.get.cast(DateType), specs.map(_._2), before = b, after = a,
-      complete = complete, beforeDays = bd, afterDays = ad)
-    var out = specs.foldLeft(res) { case (d, (name, sp)) =>
-      d.withColumn(name, col(sp.out)).drop(sp.out)
+    // Two evaluation strategies: every expression in the prefix-
+    // decomposable family → the O(n log n) prefix+as-of path; ANY
+    // expression outside it (median, percentile, collect aggregates —
+    // the reference evaluates arbitrary R functions per slice,
+    // R/mutate.R:208,586) routes the WHOLE set through the expansion
+    // join (monthsAggGeneral) — the slider's own O(n·w̄) cost model,
+    // distributed.
+    val parsedAll = exprs.map { case (_, c) =>
+      try Some(parseMonthsAgg(c)) catch {
+        case _: UnsupportedOperationException => None
+      }
+    }
+    var out: DataFrame = if (parsedAll.forall(_.isDefined)) {
+      val specs = exprs.zip(parsedAll).zipWithIndex.map {
+        case (((name, _), Some((op, v))), i) =>
+          (name, MonthsAggSpec(s"__tidier_mout_${i}__", op, v))
+        case ((_, None), _) => throw new IllegalStateException("unreachable")
+      }
+      val res = CalendarWindow.monthsAgg(withRid, byNames,
+        index.get.cast(DateType), specs.map(_._2), before = b, after = a,
+        complete = complete, beforeDays = bd, afterDays = ad)
+      specs.foldLeft(res) { case (d, (name, sp)) =>
+        d.withColumn(name, col(sp.out)).drop(sp.out)
+      }
+    } else {
+      // count(*)-style row counts must count a RAW-side column on the
+      // expansion join (padding rows of empty windows would otherwise
+      // be counted) — substitute a marker for the parseable CountAll
+      // shape; all other expressions aggregate raw columns, which are
+      // NULL on padding rows, so SQL null-skipping does the right thing
+      val ONE = "__tidier_one__"
+      require(!df.columns.contains(ONE), s"column $ONE is reserved")
+      // temp output names preserve same-name-overwrite semantics, like
+      // the prefix branch
+      val exprs2 = exprs.zip(parsedAll).zipWithIndex.map {
+        case (((_, _), Some((CalendarWindow.MonthsOp.CountAll, _))), i) =>
+          s"__tidier_mout_${i}__" -> count(col(ONE))
+        case (((_, c), _), i) => s"__tidier_mout_${i}__" -> c
+      }
+      val res = CalendarWindow.monthsAggGeneral(
+          withRid.withColumn(ONE, lit(1)), byNames,
+          index.get.cast(DateType), exprs2, before = b, after = a,
+          complete = complete, beforeDays = bd, afterDays = ad)
+        .drop(ONE)
+      exprs.map(_._1).zip(exprs2.map(_._1)).foldLeft(res) {
+        case (d, (name, tmp)) => d.withColumn(name, col(tmp)).drop(tmp)
+      }
     }
     if (restoreOrder) out = out.orderBy(col(RID)).drop(RID)
     out
@@ -78,13 +119,13 @@ object TidierOps {
     ColumnShim.attrNameOf(c).getOrElse(throw new IllegalArgumentException(
       s"month frames require plain column references in $what (got: $c)"))
 
-  /** Recognize the aggregate family CalendarWindow can evaluate over a
-    * month window: sum/count/avg/mean/min/max/stddev/variance over one
-    * column, plus count(lit) = count(*). Anything else gets a routing
-    * error naming the
-    * supported family (the reference evaluates ANY R function per slice —
-    * O(n·w); callers needing that generality can expand pairs explicitly
-    * with RangeJoin.intervalJoin, which is the same cost model). */
+  /** Recognize the aggregate family CalendarWindow can evaluate on the
+    * O(n log n) prefix path: sum/count/avg/mean/min/max/stddev/variance
+    * over one column, plus count(lit) = count(*). Anything else throws,
+    * which [[monthsMutate]] catches to route the whole expression set
+    * through [[CalendarWindow.monthsAggGeneral]] — the expansion join
+    * that evaluates ANY Spark aggregate per window (the reference
+    * evaluates any R function per slice, same O(n·w̄) cost model). */
   private def parseMonthsAgg(c: Column): (CalendarWindow.MonthsOp, String) = {
     import CalendarWindow.MonthsOp._
     ColumnShim.simpleAggCall(c) match {

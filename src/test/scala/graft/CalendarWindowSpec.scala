@@ -348,6 +348,55 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("general expansion path: median/percentile route automatically, " +
+      "empty windows yield NULL/0, padding rows not counted") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    // offset frame c(months(2), months(-1)) — the current month is
+    // excluded, so isolated rows have EMPTY windows (the left-join
+    // padding case: count must be 0, not the padding-row count)
+    val rows = Seq(
+      (1L, d("2023-01-15"), 1.0), (2L, d("2023-02-10"), 2.0),
+      (3L, d("2023-02-20"), 6.0), (4L, d("2023-03-15"), 4.0),
+      (5L, d("2023-08-01"), 9.0)) // isolated: empty window
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    val got = rows.mutateW(
+        "med" -> expr("median(value)"), "n" -> count(lit(1)),
+        "s" -> sum(col("value")))(
+        by = Seq(col("user_id")), frame = Some(Frame.months(2, -1)),
+        index = Some(col("dt")))
+      .select($"event_id", $"med", $"n", $"s").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getLong(2), Option(r.get(3))))).toMap
+    // row 4 (Mar 15): window [Jan 15, Feb 15] catches rows 1, 2 →
+    // median (1+2)/2 = 1.5; row 3 (Feb 20): window [Dec 20, Jan 20]
+    // catches row 1 only; rows 1, 5: empty windows
+    assert(got(4L) == ((Some(1.5), 2L, Some(3.0))))
+    assert(got(3L) == ((Some(1.0), 1L, Some(1.0))))
+    assert(got(1L) == ((None, 0L, None)))
+    assert(got(5L) == ((None, 0L, None)))
+  }
+
+  test("general expansion path: .complete gate + NULL index day survives") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    val rows = Seq(
+      (1L, Option(d("2023-01-10")), 1.0), (2L, Option(d("2023-02-15")), 2.0),
+      (3L, Option(d("2023-03-20")), 4.0), (4L, Option.empty[java.sql.Date], 8.0))
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    val got = rows.mutateW("med" -> expr("median(value)"))(
+        by = Seq(col("user_id")), frame = Some(Frame.months(1, 0)),
+        index = Some(col("dt")), complete = true)
+      .select($"event_id", $"med").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // all 4 input rows survive (incl. the NULL index day, as a row with
+    // NULL output); Jan 10's window is edge-truncated → NULL
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L).isEmpty)
+    assert(got(2L) == Some(2.0) && got(3L) == Some(4.0))
+    assert(got(4L).isEmpty)
+  }
+
   test("empty compound frames are rejected; clamping note case") {
     import graft.operators.TidierOps._
     import graft.operators.Frame
