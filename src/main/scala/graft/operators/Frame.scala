@@ -81,6 +81,16 @@ object Frame {
   /** Second-granularity Period frame. */
   def seconds(before: Long, after: Long): Frame =
     Frame(Seconds(before), Seconds(after))
+  /** `c(hours(before), hours(after))` Period frame — an hour is exactly
+    * 3600 seconds under lubridate Period arithmetic, so this is
+    * constructor sugar over [[seconds]] (reference accepts ANY Period,
+    * R/mutate.R:164-165). */
+  def hours(before: Long, after: Long): Frame =
+    seconds(3600 * before, 3600 * after)
+  /** `c(minutes(before), minutes(after))` Period frame — 60 seconds per
+    * minute, sugar over [[seconds]]. */
+  def minutes(before: Long, after: Long): Frame =
+    seconds(60 * before, 60 * after)
   /** Unitless numeric range frame over any numeric `.index`
     * (`slide_index` with a non-time index). */
   def range(before: Long, after: Long): Frame =

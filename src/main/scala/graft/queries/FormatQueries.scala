@@ -83,6 +83,41 @@ object FormatQueries {
       sup.write.mode("overwrite").orc(path)
       supplierAgg(s.read.orc(path))
     }),
+    "sink_bucketed_join" -> ((s, dir) => {
+      // Bucketed-table sink consumed by a CO-LOCATED join (was spec-only
+      // through round 5 — BucketingSpec; this oracle-gates it). Both
+      // sides are written bucketBy(8, custkey).sortBy(custkey) as
+      // external tables in scratch, read back through the catalog, and
+      // merge-joined: the SortMergeJoin must consume the bucket layout
+      // directly — zero exchanges and zero sorts below the join —
+      // require()d on the physical plan so a layout regression FAILS the
+      // key instead of silently shuffling. The merge hint (not a session
+      // conf flip) forces the sort-merge path over a broadcast that
+      // would prove nothing; the post-join agg legitimately shuffles.
+      // At 100 TB this is the recurring fact-to-fact join shape: pay the
+      // bucketed write once, every later join on the key is scan+merge.
+      val uniq = new java.io.File(dir).getName.replace('.', '_')
+      val to = s"b_orders_$uniq"
+      val tc = s"b_customer_$uniq"
+      t(s, dir, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", scratch(s, dir, "bucket_orders"))
+        .mode("overwrite").saveAsTable(to)
+      t(s, dir, "customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", scratch(s, dir, "bucket_customer"))
+        .mode("overwrite").saveAsTable(tc)
+      val join = s.table(to).hint("merge")
+        .join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      val plan = join.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed join did not plan as a sort-merge join:\n$plan")
+      val below = plan.substring(plan.indexOf("SortMergeJoin"))
+      require(!below.contains("Exchange hashpartitioning"),
+        s"bucketed join still exchanges below the join:\n$plan")
+      require(plan.contains("SelectedBucketsCount"),
+        s"bucketed scan layout not consumed:\n$plan")
+      join.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), r4(sum(col("o_totalprice"))).as("total"))
+    }),
     "sink_partitioned_parquet" -> ((s, dir) => {
       // directory-partitioned parquet sink; the read-back filter must
       // prune to the o_orderstatus=F subtree (partition pruning, not a
@@ -102,6 +137,11 @@ object FormatQueries {
     "source_csv_roundtrip" -> supplierAggSql,
     "source_json_roundtrip" -> supplierAggSql,
     "source_orc_roundtrip" -> supplierAggSql,
+    "sink_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         round(1e-9 + sum(o_totalprice), 4) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
     "sink_partitioned_parquet" ->
       """SELECT o_orderpriority, count(*) AS n,
          round(1e-9 + sum(o_totalprice), 4) AS total

@@ -117,6 +117,46 @@ object TextQueries {
         .select(col("doc_id"), col("n_toks"),
           floor((col("__cum") - col("n_toks")) / 8192.0).cast("long")
             .as("seq_id"))
+    }),
+    "chunk_documents" -> ((s, dir) => {
+      // Token-window chunking with stride (64-token chunks every 48
+      // tokens → 16-token overlap) — the standard context-window prep
+      // for LLM training / RAG indexing. Pure narrow ops: sequence +
+      // explode generates each doc's chunk starts row-locally (fan-out
+      // bounded by n_toks/stride), slice + array_join materializes the
+      // chunk — no shuffle anywhere, so the op is embarrassingly
+      // parallel at 100 TB and chunk count scales with corpus tokens,
+      // not documents.
+      val ChunkLen = 64L
+      val Stride = 48L
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1L, lit(Stride))).as("st"))
+        .select(col("doc_id"),
+          expr(s"st div $Stride").as("chunk_id"),
+          array_join(slice(col("toks"), (col("st") + 1L).cast("int"),
+            lit(ChunkLen.toInt)), " ").as("chunk_text"),
+          least(lit(ChunkLen), col("n") - col("st")).as("chunk_toks"))
+    }),
+    "text_dup_spans" -> ((s, dir) => {
+      // Cross-document duplicated-passage detection: any 8-token span
+      // appearing in >= 2 distinct docs (the span-level signal behind
+      // "deduplicate repeated boilerplate/quotations before training").
+      // shingles() is distinct-per-doc, so count(*) after the explode IS
+      // the document frequency — one hash agg with map-side partials.
+      // At 100 TB the grouping would run on ShingleHashesExpr's 60-bit
+      // hashes (8-byte shuffle keys, ~3x smaller than span strings; see
+      // dedup_jaccard) with the string carried only for reporting; the
+      // string form here keeps the key DuckDB-checkable end to end.
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shingles(col("text"), 8)).as("span"))
+        .groupBy("span")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
     })
   )
 
@@ -150,6 +190,27 @@ object TextQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
              / 8192.0) AS BIGINT) AS seq_id
          FROM tt""",
+    "chunk_documents" ->
+      s"""$withToks, ch AS (
+           SELECT doc_id, n_toks, toks,
+             unnest(range(0, n_toks, 48)) AS st
+           FROM tt WHERE n_toks > 0
+         )
+         SELECT doc_id, st // 48 AS chunk_id,
+           array_to_string(list_slice(toks, st + 1, st + 64), ' ')
+             AS chunk_text,
+           least(64, n_toks - st) AS chunk_toks
+         FROM ch""",
+    "text_dup_spans" ->
+      s"""$withToks, sp AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, n_toks - 6),
+             i -> array_to_string(list_slice(toks, i, i + 7), ' '))))
+             AS span
+           FROM tt WHERE n_toks >= 8
+         )
+         SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM sp GROUP BY 1 HAVING count(*) >= 2""",
     "sample_hash" ->
       """SELECT doc_id FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

@@ -146,6 +146,60 @@ object TimeSeriesQueries {
       s.catalog.dropTempView(qn)
       out
     }),
+    "window_stream_sliding" -> ((s, dir) => {
+      // Streaming SLIDING-window aggregation run to completion — the
+      // second real streaming execution in the oracle gate (tumbling
+      // pinned alignment; this pins slide multiplicity: every event in 7
+      // overlapping epoch-aligned windows BEFORE the shuffle, identical
+      // to the batch twin window_sliding_week). Complete mode again makes
+      // the final memory-sink state the full aggregation — deterministic,
+      // no watermark holdback.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      val src = s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      val agg = graft.streaming.StreamingOps.mutateStreamW(
+        src.withColumn("tts", tts), "tts", watermark = "1 day",
+        windowLen = "7 days", slide = Some("1 day"),
+        by = Seq(col("user_id")))(
+        "n" -> count(lit(1)), "avg_v" -> avg(col("value")))
+      val qn = s"graft_stream_sliding_${streamRuns.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("user_id"),
+        expr(s"unix_micros(window.start) div $UsPerDay").as("win_start_day"),
+        col("n"), r4(col("avg_v")).as("avg_v"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "dedup_stream_exact" -> ((s, dir) => {
+      // Streaming exact dedup (dropDuplicatesWithinWatermark) run to
+      // completion: first arrival per (user_id, event_type) passes, later
+      // duplicates within the watermark bound are dropped. Projecting to
+      // the KEY columns makes the appended sink a deterministic SET (which
+      // physical row won arrival order is batch-internal, but its key
+      // projection is not) — so the streaming state machine itself is
+      // hash-gated against DISTINCT. The delay bound covers the whole
+      // bounded fixture; production picks the real lateness horizon and
+      // state expires with the watermark (the 100 TB/day contract plain
+      // dropDuplicates can't give — see StreamingOps.dedupStream).
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      val src = s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      val dd = graft.streaming.StreamingOps.dedupStream(
+        src.withColumn("tts", tts), "tts", watermark = "3650 days",
+        keys = Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      val qn = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
+      val q = dd.writeStream.outputMode("append").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn)
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "resample_gapfill" -> ((s, dir) => {
       // time-series resample: daily sums per user with silent days
       // filled as 0.0 across each user's [first, last] day span —
@@ -200,6 +254,16 @@ object TimeSeriesQueries {
          count(*) AS n,
          round(1e-9 + sum(value), 4) AS sum_v
          FROM events GROUP BY 1, 2""",
+    "window_stream_sliding" ->
+      """WITH e AS (SELECT user_id, value,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         x AS (SELECT user_id, value,
+           unnest(generate_series(day - 6, day)) AS win_start_day FROM e)
+         SELECT user_id, win_start_day,
+           count(*) AS n, round(1e-9 + avg(value), 4) AS avg_v
+         FROM x GROUP BY 1, 2""",
+    "dedup_stream_exact" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "resample_gapfill" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day, value FROM events),

@@ -146,6 +146,23 @@ class MutateWSpec extends AnyFunSuite {
     assert(a == Seq(1.0, 3.0, 6.0, 8.0))
   }
 
+  test("hours/minutes Period sugar routes to seconds frames") {
+    // hours = 3600 s, minutes = 60 s exactly (Period arithmetic)
+    assert(Frame.hours(1, 0) == Frame.seconds(3600, 0))
+    assert(Frame.hours(2, -1) == Frame.seconds(7200, -3600))
+    assert(Frame.minutes(30, 0) == Frame.seconds(1800, 0))
+    // and an hours frame evaluates — trailing 1h window over timestamps
+    val idx = Seq(("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:30:00", 2.0), ("a", "2024-01-01 01:15:00", 4.0),
+      ("a", "2024-01-01 03:00:00", 8.0))
+      .toDF("g", "t", "v").withColumn("t", to_timestamp($"t"))
+    val a2 = idx.mutateW("s" -> sum(col("v")))(
+      by = Seq(col("g")), frame = Some(Frame.hours(1, 0)),
+      index = Some(col("t"))).orderBy("t").select("s")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a2 == Seq(1.0, 3.0, 6.0, 8.0))
+  }
+
   test("Inf endpoints: c(Inf, Inf) equals whole-group aggregate") {
     val out = df.mutateW("m" -> avg($"v"))(
       by = Seq($"g"), orderBy = Seq($"o"), frame = Some(Frame.unbounded))
