@@ -60,6 +60,24 @@ object SimilarityQueries {
       srpNearPairs(base.unionByName(twins), minCosine = 0.95)
         .select(col("id_a"), col("id_b"), r4(col("cosine")).as("cosine"))
     }),
+    "embedding_dup_clusters" -> ((s, dir) => {
+      // Near-dup CLUSTERS over embeddings — the embedding analogue of
+      // dedup_clusters, i.e. the keep-one-per-group decision input:
+      // srpNearPairs (sub-quadratic banded candidates + exact re-score;
+      // recall-1 on the planted-twin corpus, see embedding_dup_pairs_lsh)
+      // feeds Dedup.duplicateClusters (bounded driver union-find below
+      // the edge cap, distributed hash-min CC above it). Oracle
+      // recomputes components via a recursive CTE over the exact pair
+      // scan.
+      val base = emb(s, dir).filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val twins = base.select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val pairs = srpNearPairs(base.unionByName(twins), minCosine = 0.95)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.operators.Dedup.duplicateClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
     "agg_vector_centroid" -> ((s, dir) => {
       // Per-group element-wise mean embedding (class centroids / topic
       // vectors): posexplode → two-level hash agg. The shuffle carries
@@ -228,6 +246,33 @@ object SimilarityQueries {
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE sqrt(a.nrm * b.nrm) > 0
            AND ${dotSql("a.ev", "b.ev")} / sqrt(a.nrm * b.nrm) >= 0.95""",
+    "embedding_dup_clusters" ->
+      s"""WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 500),
+           corpus AS (
+             SELECT vec_id, embedding FROM base
+             UNION ALL
+             SELECT vec_id + 10000000,
+                    list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+             FROM base),
+           v AS (SELECT vec_id, embedding AS ev,
+                 ${dotSql("embedding", "embedding")} AS nrm FROM corpus),
+           pairs AS (
+             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+             FROM v a JOIN v b ON a.vec_id < b.vec_id
+             WHERE sqrt(a.nrm * b.nrm) > 0
+               AND ${dotSql("a.ev", "b.ev")} / sqrt(a.nrm * b.nrm) >= 0.95),
+           edges AS (
+             SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION SELECT doc_b, doc_a FROM pairs),
+           reach(src, dst) AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+           cl AS (
+             SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+             FROM reach GROUP BY src)
+         SELECT vec_id, cluster_id FROM cl""",
     // IVF replay: same centroids (vec_id < 8), same assignment tie-break
     // (cosine DESC, cid DESC = Spark's greatest-struct), same probe
     // tie-break (cosine DESC, cid ASC = array_sort on (-cos, cid)),
