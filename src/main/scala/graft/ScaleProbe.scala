@@ -146,6 +146,37 @@ object ScaleProbe {
         docs, "doc_id", "text", n = 3, maxHamming = 3).count()
       println(s"[probe]   simhash pairs found: $c")
     }
+
+    // duplicated-passage detection at the same corpus scale: phase-1
+    // hash prefilter touches every doc; the string-span phase only the
+    // dup-bearing ~10% (every 20th doc + its near-copy source share all
+    // their 8-grams) — the two-phase win text_dup_spans ships with
+    time(s"dupSpans ${nDocs / 1000}k docs (hash prefilter)") {
+      val hashed = docs.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingleHashes(col("text"), 8)).as("h"))
+      val dupH = hashed.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("h")
+      val dupDocs = hashed.join(dupH, "h").select("doc_id").distinct()
+      val c = docs.join(dupDocs, "doc_id")
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shingles(col("text"), 8)).as("sp"))
+        .groupBy("sp").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).count()
+      println(s"[probe]   duplicated 8-token spans: $c")
+    }
+    // token-window chunking: pure narrow ops — the probe pins the
+    // per-core throughput ceiling (no shuffle to hide behind)
+    time(s"chunkDocuments ${nDocs / 1000}k docs (64/48 stride)") {
+      import graft.functions.TextFunctions.tokens
+      sink(docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .filter(col("nt") > 0)
+        .select(col("doc_id"), col("toks"), col("nt"),
+          explode(sequence(lit(0L), col("nt") - 1L, lit(48L))).as("st"))
+        .select(col("doc_id"), expr("st div 48").as("chunk_id"),
+          array_join(slice(col("toks"), (col("st") + 1L).cast("int"),
+            lit(64)), " ").as("chunk_text")))
+    }
     spark.stop()
   }
 }
