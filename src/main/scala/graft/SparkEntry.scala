@@ -344,6 +344,19 @@ object SparkEntry {
           index = Some(tsDate))
         .select(col("event_id"), col("w_cnt"), r4(col("w_sum")).as("w_sum"))
     }),
+    "window_range_hours" -> ((s, dir) => {
+      // hours(k) Period sugar — Frame.hours(6, 0) ≡ seconds(21600, 0),
+      // sub-day granularity on the same rangeBetween path
+      // window_range_seconds exercises; pins the hours/minutes
+      // constructor algebra end-to-end (reference any-Period contract,
+      // R/mutate.R:164-165).
+      events(s, dir)
+        .mutateW("h_max" -> max(col("value")))(
+          by = Seq(col("user_id")),
+          frame = Some(Frame.hours(6, 0)),
+          index = Some(expr("ts div 1000000000")))
+        .select(col("event_id"), r4(col("h_max")).as("h_max"))
+    }),
     "window_range_months_days" -> ((s, dir) => {
       // COMPOUND Period frame c(months(1) + days(3), days(-2)) — legal
       // lubridate, accepted by the reference's class check
@@ -559,6 +572,12 @@ object SparkEntry {
          FROM e a JOIN e b ON a.user_id = b.user_id
            AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) AND a.d
          GROUP BY 1""",
+    "window_range_hours" ->
+      """SELECT event_id,
+         round(1e-9 + max(value) OVER (PARTITION BY user_id
+           ORDER BY epoch_ns(ts) // 1000000000
+           RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW), 4) AS h_max
+         FROM events""",
     "window_range_weeks" ->
       """WITH e AS (SELECT event_id, user_id, value,
            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
