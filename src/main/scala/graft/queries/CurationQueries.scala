@@ -159,6 +159,37 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("q"), col("thr"))
     }),
 
+    "curate_chunk_pipeline" -> ((s, dir) => {
+      // END-TO-END curation pipeline in ONE composed query — the
+      // switch-your-pipeline-over showcase: (1) per-lang p75 quality
+      // gate (quality_filter_p75's single-pass shape), (2) exact dedup
+      // among survivors keeping the min-id representative per
+      // fingerprint, (3) token-window chunking (64/48) of the kept
+      // docs. Every stage is the library operator the standalone key
+      // gates, composed by ordinary DataFrame chaining — no
+      // materialization barriers, Catalyst optimizes across stage
+      // boundaries (the quality regexes and the chunk tokenizer run in
+      // the same narrow pipeline where possible). Output is the lean
+      // (doc_id, chunk_id, chunk_toks) spine.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.{fingerprint, qualityScore, tokens}
+      val kept = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("q", r4(qualityScore(col("text"))))
+        .withColumn("thr", r4(percentile(col("q"), lit(0.75))
+          .over(Window.partitionBy("lang"))))
+        .filter(col("q") >= col("thr"))
+      val rep = kept.groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      kept.join(rep.select("doc_id"), "doc_id")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .filter(col("nt") > 0)
+        .select(col("doc_id"), col("nt"),
+          explode(sequence(lit(0L), col("nt") - 1L, lit(48L))).as("st"))
+        .select(col("doc_id"), expr("st div 48").as("chunk_id"),
+          least(lit(64L), col("nt") - col("st")).as("chunk_toks"))
+    }),
+
     "dedup_corpus_keep" -> ((s, dir) => {
       // END-TO-END corpus dedup: near-dup pairs (prefix-filtered Jaccard)
       // → connected components → drop every member except the min-id
@@ -282,8 +313,28 @@ object CurationQueries {
           FROM qd JOIN thr ON qd.lang = thr.lang
           WHERE qd.quality >= thr.thr""",
 
+    "curate_chunk_pipeline" ->
+      s"""${TextQueries.qualityPerDocSql}, thr AS (
+            SELECT lang, round(1e-9 + quantile_cont(quality, 0.75), 4) AS thr
+            FROM qd GROUP BY 1
+          ), keep AS (
+            SELECT qd.doc_id FROM qd JOIN thr ON qd.lang = thr.lang
+            WHERE qd.quality >= thr.thr
+          ), rep AS (
+            SELECT min(tt.doc_id) AS doc_id
+            FROM tt JOIN keep ON tt.doc_id = keep.doc_id
+            GROUP BY md5(norm)
+          ), ch AS (
+            SELECT tt.doc_id, n_toks,
+              unnest(range(0, n_toks, 48)) AS st
+            FROM tt JOIN rep ON tt.doc_id = rep.doc_id
+            WHERE n_toks > 0
+          )
+          SELECT doc_id, st // 48 AS chunk_id,
+            least(64, n_toks - st) AS chunk_toks
+          FROM ch""",
     "dedup_corpus_keep" ->
-      s"""${DedupQueries.clusterCteSql}
+s"""${DedupQueries.clusterCteSql}
           SELECT d0.doc_id, d0.n_chars
           FROM documents d0 LEFT JOIN cl ON d0.doc_id = cl.doc_id
           WHERE cl.cluster_id IS NULL OR cl.cluster_id = d0.doc_id""",
