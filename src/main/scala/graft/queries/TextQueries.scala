@@ -208,6 +208,48 @@ object TextQueries {
           aggregate(col("bs"), lit(0L),
             (acc, b) => acc + when(col("n_toks") > b, 1L).otherwise(0L))
             .as("bucket"))
+    }),
+    "shuffle_shards" -> ((s, dir) => {
+      // Deterministic global training-order shuffle + shard assignment:
+      // permutation rank over the seeded engine-stable unit hash, shard
+      // = (rank-1) % 16. The global rank is GlobalWindow.cumSum of ones
+      // over the hash order — the G×P two-pass running sum, NOT a
+      // single-partition row_number() window (which would serialize the
+      // whole corpus through one task; at 100 TB the shuffle-and-shard
+      // step is exactly where naive pipelines bottleneck). Same
+      // permutation on every run / partitioning / engine.
+      val d = docs(s, dir).select(col("doc_id"),
+          graft.operators.Dedup.baseHash(concat(lit("seed42|"),
+            col("doc_id").cast("string"))).as("hk"))
+        .withColumn("__one", lit(1L))
+      graft.operators.GlobalWindow.cumSum(
+          d, Seq(col("hk"), col("doc_id")), "__one", "rank")
+        .select(col("doc_id"), col("rank"),
+          pmod(col("rank") - 1L, lit(16L)).as("shard"))
+    }),
+    "text_prune_vocab" -> ((s, dir) => {
+      // Corpus-frequent token pruning (df >= 90% of docs): the
+      // boilerplate-vocabulary removal move — drop tokens so ubiquitous
+      // they carry no signal, preserving each doc's remaining token
+      // order. posexplode carries the position; the high-df set is a
+      // broadcast anti-join (it is small BY CONSTRUCTION — bounded by
+      // vocabulary, not corpus); reassembly is an order-restoring
+      // array_sort over (pos, tok) structs, one hash agg. Docs pruned
+      // to nothing (or empty inputs) survive via the final left join.
+      val d = docs(s, dir)
+      val n = d.count() // corpus size: one scalar, documented driver step
+      val toks = d.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val high = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 0.9 * n).select("tok")
+      val pruned = toks.join(broadcast(high), Seq("tok"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("pruned"))
+      d.select("doc_id").join(pruned, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("pruned"), lit("")).as("pruned"))
     })
   )
 
@@ -277,6 +319,34 @@ object TextQueries {
            FROM m)
          SELECT doc_id, source, unnest(range(1, k + 1)) AS epoch
          FROM k WHERE k > 0""",
+    "shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('seed42|',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hk
+           FROM documents)
+         SELECT doc_id,
+           row_number() OVER (ORDER BY hk, doc_id) AS rank,
+           (row_number() OVER (ORDER BY hk, doc_id) - 1) % 16 AS shard
+         FROM h""",
+    "text_prune_vocab" ->
+      s"""$withToks, tok AS (
+           SELECT doc_id, unnest(toks) AS tk,
+             generate_subscripts(toks, 1) AS pos
+           FROM tt WHERE n_toks > 0),
+         dfq AS (
+           SELECT tk, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         high AS (SELECT tk FROM dfq CROSS JOIN n WHERE df >= 0.9 * n),
+         keptt AS (
+           SELECT doc_id, tk, pos FROM tok
+           WHERE tk NOT IN (SELECT tk FROM high)),
+         agg AS (
+           SELECT doc_id, array_to_string(list(tk ORDER BY pos), ' ')
+             AS pruned
+           FROM keptt GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.pruned, '') AS pruned
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
     "length_buckets" ->
       s"""$withToks, b AS (
            SELECT quantile_cont(n_toks, [0.25, 0.5, 0.75]) AS bs FROM tt)
