@@ -223,9 +223,11 @@ object TextQueries {
             col("doc_id").cast("string"))).as("hk"))
         .withColumn("__one", lit(1L))
       graft.operators.GlobalWindow.cumSum(
-          d, Seq(col("hk"), col("doc_id")), "__one", "rank")
-        .select(col("doc_id"), col("rank"),
-          pmod(col("rank") - 1L, lit(16L)).as("shard"))
+          d, Seq(col("hk"), col("doc_id")), "__one", "__rank")
+        // cumSum sums in double (exact for counts < 2^53 — any corpus);
+        // emit the BIGINT rank the consumer expects
+        .select(col("doc_id"), col("__rank").cast("long").as("rank"),
+          pmod(col("__rank").cast("long") - 1L, lit(16L)).as("shard"))
     }),
     "text_prune_vocab" -> ((s, dir) => {
       // Corpus-frequent token pruning (df >= 90% of docs): the
