@@ -169,7 +169,12 @@ object CurationQueries {
       // gates, composed by ordinary DataFrame chaining — no
       // materialization barriers, Catalyst optimizes across stage
       // boundaries (the quality regexes and the chunk tokenizer run in
-      // the same narrow pipeline where possible). Output is the lean
+      // the same narrow pipeline where possible). SINGLE-PASS: one scan,
+      // one qualityScore evaluation per doc — the dedup stage is a
+      // min-over-fingerprint-partition window on the already-kept rows
+      // (NOT a groupBy + join-back, which re-evaluates the whole quality
+      // branch lineage a second time — the double-eval shape round 4
+      // flagged on quality_filter_p75). Output is the lean
       // (doc_id, chunk_id, chunk_toks) spine.
       import org.apache.spark.sql.expressions.Window
       import graft.functions.TextFunctions.{fingerprint, qualityScore, tokens}
@@ -178,9 +183,10 @@ object CurationQueries {
         .withColumn("thr", r4(percentile(col("q"), lit(0.75))
           .over(Window.partitionBy("lang"))))
         .filter(col("q") >= col("thr"))
-      val rep = kept.groupBy(fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      kept.join(rep.select("doc_id"), "doc_id")
+      kept
+        .withColumn("__minid", min(col("doc_id"))
+          .over(Window.partitionBy(fingerprint(col("text")))))
+        .filter(col("doc_id") === col("__minid"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("nt", size(col("toks")).cast("long"))
         .filter(col("nt") > 0)
