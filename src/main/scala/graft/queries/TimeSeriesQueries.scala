@@ -74,6 +74,61 @@ object TimeSeriesQueries {
     staged
   }
 
+  /** Stage the sessionize-stream fixture: events projected to
+    * (key, tsMillis, value) split into two time-ordered files plus a
+    * third file of per-key SENTINEL events 10 gaps past each key's last
+    * real event. The sentinel is what makes `flatMapGroupsWithState`
+    * sessionization gateable at all: append-mode emission happens only
+    * when a LATER event closes a session, so without sentinels every
+    * key's final session would stay in the state store forever (the
+    * round-5 "inherently ungateable" rationale). A sentinel closes it
+    * in-stream; the sentinel's own session never closes, so it never
+    * emits — no sink filtering needed. File mtimes ascend so
+    * maxFilesPerTrigger=1 replays them as three deterministic
+    * micro-batches (sessions spanning the time split exercise real
+    * cross-batch state merge); the emitted SET is batching-invariant
+    * anyway — closure depends only on per-key event order, and late
+    * events coalesce by the same gap rule (StreamingOps.sessionize). */
+  private def stagedSessionDir(s: SparkSession, dir: String,
+      gapMs: Long): String = {
+    val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
+    val staged = s"$root/${new java.io.File(dir).getName}/sessfix"
+    val done = new java.io.File(staged, "_STAGED")
+    if (!done.isFile) {
+      stagedEventsDir(s, dir) // registers the shutdown-hook cleanup of root
+      val ev = events(s, dir).select(col("user_id").as("key"),
+        expr("ts div 1000000").as("tsMillis"), col("value"))
+      // one 2-long scalar agg for the time split — a driver step bounded
+      // like text_tfidf's corpus count, not a data collect
+      val mm = ev.agg(min(col("tsMillis")), max(col("tsMillis"))).head
+      val mid = Math.addExact(mm.getLong(0) / 2, mm.getLong(1) / 2)
+      val sentinels = ev.groupBy("key")
+        .agg((max(col("tsMillis")) + lit(gapMs * 10)).as("tsMillis"))
+        .select(col("key"), col("tsMillis"), lit(0.0).as("value"))
+      val parts = Seq(ev.filter(col("tsMillis") <= lit(mid)),
+        ev.filter(col("tsMillis") > lit(mid)), sentinels)
+      val base = System.currentTimeMillis() - 60000
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$staged/__tmp_$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(staged, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 1000L)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      done.createNewFile(): Unit
+    }
+    staged
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_tumbling_day" -> ((s, dir) => {
       // native tumbling window: window(ts, '1 day') — epoch-aligned
@@ -200,6 +255,42 @@ object TimeSeriesQueries {
       s.catalog.dropTempView(qn)
       out
     }),
+    "sessionize_stream_stateful" -> ((s, dir) => {
+      // STATEFUL streaming sessionization (flatMapGroupsWithState) run to
+      // completion and hash-gated — the last spec-only component from
+      // round 5. The sentinel-closure staging (stagedSessionDir) makes
+      // append-mode emission complete: every real session is closed
+      // in-stream by a later event (cross-file sessions merge through the
+      // state store across micro-batches; maxFilesPerTrigger=1 forces
+      // three real batches), and the per-key sentinel session itself
+      // never emits. The sink is therefore exactly the batch gap
+      // sessionization — same 30-min strict-> convention as
+      // sessionize_gap, at millisecond granularity. State per key is
+      // O(1); at 100 TB the state store scales with |active keys|.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val gapMs = 1800L * 1000L
+      val srcDir = stagedSessionDir(s, dir, gapMs)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val sessions = graft.streaming.StreamingOps.sessionize(src, gapMs)
+      val qn = s"graft_stream_sessionize_${streamRuns.incrementAndGet()}"
+      val q = sessions.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("startMillis").as("sess_start_ms"),
+        col("endMillis").as("sess_end_ms"),
+        col("nEvents").as("n"), r4(col("sumValue")).as("sum_v"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "resample_gapfill" -> ((s, dir) => {
       // time-series resample: daily sums per user with silent days
       // filled as 0.0 across each user's [first, last] day span —
@@ -264,6 +355,21 @@ object TimeSeriesQueries {
          FROM x GROUP BY 1, 2""",
     "dedup_stream_exact" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "sessionize_stream_stateful" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, value
+           FROM events),
+         g AS (SELECT user_id, ms, value,
+           CASE WHEN lag(ms) OVER w IS NULL
+                  OR ms - lag(ms) OVER w > 1800000
+                THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, value)),
+         sess AS (SELECT user_id, ms, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ms, value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(ms) AS sess_start_ms, max(ms) AS sess_end_ms,
+           count(*) AS n, round(1e-9 + sum(value), 4) AS sum_v
+         FROM sess GROUP BY user_id, sid""",
     "resample_gapfill" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day, value FROM events),
