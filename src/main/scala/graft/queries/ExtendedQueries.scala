@@ -97,6 +97,64 @@ object ExtendedQueries {
         .agg(count(lit(1)).cast("long").as("n"),
           r4(sum(col("rev"))).as("rev"))
     }),
+    "join_aqe_skew" -> ((s, dir) => {
+      // AQE runtime skew-join split, oracle-gated (was spec-only, the
+      // zero-code complement to SkewOps salting): a 95%-hot join key is
+      // split at RUNTIME by AdaptiveSparkPlan — `require`d on the
+      // executed plan's `skew=true` marker, so a regression in the
+      // adaptive re-plan fails the key, exactly like sink_bucketed_join
+      // requires its zero-exchange layout. The returned rows are the
+      // collected output OF THAT EXECUTION (dedup_stream_exact's
+      // snapshot pattern — the driver hashes what the skew-split plan
+      // actually produced), equal to the plain join: the oracle IS the
+      // plain join. Thresholds shrink AqeSpec's proven recipe to fixture
+      // scale; confs are restored in finally.
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        // thresholds sized so the hot partition trips the gate at ALL
+        // fixture scales (sf0.001 hot ≈ 20KB compressed)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+          -> "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        // ~95% of events on ONE derived key; props carried for realistic
+        // row width (the hot shuffle partition must clear the byte
+        // threshold at sf0.01)
+        // The 32-way repartition gives the join shuffle a multi-mapper
+        // map side: AQE splits a skewed REDUCE partition along mapper
+        // boundaries, so a fixture-sized scan (ONE map task) is
+        // unsplittable no matter the thresholds. A 100 TB scan has
+        // thousands of mappers; this emulates that granularity.
+        val big = events(s, dir).select(
+          when(col("user_id") % 20 =!= 0, lit(0L))
+            .otherwise(col("user_id")).as("k"),
+          col("event_id"), col("value"), col("props"))
+          .repartition(32)
+        // plain-shuffled dim (not an aggregate: OptimizeSkewedJoin only
+        // matches SMJ → Sort → ShuffleQueryStage on BOTH sides — a
+        // post-shuffle HashAggregate on the dim side defeats the rule)
+        val dim = s.range(150).select(col("id").as("k"),
+          (col("id") * 2 + 1).as("d"))
+        val j = big.join(dim, Seq("k"))
+          .select(col("event_id"), col("k"), col("value"), col("d"))
+        // collect() finalizes j's OWN adaptive plan (a count/write would
+        // build a separate QueryExecution and leave this one un-split)
+        val rows = j.collectAsList()
+        val finalPlan = j.queryExecution.executedPlan.toString
+        require(finalPlan.contains("skew=true"),
+          s"AQE did not mark the skewed join:\n$finalPlan")
+        s.createDataFrame(rows, j.schema)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
     "skew_salted_agg" -> ((s, dir) => {
       // salted two-stage aggregation (operators/SkewOps) over lineitem's
       // 3-value l_returnflag — the hot-key pattern where a plain groupBy
@@ -431,6 +489,13 @@ object ExtendedQueries {
          round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 4) AS rev
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1""",
+    "join_aqe_skew" ->
+      """WITH big AS (SELECT
+           CASE WHEN user_id % 20 != 0 THEN 0 ELSE user_id END AS k,
+           event_id, value FROM events),
+         dim AS (SELECT range AS k, range * 2 + 1 AS d FROM range(0, 150))
+         SELECT big.event_id, big.k, big.value, dim.d
+         FROM big JOIN dim ON big.k = dim.k""",
     "skew_salted_agg" ->
       """SELECT l_returnflag,
          round(1e-9 + sum(l_quantity), 4) AS sum_qty,
