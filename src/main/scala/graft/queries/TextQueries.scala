@@ -65,6 +65,56 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
           col("tfidf"))
     }),
+    "text_bm25" -> ((s, dir) => {
+      // BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
+      // fixed 3-term query — the lexical-relevance ranker a curation
+      // stack uses for query-targeted subset selection next to the
+      // embedding ANN path. Plan shape: one explode for (doc, term, dl),
+      // term-filter BEFORE the shuffle (the query vocabulary prunes the
+      // token stream at the scan), tf hash-agg, then df and the 1-row
+      // corpus stats both BROADCAST back — no shuffle is corpus-wide;
+      // everything downstream of tf is bounded by |matching docs|.
+      // idf = ln((N - df + .5)/(df + .5) + 1) (Robertson/Lucene form,
+      // always positive); r4 absorbs libm-vs-DuckDB ln ulps like tfidf.
+      val qterms = Seq("spark", "join", "window")
+      val d = docs(s, dir).select(col("doc_id"),
+        tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl"))
+      val tf = d.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2))
+        .groupBy("doc_id").agg(r4(sum(col("contrib"))).as("bm25"))
+    }),
+    "text_unigram_logprob" -> ((s, dir) => {
+      // Unigram-LM document scoring — the KenLM-perplexity quality
+      // filter's honest SQL-expressible core: corpus MLE unigram probs
+      // (one token hash-agg, vocabulary-bounded), then each doc's mean
+      // token log-prob. Boilerplate scores high, lexically-odd text
+      // scores low; production thresholds the score (the percentile
+      // gating move is quality_filter_p75). The prob table and the
+      // 1-row total are BROADCAST — the only corpus-wide shuffle is the
+      // (doc_id) re-agg of the token stream. Empty docs have no tokens
+      // and no defined mean — both engines omit them (WHERE n_toks > 0).
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      val cnt = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).cast("double").as("t"))
+      tok.join(broadcast(cnt), Seq("term"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_toks"),
+          r4(avg(log(col("c") / col("t")))).as("avg_logprob"))
+    }),
     "text_stats" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_toks"),
@@ -367,6 +417,37 @@ object TextQueries {
            FROM tt WHERE n_toks >= 2
          )
          SELECT bigram, count(*) AS df FROM bg GROUP BY 1""",
+    "text_bm25" ->
+      s"""$withToks, tok AS (
+           SELECT doc_id, n_toks::DOUBLE AS dl, unnest(toks) AS term
+           FROM tt WHERE n_toks > 0
+         ), tf AS (
+           SELECT doc_id, dl, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3
+         ), df AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), st AS (
+           SELECT count(*)::DOUBLE AS n, avg(n_toks) AS avgdl FROM tt
+         )
+         SELECT tf.doc_id,
+           round(1e-9 + sum(
+             ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+             (tf.tf * 2.2) /
+             (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 4) AS bm25
+         FROM tf JOIN df USING (term) CROSS JOIN st
+         GROUP BY 1""",
+    "text_unigram_logprob" ->
+      s"""$withToks, tok AS (
+           SELECT doc_id, unnest(toks) AS term FROM tt WHERE n_toks > 0
+         ), cnt AS (
+           SELECT term, count(*) AS c FROM tok GROUP BY 1
+         ), tot AS (
+           SELECT sum(c)::DOUBLE AS t FROM cnt
+         )
+         SELECT tok.doc_id, count(*) AS n_toks,
+           round(1e-9 + avg(ln(cnt.c / tot.t)), 4) AS avg_logprob
+         FROM tok JOIN cnt USING (term) CROSS JOIN tot
+         GROUP BY 1""",
     "text_tfidf" ->
       s"""$withToks, tok AS (
            SELECT doc_id, unnest(toks) AS term FROM tt WHERE n_toks > 0
