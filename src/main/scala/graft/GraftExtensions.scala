@@ -67,6 +67,11 @@ object GraftExtensions {
       { case Seq(a, b) => SortedIntersectCount(a, b)
         case args => throw new IllegalArgumentException(
           s"sorted_intersect_count takes 2 arguments, got ${args.length}") }),
+    ("z_order",
+      info("z_order", "z_order(x, y, bits) - Morton bit-interleave of two bucketed non-negative integer keys (multi-dimensional layout clustering)"),
+      { case Seq(x, y, b) => InterleaveBits(x, y, intArg(b, "bits"))
+        case args => throw new IllegalArgumentException(
+          s"z_order takes 3 arguments, got ${args.length}") }),
     ("product_agg",
       info("product_agg", "product_agg(x) - product aggregate (nulls skipped, all-null group is NULL); window-frame capable"),
       { case Seq(c) =>

@@ -155,6 +155,22 @@ object ExtendedQueries {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+    "layout_zorder" -> ((s, dir) => {
+      // Z-order (Morton) layout clustering — the OPTIMIZE ZORDER move:
+      // interleave two bucketed dimensions (user, value band) into one
+      // sort key so rows close in EITHER dimension land in the same
+      // target file, and parquet min/max stats prune scans filtered on
+      // either one. The codegen'd functions/ZOrder expression computes
+      // the 20-bit z-value per row (narrow map, zero shuffle here);
+      // file_id = zval >> 12 is the 256-way file assignment a writer
+      // would repartitionByRange on. Value buckets use EXPLICIT floor
+      // (DuckDB CAST rounds, Spark truncates — shared-SQL gotcha).
+      val xb = pmod(col("user_id"), lit(1024L))
+      val yb = pmod(floor(col("value") * 2).cast("long"), lit(1024L))
+      events(s, dir).select(col("event_id"),
+        graft.functions.ZOrder.zorder(xb, yb, 10).as("zval"))
+        .withColumn("file_id", shiftright(col("zval"), 12))
+    }),
     "skew_salted_agg" -> ((s, dir) => {
       // salted two-stage aggregation (operators/SkewOps) over lineitem's
       // 3-value l_returnflag — the hot-key pattern where a plain groupBy
@@ -454,7 +470,19 @@ object ExtendedQueries {
     })
   )
 
+  /** The oracle's replay of functions/ZOrder.interleave as pure bit
+    * arithmetic: OR of per-bit shift terms over the 10-bit buckets. */
+  private val zInterleaveSql: String = (0 until 10).flatMap(i => Seq(
+    s"(((xb >> $i) & 1) << ${2 * i})",
+    s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   val oracleSql: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""WITH b AS (SELECT event_id,
+           user_id % 1024 AS xb,
+           CAST(floor(value * 2) AS BIGINT) % 1024 AS yb FROM events),
+         z AS (SELECT event_id, ($zInterleaveSql) AS zval FROM b)
+         SELECT event_id, zval, zval >> 12 AS file_id FROM z""",
     "pivot_wide" ->
       """SELECT l_returnflag,
          round(1e-9 + sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
