@@ -246,15 +246,10 @@ object Dedup {
       shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("hs"), k)))
-    // band keys: "bandIdx:v1-v2" strings; posexplode → (band, key) posts
-    val bandKeys = array((0 until nBands).map { j =>
-      concat_ws("-", (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), j * rowsPerBand + r + 1)): _*)
-    }: _*)
     // Bands carry ONLY (doc_id, band, key) — shuffling the shingle arrays
     // 16x through the self-join costs more than the join itself.
     val bands = withSh.select(col("doc_id"),
-        posexplode(bandKeys).as(Seq("band", "key")))
+        posexplode(bandKeyArray(k, rowsPerBand)).as(Seq("band", "key")))
     val l = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     val cands = l.join(r, Seq("band", "key"))
@@ -276,6 +271,62 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
     finish(eager)(out, withSh)
+  }
+
+  /** Band keys ("v1-v2" per band) over a `sig` MinHash-signature column —
+    * shared by the self-join ([[minhashPairs]]) and the incremental probe
+    * ([[minhashProbe]]), so both sides of a batch-vs-corpus join are
+    * guaranteed the same banding. */
+  private def bandKeyArray(k: Int, rowsPerBand: Int): Column =
+    array((0 until k / rowsPerBand).map { j =>
+      concat_ws("-", (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), j * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** INCREMENTAL (batch-vs-corpus) MinHash-LSH near-dup probe: band keys
+    * on both sides, the batch's bands equi-joined INTO the corpus band
+    * index, exact Jaccard verification of candidates only. This is the
+    * growing-corpus production shape: at 100 TB the corpus band index is
+    * a precomputed bucketed table and each arriving batch shuffles only
+    * ITS OWN bands + probe results — the corpus is never rescanned
+    * pairwise, and cost scales with |batch| · bucket-hit-rate, not
+    * |corpus|². Returns (batch_id, corpus_id, jaccard ≥ minJaccard);
+    * recall follows [[minhashPairs]]'s banding argument (the pair
+    * universe here is a subset of the self-join's). */
+  def minhashProbe(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 32, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5, eager: Boolean = true): DataFrame = {
+    require(k % rowsPerBand == 0, "k must divide into bands")
+    def prep(df: DataFrame): DataFrame =
+      cacheIf(eager)(df.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), n).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .withColumn("sig", minhashSignatureFromHashes(col("hs"), k)))
+    val bSh = prep(batch); val cSh = prep(corpus)
+    def bands(df: DataFrame, as: String): DataFrame =
+      df.select(col("doc_id").as(as),
+        posexplode(bandKeyArray(k, rowsPerBand)).as(Seq("band", "key")))
+    val cands = bands(bSh, "batch_id").join(bands(cSh, "corpus_id"),
+        Seq("band", "key"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    def hashed(df: DataFrame, id: String, xh: String, sz: String) =
+      df.select(col("doc_id").as(id), sort_array(col("hs")).as(xh),
+        size(col("hs")).as(sz))
+    val out = cands
+      .join(hashed(bSh, "batch_id", "xh_a", "za"), Seq("batch_id"))
+      .join(hashed(cSh, "corpus_id", "xh_b", "zb"), Seq("corpus_id"))
+      .withColumn("inter", graft.functions.HashKernels
+        .sortedIntersectCount(col("xh_a"), col("xh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("za") + col("zb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("batch_id", "corpus_id", "jaccard")
+    // two scoped caches: release both after materializing (eager) —
+    // finish() handles one frame; unpersist the second explicitly
+    val fin = finish(eager)(out, bSh)
+    if (eager) cSh.unpersist()
+    fin
   }
 
   // --- SimHash ----------------------------------------------------------

@@ -63,6 +63,39 @@ object DedupQueries {
         n = 3, minJaccard = 0.5)
       duplicateClusters(pairs)
         .select(col("doc_id"), col("cluster_id"))
+    }),
+    "dedup_incremental" -> ((s, dir) => {
+      // INCREMENTAL dedup of an arriving batch (source 'src0') against
+      // the existing corpus (every other source) — the growing-corpus
+      // ingestion gate: exact duplicates via a fingerprint semi-join
+      // against the corpus fingerprint set, near-duplicates via
+      // Dedup.minhashProbe (batch bands probed INTO the corpus band
+      // index — the corpus is never rescanned pairwise; at 100 TB both
+      // the fingerprint set and the band index are precomputed bucketed
+      // tables and each batch touches only its own buckets). Output is
+      // the per-batch-doc admission decision. Oracle recomputes both
+      // flags exactly (norm equality; cross-side j ≥ 0.5 pair scan) —
+      // the probe's verified-LSH recall argument is dedup_minhash's.
+      import graft.functions.TextFunctions.fingerprint
+      val d = docs(s, dir)
+      val batch = d.filter(col("source") === "src0")
+      val corpus = d.filter(col("source") =!= "src0")
+      val exact = batch
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .join(corpus.select(fingerprint(col("text")).as("fp")).distinct(),
+          Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("ex", lit(true))
+      val near = Dedup.minhashProbe(batch, corpus, "doc_id", "text",
+          n = 3, k = 32, rowsPerBand = 2, minJaccard = 0.5)
+        .select(col("batch_id").as("doc_id")).distinct()
+        .withColumn("nr", lit(true))
+      batch.select("doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ex"), lit(false)).as("dup_exact"),
+          coalesce(col("nr"), lit(false)).as("near_dup"))
+        .withColumn("keep", !col("dup_exact") && !col("near_dup"))
     })
   )
 
@@ -140,7 +173,39 @@ object DedupQueries {
          FROM sm a JOIN sm b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
     "dedup_clusters" ->
-      s"""$clusterCteSql SELECT doc_id, cluster_id FROM cl"""
+      s"""$clusterCteSql SELECT doc_id, cluster_id FROM cl""",
+    "dedup_incremental" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+               'g')), ' ') AS toks
+           FROM documents
+         ), d2 AS (
+           SELECT doc_id, source, norm,
+             CASE WHEN length(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, length(toks) - 1),
+                 i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+             ELSE CAST([] AS VARCHAR[]) END AS sh
+           FROM t
+         ), b AS (SELECT * FROM d2 WHERE source = 'src0'),
+         c AS (SELECT * FROM d2 WHERE source <> 'src0'),
+         ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.norm = c.norm),
+         eb AS (SELECT doc_id, length(sh) AS sz, unnest(sh) AS s
+                FROM b WHERE length(sh) > 0),
+         ec AS (SELECT doc_id, length(sh) AS sz, unnest(sh) AS s
+                FROM c WHERE length(sh) > 0),
+         i AS (SELECT eb.doc_id, eb.sz AS za, ec.doc_id AS cid,
+                 ec.sz AS zb, count(*) AS inter
+               FROM eb JOIN ec ON eb.s = ec.s GROUP BY 1, 2, 3, 4),
+         nr AS (SELECT DISTINCT doc_id FROM i
+                WHERE inter::DOUBLE / (za + zb - inter) >= 0.5)
+         SELECT b.doc_id,
+           b.doc_id IN (SELECT doc_id FROM ex) AS dup_exact,
+           b.doc_id IN (SELECT doc_id FROM nr) AS near_dup,
+           NOT (b.doc_id IN (SELECT doc_id FROM ex)
+             OR b.doc_id IN (SELECT doc_id FROM nr)) AS keep
+         FROM b"""
   )
 
   /** Recursive-CTE duplicate-cluster chain ending in `cl(doc_id,
