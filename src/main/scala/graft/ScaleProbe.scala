@@ -164,6 +164,54 @@ object ScaleProbe {
         .filter(col("nd") >= 2).count()
       println(s"[probe]   duplicated 8-token spans: $c")
     }
+    // incremental admission: the 5% "arriving batch" (the planted dup
+    // copies) probed against the 95% corpus — each batch doc has exactly
+    // one corpus near-dup, so found-pairs ≈ |batch| checks recall while
+    // the timing pins the per-batch cost (the corpus is band-indexed,
+    // never rescanned pairwise)
+    time(s"minhashProbe 5% batch vs ${nDocs / 1000}k corpus") {
+      val batch = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") > 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0 || col("doc_id") === 0)
+      val c = graft.operators.Dedup.minhashProbe(batch, corpus,
+        "doc_id", "text", n = 3, k = 32, rowsPerBand = 2,
+        minJaccard = 0.5).count()
+      println(s"[probe]   incremental near-dups found: $c (planted ~$planted)")
+    }
+
+    // Z-order layout locality at 10M rows: write the same table 64 files
+    // linear-sorted by dim A vs z-ordered on (A, B), then count FILES
+    // holding qualifying rows for a narrow filter on B — the dimension
+    // the linear layout can't serve. Footer min/max pruning follows file
+    // locality, so this is the measurable form of the pruning win.
+    locally {
+      val zroot = s"/tmp/graft_zorder_probe_${spark.sparkContext.applicationId}"
+      val base = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(1024)).as("a"),
+          pmod(xxhash64(col("id"), lit(7)), lit(1024)).as("b"))
+      val zv = graft.functions.ZOrder.zorder(col("a"), col("b"), 10)
+      time("zorder write 64 files (10-bit dims)") {
+        base.withColumn("z", zv).repartitionByRange(64, col("z"))
+          .sortWithinPartitions("z").drop("z")
+          .write.mode("overwrite").parquet(s"$zroot/zord")
+      }
+      base.repartitionByRange(64, col("a")).sortWithinPartitions("a")
+        .write.mode("overwrite").parquet(s"$zroot/linear")
+      def filesHit(path: String): Long =
+        spark.read.parquet(path).filter(col("b") >= 100 && col("b") < 132)
+          .select(input_file_name()).distinct().count()
+      time("zorder filter-B file locality") {
+        val zHit = filesHit(s"$zroot/zord")
+        val lHit = filesHit(s"$zroot/linear")
+        println(s"[probe]   files holding b in [100,132): " +
+          s"z-order $zHit/64, linear-by-A $lHit/64")
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(zroot))
+    }
+
     // token-window chunking: pure narrow ops — the probe pins the
     // per-core throughput ceiling (no shuffle to hide behind)
     time(s"chunkDocuments ${nDocs / 1000}k docs (64/48 stride)") {
