@@ -291,6 +291,32 @@ object TimeSeriesQueries {
       s.catalog.dropTempView(qn)
       out
     }),
+    "join_stream_static" -> ((s, dir) => {
+      // STREAM-STATIC join run to completion — the enrichment pattern
+      // (events stream joined to a slowly-changing dimension). The
+      // static side is a batch aggregate (per-user lifetime mean)
+      // broadcast into every micro-batch; stream-static inner joins are
+      // stateless (no watermark, no state store), so this is the
+      // cheapest join a 100 TB/day stream can do — dimension lookups
+      // never shuffle the stream. Appended sink = the plain batch join,
+      // which IS the oracle.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      val dim = events(s, dir).groupBy("user_id")
+        .agg(r4(avg(col("value"))).as("user_mean"))
+      val src = s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      val joined = src.join(broadcast(dim), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("user_mean"),
+          r4(col("value") - col("user_mean")).as("delta"))
+      val qn = s"graft_stream_static_${streamRuns.incrementAndGet()}"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn)
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "resample_gapfill" -> ((s, dir) => {
       // time-series resample: daily sums per user with silent days
       // filled as 0.0 across each user's [first, last] day span —
@@ -370,6 +396,13 @@ object TimeSeriesQueries {
          SELECT user_id, min(ms) AS sess_start_ms, max(ms) AS sess_end_ms,
            count(*) AS n, round(1e-9 + sum(value), 4) AS sum_v
          FROM sess GROUP BY user_id, sid""",
+    "join_stream_static" ->
+      """WITH dim AS (SELECT user_id,
+           round(1e-9 + avg(value), 4) AS user_mean
+           FROM events GROUP BY 1)
+         SELECT e.event_id, e.user_id, dim.user_mean,
+           round(1e-9 + (e.value - dim.user_mean), 4) AS delta
+         FROM events e JOIN dim USING (user_id)""",
     "resample_gapfill" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day, value FROM events),
