@@ -83,6 +83,42 @@ object FormatQueries {
       sup.write.mode("overwrite").orc(path)
       supplierAgg(s.read.orc(path))
     }),
+    "source_binaryfile" -> ((s, dir) => {
+      // Raw-file ingestion through the `binaryFile` source — the entry
+      // point of every multimodal pipeline (images/audio arrive as FILES,
+      // not rows; operators/Multimodal takes over once they're binary
+      // columns). Staging: each document's text is written as its own
+      // .bin file BY THE EXECUTORS (foreachPartition — no driver
+      // collect; a 100 TB corpus stages the same way). The read-back
+      // parses the id from the file path, and the gate decodes the bytes
+      // and compares against the ORIGINAL table — any byte mangled in
+      // file I/O, path parsing, or the binary column path fails the
+      // hash, same contract as the other round trips. The corpus is
+      // ASCII by construction, so cast(content AS string) is lossless.
+      val path = scratch(s, dir, "docs_bin")
+      val done = new java.io.File(path, "_STAGED")
+      if (!done.isFile) {
+        new java.io.File(path).mkdirs()
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .foreachPartition {
+            (rows: Iterator[org.apache.spark.sql.Row]) =>
+              rows.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(path, s"${r.getLong(0)}.bin"),
+                  r.getString(1).getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+              }
+          }
+        done.createNewFile(): Unit
+      }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(path)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length"),
+          col("content").cast("string").as("content_str"))
+    }),
     "sink_bucketed_join" -> ((s, dir) => {
       // Bucketed-table sink consumed by a CO-LOCATED join (was spec-only
       // through round 5 — BucketingSpec; this oracle-gates it). Both
@@ -137,6 +173,9 @@ object FormatQueries {
     "source_csv_roundtrip" -> supplierAggSql,
     "source_json_roundtrip" -> supplierAggSql,
     "source_orc_roundtrip" -> supplierAggSql,
+    "source_binaryfile" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+         text AS content_str FROM documents""",
     "sink_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
          round(1e-9 + sum(o_totalprice), 4) AS total
