@@ -72,6 +72,11 @@ object GraftExtensions {
       { case Seq(x, y, b) => InterleaveBits(x, y, intArg(b, "bits"))
         case args => throw new IllegalArgumentException(
           s"z_order takes 3 arguments, got ${args.length}") }),
+    ("cms_estimate",
+      info("cms_estimate", "cms_estimate(sketch, key) - count estimate for key from a count_min_sketch() binary"),
+      { case Seq(sk, k) => CmsEstimate(sk, k)
+        case args => throw new IllegalArgumentException(
+          s"cms_estimate takes 2 arguments, got ${args.length}") }),
     ("product_agg",
       info("product_agg", "product_agg(x) - product aggregate (nulls skipped, all-null group is NULL); window-frame capable"),
       { case Seq(c) =>

@@ -155,6 +155,35 @@ object ExtendedQueries {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+    "agg_heavyhitters" -> ((s, dir) => {
+      // Count-Min-sketch heavy-hitter detection, oracle-gated on the
+      // sketch's one-sided contract (the agg_approx/decontam_bloom
+      // verdict pattern): Spark's MERGEABLE count_min_sketch aggregate
+      // builds the frequency sketch (partials combine across
+      // partitions/days — constant memory at 100 TB), the bytes ship as
+      // a literal (bounded like a broadcast side), and the custom
+      // cms_estimate expression probes each candidate key. Gated
+      // promises: estimate ≥ exact count for EVERY key (deterministic
+      // CMS property), overshoot ≤ eps·N (holds w.p. ≥ conf; fixed
+      // data + seed make it reproducible), and the derived ≥1% heavy
+      // flag — exact counts + TRUE verdicts hash-match the oracle.
+      val ev = events(s, dir)
+      // two driver scalars, both documented-bounded: the sketch bytes
+      // (a sketch, by construction) and the total row count
+      val skBytes = ev.agg(expr(
+        "count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val n = ev.count()
+      val est = graft.functions.CmsProbe.cmsEstimate(
+        lit(skBytes), col("user_id"))
+      ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .withColumn("__est", est)
+        .select(col("user_id"), col("exact_n"),
+          (col("__est") >= col("exact_n")).as("ok_lower"),
+          (col("__est") <= col("exact_n") + lit(math.ceil(0.001 * n)))
+            .as("ok_upper"),
+          (col("exact_n") > lit(n * 0.01)).as("is_heavy"))
+    }),
     "layout_zorder" -> ((s, dir) => {
       // Z-order (Morton) layout clustering — the OPTIMIZE ZORDER move:
       // interleave two bucketed dimensions (user, value band) into one
@@ -477,6 +506,14 @@ object ExtendedQueries {
     s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "agg_heavyhitters" ->
+      """WITH e AS (SELECT user_id, count(*) AS exact_n
+           FROM events GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM events)
+         SELECT user_id, exact_n,
+           TRUE AS ok_lower, TRUE AS ok_upper,
+           exact_n > n.n * 0.01 AS is_heavy
+         FROM e CROSS JOIN n""",
     "layout_zorder" ->
       s"""WITH b AS (SELECT event_id,
            user_id % 1024 AS xb,

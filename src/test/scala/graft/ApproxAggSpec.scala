@@ -41,4 +41,44 @@ class ApproxAggSpec extends AnyFunSuite {
       assert(math.abs(ap50 - p50) / p50 <= 0.02, s"$k p50 $ap50 vs $p50")
     }
   }
+
+  test("cms_estimate: one-sided on every key, string path, SQL-callable") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"k${i % 37}", (i % 11).toLong))
+      .toDF("sk", "lk")
+    val skS = df.agg(expr("count_min_sketch(sk, 0.01d, 0.99d, 7)"))
+      .head.getAs[Array[Byte]](0)
+    val skL = df.agg(expr("count_min_sketch(lk, 0.01d, 0.99d, 7)"))
+      .head.getAs[Array[Byte]](0)
+    val n = 2000L
+    // estimate >= exact ALWAYS (deterministic CMS property), overshoot
+    // bounded by eps*N on this fixed data+seed — both key types
+    val sRows = df.groupBy("sk").agg(count(lit(1)).as("x"))
+      .withColumn("e",
+        graft.functions.CmsProbe.cmsEstimate(lit(skS), col("sk")))
+      .collect()
+    sRows.foreach { r =>
+      val (x, e) = (r.getLong(1), r.getLong(2))
+      assert(e >= x && e <= x + math.ceil(0.01 * n).toLong, s"$r")
+    }
+    val lRows = df.groupBy("lk").agg(count(lit(1)).as("x"))
+      .withColumn("e",
+        graft.functions.CmsProbe.cmsEstimate(lit(skL), col("lk")))
+      .collect()
+    lRows.foreach { r =>
+      val (x, e) = (r.getLong(1), r.getLong(2))
+      assert(e >= x && e <= x + math.ceil(0.01 * n).toLong, s"$r")
+    }
+    // SQL registration path agrees with the Column API
+    GraftExtensions.register(spark)
+    df.groupBy("sk").agg(count(lit(1)).as("x"))
+      .createOrReplaceTempView("cms_probe_t")
+    spark.sql("SELECT sk, x FROM cms_probe_t").collect() // view sanity
+    val viaSql = spark.sql(
+      s"SELECT sk, cms_estimate(X'${skS.map("%02x".format(_)).mkString}', sk) AS e " +
+        "FROM cms_probe_t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaApi = sRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viaSql == viaApi)
+  }
 }
