@@ -239,6 +239,23 @@ object SparkEntry {
           tolerance = Some(lit(3L)), matchedTimeCol = "prev_day")
         .select(col("event_id"), col("prev_day"), col("prev_mean"))
     }),
+    "asof_nearest_daily" -> ((s, dir) => {
+      // NEAREST as-of (pandas merge_asof direction='nearest' — the third
+      // direction, completing backward/forward/tolerance): each event
+      // picks the CLOSER of the previous and next day's per-user mean,
+      // backward preferred on equal distance. Two union-and-sweep
+      // passes, still O(n) per key (AsofJoin.asofNearest).
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("value"), expr("ts div 86400000000000").as("day"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(r4(avg(col("value"))).as("near_mean"))
+      graft.operators.AsofJoin.asofNearest(
+          ev.select("event_id", "user_id", "day"), daily,
+          keys = Seq("user_id"), leftTime = "day", rightTime = "day",
+          valueCols = Seq("near_mean"), strict = true,
+          matchedTimeCol = "near_day")
+        .select(col("event_id"), col("near_day"), col("near_mean"))
+    }),
     "window_range_months" -> ((s, dir) => {
       // CALENDAR-month Period frame ([add_months(d,-1), d] per user) —
       // the reference accepts months(k) Periods, whose per-row clamped
@@ -517,6 +534,26 @@ object SparkEntry {
          SELECT e.event_id, f.lo, f.hi
          FROM e JOIN f ON e.user_id = f.user_id
            AND e.day BETWEEN f.lo AND f.hi""",
+    "asof_nearest_daily" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         daily AS (SELECT user_id, day, round(1e-9 + avg(value), 4) AS m
+           FROM e GROUP BY 1, 2),
+         b AS (SELECT e.event_id, d.day AS bday, d.m AS bm
+           FROM e ASOF LEFT JOIN daily d
+             ON e.user_id = d.user_id AND e.day > d.day),
+         f AS (SELECT e.event_id, d.day AS fday, d.m AS fm
+           FROM e ASOF LEFT JOIN daily d
+             ON e.user_id = d.user_id AND e.day < d.day)
+         SELECT e.event_id,
+           CASE WHEN bday IS NOT NULL AND (fday IS NULL
+                  OR e.day - bday <= fday - e.day)
+             THEN bday ELSE fday END AS near_day,
+           CASE WHEN bday IS NOT NULL AND (fday IS NULL
+                  OR e.day - bday <= fday - e.day)
+             THEN bm ELSE fm END AS near_mean
+         FROM e JOIN b USING (event_id) JOIN f USING (event_id)""",
     "asof_tolerance_daily" ->
       """WITH e AS (SELECT event_id, user_id, value,
            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day

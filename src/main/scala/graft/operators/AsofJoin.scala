@@ -63,6 +63,35 @@ object AsofJoin {
     sweep(left, right, keys, leftTime, rightTime, valueCols, strict,
       tolerance, matchedTimeCol, forward = true)
 
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`, the
+    * third direction): the closer of the backward and forward matches by
+    * absolute time distance, backward preferred on exact ties. Composes
+    * the two sweeps — the backward pass's outputs ride through the
+    * forward pass as ordinary left columns (each sweep preserves its
+    * left side), so the cost is two union-and-sweep passes, still O(n)
+    * per key and two shuffles total, never a range probe. `strict`
+    * and `tolerance` apply symmetrically to both directions. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      strict: Boolean = false, tolerance: Option[Column] = None,
+      matchedTimeCol: String = "matched_time"): DataFrame = {
+    val bT = "__asof_bt__"; val fT = "__asof_ft__"
+    def bName(v: String) = s"__asof_b_$v"
+    val bwd0 = asofBackward(left, right, keys, leftTime, rightTime,
+      valueCols, strict, tolerance, bT)
+    val bwd = valueCols.foldLeft(bwd0)((d, v) =>
+      d.withColumnRenamed(v, bName(v)))
+    val both = asofForward(bwd, right, keys, leftTime, rightTime,
+      valueCols, strict, tolerance, fT)
+    val useB = col(bT).isNotNull && (col(fT).isNull ||
+      (col(leftTime) - col(bT)) <= (col(fT) - col(leftTime)))
+    val out = both
+      .withColumn(matchedTimeCol, when(useB, col(bT)).otherwise(col(fT)))
+    valueCols.foldLeft(out)((d, v) =>
+        d.withColumn(v, when(useB, col(bName(v))).otherwise(col(v))))
+      .drop((bT +: fT +: valueCols.map(bName)): _*)
+  }
+
   private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
       strict: Boolean, tolerance: Option[Column],

@@ -144,6 +144,29 @@ object TextQueries {
           col("doc_id").cast("string")), lit(100)) < 10)
         .select("doc_id")
     }),
+    "sample_weighted" -> ((s, dir) => {
+      // WEIGHTED reservoir sampling without replacement (Efraimidis-
+      // Spirakis A-Res): per-lang top-5 docs by key ln(u)/w with weight
+      // w = n_chars — inclusion probability rises with length, exact
+      // A-Res semantics, and u is the engine-stable 60-bit unit hash so
+      // the sample is DETERMINISTIC across runs/partitionings/engines
+      // (the weighted counterpart of sample_hash; sample_mixture's
+      // epoch weights upsample, this one selects). Keys are continuous
+      // (60-bit u, doc-specific w) — no cross-engine tie risk. The
+      // top-5 ride the k-bounded map-side TopKAgg, NOT a per-lang
+      // row_number window whose few-groups parallelism caps at |langs|.
+      val h = graft.operators.Dedup.baseHash(col("doc_id").cast("string"))
+      val d = docs(s, dir)
+        .filter(col("n_chars") > 0)
+        .withColumn("akey",
+          log((h.cast("double") + 0.5) / 1.152921504606846976e18) /
+            col("n_chars"))
+      val tk = graft.functions.TopKAgg.topK(5)(col("akey"), col("doc_id"))
+      d.groupBy("lang").agg(tk.as("tk"))
+        .select(col("lang"), posexplode(col("tk")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("doc_id"))
+    }),
     "dedup_exact" -> ((s, dir) => {
       // Exact dedup on the normalized-text fingerprint: one row per
       // distinct doc (map-side partial agg; shuffles only the 128-bit
@@ -417,6 +440,18 @@ object TextQueries {
            FROM tt WHERE n_toks >= 2
          )
          SELECT bigram, count(*) AS df FROM bg GROUP BY 1""",
+    "sample_weighted" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars,
+           ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+              / 1152921504606846976.0) / n_chars AS akey
+           FROM documents WHERE n_chars > 0),
+         r AS (SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY akey DESC, doc_id) AS rnk
+           FROM d)
+         SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
+         FROM r WHERE rnk <= 5""",
     "text_bm25" ->
       s"""$withToks, tok AS (
            SELECT doc_id, n_toks::DOUBLE AS dl, unnest(toks) AS term

@@ -113,6 +113,25 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest: closer side wins, backward preferred on exact tie") {
+    // l2 at t=10: backward (5, dist 5) ties forward (15, dist 5) -> bwd;
+    // l3 at t=20: backward 15 (dist 5) is the only side; l1 at t=5
+    // inclusive: backward at equal time (dist 0) beats forward 15
+    val out = asofNearest(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .select("k", "lt", "tag", "matched_time", "v")
+    assert(collectMap(out) == Map(
+      "l1" -> (Some(5L), Some(1.0)),   // dist 0 backward
+      "l2" -> (Some(5L), Some(1.0)),   // 5-vs-5 tie -> backward
+      "l3" -> (Some(15L), Some(2.0)),
+      "l4" -> (Some(3L), Some(4.0)),
+      "l5" -> (None, None)))
+    // strict: l1's equal-time backward row is invisible -> forward 15
+    val st = asofNearest(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      strict = true)
+      .select("k", "lt", "tag", "matched_time", "v")
+    assert(collectMap(st)("l1") == (Some(15L), Some(2.0)))
+  }
+
   test("plan: one hash exchange, no broadcast, no range-probe join") {
     val out = asofBackward(left, right, Seq("k"), "lt", "rt", Seq("v"))
     val p = out.queryExecution.executedPlan.toString
