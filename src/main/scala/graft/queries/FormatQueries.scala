@@ -63,6 +63,12 @@ object FormatQueries {
        round(1e-9 + sum(s_acctbal), 4) AS bal
        FROM supplier GROUP BY 1"""
 
+  /** Post-compaction aggregation (same role as [[supplierAgg]] for the
+    * lineitem-based compaction round trip). */
+  private def supplierStyleLineitemAgg(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
@@ -82,6 +88,60 @@ object FormatQueries {
       val path = scratch(s, dir, "supplier_orc")
       sup.write.mode("overwrite").orc(path)
       supplierAgg(s.read.orc(path))
+    }),
+    "sink_upsert_snapshot" -> ((s, dir) => {
+      // MERGE-INTO / SCD-1 upsert emulated on plain parquet (no table
+      // format in the container): base snapshot ⟕⟖ updates batch →
+      // coalesce to the new snapshot — matched keys take the update,
+      // unmatched keep the base row, brand-new keys insert. One shuffle
+      // join on the key (co-locatable via bucketing at 100 TB —
+      // sink_bucketed_join's layout is exactly what a nightly upsert
+      // would reuse); the snapshot is written and read back so the gate
+      // covers the full write path, not just the join. Updates here:
+      // per-customer refreshed balance = base + sum of their order
+      // totals (an UPDATE for customers with orders, a no-op for the
+      // rest — both MERGE arms exercised; orders' custkeys ⊂ customer's,
+      // so the insert arm is structurally present but empty, like most
+      // production SCD-1 batches).
+      val base = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+      val updates = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice")).as("spent"))
+        .select(col("o_custkey").as("c_custkey"), col("spent"))
+      val merged = base.join(updates, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"),
+          r4(coalesce(col("c_acctbal"), lit(0.0)) +
+            coalesce(col("spent"), lit(0.0))).as("c_acctbal"))
+      val path = scratch(s, dir, "customer_snapshot")
+      merged.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    }),
+    "sink_compacted" -> ((s, dir) => {
+      // Small-file COMPACTION — the table-maintenance pass a streaming
+      // ingest (many tiny per-trigger files) needs before the table is
+      // scannable at 100 TB: read the fragmented layout (staged here as
+      // a 64-file write of lineitem), rewrite as a handful of
+      // sort-clustered files (repartitionByRange on the cluster key →
+      // both file-level min/max pruning and a bounded file count; 4
+      // target files at fixture scale). The gate reads the COMPACTED
+      // table back and aggregates — identical to aggregating the
+      // original, proving compaction lost/duplicated nothing; the
+      // file-count and clustering assertions live in the plan/layout
+      // spec tier (FormatsSpec-style), not the hash.
+      val fragmented = scratch(s, dir, "lineitem_fragmented")
+      val compacted = scratch(s, dir, "lineitem_compacted")
+      val done = new java.io.File(fragmented, "_STAGED")
+      val li = t(s, dir, "lineitem")
+      if (!done.isFile) {
+        li.repartition(64).write.mode("overwrite").parquet(fragmented)
+        done.createNewFile(): Unit
+      }
+      s.read.parquet(fragmented)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(compacted)
+      val back = s.read.parquet(compacted)
+      supplierStyleLineitemAgg(back)
     }),
     "source_binaryfile" -> ((s, dir) => {
       // Raw-file ingestion through the `binaryFile` source — the entry
@@ -176,6 +236,18 @@ object FormatQueries {
     "source_binaryfile" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
          text AS content_str FROM documents""",
+    "sink_upsert_snapshot" ->
+      """WITH u AS (SELECT o_custkey AS c_custkey,
+           sum(o_totalprice) AS spent FROM orders GROUP BY 1)
+         SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+           c.c_name,
+           round(1e-9 + COALESCE(c.c_acctbal, 0.0)
+             + COALESCE(u.spent, 0.0), 4) AS c_acctbal
+         FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.c_custkey""",
+    "sink_compacted" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(1e-9 + sum(l_quantity), 4) AS qty
+         FROM lineitem GROUP BY 1""",
     "sink_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
          round(1e-9 + sum(o_totalprice), 4) AS total

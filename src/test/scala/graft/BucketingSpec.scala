@@ -54,6 +54,35 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: 64 fragments -> 4 range-clustered files, rows intact") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // run the sink_compacted key, then inspect the layout it wrote
+    val out = graft.queries.FormatQueries.queries("sink_compacted")(
+      spark, dir)
+    out.collect() // force the compaction write
+    val root = s"/tmp/graft_roundtrip/${spark.sparkContext.applicationId}" +
+      "/sf0.001/lineitem_compacted"
+    val files = Option(new java.io.File(root).listFiles()).get
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 compacted files, got ${files.length}")
+    // range clustering: per-file key ranges must not interleave
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")),
+          count(lit(1))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi, _), (lo2, _, _)) =>
+        assert(hi <= lo2, s"file ranges interleave: $hi > $lo2")
+      case _ =>
+    }
+    val total = spans.map(_._3).sum
+    val orig = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(total == orig, s"compaction changed row count: $total vs $orig")
+  }
+
   test("bucket pruning: an equality filter on the bucket key prunes buckets") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     orders.write.bucketBy(8, "o_custkey").mode("overwrite")
