@@ -62,7 +62,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.TimeSeriesQueries.queries ++
-      graft.queries.FormatQueries.queries
+      graft.queries.FormatQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.queries.TextQueries.oracleSql ++
@@ -73,7 +74,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.TimeSeriesQueries.oracleSql ++
-      graft.queries.FormatQueries.oracleSql
+      graft.queries.FormatQueries.oracleSql ++
+      graft.queries.GraphQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----

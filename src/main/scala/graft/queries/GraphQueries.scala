@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on DataFrames — the loop-of-joins shape
+  * (edges shuffle-joined to the rank vector per iteration) that scales
+  * to billion-edge graphs: each iteration is one equi-join + one hash
+  * aggregation, both partitioned by vertex, so a cluster pays E/P per
+  * task per round with no driver-side graph state. Complements the
+  * connected-components operator (`Dedup.duplicateClusters`) on the
+  * unknown-iteration side: PageRank runs a FIXED iteration count, so
+  * the whole computation is one deterministic Catalyst plan (at real
+  * scale you'd `localCheckpoint` per round to cut lineage — documented,
+  * not needed at gate size).
+  *
+  * Graph: the nation-level trade network — an edge cust_nation →
+  * supp_nation weighted by the number of lineitems a customer of the
+  * source nation bought from a supplier of the target nation.
+  *
+  * Weighted PageRank, damping 0.85, 3 iterations, uniform init:
+  *   r'(v) = (1-d)/N + d · Σ_{u→v} w(u,v)/outW(u) · r(u)
+  * Dangling mass (nations with no outgoing trade) is dropped rather
+  * than redistributed — deliberate, mirrored exactly by the oracle's
+  * unrolled-CTE replay.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueryUtil.t(s, dir, name)
+
+  private def r4(c: Column): Column = QueryUtil.r4(c)
+
+  private val D = 0.85
+  private val Iters = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val edges = li
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          li("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = t(s, dir, "nation")
+        .select(col("n_nationkey").as("v"))
+      // one driver scalar (node count) — broadcast-side bounded
+      val n = nodes.count().toDouble
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+      val contrib = edges.join(outw, Seq("src"))
+        .select(col("src"), col("dst"),
+          (col("w").cast("double") / col("ow")).as("p"))
+      var ranks = nodes.withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to Iters) {
+        val in = contrib
+          .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+          .groupBy("dst").agg(sum(col("p") * col("r")).as("m"))
+        ranks = nodes
+          .join(in.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .select(col("v"),
+            (lit((1 - D) / n) + lit(D) * coalesce(col("m"), lit(0.0)))
+              .as("r"))
+      }
+      ranks.select(col("v").as("nationkey"), r4(col("r")).as("rank"))
+    })
+  )
+
+  /** The oracle unrolls the 3 iterations as generated CTEs — identical
+    * arithmetic, identical dangling-mass policy. */
+  private val iterCte: String = (1 to Iters).map { i =>
+    s"""r$i AS (
+         SELECT n.v,
+           0.15 / nn.n + 0.85 * COALESCE(x.m, 0.0) AS r
+         FROM nodes n CROSS JOIN nn
+         LEFT JOIN (
+           SELECT c.dst, sum(c.p * r${i - 1}.r) AS m
+           FROM contrib c JOIN r${i - 1} ON c.src = r${i - 1}.v
+           GROUP BY 1
+         ) x ON n.v = x.dst
+       )"""
+  }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH edges AS (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             count(*) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2
+         ), nodes AS (SELECT n_nationkey AS v FROM nation),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+         contrib AS (
+           SELECT e.src, e.dst, e.w::DOUBLE / o.ow AS p
+           FROM edges e JOIN outw o ON e.src = o.src
+         ), r0 AS (
+           SELECT n.v, 1.0 / nn.n AS r FROM nodes n CROSS JOIN nn
+         ), $iterCte
+         SELECT v AS nationkey,
+           round(1e-9 + r, 4) AS rank
+         FROM r$Iters"""
+  )
+}
