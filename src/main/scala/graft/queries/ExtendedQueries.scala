@@ -155,6 +155,22 @@ object ExtendedQueries {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+    "window_rolling_corr" -> ((s, dir) => {
+      // Rolling bivariate statistics as WINDOW aggregates: trailing
+      // 20-row Pearson correlation and sample covariance of
+      // (quantity, price) per return flag — corr/covar_samp run in the
+      // same incremental frame machinery as sum/avg (one shared
+      // WindowExec), the windowed form of agg_moments/agg_regression.
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .rowsBetween(-19, 0)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        r4(corr(col("l_quantity"), col("l_extendedprice")).over(w))
+          .as("roll_corr"),
+        r4(covar_samp(col("l_quantity"), col("l_extendedprice")).over(w))
+          .as("roll_cov"))
+    }),
     "agg_heavyhitters" -> ((s, dir) => {
       // Count-Min-sketch heavy-hitter detection, oracle-gated on the
       // sketch's one-sided contract (the agg_approx/decontam_bloom
@@ -506,6 +522,17 @@ object ExtendedQueries {
     s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "window_rolling_corr" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(1e-9 + corr(l_quantity, l_extendedprice) OVER w, 4)
+           AS roll_corr,
+         round(1e-9 + covar_samp(l_quantity, l_extendedprice) OVER w, 4)
+           AS roll_cov
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+             l_suppkey
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
     "agg_heavyhitters" ->
       """WITH e AS (SELECT user_id, count(*) AS exact_n
            FROM events GROUP BY 1),

@@ -144,6 +144,30 @@ object TextQueries {
           col("doc_id").cast("string")), lit(100)) < 10)
         .select("doc_id")
     }),
+    "text_source_kl" -> ((s, dir) => {
+      // Per-source distribution drift: KL(source unigram dist ‖ corpus
+      // unigram dist) — the mixture-monitoring statistic that flags a
+      // source whose vocabulary diverges from the blend (boilerplate
+      // floods, language drift, template spam). Every source token also
+      // appears in the corpus distribution, so q > 0 wherever p > 0 and
+      // the sum is well-defined with NO smoothing. Two token hash-aggs
+      // (per-source and global, both vocabulary-bounded) + a broadcast
+      // join; nothing corpus-wide shuffles twice.
+      val tok = docs(s, dir).select(col("source"),
+        explode(tokens(col("text"))).as("term"))
+      val src = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val srcTot = src.groupBy("source").agg(sum(col("c")).as("st"))
+      val glob = src.groupBy("term").agg(sum(col("c")).as("g"))
+      val globTot = glob.agg(sum(col("g")).cast("double").as("gt"))
+      src.join(srcTot, Seq("source"))
+        .join(broadcast(glob), Seq("term"))
+        .crossJoin(broadcast(globTot))
+        .withColumn("p", col("c") / col("st").cast("double"))
+        .withColumn("q", col("g") / col("gt"))
+        .groupBy("source")
+        .agg(r4(sum(col("p") * log(col("p") / col("q")))).as("kl"),
+          countDistinct(col("term")).as("vocab"))
+    }),
     "sample_weighted" -> ((s, dir) => {
       // WEIGHTED reservoir sampling without replacement (Efraimidis-
       // Spirakis A-Res): per-lang top-5 docs by key ln(u)/w with weight
@@ -440,6 +464,25 @@ object TextQueries {
            FROM tt WHERE n_toks >= 2
          )
          SELECT bigram, count(*) AS df FROM bg GROUP BY 1""",
+    "text_source_kl" ->
+      s"""$withToks, tok AS (
+           SELECT source, unnest(toks) AS term FROM tt WHERE n_toks > 0
+         ), src AS (
+           SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2
+         ), st AS (
+           SELECT source, sum(c) AS st FROM src GROUP BY 1
+         ), g AS (
+           SELECT term, sum(c) AS g FROM src GROUP BY 1
+         ), gt AS (
+           SELECT sum(g)::DOUBLE AS gt FROM g
+         )
+         SELECT src.source,
+           round(1e-9 + sum((src.c / st.st::DOUBLE) *
+             ln((src.c / st.st::DOUBLE) / (g.g / gt.gt))), 4) AS kl,
+           count(DISTINCT src.term) AS vocab
+         FROM src JOIN st USING (source) JOIN g USING (term)
+           CROSS JOIN gt
+         GROUP BY 1""",
     "sample_weighted" ->
       """WITH d AS (SELECT lang, doc_id, n_chars,
            ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
