@@ -273,6 +273,59 @@ object Dedup {
     finish(eager)(out, withSh)
   }
 
+  /** ASYMMETRIC containment pairs: directed (contained, container) pairs
+    * with C(A→B) = |A∩B| / |A| ≥ minContainment — the quote-extraction /
+    * subset-spam shape Jaccard misses (a 40-gram doc fully inside a
+    * 400-gram doc has C = 1.0 but J ≈ 0.1, far below any useful Jaccard
+    * gate). One-sided prefix filter, lossless: overlap ≥ o := ⌈τ·|A|⌉
+    * forces one of A's first |A|−o+1 shingles (rarest-first under the
+    * global df order) to hit B somewhere — so only the CONTAINED side
+    * explodes a prefix; the container side is indexed in full. Exact
+    * verification on sorted hash arrays, like [[jaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContainment: Double = 0.9,
+      eager: Boolean = true): DataFrame = {
+    val withH = cacheIf(eager)(docs.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0))
+    val posts = withH.select(col("doc_id"), explode(col("hs")).as("s"))
+    val dfCounts = posts.groupBy("s").agg(count(lit(1)).as("df_"))
+    val ordered = posts.join(dfCounts, Seq("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df_"), col("s")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), _.getField("s")).as("ordSh"),
+        size(col("ord")).as("osz"))
+    // same 1e-9 ceil slack as jaccardPairs: overshoot only ever LENGTHENS
+    // the prefix (extra candidates), and verification is exact
+    val prefixLen =
+      (col("osz") - ceil(col("osz") * lit(minContainment) - 1e-9) + 1)
+        .cast("int")
+    val prefixA = ordered
+      .select(col("doc_id").as("doc_a"),
+        posexplode(col("ordSh")).as(Seq("pos", "s")))
+      .filter(col("pos") < prefixLen)
+      .select("doc_a", "s")
+    val cands = prefixA
+      .join(posts.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val hashed = withH.select(col("doc_id"),
+      sort_array(col("hs")).as("xh"), size(col("hs")).as("sz"))
+    val out = cands
+      .join(hashed.select(col("doc_id").as("doc_a"),
+        col("xh").as("xh_a"), col("sz").as("za")), Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"),
+        col("xh").as("xh_b")), Seq("doc_b"))
+      .withColumn("inter", graft.functions.HashKernels
+        .sortedIntersectCount(col("xh_a"), col("xh_b")))
+      .withColumn("containment", col("inter").cast("double") / col("za"))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "containment")
+    finish(eager)(out, withH)
+  }
+
   /** Band keys ("v1-v2" per band) over a `sig` MinHash-signature column —
     * shared by the self-join ([[minhashPairs]]) and the incremental probe
     * ([[minhashProbe]]), so both sides of a batch-vs-corpus join are

@@ -64,6 +64,17 @@ object DedupQueries {
       duplicateClusters(pairs)
         .select(col("doc_id"), col("cluster_id"))
     }),
+    "dedup_containment" -> ((s, dir) => {
+      // directed containment pairs at C >= 0.6 (Dedup.containmentPairs):
+      // the asymmetric near-dup gate — catches a document whose gram set
+      // sits inside a larger one even when Jaccard is tiny. One-sided
+      // prefix filter (only the contained side explodes a prefix),
+      // exact verification; oracle is the directed brute-force scan.
+      containmentPairs(docs(s, dir), "doc_id", "text",
+          n = 3, minContainment = 0.6)
+        .select(col("doc_a"), col("doc_b"),
+          r4(col("containment")).as("containment"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // INCREMENTAL dedup of an arriving batch (source 'src0') against
       // the existing corpus (every other source) — the growing-corpus
@@ -174,6 +185,19 @@ object DedupQueries {
          WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
     "dedup_clusters" ->
       s"""$clusterCteSql SELECT doc_id, cluster_id FROM cl""",
+    "dedup_containment" ->
+      s"""$shView, e AS (
+           SELECT doc_id, length(sh) AS sz, unnest(sh) AS s
+           FROM d WHERE length(sh) > 0
+         ), i AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sz AS za, count(*) AS inter
+           FROM e a JOIN e b ON a.s = b.s AND a.doc_id != b.doc_id
+           GROUP BY 1, 2, 3
+         )
+         SELECT doc_a, doc_b,
+                round(1e-9 + inter::DOUBLE / za, 4) AS containment
+         FROM i WHERE inter::DOUBLE / za >= 0.6""",
     "dedup_incremental" ->
       """WITH t AS (
            SELECT doc_id, source,

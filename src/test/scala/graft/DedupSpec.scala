@@ -78,6 +78,25 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == expected)
   }
 
+  test("containmentPairs: catches a contained quote Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    val r = new scala.util.Random(11)
+    val big = (0 until 400).map(_ => s"w${r.nextInt(100000)}").mkString(" ")
+    val quote = big.split(" ").slice(100, 140).mkString(" ") // 40 words
+    val noise = (0 until 40).map(_ => s"x${r.nextInt(100000)}").mkString(" ")
+    val docs = Seq((1L, big), (2L, quote), (3L, noise))
+      .toDF("doc_id", "text")
+    val cp = graft.operators.Dedup.containmentPairs(
+        docs, "doc_id", "text", n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet // (contained, container)
+    assert(cp.contains((2L, 1L)), s"quote-in-doc pair missing: $cp")
+    assert(!cp.exists(_._1 == 3L) && !cp.exists(_._2 == 3L))
+    // the same pair is INVISIBLE to a 0.5-Jaccard gate (J ~ 38/398)
+    val jp = graft.operators.Dedup.jaccardPairs(
+        docs, "doc_id", "text", n = 3, minJaccard = 0.5).count()
+    assert(jp == 0L)
+  }
+
   test("duplicateClusters: chains collapse to one component (multi-hop)") {
     // path graph 1-2-3-4 plus isolated pair 10-11: two clusters
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
