@@ -199,6 +199,55 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Distributed Lloyd k-means assignments: deterministic init (the
+    * vectors with `id < k`, centroid label = seed id), then `iters`
+    * rounds of [assign by L2² argmin → per-dimension mean → ROUND to 4
+    * decimals (epsilon-biased) → republish as literals]. Each round is
+    * one narrow assign pass + one (cluster, dim) hash agg whose shuffle
+    * carries O(k·dim) partials — row-count-independent, the
+    * agg_vector_centroid shape — plus a bounded k·dim driver collect
+    * (the broadcast-side contract, same as the IVF centroid bootstrap).
+    *
+    * The ROUNDING is what makes the loop cross-engine replayable: raw
+    * per-dim means differ between engines by summation-order ulps
+    * (~1e-13), which the next round's argmin could amplify into
+    * different assignments; rounding with the 1e-9 bias collapses both
+    * engines onto identical centroid doubles before each reassignment,
+    * so the whole iteration — and the final assignment — is exactly
+    * reproducible (the DuckDB oracle replays every round). Distances
+    * drop the ‖v‖² term (constant per row, argmin-invariant — both
+    * replays drop it); ties break toward the lowest centroid label.
+    * Clusters that lose all members keep their previous centroid. */
+  def kmeansAssignments(vecs: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2 && iters >= 1, "kmeansAssignments needs k >= 2, iters >= 1")
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    var cents: Array[(Long, Seq[Double])] = v.filter(col("vid") < k)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+    require(cents.nonEmpty, "kmeansAssignments: no seed vectors with id < k")
+    def assignDf(c: Array[(Long, Seq[Double])]): DataFrame = {
+      val scores = c.map { case (j, cv) =>
+        val cc = cv.foldLeft(0.0)((a, x) => a + x * x) // dotSql fold order
+        struct((dot(col("vec"), typedlit(cv)) * -2.0 + lit(cc)).as("d"),
+          lit(j).as("j"))
+      }
+      v.withColumn("cl", least(scores: _*).getField("j"))
+    }
+    val r4 = (c: Column) => round(c + lit(1e-9), 4)
+    for (_ <- 1 to iters) {
+      val means = assignDf(cents)
+        .select(col("cl"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy("cl", "d").agg(r4(avg(col("x").cast("double"))).as("m"))
+        .groupBy("cl")
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cl"), transform(col("dm"), _.getField("m")).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.map { case (j, old) => (j, means.getOrElse(j, old)) }
+    }
+    assignDf(cents).select(col("vid"), col("cl"))
+  }
+
   // --- IVF --------------------------------------------------------------
 
   // --- Product quantization (PQ / ADC) ---------------------------------

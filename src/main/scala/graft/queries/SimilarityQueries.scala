@@ -121,6 +121,18 @@ object SimilarityQueries {
         .select(col("query_id"), col("nbr_id"),
           r4(col("cosine")).as("cosine"), col("rank"))
     }),
+    "embedding_kmeans" -> ((s, dir) => {
+      // REAL Lloyd iterations (Similarity.kmeansAssignments) — closes
+      // the "at real scale you'd fit k-means" note the deterministic
+      // IVF/PQ centroid bootstraps carry: k=8, 2 rounds, epsilon-biased
+      // 4-decimal centroid rounding between rounds so both engines
+      // replay the identical trajectory (see the operator's scaladoc).
+      // Output is the final assignment — the oracle re-runs both rounds
+      // in generated CTEs.
+      graft.operators.Similarity.kmeansAssignments(
+          emb(s, dir), k = 8, iters = 2)
+        .select(col("vid").as("vec_id"), col("cl").as("cluster"))
+    }),
     "ann_ivf_topk" -> ((s, dir) => {
       // IVF with DETERMINISTIC centroids (the vectors of vec_id < 8 —
       // no averaging, so both engines see bit-identical centroids),
@@ -164,7 +176,51 @@ object SimilarityQueries {
        SELECT query_id, nbr_id, round(1e-9 + cos_raw, 4) AS cosine, rank
        FROM ranked WHERE rank <= $k"""
 
+  /** Generated k-means replay: `rounds` Lloyd iterations as CTE chains.
+    * Mirrors Similarity.kmeansAssignments exactly — same dropped-‖v‖²
+    * distance, same (score, j) tie order, same epsilon-biased 4-decimal
+    * centroid rounding between rounds, same keep-old-on-empty policy
+    * (via COALESCE against the previous round's centroids). */
+  private def kmeansSql(k: Int, rounds: Int): String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+           SELECT vec_id, xv, j AS cl FROM (
+             SELECT v.vec_id, v.xv, c.j,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY (${dotSql("xv", "cv")} * -2.0
+                   + ${dotSql("cv", "cv")}) ASC, c.j ASC) AS rn
+             FROM v CROSS JOIN $cents c)
+           WHERE rn = 1
+         )"""
+    def meanCte(name: String, assign: String, prev: String) =
+      s"""$name AS (
+           SELECT p.j, COALESCE(n.cv, p.cv) AS cv
+           FROM $prev p LEFT JOIN (
+             SELECT cl AS j, list(m ORDER BY d) AS cv FROM (
+               SELECT cl, d, round(1e-9 + avg(x), 4) AS m FROM (
+                 SELECT cl,
+                   unnest(range(1, length(xv) + 1)) AS d,
+                   unnest(xv) AS x
+                 FROM $assign)
+               GROUP BY 1, 2)
+             GROUP BY 1
+           ) n ON p.j = n.j
+         )"""
+    val body = (1 to rounds).map(i =>
+      assignCte(s"a$i", s"c${i - 1}") + ", " +
+        meanCte(s"c$i", s"a$i", s"c${i - 1}")).mkString(", ")
+    s"""WITH v AS (
+         SELECT vec_id, list_transform(embedding,
+           x -> CAST(x AS DOUBLE)) AS xv
+         FROM embeddings
+       ), c0 AS (
+         SELECT vec_id AS j, xv AS cv FROM v WHERE vec_id < $k
+       ), $body, ${assignCte("fin", s"c$rounds")}
+       SELECT vec_id, cl AS cluster FROM fin"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "embedding_kmeans" -> kmeansSql(8, 2),
     "agg_vector_centroid" ->
       // parallel unnests in one SELECT zip positionally in DuckDB
       """WITH e AS (
