@@ -178,6 +178,44 @@ object ScaleProbe {
       println(s"[probe]   incremental near-dups found: $c (planted ~$planted)")
     }
 
+    // asymmetric containment at the same corpus scale: the planted
+    // near-dup pairs are near-equal-size, so each appears in BOTH
+    // directions (~2x the jaccard pair count); the one-sided prefix
+    // filter keeps candidate generation bounded by the CONTAINED side's
+    // rare prefix
+    time(s"containmentPairs ${nDocs / 1000}k docs (one-sided prefix)") {
+      val c = graft.operators.Dedup.containmentPairs(
+        docs, "doc_id", "text", n = 3, minContainment = 0.8).count()
+      println(s"[probe]   containment pairs found: $c")
+    }
+
+    // iterative graph analytics at 10M edges: 3 PageRank rounds over a
+    // 1M-node synthetic graph — per round one equi-join + one hash agg,
+    // the shape that holds at billions of edges
+    time("pagerank 10M edges / 1M nodes / 3 rounds") {
+      val nNodes = 1000000L
+      val edges = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+          pmod(xxhash64(col("id"), lit(3)), lit(nNodes)).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+      val contrib = edges.join(outw, Seq("src"))
+        .select(col("src"), col("dst"),
+          (col("w").cast("double") / col("ow")).as("p"))
+      val nodes = spark.range(nNodes).select(col("id").as("v"))
+      var ranks = nodes.withColumn("r", lit(1.0 / nNodes))
+      for (_ <- 1 to 3) {
+        val in = contrib
+          .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+          .groupBy("dst").agg(sum(col("p") * col("r")).as("m"))
+        ranks = nodes.join(in.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .select(col("v"), (lit(0.15 / nNodes) +
+            lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
+        ranks = ranks.localCheckpoint(true) // cut lineage per round
+      }
+      sink(ranks)
+    }
+
     // Z-order layout locality at 10M rows: write the same table 64 files
     // linear-sorted by dim A vs z-ordered on (A, B), then count FILES
     // holding qualifying rows for a narrow filter on B — the dimension

@@ -155,6 +155,25 @@ object ExtendedQueries {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+    "window_ewma" -> ((s, dir) => {
+      // Truncated EWMA (depth 20, alpha 0.3): the exponential recency
+      // weighting a feature pipeline wants where the untruncated
+      // recurrence y_i = a*x_i + (1-a)*y_(i-1) is not a window
+      // aggregate at all (it's a linear recurrence; the closed-form
+      // prefix trick catastrophically cancels at scale). Truncating at
+      // depth 20 — residual weight 0.7^20 < 8e-4 — makes it 20 lag()
+      // terms sharing ONE WindowExec, exact in both engines: the
+      // coefficients are computed ONCE driver-side and the very same
+      // double literals are embedded in the Spark plan and the oracle
+      // SQL (Double.toString round-trips), so even libm pow() ulps
+      // can't diverge the engines.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ewma = EwmaCoefs.zipWithIndex.map { case (c, j) =>
+          coalesce(lag(col("value"), j).over(w), lit(0.0)) * lit(c) }
+        .reduce(_ + _)
+      events(s, dir).select(col("event_id"), r4(ewma).as("ewma"))
+    }),
     "window_rolling_corr" -> ((s, dir) => {
       // Rolling bivariate statistics as WINDOW aggregates: trailing
       // 20-row Pearson correlation and sample covariance of
@@ -515,6 +534,12 @@ object ExtendedQueries {
     })
   )
 
+  /** Truncated-EWMA coefficients a·(1-a)^j, a = 0.3, depth 20 — computed
+    * once here and embedded as the SAME double literals in the Spark
+    * plan and the DuckDB oracle (window_ewma). */
+  private val EwmaCoefs: Seq[Double] =
+    (0 until 20).map(j => 0.3 * math.pow(0.7, j))
+
   /** The oracle's replay of functions/ZOrder.interleave as pure bit
     * arithmetic: OR of per-bit shift terms over the 10-bit buckets. */
   private val zInterleaveSql: String = (0 until 10).flatMap(i => Seq(
@@ -522,6 +547,13 @@ object ExtendedQueries {
     s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "window_ewma" -> {
+      val terms = EwmaCoefs.zipWithIndex.map { case (c, j) =>
+        s"COALESCE(lag(value, $j) OVER w, 0.0) * $c" }.mkString(" + ")
+      s"""SELECT event_id, round(1e-9 + ($terms), 4) AS ewma
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+    },
     "window_rolling_corr" ->
       """SELECT l_orderkey, l_linenumber,
          round(1e-9 + corr(l_quantity, l_extendedprice) OVER w, 4)

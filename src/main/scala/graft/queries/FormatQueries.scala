@@ -89,6 +89,31 @@ object FormatQueries {
       sup.write.mode("overwrite").orc(path)
       supplierAgg(s.read.orc(path))
     }),
+    "source_merge_schema" -> ((s, dir) => {
+      // SCHEMA EVOLUTION read: two parquet batches written with
+      // different schemas (the second adds a column — the lake reality
+      // when an upstream producer evolves), read back in ONE scan with
+      // mergeSchema — old-batch rows surface the new column as NULL.
+      // mergeSchema pays a footer-union planning pass, not a data scan,
+      // so it's viable at 100 TB (production would pin the merged
+      // schema in a catalog after the first read). Gate: the unioned
+      // read equals the SQL UNION with explicit NULLs.
+      val path = scratch(s, dir, "supplier_evolved")
+      val done = new java.io.File(path, "_STAGED")
+      val sup = t(s, dir, "supplier")
+      if (!done.isFile) {
+        sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .write.mode("overwrite").parquet(s"$path/batch=1")
+        sup.filter(col("s_suppkey") % 2 =!= 0)
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.mode("overwrite").parquet(s"$path/batch=2")
+        done.createNewFile(): Unit
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          r4(col("s_acctbal")).as("s_acctbal"))
+    }),
     "sink_upsert_snapshot" -> ((s, dir) => {
       // MERGE-INTO / SCD-1 upsert emulated on plain parquet (no table
       // format in the container): base snapshot ⟕⟖ updates batch →
@@ -236,6 +261,11 @@ object FormatQueries {
     "source_binaryfile" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
          text AS content_str FROM documents""",
+    "source_merge_schema" ->
+      """SELECT s_suppkey, s_nationkey,
+           CASE WHEN s_suppkey % 2 = 0 THEN NULL
+                ELSE round(1e-9 + s_acctbal, 4) END AS s_acctbal
+         FROM supplier""",
     "sink_upsert_snapshot" ->
       """WITH u AS (SELECT o_custkey AS c_custkey,
            sum(o_totalprice) AS spent FROM orders GROUP BY 1)
