@@ -105,4 +105,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pairs == (0 until 50).map(i => (i.toLong, 1000L + i)).toSet,
       s"expected the 50 planted cross-pairs, got ${pairs.size}")
   }
+
+  test("kmeans: a starved cluster keeps its centroid instead of crashing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // seeds 0 and 1 sit at the IDENTICAL position: round 1 tie-breaks
+    // every point to label 0, so cluster 1 is STARVED and the
+    // keep-previous-centroid branch fires (a dropped centroid would
+    // shrink the literal array and crash or silently relabel). Cluster
+    // 0's centroid then moves to the global mean (~1.06), and in round
+    // 2 the kept centroid at 0.0 legitimately WINS BACK the points
+    // near the origin — the keep-old policy is what lets a starved
+    // cluster recover instead of dying
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def v(x: Float) = Seq.fill(4)(x)
+    val rows: Seq[Row] = Seq(
+      Row(0L, v(0.0f)), Row(1L, v(0.0f)),
+      Row(2L, v(0.1f)), Row(3L, v(0.2f)), Row(4L, v(5.0f)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = graft.operators.Similarity.kmeansAssignments(df, k = 2,
+        iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L),
+      s"starved-then-recovered split expected: $out")
+  }
+
+  test("asofNearest: empty right side yields all-null matches") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "lt")
+      .withColumn("tag", col("k").cast("string"))
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "rt", "v")
+    val out = graft.operators.AsofJoin.asofNearest(left, right,
+        Seq("k"), "lt", "rt", Seq("v"))
+      .collect()
+    assert(out.length == 2 && out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
 }
