@@ -239,7 +239,6 @@ object Dedup {
       n: Int = 3, k: Int = 32, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5, eager: Boolean = true): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
-    val nBands = k / rowsPerBand
     // cached for the same reason as jaccardPairs' withH: band posting and
     // verification branches would otherwise re-run the hashing kernel
     val withSh = cacheIf(eager)(docs.select(col(idCol).as("doc_id"),

@@ -184,9 +184,12 @@ object ExtendedQueries {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"))
         .rowsBetween(-19, 0)
+      // zero-variance frames: Spark's Corr yields NaN for n >= 2 (its
+      // null guard covers only n == 1) where DuckDB returns NULL —
+      // normalize NaN to NULL so both engines agree on constant frames
+      val rc = corr(col("l_quantity"), col("l_extendedprice")).over(w)
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        r4(corr(col("l_quantity"), col("l_extendedprice")).over(w))
-          .as("roll_corr"),
+        r4(when(!isnan(rc), rc)).as("roll_corr"),
         r4(covar_samp(col("l_quantity"), col("l_extendedprice")).over(w))
           .as("roll_cov"))
     }),
@@ -203,12 +206,14 @@ object ExtendedQueries {
       // data + seed make it reproducible), and the derived ≥1% heavy
       // flag — exact counts + TRUE verdicts hash-match the oracle.
       val ev = events(s, dir)
-      // two driver scalars, both documented-bounded: the sketch bytes
-      // (a sketch, by construction) and the total row count
-      val skBytes = ev.agg(expr(
-        "count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
-        .head.getAs[Array[Byte]](0)
-      val n = ev.count()
+      // one driver-scalar row, bounded like a broadcast side: the
+      // sketch bytes (a sketch, by construction) plus N in a SINGLE
+      // scan/aggregation
+      val bootstrap = ev.agg(expr(
+        "count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n")).head
+      val skBytes = bootstrap.getAs[Array[Byte]](0)
+      val n = bootstrap.getLong(1)
       val est = graft.functions.CmsProbe.cmsEstimate(
         lit(skBytes), col("user_id"))
       ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))

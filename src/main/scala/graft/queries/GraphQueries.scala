@@ -71,11 +71,14 @@ object GraphQueries {
   )
 
   /** The oracle unrolls the 3 iterations as generated CTEs — identical
-    * arithmetic, identical dangling-mass policy. */
+    * arithmetic (the damping constants are INTERPOLATED from D, so the
+    * oracle can never desynchronize from the Spark side, and `1 - D`'s
+    * exact double 0.15000000000000002 is shared, not re-derived) and
+    * identical dangling-mass policy. */
   private val iterCte: String = (1 to Iters).map { i =>
     s"""r$i AS (
          SELECT n.v,
-           0.15 / nn.n + 0.85 * COALESCE(x.m, 0.0) AS r
+           ${1 - D} / nn.n + $D * COALESCE(x.m, 0.0) AS r
          FROM nodes n CROSS JOIN nn
          LEFT JOIN (
            SELECT c.dst, sum(c.p * r${i - 1}.r) AS m
