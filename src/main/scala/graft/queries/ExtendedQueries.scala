@@ -155,6 +155,36 @@ object ExtendedQueries {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+    "window_locf" -> ((s, dir) => {
+      // LOCF forward fill (last observation carried forward) — the
+      // standard time-series imputation: last NON-NULL reading per user
+      // at each event, via IGNORE NULLS window navigation (`last(v,
+      // ignoreNulls=true)` over the running frame). The null pattern is
+      // derived deterministically (explicit floor — DuckDB CAST rounds)
+      // so both engines skip the same readings; values pass through
+      // exactly, no rounding surface.
+      val v = when(floor(col("value")) % 3 =!= 0, col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(col("event_id"), v.as("reading"),
+        last(v, ignoreNulls = true).over(w).as("locf"))
+    }),
+    "agg_approx_topk" -> ((s, dir) => {
+      // approx_top_k (DataSketches frequent-items, new in Spark 4.1):
+      // the mergeable heavy-hitter SKETCH (the aggregate counterpart of
+      // agg_heavyhitters' CMS probe pipeline). Gate design: with k and
+      // the internal map sized ABOVE the true distinct count (5 event
+      // types), the frequent-items sketch never evicts, so every
+      // returned (item, count) is EXACT and the exploded rows equal the
+      // plain group-by — approximation machinery, exactly-checkable
+      // regime (the dedup_minhash precedent).
+      events(s, dir)
+        .agg(expr("approx_top_k(event_type, 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"),
+          col("e.count").cast("long").as("n"))
+    }),
     "window_ewma" -> ((s, dir) => {
       // Truncated EWMA (depth 20, alpha 0.3): the exponential recency
       // weighting a feature pipeline wants where the untruncated
@@ -552,6 +582,19 @@ object ExtendedQueries {
     s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "window_locf" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+           CASE WHEN CAST(floor(value) AS BIGINT) % 3 != 0 THEN value
+                END AS reading
+           FROM events)
+         SELECT event_id, reading,
+           last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+         FROM e""",
+    "agg_approx_topk" ->
+      """SELECT event_type, count(*) AS n
+         FROM events GROUP BY 1""",
     "window_ewma" -> {
       val terms = EwmaCoefs.zipWithIndex.map { case (c, j) =>
         s"COALESCE(lag(value, $j) OVER w, 0.0) * $c" }.mkString(" + ")
