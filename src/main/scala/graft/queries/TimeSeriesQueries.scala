@@ -317,6 +317,33 @@ object TimeSeriesQueries {
       s.catalog.dropTempView(qn)
       out
     }),
+    "stream_sink_idempotent" -> ((s, dir) => {
+      // foreachBatch EXACTLY-ONCE parquet sink: each micro-batch
+      // overwrites its OWN batch-id-keyed directory, so replaying a
+      // batch (failure recovery re-delivers it with the same id) lands
+      // idempotently instead of duplicating — the production pattern
+      // for transactional-less sinks. The write here deliberately runs
+      // TWICE per batch to simulate the replay; the gate (read-back
+      // equals the source table exactly) proves the second delivery
+      // added nothing. maxFilesPerTrigger=1 forces multiple real
+      // batches through the path.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
+      val outDir =
+        s"$root/${new java.io.File(dir).getName}/idemsink_${streamRuns.incrementAndGet()}"
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stagedEventsDir(s, dir))
+        .select(col("event_id"), col("user_id"), col("value"))
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          df.write.mode("overwrite").parquet(s"$outDir/batch=$id") // replay
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).select("event_id", "user_id", "value")
+    }),
     "resample_gapfill" -> ((s, dir) => {
       // time-series resample: daily sums per user with silent days
       // filled as 0.0 across each user's [first, last] day span —
@@ -403,6 +430,8 @@ object TimeSeriesQueries {
          SELECT e.event_id, e.user_id, dim.user_mean,
            round(1e-9 + (e.value - dim.user_mean), 4) AS delta
          FROM events e JOIN dim USING (user_id)""",
+    "stream_sink_idempotent" ->
+      "SELECT event_id, user_id, value FROM events",
     "resample_gapfill" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day, value FROM events),
