@@ -64,6 +64,26 @@ object DedupQueries {
       duplicateClusters(pairs)
         .select(col("doc_id"), col("cluster_id"))
     }),
+    "sql_kernel_pipeline" -> ((s, dir) => {
+      // The SQL-ONLY user path, driver-gated end-to-end: register the
+      // custom kernels (GraftExtensions — the reference's tbl_lazy
+      // users live entirely in SQL) and run a dedup-signature profile
+      // in pure spark.sql: fused shingle hashing, SimHash sketch, and
+      // the z_order layout key, no Scala API anywhere. Values are
+      // individually gated by their API-path keys (dedup_simhash_sig,
+      // layout_zorder); THIS key gates that the SQL registration path
+      // computes the very same numbers.
+      graft.GraftExtensions.register(s)
+      val vn = "graft_docs_sqlv"
+      docs(s, dir).createOrReplaceTempView(vn)
+      s.sql(s"""
+        SELECT doc_id,
+               size(shingle_hashes(text, 3)) AS n_sh,
+               simhash64(shingle_hashes(text, 3), 32) AS sim,
+               z_order(pmod(doc_id, 1024L), pmod(n_chars, 1024L), 10) AS zv
+        FROM $vn
+        WHERE size(shingle_hashes(text, 3)) > 0""")
+    }),
     "dedup_containment" -> ((s, dir) => {
       // directed containment pairs at C >= 0.6 (Dedup.containmentPairs):
       // the asymmetric near-dup gate — catches a document whose gram set
@@ -185,6 +205,19 @@ object DedupQueries {
          WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
     "dedup_clusters" ->
       s"""$clusterCteSql SELECT doc_id, cluster_id FROM cl""",
+    "sql_kernel_pipeline" ->
+      s"""$simhashPerDocSql, zb AS (
+           SELECT doc_id,
+             doc_id % 1024 AS xb, n_chars % 1024 AS yb,
+             length(sh) AS n_sh
+           FROM d JOIN documents USING (doc_id)
+           WHERE length(sh) > 0
+         )
+         SELECT zb.doc_id, zb.n_sh, sm.sim,
+           (${(0 until 10).flatMap(i => Seq(
+             s"(((xb >> $i) & 1) << ${2 * i})",
+             s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")}) AS zv
+         FROM zb JOIN sm USING (doc_id)""",
     "dedup_containment" ->
       s"""$shView, e AS (
            SELECT doc_id, length(sh) AS sz, unnest(sh) AS s
