@@ -155,6 +155,51 @@ object ExtendedQueries {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+    "window_zscore_anomaly" -> ((s, dir) => {
+      // Rolling z-score anomaly detection: each reading scored against
+      // its user's trailing-50 mean/stddev (frame EXCLUDES the current
+      // row — scoring a point against statistics that include it
+      // dilutes the very anomaly being tested), |z| > 3 flags. The
+      // monitoring primitive for telemetry streams; one shared
+      // WindowExec for both moments.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-50, -1)
+      val mu = avg(col("value")).over(w)
+      val sd = stddev_samp(col("value")).over(w)
+      val z = (col("value") - mu) / sd
+      // the flag compares the ROUNDED z (identical doubles in both
+      // engines) — an unrounded |z| straddling 3.0 by summation-order
+      // ulps would flip the boolean cross-engine
+      // the flag is NON-NULL (false when the trailing stddev is
+      // undefined/zero): nullable booleans round-trip differently
+      // through the two engines' dataframe bridges
+      events(s, dir).select(col("event_id"),
+        r4(when(sd > 0, z)).as("zscore"),
+        coalesce(when(sd > 0, abs(r4(z)) > 3), lit(false))
+          .as("is_anomaly"))
+    }),
+    "agg_chisq" -> ((s, dir) => {
+      // Chi-square independence test (event_type × user-id parity):
+      // the classic categorical-association statistic, computed from
+      // one contingency hash-agg + broadcast marginals — Σ(obs-exp)²/exp
+      // with exp = rowTot·colTot/N. Distribution-shift testing for
+      // mixture monitoring, beside text_source_kl's KL form.
+      val ev = events(s, dir).select(col("event_type"),
+        (col("user_id") % 2).as("bucket"))
+      val obs = ev.groupBy("event_type", "bucket")
+        .agg(count(lit(1)).cast("double").as("o"))
+      val rowT = obs.groupBy("event_type").agg(sum(col("o")).as("rt"))
+      val colT = obs.groupBy("bucket").agg(sum(col("o")).as("ct"))
+      val nTot = obs.agg(sum(col("o")).as("n"))
+      obs.join(broadcast(rowT), Seq("event_type"))
+        .join(broadcast(colT), Seq("bucket"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("exp", col("rt") * col("ct") / col("n"))
+        .agg(r4(sum(pow(col("o") - col("exp"), 2) / col("exp")))
+          .as("chisq"),
+          count(lit(1)).cast("long").as("cells"))
+    }),
     "window_locf" -> ((s, dir) => {
       // LOCF forward fill (last observation carried forward) — the
       // standard time-series imputation: last NON-NULL reading per user
@@ -582,6 +627,33 @@ object ExtendedQueries {
     s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "window_zscore_anomaly" ->
+      """WITH s AS (SELECT event_id, value,
+           avg(value) OVER w AS mu,
+           stddev_samp(value) OVER w AS sd
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+         SELECT event_id,
+           CASE WHEN sd > 0
+             THEN round(1e-9 + (value - mu) / sd, 4) END AS zscore,
+           COALESCE(CASE WHEN sd > 0
+             THEN abs(round(1e-9 + (value - mu) / sd, 4)) > 3 END,
+             FALSE) AS is_anomaly
+         FROM s""",
+    "agg_chisq" ->
+      """WITH ev AS (SELECT event_type, user_id % 2 AS bucket
+           FROM events),
+         obs AS (SELECT event_type, bucket, count(*)::DOUBLE AS o
+           FROM ev GROUP BY 1, 2),
+         rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT bucket, sum(o) AS ct FROM obs GROUP BY 1),
+         n AS (SELECT sum(o) AS n FROM obs)
+         SELECT round(1e-9 + sum(pow(obs.o - rt.rt * ct.ct / n.n, 2)
+             / (rt.rt * ct.ct / n.n)), 4) AS chisq,
+           count(*) AS cells
+         FROM obs JOIN rt USING (event_type) JOIN ct USING (bucket)
+           CROSS JOIN n""",
     "window_locf" ->
       """WITH e AS (SELECT event_id, user_id, ts,
            CASE WHEN CAST(floor(value) AS BIGINT) % 3 != 0 THEN value
