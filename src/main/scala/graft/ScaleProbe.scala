@@ -164,6 +164,26 @@ object ScaleProbe {
         .filter(col("nd") >= 2).count()
       println(s"[probe]   duplicated 8-token spans: $c")
     }
+    // the GENERAL month-frame path (arbitrary aggregates via raw-row
+    // expansion join — monthsAggGeneral): median over a trailing month
+    // at 1M events / 10k users. O(n·w̄) joined rows is the honest cost
+    // of a non-decomposable aggregate; this pins the constant.
+    locally {
+      val n1m = n / 10
+      val ev1 = spark.range(n1m).select(
+          pmod(xxhash64(col("id")), lit(10000)).as("user_id"),
+          date_add(lit(java.sql.Date.valueOf("2025-01-01")),
+            pmod(xxhash64(col("id"), lit(1)), lit(365)).cast("int")).as("dt"),
+          (col("id") % 97).cast("double").as("v"))
+        .repartition(32)
+      sink(ev1)
+      time("monthsAggGeneral median 1M evts") {
+        sink(graft.operators.CalendarWindow.monthsAggGeneral(
+          ev1, Seq("user_id"), col("dt"),
+          Seq("med" -> expr("percentile(v, 0.5)")), before = 1, after = 0))
+      }
+    }
+
     // incremental admission: the 5% "arriving batch" (the planted dup
     // copies) probed against the 95% corpus — each batch doc has exactly
     // one corpus near-dup, so found-pairs ≈ |batch| checks recall while
