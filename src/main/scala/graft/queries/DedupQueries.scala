@@ -76,13 +76,15 @@ object DedupQueries {
       graft.GraftExtensions.register(s)
       val vn = "graft_docs_sqlv"
       docs(s, dir).createOrReplaceTempView(vn)
+      // the fused kernel is aliased ONCE in a subquery (text_tokens_bpe's
+      // run-the-regex-once precedent) instead of appearing per output
+      // column AND in the filter
       s.sql(s"""
-        SELECT doc_id,
-               size(shingle_hashes(text, 3)) AS n_sh,
-               simhash64(shingle_hashes(text, 3), 32) AS sim,
+        SELECT doc_id, size(hs) AS n_sh, simhash64(hs, 32) AS sim,
                z_order(pmod(doc_id, 1024L), pmod(n_chars, 1024L), 10) AS zv
-        FROM $vn
-        WHERE size(shingle_hashes(text, 3)) > 0""")
+        FROM (SELECT doc_id, n_chars, shingle_hashes(text, 3) AS hs
+              FROM $vn)
+        WHERE size(hs) > 0""")
     }),
     "dedup_containment" -> ((s, dir) => {
       // directed containment pairs at C >= 0.6 (Dedup.containmentPairs):
@@ -214,9 +216,7 @@ object DedupQueries {
            WHERE length(sh) > 0
          )
          SELECT zb.doc_id, zb.n_sh, sm.sim,
-           (${(0 until 10).flatMap(i => Seq(
-             s"(((xb >> $i) & 1) << ${2 * i})",
-             s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")}) AS zv
+           (${ExtendedQueries.zInterleaveSql}) AS zv
          FROM zb JOIN sm USING (doc_id)""",
     "dedup_containment" ->
       s"""$shView, e AS (

@@ -621,8 +621,10 @@ object ExtendedQueries {
     (0 until 20).map(j => 0.3 * math.pow(0.7, j))
 
   /** The oracle's replay of functions/ZOrder.interleave as pure bit
-    * arithmetic: OR of per-bit shift terms over the 10-bit buckets. */
-  private val zInterleaveSql: String = (0 until 10).flatMap(i => Seq(
+    * arithmetic: OR of per-bit shift terms over the 10-bit buckets
+    * (over columns named xb/yb; shared with DedupQueries'
+    * sql_kernel_pipeline oracle so the two replicas cannot drift). */
+  private[queries] val zInterleaveSql: String = (0 until 10).flatMap(i => Seq(
     s"(((xb >> $i) & 1) << ${2 * i})",
     s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 

@@ -325,16 +325,47 @@ object TimeSeriesQueries {
       // for transactional-less sinks. The write here deliberately runs
       // TWICE per batch to simulate the replay; the gate (read-back
       // equals the source table exactly) proves the second delivery
-      // added nothing. maxFilesPerTrigger=1 forces multiple real
-      // batches through the path.
+      // added nothing.
       import org.apache.spark.sql.streaming.Trigger
-      val schema = events(s, dir).schema
+      import org.apache.spark.sql.types._
       val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
       val outDir =
         s"$root/${new java.io.File(dir).getName}/idemsink_${streamRuns.incrementAndGet()}"
+      // three staged files (mod-3 split) → with maxFilesPerTrigger=1,
+      // THREE real micro-batches with distinct batch ids — so the
+      // batch-id-keyed directory contract is actually exercised (a sink
+      // that ignored the id and overwrote one directory would lose two
+      // batches and fail the row-count gate)
+      val staged = s"$root/${new java.io.File(dir).getName}/idemsrc"
+      val done = new java.io.File(staged, "_STAGED")
+      if (!done.isFile) {
+        stagedEventsDir(s, dir) // registers the shutdown-hook cleanup
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val base = System.currentTimeMillis() - 60000
+        (0 until 3).foreach { i =>
+          val tmp = s"$staged/__tmp_$i"
+          ev.filter(col("event_id") % 3 === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(staged, f"$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(base + i * 1000L)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(tmp))
+        }
+        done.createNewFile(): Unit
+      }
+      val schema = new StructType().add("event_id", LongType)
+        .add("user_id", LongType).add("value", DoubleType)
       val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(stagedEventsDir(s, dir))
-        .select(col("event_id"), col("user_id"), col("value"))
+        .option("maxFilesPerTrigger", 1).parquet(staged)
       val q = src.writeStream
         .foreachBatch { (df: DataFrame, id: Long) =>
           df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
