@@ -363,6 +363,24 @@ object SparkEntry {
           index = Some(tsDate))
         .select(col("event_id"), col("w_cnt"), r4(col("w_sum")).as("w_sum"))
     }),
+    "window_range_years" -> ((s, dir) => {
+      // years(k) Period sugar — 12 calendar months per year under
+      // lubridate Period arithmetic (clamping included), so
+      // Frame.years(1, 0) ≡ months(12, 0) and routes through
+      // CalendarWindow's prefix+as-of path. Runs on ORDERS (7-year date
+      // span; events span only 30 days, where a year frame would
+      // degenerate to the cumulative window). Trailing-year order
+      // count + spend per customer.
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("d"))
+        .mutateW("y_cnt" -> count(col("o_totalprice")),
+            "y_sum" -> sum(col("o_totalprice")))(
+          by = Seq(col("o_custkey")),
+          frame = Some(Frame.years(1, 0)),
+          index = Some(col("d")))
+        .select(col("o_orderkey"), col("y_cnt"), r4(col("y_sum")).as("y_sum"))
+    }),
     "window_range_hours" -> ((s, dir) => {
       // hours(k) Period sugar — Frame.hours(6, 0) ≡ seconds(21600, 0),
       // sub-day granularity on the same rangeBetween path
@@ -626,6 +644,14 @@ object SparkEntry {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY day
            RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)""",
+    "window_range_years" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS d FROM orders)
+         SELECT a.o_orderkey, count(b.o_totalprice) AS y_cnt,
+           round(1e-9 + sum(b.o_totalprice), 4) AS y_sum
+         FROM o a LEFT JOIN o b ON a.o_custkey = b.o_custkey
+           AND b.d BETWEEN CAST(a.d - INTERVAL 12 MONTH AS DATE) AND a.d
+         GROUP BY 1""",
     "window_range_months_days" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
            FROM events)

@@ -41,4 +41,40 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(BIN)
   }
+
+  /** Interval-OVERLAP join (interval × interval, both sides large):
+    * pairs of rows with matching `keys` whose closed intervals
+    * `[lo1, hi1]` and `[lo2, hi2]` intersect. Same binning idea as
+    * [[intervalJoin]] with one extra trick: a pair of overlapping
+    * intervals shares EVERY bin their intersection covers, so a plain
+    * binned equi-join emits duplicates. Instead of a `distinct` over
+    * the (wide) pair output, each pair is emitted only from its
+    * CANONICAL bin — the bin containing `greatest(lo1, lo2)`, the
+    * intersection's start, which exists exactly once per overlapping
+    * pair. The join stays a pure shuffle hash/sort-merge equi-join on
+    * (keys, bin); no dedup pass, no nested loop.
+    *
+    * Left columns are suffixed `_1`, right `_2` (keys kept once,
+    * unsuffixed). Interval columns must be numeric; both sides explode
+    * to `span/binWidth + 1` bins, so set `binWidth` near the typical
+    * interval span. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], lo1: String, hi1: String, lo2: String,
+      hi2: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val BIN = "__oj_bin__"
+    def suffix(df: DataFrame, sfx: String) = df.columns.foldLeft(df) {
+      (d, c) => if (keys.contains(c)) d else d.withColumnRenamed(c, c + sfx)
+    }
+    val l = suffix(left, "_1").withColumn(BIN, explode(sequence(
+      floor(col(lo1 + "_1") / binWidth), floor(col(hi1 + "_1") / binWidth))))
+    val r = suffix(right, "_2").withColumn(BIN, explode(sequence(
+      floor(col(lo2 + "_2") / binWidth), floor(col(hi2 + "_2") / binWidth))))
+    l.join(r, keys :+ BIN)
+      .filter(col(hi1 + "_1") >= col(lo2 + "_2") &&
+        col(hi2 + "_2") >= col(lo1 + "_1") &&
+        floor(greatest(col(lo1 + "_1"), col(lo2 + "_2")) / binWidth)
+          === col(BIN))
+      .drop(BIN)
+  }
 }

@@ -252,21 +252,29 @@ object ExtendedQueries {
     "window_rolling_corr" -> ((s, dir) => {
       // Rolling bivariate statistics as WINDOW aggregates: trailing
       // 20-row Pearson correlation and sample covariance of
-      // (quantity, price) per return flag — corr/covar_samp run in the
+      // (quantity, price) per supplier — corr/covar_samp run in the
       // same incremental frame machinery as sum/avg (one shared
       // WindowExec), the windowed form of agg_moments/agg_regression.
-      val w = Window.partitionBy(col("l_returnflag"))
+      // Partition key is l_suppkey (|suppliers| ∝ SF), NOT a
+      // 3-value flag: a window's group count caps its task count, so
+      // a low-cardinality partition key is a straggler at any scale.
+      val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"))
+          col("l_partkey"))
         .rowsBetween(-19, 0)
-      // zero-variance frames: Spark's Corr yields NaN for n >= 2 (its
-      // null guard covers only n == 1) where DuckDB returns NULL —
-      // normalize NaN to NULL so both engines agree on constant frames
-      val rc = corr(col("l_quantity"), col("l_extendedprice")).over(w)
+      // zero-variance frames (short leading frames with tied
+      // quantities): Spark's Corr divides ck / sqrt(M2x·M2y), which
+      // under ANSI mode THROWS on a zero variance where DuckDB returns
+      // NULL. Assemble corr from its window components instead — the
+      // same Welford M2 ratio, with the division evaluated only when
+      // both variances are positive (CaseWhen short-circuits) — four
+      // aggs still sharing ONE WindowExec.
+      val vx = var_samp(col("l_quantity")).over(w)
+      val vy = var_samp(col("l_extendedprice")).over(w)
+      val cv = covar_samp(col("l_quantity"), col("l_extendedprice")).over(w)
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        r4(when(!isnan(rc), rc)).as("roll_corr"),
-        r4(covar_samp(col("l_quantity"), col("l_extendedprice")).over(w))
-          .as("roll_cov"))
+        r4(when(vx > 0 && vy > 0, cv / sqrt(vx * vy))).as("roll_corr"),
+        r4(cv).as("roll_cov"))
     }),
     "agg_heavyhitters" -> ((s, dir) => {
       // Count-Min-sketch heavy-hitter detection, oracle-gated on the
@@ -611,6 +619,63 @@ object ExtendedQueries {
         regexp_count(col("text"), lit("[a-z]{6,}")).cast("long").as("n_long"),
         length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
           .as("len_novowel"))
+    }),
+    "join_interval_overlap" -> ((s, dir) => {
+      // Interval-OVERLAP join (interval × interval — RangeJoin's
+      // intervalJoin covers only point-in-interval): concurrent
+      // shipment pairs per supplier, where each lineitem occupies
+      // [shipday, shipday + transit] (transit = 1 + l_partkey % 14,
+      // deterministic in both engines). Spark has no fast plan for a
+      // non-equi self-join; the binned form emits each overlapping
+      // pair exactly ONCE from the canonical bin holding the
+      // intersection start — a pure equi-join on (suppkey, bin), no
+      // distinct pass, no nested loop. Oracle is the naive inequality
+      // self-join. The struct< guard keeps one orientation of each
+      // unordered pair and drops self-pairs.
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        expr("datediff(cast(l_shipdate as date), date'1970-01-01')")
+          .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + lit(1L) + pmod(col("l_partkey"), lit(14L)))
+      val pairs = graft.operators.RangeJoin.intervalOverlapJoin(
+        li, li, keys = Seq("l_suppkey"), "lo", "hi", "lo", "hi",
+        binWidth = 16)
+      pairs.filter(
+          struct(col("l_orderkey_1"), col("l_linenumber_1"),
+            col("l_partkey_1")) <
+          struct(col("l_orderkey_2"), col("l_linenumber_2"),
+            col("l_partkey_2")))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).cast("long").as("overlap_pairs"))
+    }),
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      // CDC snapshot diff — the incremental-corpus primitive: given two
+      // keyed snapshots, classify every key as insert/update/delete and
+      // carry both values. One shuffle (full-outer hash join on the
+      // key, AQE-splittable); at 100 TB this is the standard
+      // recompute-free refresh between corpus versions. Snapshots are
+      // carved deterministically from orders: OLD drops keys ≡ 0
+      // (mod 89) [later inserts], NEW drops keys ≡ 0 (mod 97)
+      // [deletes] and bumps price on keys ≡ 0 (mod 11) [updates].
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"))
+      val old = o.filter(pmod(col("o_orderkey"), lit(89L)) =!= 0)
+        .withColumnRenamed("o_totalprice", "old_price")
+      val neu = o.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(11L)) === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+        .withColumnRenamed("o_totalprice", "new_price")
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .withColumn("op",
+          when(col("new_price").isNull, "D")
+            .when(col("old_price").isNull, "I")
+            .when(col("old_price") =!= col("new_price"), "U")
+            .otherwise("N"))
+        .filter(col("op") =!= "N")
+        .select(col("o_orderkey"), col("op"),
+          r4(col("old_price")).as("old_price"),
+          r4(col("new_price")).as("new_price"))
     })
   )
 
@@ -683,9 +748,8 @@ object ExtendedQueries {
          round(1e-9 + covar_samp(l_quantity, l_extendedprice) OVER w, 4)
            AS roll_cov
          FROM lineitem
-         WINDOW w AS (PARTITION BY l_returnflag
-           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
-             l_suppkey
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
     "agg_heavyhitters" ->
       """WITH e AS (SELECT user_id, count(*) AS exact_n
@@ -905,6 +969,38 @@ object ExtendedQueries {
            AS n_long,
          CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
            AS len_novowel
-         FROM documents"""
+         FROM documents""",
+    "join_interval_overlap" ->
+      """WITH l AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+           date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             AS lo,
+           date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             + 1 + l_partkey % 14 AS hi
+           FROM lineitem)
+         SELECT a.l_suppkey, count(*) AS overlap_pairs
+         FROM l a JOIN l b ON a.l_suppkey = b.l_suppkey
+           AND a.hi >= b.lo AND b.hi >= a.lo
+           AND (a.l_orderkey, a.l_linenumber, a.l_partkey)
+             < (b.l_orderkey, b.l_linenumber, b.l_partkey)
+         GROUP BY 1""",
+    "cdc_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+         old AS (SELECT o_orderkey, o_totalprice AS old_price FROM o
+           WHERE o_orderkey % 89 <> 0),
+         neu AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS new_price
+           FROM o WHERE o_orderkey % 97 <> 0)
+         , d AS (SELECT COALESCE(old.o_orderkey, neu.o_orderkey)
+             AS o_orderkey,
+           CASE WHEN neu.o_orderkey IS NULL THEN 'D'
+                WHEN old.o_orderkey IS NULL THEN 'I'
+                WHEN old_price <> new_price THEN 'U'
+                ELSE 'N' END AS op,
+           round(1e-9 + old_price, 4) AS old_price,
+           round(1e-9 + new_price, 4) AS new_price
+           FROM old FULL OUTER JOIN neu
+             ON old.o_orderkey = neu.o_orderkey)
+         SELECT * FROM d WHERE op <> 'N'"""
   )
 }

@@ -186,6 +186,31 @@ object RelationalQueries {
           dense_rank().over(w).cast("long").as("drnk"),
           lag(col("o_orderkey"), 1).over(w).as("prev_key"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"))
+    }),
+    "bucketize_quantiles" -> ((s, dir) => {
+      // Quantile discretization (feature bucketing): quartile
+      // boundaries from ONE exact array-percentile aggregate, then a
+      // broadcast of that single boundary row drives a codegen'd
+      // when-chain over the full table — two passes, no repartition, no
+      // rank-the-world window (ntile would sort the entire table inside
+      // ONE task per partition key; this is the scalable form of the
+      // same feature). Integer-valued l_quantity keeps the interpolated
+      // cut points dyadic-exact so both engines compare bit-identically.
+      val li = t(s, dir, "lineitem")
+      val qs = li.agg(percentile(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("__qs"))
+        .select(col("__qs")(0).as("b1"), col("__qs")(1).as("b2"),
+          col("__qs")(2).as("b3"))
+      li.crossJoin(broadcast(qs))
+        .withColumn("bucket",
+          when(col("l_quantity") <= col("b1"), 0L)
+            .when(col("l_quantity") <= col("b2"), 1L)
+            .when(col("l_quantity") <= col("b3"), 2L)
+            .otherwise(3L))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("l_quantity")).cast("long").as("q_lo"),
+          max(col("l_quantity")).cast("long").as("q_hi"))
     })
   )
 
@@ -300,6 +325,18 @@ object RelationalQueries {
          lead(o_orderkey, 1) OVER w AS next_key
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
-           ORDER BY o_totalprice DESC, o_orderkey)"""
+           ORDER BY o_totalprice DESC, o_orderkey)""",
+    "bucketize_quantiles" ->
+      """WITH q AS (SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75])
+           AS qs FROM lineitem)
+         SELECT CAST(CASE WHEN l_quantity <= qs[1] THEN 0
+                WHEN l_quantity <= qs[2] THEN 1
+                WHEN l_quantity <= qs[3] THEN 2
+                ELSE 3 END AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(floor(min(l_quantity)) AS BIGINT) AS q_lo,
+           CAST(floor(max(l_quantity)) AS BIGINT) AS q_hi
+         FROM lineitem CROSS JOIN q
+         GROUP BY 1"""
   )
 }

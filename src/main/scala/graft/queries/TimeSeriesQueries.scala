@@ -390,6 +390,36 @@ object TimeSeriesQueries {
       cal.join(daily, Seq("user_id", "day"), "left")
         .select(col("user_id"), col("day"),
           coalesce(col("day_sum"), lit(0.0)).as("day_sum"))
+    }),
+    "window_rolling_distinct" -> ((s, dir) => {
+      // Trailing 7-day DISTINCT user count at every day — the rolling
+      // "unique actives" metric. count(DISTINCT) is not windowable in
+      // either engine, so operators/RollingDistinct decomposes it into
+      // per-user lag edges + a difference array summed per day + one
+      // bucket-domain cumsum: O(rows) work, zero window expansion. The
+      // oracle IS the |days| × |user-days| interval join — the rewrite
+      // must reproduce it exactly, including zero-activity days whose
+      // trailing window still holds earlier users.
+      graft.operators.RollingDistinct.trailingDistinct(
+        events(s, dir).select(col("user_id"),
+          expr("ts div 86400000000000").as("day")),
+        idCol = "user_id", bucketCol = "day", w = 7, outCol = "uniq7")
+    }),
+    "ts_seasonal_dow" -> ((s, dir) => {
+      // Day-of-week seasonal decomposition: per-weekday mean (the
+      // seasonal component) and per-event residual. The seasonal means
+      // are 7 groups — a 7-partition window would be a G-task straggler
+      // at scale, so this is a hash aggregate (map-side partials)
+      // broadcast-joined back onto the events. Pure integer dow
+      // (epoch-day mod 7), no calendar semantics.
+      val e = events(s, dir).select(col("event_id"), col("value"),
+        expr("(ts div 86400000000000) % 7").as("dow"))
+      val seasonal = e.groupBy("dow")
+        .agg(avg(col("value")).as("dow_mean"))
+      e.join(broadcast(seasonal), Seq("dow"))
+        .select(col("event_id"), col("dow"),
+          r4(col("dow_mean")).as("dow_mean"),
+          r4(col("value") - col("dow_mean")).as("resid"))
     })
   )
 
@@ -475,6 +505,23 @@ object TimeSeriesQueries {
          SELECT cal.user_id, cal.day,
            coalesce(d.day_sum, 0.0) AS day_sum
          FROM cal LEFT JOIN d ON cal.user_id = d.user_id
-           AND cal.day = d.day"""
+           AND cal.day = d.day""",
+    "window_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT unnest(generate_series(min(day), max(day)))
+           AS day FROM e)
+         SELECT s.day, count(DISTINCT e.user_id) AS uniq7
+         FROM span s LEFT JOIN e
+           ON e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1""",
+    "ts_seasonal_dow" ->
+      """WITH e AS (SELECT event_id, value,
+           (epoch_ns(ts) // 86400000000000) % 7 AS dow FROM events),
+         m AS (SELECT dow, avg(value) AS dow_mean FROM e GROUP BY 1)
+         SELECT e.event_id, e.dow,
+           round(1e-9 + m.dow_mean, 4) AS dow_mean,
+           round(1e-9 + (e.value - m.dow_mean), 4) AS resid
+         FROM e JOIN m ON e.dow = m.dow"""
   )
 }

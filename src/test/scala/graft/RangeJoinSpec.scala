@@ -63,4 +63,43 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("interval-overlap join equals the naive pair scan, each pair ONCE") {
+    val gen = for {
+      na <- Gen.choose(0, 15); nb <- Gen.choose(0, 15)
+      mk = for {
+        k <- Gen.oneOf("a", "b"); lo <- Gen.choose(0L, 60L)
+        span <- Gen.choose(0L, 20L)
+      } yield (k, lo, lo + span)
+      as <- Gen.listOfN(na, mk); bs <- Gen.listOfN(nb, mk)
+      w <- Gen.choose(1L, 25L)
+    } yield (as, bs, w)
+    check(forAll(gen) { case (as, bs, w) =>
+      val l = as.zipWithIndex.map { case ((k, lo, hi), i) =>
+        (k, lo, hi, i.toLong) }.toDF("k", "lo", "hi", "aid")
+      val r = bs.zipWithIndex.map { case ((k, lo, hi), i) =>
+        (k, lo, hi, i.toLong) }.toDF("k", "lo", "hi", "bid")
+      // collect as a LIST, not a set — duplicate emissions must fail
+      val got = RangeJoin.intervalOverlapJoin(l, r, Seq("k"),
+          "lo", "hi", "lo", "hi", binWidth = w)
+        .select("aid_1", "bid_2").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val want = (for {
+        ((ak, alo, ahi), ai) <- as.zipWithIndex
+        ((bk, blo, bhi), bi) <- bs.zipWithIndex
+        if ak == bk && ahi >= blo && bhi >= alo
+      } yield (ai.toLong, bi.toLong)).sorted
+      got == want
+    })
+  }
+
+  test("overlap join plan is an equi join, not a nested loop") {
+    val l = Seq(("a", 0L, 9L, 1L)).toDF("k", "lo", "hi", "aid")
+    val r = Seq(("a", 5L, 15L, 2L)).toDF("k", "lo", "hi", "bid")
+    val out = RangeJoin.intervalOverlapJoin(l, r, Seq("k"),
+      "lo", "hi", "lo", "hi", 8)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"overlap join degenerated:\n$p")
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import graft.operators.RollingDistinct
+
+class RollingDistinctSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(12).withWorkers(1)
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def naive(rows: Seq[(Long, Long)], w: Int): Map[Long, Long] = {
+    val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+    (lo to hi).map { d =>
+      d -> rows.collect { case (id, b) if b <= d && b > d - w => id }
+        .distinct.size.toLong
+    }.toMap
+  }
+
+  test("difference-array rolling distinct equals the naive window scan") {
+    val gen = for {
+      n <- Gen.choose(1, 60); w <- Gen.choose(1, 9)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 7L); b <- Gen.choose(100L, 130L)
+      } yield (id, b))
+    } yield (rows, w)
+    check(forAll(gen) { case (rows, w) =>
+      val df = rows.toDF("uid", "b")
+      val got = RollingDistinct.trailingDistinct(df, "uid", "b", w, "cnt")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == naive(rows, w)
+    })
+  }
+
+  test("zero-activity buckets inside the span still report carried ids") {
+    // id 1 active on day 10 only; w=3 covers days 10-12 even though 11
+    // and 12 have no events; day 13 drops to 0
+    val df = Seq((1L, 10L), (2L, 13L)).toDF("uid", "b")
+    val got = RollingDistinct.trailingDistinct(df, "uid", "b", 3, "cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 1L, 13L -> 1L))
+  }
+
+  test("repeat appearances never double-count (w spanning the gap)") {
+    // id 1 on days 10 and 12 with w=5: windows ending 12..14 see it
+    // once, not twice
+    val df = Seq((1L, 10L), (1L, 12L)).toDF("uid", "b")
+    val got = RollingDistinct.trailingDistinct(df, "uid", "b", 5, "cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+}
