@@ -236,6 +236,37 @@ object ScaleProbe {
       sink(ranks)
     }
 
+    // rolling DISTINCT count at 10M rows / 1M ids / 365 days, w=28:
+    // the difference-array rewrite is O(rows) + a 365-row cumsum — the
+    // naive forms are a 365×|id-days| interval join or per-window
+    // collect_set state
+    time("trailingDistinct 10M rows w=28") {
+      val rd = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(1000000)).as("uid"),
+          (lit(18000L) + pmod(xxhash64(col("id"), lit(11)), lit(365)))
+            .as("day"))
+        .repartition(32)
+      sink(graft.operators.RollingDistinct.trailingDistinct(
+        rd, "uid", "day", w = 28, outCol = "uniq28"))
+    }
+
+    // interval-OVERLAP join at 5M intervals / 10k keys: binned
+    // canonical-bin equi-join — candidate pairs track the true overlap
+    // count, never |rows|²
+    time("intervalOverlapJoin 5M intervals") {
+      val iv = spark.range(n / 2).select(
+          pmod(xxhash64(col("id")), lit(10000)).as("k"),
+          pmod(xxhash64(col("id"), lit(5)), lit(2500)).as("lo"),
+          col("id").as("iid"))
+        .withColumn("hi",
+          col("lo") + lit(1L) + pmod(xxhash64(col("iid"), lit(9)), lit(14)))
+        .repartition(32)
+      val pairs = graft.operators.RangeJoin.intervalOverlapJoin(
+          iv, iv, Seq("k"), "lo", "hi", "lo", "hi", binWidth = 8)
+        .filter(col("iid_1") < col("iid_2"))
+      println(s"[probe]   overlap pairs: ${pairs.count()}")
+    }
+
     // Z-order layout locality at 10M rows: write the same table 64 files
     // linear-sorted by dim A vs z-ordered on (A, B), then count FILES
     // holding qualifying rows for a narrow filter on B — the dimension

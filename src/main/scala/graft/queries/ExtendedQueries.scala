@@ -639,7 +639,7 @@ object ExtendedQueries {
         .withColumn("hi", col("lo") + lit(1L) + pmod(col("l_partkey"), lit(14L)))
       val pairs = graft.operators.RangeJoin.intervalOverlapJoin(
         li, li, keys = Seq("l_suppkey"), "lo", "hi", "lo", "hi",
-        binWidth = 16)
+        binWidth = 8)
       pairs.filter(
           struct(col("l_orderkey_1"), col("l_linenumber_1"),
             col("l_partkey_1")) <

@@ -317,6 +317,43 @@ object TimeSeriesQueries {
       s.catalog.dropTempView(qn)
       out
     }),
+    "join_stream_stream" -> ((s, dir) => {
+      // STREAM-STREAM inner join run to completion — the one streaming
+      // join shape with genuine two-sided state: both sides buffer rows
+      // until the event-time range condition can no longer match
+      // (watermark-bounded state eviction). Even/odd event-id halves of
+      // the stream joined per user within ±1 hour event time. The
+      // watermark here COVERS the fixture span (40 days) so no match is
+      // ever dropped and the appended sink equals the batch inequality
+      // join exactly — production would run a tight delay and trade
+      // late matches for bounded state; the range condition (not the
+      // watermark) is what lets Spark evict either side's buffer.
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      val staged = stagedEventsDir(s, dir)
+      val l = s.readStream.schema(schema).parquet(staged)
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("l_id"), col("user_id"),
+          tts.as("l_ts"))
+        .withWatermark("l_ts", "40 days")
+      val r = s.readStream.schema(schema).parquet(staged)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
+          tts.as("r_ts"))
+        .withWatermark("r_ts", "40 days")
+      val joined = l.join(r, col("user_id") === col("r_uid") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("l_id"), col("user_id"), col("r_id"))
+      val qn = s"graft_stream_stream_${streamRuns.incrementAndGet()}"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn)
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "stream_sink_idempotent" -> ((s, dir) => {
       // foreachBatch EXACTLY-ONCE parquet sink: each micro-batch
       // overwrites its OWN batch-id-keyed directory, so replaying a
@@ -405,6 +442,33 @@ object TimeSeriesQueries {
           expr("ts div 86400000000000").as("day")),
         idCol = "user_id", bucketCol = "day", w = 7, outCol = "uniq7")
     }),
+    "window_rolling_distinct_approx" -> ((s, dir) => {
+      // The SKETCH path beside window_rolling_distinct — at 100 TB with
+      // huge per-bucket cardinalities, exact difference-array counting
+      // still touches every row; the mergeable-HLL form aggregates ONE
+      // small sketch per day (map-side partials) and unions 7 sketches
+      // per output row. The merge window runs over the BUCKET DOMAIN
+      // (30 rows here — days of history, not data), so the orderless
+      // single-partition window is bounded by calendar size. Gated on
+      // the verdict pattern (agg_approx/decontam_bloom): exact counts +
+      // within-tolerance verdicts hash-match the oracle. Output
+      // restricted to active days (every fixture day is active).
+      val ev = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      val exact = graft.operators.RollingDistinct.trailingDistinct(
+        ev, "user_id", "day", w = 7, outCol = "uniq7")
+      val daily = ev.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("__sk"))
+      val w7 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rangeBetween(-6, 0)
+      val est = daily.select(col("day"),
+        hll_sketch_estimate(hll_union_agg(col("__sk")).over(w7))
+          .as("__est"))
+      exact.join(est, Seq("day"))
+        .select(col("day"), col("uniq7"),
+          (abs(col("__est") - col("uniq7")) <=
+            greatest(lit(2.0), col("uniq7") * 0.05)).as("est_ok"))
+    }),
     "ts_seasonal_dow" -> ((s, dir) => {
       // Day-of-week seasonal decomposition: per-weekday mean (the
       // seasonal component) and per-event residual. The seasonal means
@@ -491,6 +555,14 @@ object TimeSeriesQueries {
          SELECT e.event_id, e.user_id, dim.user_mean,
            round(1e-9 + (e.value - dim.user_mean), 4) AS delta
          FROM events e JOIN dim USING (user_id)""",
+    "join_stream_stream" ->
+      """WITH e AS (SELECT event_id, user_id,
+           epoch_ns(ts) // 1000 AS tus FROM events)
+         SELECT a.event_id AS l_id, a.user_id, b.event_id AS r_id
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+           AND b.tus BETWEEN a.tus - 3600000000
+                         AND a.tus + 3600000000""",
     "stream_sink_idempotent" ->
       "SELECT event_id, user_id, value FROM events",
     "resample_gapfill" ->
@@ -515,6 +587,17 @@ object TimeSeriesQueries {
          FROM span s LEFT JOIN e
            ON e.day BETWEEN s.day - 6 AND s.day
          GROUP BY 1""",
+    "window_rolling_distinct_approx" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT unnest(generate_series(min(day), max(day)))
+           AS day FROM e),
+         x AS (SELECT s.day, count(DISTINCT e.user_id) AS uniq7
+           FROM span s LEFT JOIN e
+             ON e.day BETWEEN s.day - 6 AND s.day
+           GROUP BY 1)
+         SELECT x.day, x.uniq7, TRUE AS est_ok
+         FROM x JOIN (SELECT DISTINCT day FROM e) a ON x.day = a.day""",
     "ts_seasonal_dow" ->
       """WITH e AS (SELECT event_id, value,
            (epoch_ns(ts) // 86400000000000) % 7 AS dow FROM events),
