@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Exact COUNT(DISTINCT id) over a trailing bucket window — the "7-day
@@ -45,37 +45,56 @@ object RollingDistinct {
     * `sequence()` from a single min/max aggregate — bounded by the
     * bucket-domain size, not by |df|. */
   def trailingDistinct(df: DataFrame, idCol: String, bucketCol: String,
-      w: Int, outCol: String = "distinct_cnt"): DataFrame = {
+      w: Int, outCol: String = "distinct_cnt"): DataFrame =
+    groupedTrailingDistinct(df, Nil, idCol, bucketCol, w, outCol)
+
+  /** Grouped form: the same decomposition per `by` group (rolling
+    * uniques per source/domain/tenant). Group columns ride every stage
+    * as extra keys; the spine is each group's own [min, max] span; the
+    * final running sum is [[GlobalWindow.groupedCumSum]], so few hot
+    * groups get G×P parallelism instead of a G-task window cap. */
+  def groupedTrailingDistinct(df: DataFrame, by: Seq[String], idCol: String,
+      bucketCol: String, w: Int,
+      outCol: String = "distinct_cnt"): DataFrame = {
     require(w >= 1, "window width must be >= 1 bucket")
-    val s = df.sparkSession
     import org.apache.spark.sql.expressions.Window
 
-    val pairs = df.select(col(idCol).as("__id"),
-      col(bucketCol).cast("long").as("__b")).distinct()
-    val perId = Window.partitionBy(col("__id")).orderBy(col("__b"))
+    val byCols = by.map(col)
+    val pairs = df.select(byCols :+ col(idCol).as("__id") :+
+      col(bucketCol).cast("long").as("__b"): _*).distinct()
+    val perId = Window.partitionBy(byCols :+ col("__id"): _*)
+      .orderBy(col("__b"))
     val edges = pairs
       .withColumn("__prev", lag(col("__b"), 1).over(perId))
-      .select(col("__b"), when(col("__prev").isNull, col("__b"))
-        .otherwise(greatest(col("__b"), col("__prev") + w)).as("__start"))
-    // two delta rows per (id, bucket) pair: +1 where the id enters the
-    // trailing window, -1 where it ages out
-    val deltas = edges.select(explode(array(
+      .select(byCols :+ col("__b") :+
+        (when(col("__prev").isNull, col("__b"))
+          .otherwise(greatest(col("__b"), col("__prev") + w))
+          .as("__start")): _*)
+    // two delta rows per (group, id, bucket) pair: +1 where the id
+    // enters the trailing window, -1 where it ages out
+    val deltas = edges.select(byCols :+ explode(array(
         struct(col("__start").as("__d"), lit(1L).as("__delta")),
         struct((col("__b") + w).as("__d"), lit(-1L).as("__delta"))))
-        .as("__e"))
-      .select(col("__e.__d").as("__d"), col("__e.__delta").as("__delta"))
-      .groupBy("__d").agg(sum(col("__delta")).as("__delta"))
+        .as("__e"): _*)
+      .select(byCols :+ col("__e.__d").as("__d") :+
+        col("__e.__delta").as("__delta"): _*)
+      .groupBy((by :+ "__d").map(col): _*)
+      .agg(sum(col("__delta")).as("__delta"))
 
-    // dense bucket spine over the observed span (single min/max agg →
-    // one row → sequence; size = bucket-domain, not data)
-    val spine = df.agg(min(col(bucketCol).cast("long")).as("__lo"),
+    // dense bucket spine over each group's observed span (one row per
+    // group → sequence; size = group's bucket-domain, not data)
+    val spine = df.groupBy(byCols: _*)
+      .agg(min(col(bucketCol).cast("long")).as("__lo"),
         max(col(bucketCol).cast("long")).as("__hi"))
-      .select(explode(sequence(col("__lo"), col("__hi"))).as("__d"))
-    val joined = spine.join(deltas, Seq("__d"), "left")
-      .select(col("__d"), coalesce(col("__delta"), lit(0L)).as("__delta"))
+      .select(byCols :+ explode(sequence(col("__lo"), col("__hi")))
+        .as("__d"): _*)
+    val joined = spine.join(deltas, by :+ "__d", "left")
+      .select(byCols :+ col("__d") :+
+        coalesce(col("__delta"), lit(0L)).as("__delta"): _*)
 
-    GlobalWindow.cumSum(joined, Seq(col("__d")), "__delta", "__cum")
-      .select(col("__d").as(bucketCol),
-        col("__cum").cast("long").as(outCol))
+    GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")), "__delta",
+        "__cum")
+      .select(byCols :+ col("__d").as(bucketCol) :+
+        col("__cum").cast("long").as(outCol): _*)
   }
 }

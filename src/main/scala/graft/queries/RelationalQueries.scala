@@ -189,23 +189,24 @@ object RelationalQueries {
     }),
     "bucketize_quantiles" -> ((s, dir) => {
       // Quantile discretization (feature bucketing): quartile
-      // boundaries from ONE exact array-percentile aggregate, then a
-      // broadcast of that single boundary row drives a codegen'd
-      // when-chain over the full table — two passes, no repartition, no
-      // rank-the-world window (ntile would sort the entire table inside
-      // ONE task per partition key; this is the scalable form of the
-      // same feature). Integer-valued l_quantity keeps the interpolated
-      // cut points dyadic-exact so both engines compare bit-identically.
+      // boundaries from ONE exact array-percentile aggregate, fetched
+      // as a single bounded driver row (the agg_heavyhitters pattern —
+      // bounded like a broadcast side; the crossJoin(broadcast) form
+      // plans as BroadcastNestedLoopJoin) and embedded as LITERALS in a
+      // codegen'd when-chain over the full table — two passes, no
+      // repartition, no rank-the-world window (ntile would sort the
+      // entire table inside ONE task per partition key; this is the
+      // scalable form of the same feature). Integer-valued l_quantity
+      // keeps the interpolated cut points dyadic-exact so both engines
+      // compare bit-identically.
       val li = t(s, dir, "lineitem")
       val qs = li.agg(percentile(col("l_quantity"),
           array(lit(0.25), lit(0.5), lit(0.75))).as("__qs"))
-        .select(col("__qs")(0).as("b1"), col("__qs")(1).as("b2"),
-          col("__qs")(2).as("b3"))
-      li.crossJoin(broadcast(qs))
-        .withColumn("bucket",
-          when(col("l_quantity") <= col("b1"), 0L)
-            .when(col("l_quantity") <= col("b2"), 1L)
-            .when(col("l_quantity") <= col("b3"), 2L)
+        .head.getSeq[Double](0)
+      li.withColumn("bucket",
+          when(col("l_quantity") <= lit(qs(0)), 0L)
+            .when(col("l_quantity") <= lit(qs(1)), 1L)
+            .when(col("l_quantity") <= lit(qs(2)), 2L)
             .otherwise(3L))
         .groupBy("bucket")
         .agg(count(lit(1)).cast("long").as("n"),

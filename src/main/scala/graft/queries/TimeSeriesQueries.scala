@@ -442,6 +442,18 @@ object TimeSeriesQueries {
           expr("ts div 86400000000000").as("day")),
         idCol = "user_id", bucketCol = "day", w = 7, outCol = "uniq7")
     }),
+    "window_rolling_distinct_by" -> ((s, dir) => {
+      // GROUPED rolling uniques (per event_type — rolling actives per
+      // source/domain/tenant): the same difference-array decomposition
+      // with group keys riding every stage; the final running sum is
+      // GlobalWindow.groupedCumSum, so the few-hot-groups shape gets
+      // G×P parallelism instead of a G-task window cap.
+      graft.operators.RollingDistinct.groupedTrailingDistinct(
+        events(s, dir).select(col("event_type"), col("user_id"),
+          expr("ts div 86400000000000").as("day")),
+        by = Seq("event_type"), idCol = "user_id", bucketCol = "day",
+        w = 7, outCol = "uniq7")
+    }),
     "window_rolling_distinct_approx" -> ((s, dir) => {
       // The SKETCH path beside window_rolling_distinct — at 100 TB with
       // huge per-bucket cardinalities, exact difference-array counting
@@ -587,6 +599,16 @@ object TimeSeriesQueries {
          FROM span s LEFT JOIN e
            ON e.day BETWEEN s.day - 6 AND s.day
          GROUP BY 1""",
+    "window_rolling_distinct_by" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT event_type,
+           unnest(generate_series(min(day), max(day))) AS day
+           FROM e GROUP BY event_type)
+         SELECT s.event_type, s.day, count(DISTINCT e.user_id) AS uniq7
+         FROM span s LEFT JOIN e ON s.event_type = e.event_type
+           AND e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1, 2""",
     "window_rolling_distinct_approx" ->
       """WITH e AS (SELECT DISTINCT user_id,
            epoch_ns(ts) // 86400000000000 AS day FROM events),

@@ -40,6 +40,28 @@ class RollingDistinctSpec extends AnyFunSuite {
     })
   }
 
+  test("grouped rolling distinct equals the per-group naive scan") {
+    val gen = for {
+      n <- Gen.choose(1, 60); w <- Gen.choose(1, 9)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("x", "y", "z"); id <- Gen.choose(0L, 7L)
+        b <- Gen.choose(100L, 130L)
+      } yield (g, id, b))
+    } yield (rows, w)
+    check(forAll(gen) { case (rows, w) =>
+      val df = rows.toDF("g", "uid", "b")
+      val got = RollingDistinct.groupedTrailingDistinct(df, Seq("g"),
+          "uid", "b", w, "cnt")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        naive(rs.map(t => (t._2, t._3)), w).map { case (b, c) =>
+          (g, b) -> c }
+      }
+      got == want
+    })
+  }
+
   test("zero-activity buckets inside the span still report carried ids") {
     // id 1 active on day 10 only; w=3 covers days 10-12 even though 11
     // and 12 have no events; day 13 drops to 0
