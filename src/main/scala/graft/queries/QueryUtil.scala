@@ -16,12 +16,36 @@ private[graft] object QueryUtil {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads
-    * with the nanosAsLong legacy flag (runtime-settable) — every consumer
-    * must come through here or hit PARQUET_TYPE_ILLEGAL. */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  /** Raw events.parquet read. The fixture's `ts` physical type has
+    * changed across driver vintages — TIMESTAMP(NANOS) originally (which
+    * Spark 4 only reads with the nanosAsLong legacy flag, hence the
+    * conf), TIMESTAMP(MICROS)/NTZ since the 2026-08-13 regeneration. Use
+    * [[events]] unless you need the on-disk schema (streaming file
+    * sources must declare the RAW schema, then [[normalizeTs]] the
+    * stream). */
+  def rawEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Canonicalize `ts` to epoch-NANOS BIGINT — the contract every query
+    * in the repo (and the `epoch_ns(ts)` arithmetic mirrored in the
+    * DuckDB oracle SQL) is written against — regardless of fixture
+    * vintage. The NTZ→LTZ cast interprets the wall-clock in the session
+    * time zone; callers ([[events]]) pin it to UTC first, matching
+    * DuckDB's tz-naive TIMESTAMP reading of the same file. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df // nanos fixture vintage
+    case _ =>
+      df.withColumn("ts",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          * lit(1000L))
+  }
+
+  /** events table with `ts` as epoch-nanos BIGINT (see [[normalizeTs]]). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeTs(rawEvents(s, dir))
   }
 
   /** Epsilon-biased 4-decimal rounding: plain round(4) diverges between

@@ -32,6 +32,15 @@ object TimeSeriesQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     QueryUtil.events(s, dir)
 
+  /** Streaming file sources must declare the on-disk schema of the staged
+    * raw copy, then canonicalize ts (nanos BIGINT) on the stream itself. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    QueryUtil.events(s, dir) // pins UTC + nanosAsLong confs
+    val schema = QueryUtil.rawEvents(s, dir).schema
+    QueryUtil.normalizeTs(
+      s.readStream.schema(schema).parquet(stagedEventsDir(s, dir)))
+  }
+
   private def r4(c: Column): Column = QueryUtil.r4(c)
 
   /** events.ts is an epoch-NANOS long (QueryUtil.events); the micros
@@ -180,12 +189,11 @@ object TimeSeriesQueries {
       // deterministic — no flakiness. The collected sink is an aggregate
       // bounded like a broadcast side (|users|×|days|), not raw events.
       import org.apache.spark.sql.streaming.Trigger
-      val schema = events(s, dir).schema // also sets the nanosAsLong conf
       // FileStreamSource requires a DIRECTORY source; the fixture is a
       // single flat file, so stage it into an appId-keyed scratch dir
       // (same pattern + shutdown-hook cleanup as FormatQueries' round
       // trips — the file is MB-scale fixture data, not a big copy)
-      val src = s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      val src = eventsStream(s, dir)
       val agg = graft.streaming.StreamingOps.mutateStreamW(
         src.withColumn("tts", tts), "tts", watermark = "1 day",
         windowLen = "1 day", by = Seq(col("user_id")))(
@@ -210,8 +218,7 @@ object TimeSeriesQueries {
       // the final memory-sink state the full aggregation — deterministic,
       // no watermark holdback.
       import org.apache.spark.sql.streaming.Trigger
-      val schema = events(s, dir).schema
-      val src = s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      val src = eventsStream(s, dir)
       val agg = graft.streaming.StreamingOps.mutateStreamW(
         src.withColumn("tts", tts), "tts", watermark = "1 day",
         windowLen = "7 days", slide = Some("1 day"),
@@ -240,8 +247,7 @@ object TimeSeriesQueries {
       // state expires with the watermark (the 100 TB/day contract plain
       // dropDuplicates can't give — see StreamingOps.dedupStream).
       import org.apache.spark.sql.streaming.Trigger
-      val schema = events(s, dir).schema
-      val src = s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      val src = eventsStream(s, dir)
       val dd = graft.streaming.StreamingOps.dedupStream(
         src.withColumn("tts", tts), "tts", watermark = "3650 days",
         keys = Seq("user_id", "event_type"))
@@ -301,10 +307,9 @@ object TimeSeriesQueries {
       // never shuffle the stream. Appended sink = the plain batch join,
       // which IS the oracle.
       import org.apache.spark.sql.streaming.Trigger
-      val schema = events(s, dir).schema
       val dim = events(s, dir).groupBy("user_id")
         .agg(r4(avg(col("value"))).as("user_mean"))
-      val src = s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      val src = eventsStream(s, dir)
       val joined = src.join(broadcast(dim), Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("user_mean"),
           r4(col("value") - col("user_mean")).as("delta"))
@@ -329,14 +334,12 @@ object TimeSeriesQueries {
       // late matches for bounded state; the range condition (not the
       // watermark) is what lets Spark evict either side's buffer.
       import org.apache.spark.sql.streaming.Trigger
-      val schema = events(s, dir).schema
-      val staged = stagedEventsDir(s, dir)
-      val l = s.readStream.schema(schema).parquet(staged)
+      val l = eventsStream(s, dir)
         .filter(col("event_id") % 2 === 0)
         .select(col("event_id").as("l_id"), col("user_id"),
           tts.as("l_ts"))
         .withWatermark("l_ts", "40 days")
-      val r = s.readStream.schema(schema).parquet(staged)
+      val r = eventsStream(s, dir)
         .filter(col("event_id") % 2 === 1)
         .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
           tts.as("r_ts"))
