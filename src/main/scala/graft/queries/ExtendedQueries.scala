@@ -57,8 +57,10 @@ object ExtendedQueries {
     }),
     "agg_rollup" -> ((s, dir) => {
       // hierarchical grouping sets (ROLLUP) — complements agg_cube
+      // decimal-exact sum: see agg_cube (round-7 fragility audit)
       t(s, dir, "orders").rollup("o_orderstatus", "o_orderpriority")
-        .agg(r4(sum(col("o_totalprice"))).as("total"),
+        .agg(r4(sum(col("o_totalprice").cast("decimal(11,2)"))
+          .cast("double")).as("total"),
           count(lit(1)).as("n"))
     }),
     "set_intersect" -> ((s, dir) => {
@@ -87,15 +89,19 @@ object ExtendedQueries {
       // salt is content-derived, the small side replicated nSalts times,
       // so a hot join key spreads over nSalts tasks instead of one.
       // Result must equal the plain join — the oracle IS the plain join.
+      // rev in exact decimal (round-7 fragility audit): cent/percent-
+      // exact inputs -> exact decimal product -> order-independent sum
       val li = t(s, dir, "lineitem").select(col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        (col("l_extendedprice").cast("decimal(9,2)") *
+          (lit(1).cast("decimal(3,2)") -
+            col("l_discount").cast("decimal(3,2)"))).as("rev"))
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
       graft.operators.SkewOps.saltedJoin(li, sup, Seq("l_suppkey"),
           nSalts = 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).cast("long").as("n"),
-          r4(sum(col("rev"))).as("rev"))
+          r4(sum(col("rev")).cast("double")).as("rev"))
     }),
     "join_aqe_skew" -> ((s, dir) => {
       // AQE runtime skew-join split, oracle-gated (was spec-only, the
@@ -252,29 +258,50 @@ object ExtendedQueries {
     "window_rolling_corr" -> ((s, dir) => {
       // Rolling bivariate statistics as WINDOW aggregates: trailing
       // 20-row Pearson correlation and sample covariance of
-      // (quantity, price) per supplier — corr/covar_samp run in the
-      // same incremental frame machinery as sum/avg (one shared
-      // WindowExec), the windowed form of agg_moments/agg_regression.
-      // Partition key is l_suppkey (|suppliers| ∝ SF), NOT a
-      // 3-value flag: a window's group count caps its task count, so
-      // a low-cardinality partition key is a straggler at any scale.
+      // (quantity, price) per supplier — the windowed form of
+      // agg_moments/agg_regression, six moment sums sharing ONE
+      // WindowExec. Partition key is l_suppkey (|suppliers| ∝ SF),
+      // NOT a 3-value flag: a window's group count caps its task
+      // count, so a low-cardinality partition key is a straggler at
+      // any scale.
+      //
+      // DETERMINISM (round-6 verdict item 1): native corr/covar_samp
+      // accumulate DOUBLE Welford moments whose association order
+      // differs per engine (and per DuckDB thread schedule), jittering
+      // ~1e-9-relative digits that straddle the 4-decimal grid on a
+      // covariance of magnitude ~1e5. Instead the window computes
+      // DECIMAL-EXACT sums — n, Σx, Σy, Σxy, Σx², Σy² over the inputs
+      // cast to DECIMAL(18,2) (the fixture's quantity/price are
+      // cent-exact, so the cast is value-preserving and the sums are
+      // order-independent integers-in-disguise) — and corr/cov are
+      // assembled from those bit-identical inputs by the very same
+      // closed-form double expression embedded in the oracle SQL.
+      // IEEE +,-,*,/,sqrt are correctly rounded, so identical inputs
+      // + identical expression tree = identical doubles, the
+      // window_ewma literal-replay contract extended to moments.
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
         .rowsBetween(-19, 0)
-      // zero-variance frames (short leading frames with tied
-      // quantities): Spark's Corr divides ck / sqrt(M2x·M2y), which
-      // under ANSI mode THROWS on a zero variance where DuckDB returns
-      // NULL. Assemble corr from its window components instead — the
-      // same Welford M2 ratio, with the division evaluated only when
-      // both variances are positive (CaseWhen short-circuits) — four
-      // aggs still sharing ONE WindowExec.
-      val vx = var_samp(col("l_quantity")).over(w)
-      val vy = var_samp(col("l_extendedprice")).over(w)
-      val cv = covar_samp(col("l_quantity"), col("l_extendedprice")).over(w)
+      val qd = col("l_quantity").cast("decimal(18,2)")
+      val pd = col("l_extendedprice").cast("decimal(18,2)")
+      val n   = count(lit(1)).over(w)
+      val nd  = n.cast("double")
+      val sx  = sum(qd).over(w).cast("double")
+      val sy  = sum(pd).over(w).cast("double")
+      val sxy = sum(qd * pd).over(w).cast("double")
+      val sxx = sum(qd * qd).over(w).cast("double")
+      val syy = sum(pd * pd).over(w).cast("double")
+      // m2 terms cancel in double, but IDENTICALLY in both engines,
+      // so the >0 guards (zero-variance frames → NULL, matching
+      // corr()'s contract) flip in lockstep too.
+      val m2x = nd * sxx - sx * sx
+      val m2y = nd * syy - sy * sy
+      val corrE = (nd * sxy - sx * sy) / (sqrt(m2x) * sqrt(m2y))
+      val covE  = (sxy - sx * sy / nd) / (nd - lit(1.0))
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        r4(when(vx > 0 && vy > 0, cv / sqrt(vx * vy))).as("roll_corr"),
-        r4(cv).as("roll_cov"))
+        r4(when(n >= 2 && m2x > 0 && m2y > 0, corrE)).as("roll_corr"),
+        r4(when(n >= 2, covE)).as("roll_cov"))
     }),
     "agg_heavyhitters" -> ((s, dir) => {
       // Count-Min-sketch heavy-hitter detection, oracle-gated on the
@@ -742,15 +769,33 @@ object ExtendedQueries {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
     },
     "window_rolling_corr" ->
-      """SELECT l_orderkey, l_linenumber,
-         round(1e-9 + corr(l_quantity, l_extendedprice) OVER w, 4)
-           AS roll_corr,
-         round(1e-9 + covar_samp(l_quantity, l_extendedprice) OVER w, 4)
-           AS roll_cov
-         FROM lineitem
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+           l_shipdate, l_partkey,
+           CAST(l_quantity AS DECIMAL(18,2)) AS qd,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+         FROM lineitem),
+         m AS (SELECT l_orderkey, l_linenumber,
+           count(*) OVER w AS n,
+           CAST(count(*) OVER w AS DOUBLE) AS nd,
+           CAST(sum(qd) OVER w AS DOUBLE) AS sx,
+           CAST(sum(pd) OVER w AS DOUBLE) AS sy,
+           CAST(sum(qd * pd) OVER w AS DOUBLE) AS sxy,
+           CAST(sum(qd * qd) OVER w AS DOUBLE) AS sxx,
+           CAST(sum(pd * pd) OVER w AS DOUBLE) AS syy
+         FROM d
          WINDOW w AS (PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
-           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT l_orderkey, l_linenumber,
+           round(1e-9 + CASE WHEN n >= 2
+               AND nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+             THEN (nd * sxy - sx * sy)
+               / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+             END, 4) AS roll_corr,
+           round(1e-9 + CASE WHEN n >= 2
+             THEN (sxy - sx * sy / nd) / (nd - 1.0)
+             END, 4) AS roll_cov
+         FROM m""",
     "agg_heavyhitters" ->
       """WITH e AS (SELECT user_id, count(*) AS exact_n
            FROM events GROUP BY 1),
@@ -778,7 +823,8 @@ object ExtendedQueries {
          FROM part""",
     "agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-         round(1e-9 + sum(o_totalprice), 4) AS total, count(*) AS n
+         round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(11,2)))
+           AS DOUBLE), 4) AS total, count(*) AS n
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "set_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
@@ -796,7 +842,9 @@ object ExtendedQueries {
          FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey""",
     "join_salted" ->
       """SELECT s_nationkey, count(*) AS n,
-         round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+         round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS DOUBLE), 4) AS rev
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1""",
     "join_aqe_skew" ->

@@ -56,11 +56,16 @@ object FormatQueries {
     * round trip itself. */
   private def supplierAgg(df: DataFrame): DataFrame =
     df.groupBy("s_nationkey")
-      .agg(count(lit(1)).as("n"), r4(sum(col("s_acctbal"))).as("bal"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-exact sum (round-7 fragility audit): grouped float
+        // sums combine in nondeterministic order; acctbal is cent-exact
+        r4(sum(col("s_acctbal").cast("decimal(9,2)")).cast("double"))
+          .as("bal"))
 
   private val supplierAggSql =
     """SELECT s_nationkey, count(*) AS n,
-       round(1e-9 + sum(s_acctbal), 4) AS bal
+       round(1e-9 + CAST(sum(CAST(s_acctbal AS DECIMAL(9,2))) AS DOUBLE), 4)
+         AS bal
        FROM supplier GROUP BY 1"""
 
   /** Post-compaction aggregation (same role as [[supplierAgg]] for the
@@ -130,13 +135,17 @@ object FormatQueries {
       // production SCD-1 batches).
       val base = t(s, dir, "customer").select(col("c_custkey"),
         col("c_name"), col("c_acctbal"))
+      // spent in exact decimal (round-7 fragility audit), assembled
+      // with the base balance in decimal before the one double cast
       val updates = t(s, dir, "orders").groupBy("o_custkey")
-        .agg(sum(col("o_totalprice")).as("spent"))
+        .agg(sum(col("o_totalprice").cast("decimal(11,2)")).as("spent"))
         .select(col("o_custkey").as("c_custkey"), col("spent"))
       val merged = base.join(updates, Seq("c_custkey"), "full_outer")
         .select(col("c_custkey"), col("c_name"),
-          r4(coalesce(col("c_acctbal"), lit(0.0)) +
-            coalesce(col("spent"), lit(0.0))).as("c_acctbal"))
+          r4((coalesce(col("c_acctbal").cast("decimal(9,2)"),
+              lit(0).cast("decimal(9,2)")) +
+            coalesce(col("spent"), lit(0).cast("decimal(11,2)")))
+            .cast("double")).as("c_acctbal"))
       val path = scratch(s, dir, "customer_snapshot")
       merged.write.mode("overwrite").parquet(path)
       s.read.parquet(path)
@@ -237,7 +246,9 @@ object FormatQueries {
       require(plan.contains("SelectedBucketsCount"),
         s"bucketed scan layout not consumed:\n$plan")
       join.groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), r4(sum(col("o_totalprice"))).as("total"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum(col("o_totalprice").cast("decimal(11,2)")).cast("double"))
+            .as("total"))
     }),
     "sink_partitioned_parquet" -> ((s, dir) => {
       // directory-partitioned parquet sink; the read-back filter must
@@ -250,7 +261,8 @@ object FormatQueries {
         .filter(col("o_orderstatus") === "F")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          r4(sum(col("o_totalprice"))).as("total"))
+          r4(sum(col("o_totalprice").cast("decimal(11,2)")).cast("double"))
+            .as("total"))
     })
   )
 
@@ -268,11 +280,14 @@ object FormatQueries {
          FROM supplier""",
     "sink_upsert_snapshot" ->
       """WITH u AS (SELECT o_custkey AS c_custkey,
-           sum(o_totalprice) AS spent FROM orders GROUP BY 1)
+           sum(CAST(o_totalprice AS DECIMAL(11,2))) AS spent
+         FROM orders GROUP BY 1)
          SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
            c.c_name,
-           round(1e-9 + COALESCE(c.c_acctbal, 0.0)
-             + COALESCE(u.spent, 0.0), 4) AS c_acctbal
+           round(1e-9 + CAST(COALESCE(CAST(c.c_acctbal AS DECIMAL(9,2)),
+               CAST(0 AS DECIMAL(9,2)))
+             + COALESCE(u.spent, CAST(0 AS DECIMAL(11,2))) AS DOUBLE), 4)
+             AS c_acctbal
          FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.c_custkey""",
     "sink_compacted" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -280,12 +295,14 @@ object FormatQueries {
          FROM lineitem GROUP BY 1""",
     "sink_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
-         round(1e-9 + sum(o_totalprice), 4) AS total
+         round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(11,2)))
+           AS DOUBLE), 4) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
     "sink_partitioned_parquet" ->
       """SELECT o_orderpriority, count(*) AS n,
-         round(1e-9 + sum(o_totalprice), 4) AS total
+         round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(11,2)))
+           AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1"""
   )
 }

@@ -48,8 +48,13 @@ object RelationalQueries {
     }),
     "agg_cube" -> ((s, dir) => {
       // grouping sets: full CUBE over two dims + grand total
+      // decimal-exact sum (round-7 fragility audit): grouped float
+      // sums combine partials in a run-to-run nondeterministic order;
+      // on a ~1e10 grand total the jitter can straddle the 1e-4 grid.
+      // Cent-exact input -> value-preserving decimal cast -> exact sum.
       t(s, dir, "orders").cube("o_orderpriority", "o_orderstatus")
-        .agg(r4(sum(col("o_totalprice"))).as("total"),
+        .agg(r4(sum(col("o_totalprice").cast("decimal(11,2)"))
+          .cast("double")).as("total"),
           count(lit(1)).as("n"))
     }),
     "set_except" -> ((s, dir) => {
@@ -78,13 +83,41 @@ object RelationalQueries {
     "agg_moments" -> ((s, dir) => {
       // second-moment aggregate family (sample stddev/variance,
       // covariance, correlation) — single hash-agg pass, map-side
-      // partials; r4 absorbs formula-order ulps between engines
-      t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
-          r4(var_samp(col("l_quantity"))).as("var_qty"),
-          r4(covar_samp(col("l_quantity"), col("l_extendedprice")))
-            .as("cov_qp"),
-          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"))
+      // partials. DETERMINISM (round-7 fragility audit): native
+      // stddev/covar/corr accumulate double Welford moments whose
+      // association order differs per engine/thread-schedule; on
+      // magnitudes ~1e5 the jitter can straddle the 1e-4 rounding
+      // grid. Instead: DECIMAL-EXACT sums (tight precisions so every
+      // product/difference stays within decimal(38) — exact integer
+      // arithmetic in disguise), the cancellation-prone differences
+      // n·Σxy−ΣxΣy / n·Σx²−(Σx)² computed IN decimal (exact, so the
+      // catastrophic cancellation happens exactly), and only the
+      // well-conditioned results cast to double for the closed-form
+      // divide/sqrt — the identical expression embedded in the oracle
+      // SQL (the window_rolling_corr / window_ewma replay contract).
+      val qd = col("l_quantity").cast("decimal(4,2)")
+      val pd = col("l_extendedprice").cast("decimal(9,2)")
+      val g = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("decimal(7,0)").as("nD"),
+          sum(qd).cast("decimal(9,2)").as("sxD"),
+          sum(pd).cast("decimal(13,2)").as("syD"),
+          sum(qd * pd).cast("decimal(17,4)").as("sxyD"),
+          sum(qd * qd).cast("decimal(13,4)").as("sxxD"),
+          sum(pd * pd).cast("decimal(20,4)").as("syyD"))
+      val m2xD = col("nD") * col("sxxD") - col("sxD") * col("sxD")
+      val m2yD = col("nD") * col("syyD") - col("syD") * col("syD")
+      val cxyD = col("nD") * col("sxyD") - col("sxD") * col("syD")
+      val nd  = col("nD").cast("double")
+      val m2x = m2xD.cast("double")
+      val m2y = m2yD.cast("double")
+      val cxy = cxyD.cast("double")
+      val den = nd * (nd - lit(1.0))
+      g.select(col("l_returnflag"),
+        r4(when(col("nD") >= 2, sqrt(m2x / den))).as("sd_qty"),
+        r4(when(col("nD") >= 2, m2x / den)).as("var_qty"),
+        r4(when(col("nD") >= 2, cxy / den)).as("cov_qp"),
+        r4(when(m2xD > 0 && m2yD > 0, cxy / sqrt(m2x * m2y)))
+          .as("corr_qp"))
     }),
     "scalar_funcs" -> ((s, dir) => {
       // scalar-function breadth (date/string/math/array families), all
@@ -107,8 +140,10 @@ object RelationalQueries {
       // one hash-agg pass
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(count_if(col("l_quantity") > 25).as("n_bulk"),
-          r4(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
-            .otherwise(lit(0.0)))).as("disc_rev"),
+          r4(sum(when(col("l_discount") > 0.05,
+              col("l_extendedprice").cast("decimal(9,2)"))
+            .otherwise(lit(0).cast("decimal(9,2)"))).cast("double"))
+            .as("disc_rev"),
           bool_and(col("l_quantity") > 0).as("all_pos"),
           bool_or(col("l_discount") > 0.09).as("any_deep"))
     }),
@@ -164,17 +199,39 @@ object RelationalQueries {
       med.join(mode, Seq("l_returnflag"))
     }),
     "agg_regression" -> ((s, dir) => {
-      // linear-regression aggregate family (regr_*): slope/intercept/R²
-      // of extendedprice over quantity per group — one hash-agg pass,
-      // map-side partial moments
-      t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(regr_count(col("l_extendedprice"), col("l_quantity"))
-            .as("n_pairs"),
-          r4(regr_slope(col("l_extendedprice"), col("l_quantity")))
-            .as("slope"),
-          r4(regr_intercept(col("l_extendedprice"), col("l_quantity")))
-            .as("icept"),
-          r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
+      // linear-regression aggregate family (regr_* semantics):
+      // slope/intercept/R² of extendedprice over quantity per group —
+      // one hash-agg pass, map-side partial moments. Same decimal-
+      // exact literal-replay scheme as agg_moments (round-7 fragility
+      // audit): exact decimal moment sums, cancellation in decimal,
+      // closed-form double assembly identical to the oracle SQL.
+      // slope = Cxy/M2x, icept = (Σy − slope·Σx)/n, r2 = Cxy²/(M2x·M2y)
+      // — algebraically regr_slope/regr_intercept/regr_r2.
+      val qd = col("l_quantity").cast("decimal(4,2)")
+      val pd = col("l_extendedprice").cast("decimal(9,2)")
+      val g = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("decimal(7,0)").as("nD"),
+          sum(qd).cast("decimal(9,2)").as("sxD"),
+          sum(pd).cast("decimal(13,2)").as("syD"),
+          sum(qd * pd).cast("decimal(17,4)").as("sxyD"),
+          sum(qd * qd).cast("decimal(13,4)").as("sxxD"),
+          sum(pd * pd).cast("decimal(20,4)").as("syyD"))
+      val m2xD = col("nD") * col("sxxD") - col("sxD") * col("sxD")
+      val m2yD = col("nD") * col("syyD") - col("syD") * col("syD")
+      val cxyD = col("nD") * col("sxyD") - col("sxD") * col("syD")
+      val nd  = col("nD").cast("double")
+      val m2x = m2xD.cast("double")
+      val m2y = m2yD.cast("double")
+      val cxy = cxyD.cast("double")
+      val slope = cxy / m2x
+      g.select(col("l_returnflag"),
+        col("nD").cast("long").as("n_pairs"),
+        r4(when(m2xD > 0, slope)).as("slope"),
+        r4(when(m2xD > 0,
+          (col("syD").cast("double") - slope * col("sxD").cast("double"))
+            / nd)).as("icept"),
+        r4(when(m2xD > 0 && m2yD > 0, cxy * cxy / (m2x * m2y)))
+          .as("r2"))
     }),
     "window_ranks" -> ((s, dir) => {
       // ranking/analytic family sharing ONE window: rank, dense_rank,
@@ -231,7 +288,8 @@ object RelationalQueries {
          FROM lineitem GROUP BY 1""",
     "agg_cube" ->
       """SELECT o_orderpriority, o_orderstatus,
-         round(1e-9 + sum(o_totalprice), 4) AS total, count(*) AS n
+         round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(11,2)))
+           AS DOUBLE), 4) AS total, count(*) AS n
          FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
     "set_except" ->
       """SELECT c_custkey FROM customer
@@ -245,12 +303,39 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM lineitem
            WHERE l_partkey = p_partkey AND l_quantity > 45)""",
     "agg_moments" ->
-      """SELECT l_returnflag,
-         round(1e-9 + stddev_samp(l_quantity), 4) AS sd_qty,
-         round(1e-9 + var_samp(l_quantity), 4) AS var_qty,
-         round(1e-9 + covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
-         round(1e-9 + corr(l_quantity, l_extendedprice), 4) AS corr_qp
-         FROM lineitem GROUP BY 1""",
+      """WITH d AS (SELECT l_returnflag,
+           CAST(l_quantity AS DECIMAL(4,2)) AS qd,
+           CAST(l_extendedprice AS DECIMAL(9,2)) AS pd FROM lineitem),
+         g AS (SELECT l_returnflag,
+           CAST(count(*) AS DECIMAL(7,0)) AS nD,
+           CAST(sum(qd) AS DECIMAL(9,2)) AS sxD,
+           CAST(sum(pd) AS DECIMAL(13,2)) AS syD,
+           CAST(sum(qd * pd) AS DECIMAL(17,4)) AS sxyD,
+           CAST(sum(qd * qd) AS DECIMAL(13,4)) AS sxxD,
+           CAST(sum(pd * pd) AS DECIMAL(20,4)) AS syyD
+         FROM d GROUP BY 1),
+         m AS (SELECT l_returnflag, nD,
+           CAST(nD AS DOUBLE) AS nd,
+           CAST(nD AS DECIMAL(19,0)) * sxxD
+             - CAST(sxD AS DECIMAL(19,2)) * sxD AS m2xD,
+           CAST(nD AS DECIMAL(19,0)) * syyD
+             - CAST(syD AS DECIMAL(19,2)) * syD AS m2yD,
+           CAST(nD AS DECIMAL(19,0)) * sxyD
+             - CAST(sxD AS DECIMAL(19,2)) * syD AS cxyD
+         FROM g)
+         SELECT l_returnflag,
+           round(1e-9 + CASE WHEN nD >= 2 THEN
+             sqrt(CAST(m2xD AS DOUBLE) / (nd * (nd - 1.0))) END, 4)
+             AS sd_qty,
+           round(1e-9 + CASE WHEN nD >= 2 THEN
+             CAST(m2xD AS DOUBLE) / (nd * (nd - 1.0)) END, 4) AS var_qty,
+           round(1e-9 + CASE WHEN nD >= 2 THEN
+             CAST(cxyD AS DOUBLE) / (nd * (nd - 1.0)) END, 4) AS cov_qp,
+           round(1e-9 + CASE WHEN m2xD > 0 AND m2yD > 0 THEN
+             CAST(cxyD AS DOUBLE)
+               / sqrt(CAST(m2xD AS DOUBLE) * CAST(m2yD AS DOUBLE)) END, 4)
+             AS corr_qp
+         FROM m""",
     "scalar_funcs" ->
       """SELECT o_orderkey,
          year(o_orderdate) AS yr, month(o_orderdate) AS mo,
@@ -266,8 +351,9 @@ object RelationalQueries {
     "agg_conditional" ->
       """SELECT l_returnflag,
          count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-         round(1e-9 + sum(CASE WHEN l_discount > 0.05
-           THEN l_extendedprice ELSE 0.0 END), 4) AS disc_rev,
+         round(1e-9 + CAST(sum(CASE WHEN l_discount > 0.05
+           THEN CAST(l_extendedprice AS DECIMAL(9,2))
+           ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE), 4) AS disc_rev,
          bool_and(l_quantity > 0) AS all_pos,
          bool_or(l_discount > 0.09) AS any_deep
          FROM lineitem GROUP BY 1""",
@@ -311,13 +397,39 @@ object RelationalQueries {
          SELECT med.l_returnflag, med.med_qty, m.mode_ln
          FROM med JOIN m ON med.l_returnflag = m.l_returnflag""",
     "agg_regression" ->
-      """SELECT l_returnflag,
-         regr_count(l_extendedprice, l_quantity) AS n_pairs,
-         round(1e-9 + regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-         round(1e-9 + regr_intercept(l_extendedprice, l_quantity), 4)
-           AS icept,
-         round(1e-9 + regr_r2(l_extendedprice, l_quantity), 4) AS r2
-         FROM lineitem GROUP BY 1""",
+      """WITH d AS (SELECT l_returnflag,
+           CAST(l_quantity AS DECIMAL(4,2)) AS qd,
+           CAST(l_extendedprice AS DECIMAL(9,2)) AS pd FROM lineitem),
+         g AS (SELECT l_returnflag,
+           CAST(count(*) AS DECIMAL(7,0)) AS nD,
+           CAST(sum(qd) AS DECIMAL(9,2)) AS sxD,
+           CAST(sum(pd) AS DECIMAL(13,2)) AS syD,
+           CAST(sum(qd * pd) AS DECIMAL(17,4)) AS sxyD,
+           CAST(sum(qd * qd) AS DECIMAL(13,4)) AS sxxD,
+           CAST(sum(pd * pd) AS DECIMAL(20,4)) AS syyD
+         FROM d GROUP BY 1),
+         m AS (SELECT l_returnflag, nD, sxD, syD,
+           CAST(nD AS DOUBLE) AS nd,
+           CAST(nD AS DECIMAL(19,0)) * sxxD
+             - CAST(sxD AS DECIMAL(19,2)) * sxD AS m2xD,
+           CAST(nD AS DECIMAL(19,0)) * syyD
+             - CAST(syD AS DECIMAL(19,2)) * syD AS m2yD,
+           CAST(nD AS DECIMAL(19,0)) * sxyD
+             - CAST(sxD AS DECIMAL(19,2)) * syD AS cxyD
+         FROM g)
+         SELECT l_returnflag,
+           CAST(nD AS BIGINT) AS n_pairs,
+           round(1e-9 + CASE WHEN m2xD > 0 THEN
+             CAST(cxyD AS DOUBLE) / CAST(m2xD AS DOUBLE) END, 4) AS slope,
+           round(1e-9 + CASE WHEN m2xD > 0 THEN
+             (CAST(syD AS DOUBLE)
+               - CAST(cxyD AS DOUBLE) / CAST(m2xD AS DOUBLE)
+                 * CAST(sxD AS DOUBLE)) / nd END, 4) AS icept,
+           round(1e-9 + CASE WHEN m2xD > 0 AND m2yD > 0 THEN
+             CAST(cxyD AS DOUBLE) * CAST(cxyD AS DOUBLE)
+               / (CAST(m2xD AS DOUBLE) * CAST(m2yD AS DOUBLE)) END, 4)
+             AS r2
+         FROM m""",
     "window_ranks" ->
       """SELECT o_orderkey,
          rank() OVER w AS rnk,

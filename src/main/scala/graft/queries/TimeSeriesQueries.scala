@@ -144,7 +144,11 @@ object TimeSeriesQueries {
       // buckets, one hash agg over (user, window)
       events(s, dir)
         .groupBy(col("user_id"), window(tts, "1 day").as("w"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        // decimal-exact sum (round-7 fragility audit): value is
+        // 1e-4-exact; grouped float sums combine nondeterministically
+        .agg(count(lit(1)).as("n"),
+          r4(sum(col("value").cast("decimal(8,4)")).cast("double"))
+            .as("sum_v"))
         .select(col("user_id"),
           expr(s"unix_micros(w.start) div $UsPerDay").as("day"),
           col("n"), col("sum_v"))
@@ -171,7 +175,9 @@ object TimeSeriesQueries {
       // window passes).
       events(s, dir)
         .groupBy(col("user_id"), session_window(tts, "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum(col("value").cast("decimal(8,4)")).cast("double"))
+            .as("sum_v"))
         .select(col("user_id"),
           unix_micros(col("w.start")).as("sess_start_us"),
           col("n"), col("sum_v"))
@@ -197,14 +203,15 @@ object TimeSeriesQueries {
       val agg = graft.streaming.StreamingOps.mutateStreamW(
         src.withColumn("tts", tts), "tts", watermark = "1 day",
         windowLen = "1 day", by = Seq(col("user_id")))(
-        "n" -> count(lit(1)), "sum_v" -> sum(col("value")))
+        "n" -> count(lit(1)),
+        "sum_v" -> sum(col("value").cast("decimal(8,4)")))
       val qn = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
       val q = agg.writeStream.outputMode("complete").format("memory")
         .queryName(qn).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val sink = s.table(qn).select(col("user_id"),
         expr(s"unix_micros(window.start) div $UsPerDay").as("day"),
-        col("n"), r4(col("sum_v")).as("sum_v"))
+        col("n"), r4(col("sum_v").cast("double")).as("sum_v"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -422,7 +429,8 @@ object TimeSeriesQueries {
       val e = events(s, dir).select(col("user_id"),
         expr("ts div 86400000000000").as("day"), col("value"))
       val daily = e.groupBy("user_id", "day")
-        .agg(r4(sum(col("value"))).as("day_sum"))
+        .agg(r4(sum(col("value").cast("decimal(8,4)")).cast("double"))
+          .as("day_sum"))
       val cal = daily.groupBy("user_id")
         .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(col("user_id"),
@@ -507,7 +515,8 @@ object TimeSeriesQueries {
       """SELECT user_id,
          epoch_ns(ts) // 86400000000000 AS day,
          count(*) AS n,
-         round(1e-9 + sum(value), 4) AS sum_v
+         round(1e-9 + CAST(sum(CAST(value AS DECIMAL(8,4))) AS DOUBLE), 4)
+           AS sum_v
          FROM events GROUP BY 1, 2""",
     "window_sliding_week" ->
       """WITH e AS (SELECT user_id, value,
@@ -530,13 +539,16 @@ object TimeSeriesQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM g)
          SELECT user_id, min(tus) AS sess_start_us,
-           count(*) AS n, round(1e-9 + sum(value), 4) AS sum_v
+           count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(value AS DECIMAL(8,4))) AS DOUBLE), 4)
+             AS sum_v
          FROM sess GROUP BY user_id, sid""",
     "window_stream_tumbling" ->
       """SELECT user_id,
          epoch_ns(ts) // 86400000000000 AS day,
          count(*) AS n,
-         round(1e-9 + sum(value), 4) AS sum_v
+         round(1e-9 + CAST(sum(CAST(value AS DECIMAL(8,4))) AS DOUBLE), 4)
+           AS sum_v
          FROM events GROUP BY 1, 2""",
     "window_stream_sliding" ->
       """WITH e AS (SELECT user_id, value,
@@ -583,7 +595,9 @@ object TimeSeriesQueries {
     "resample_gapfill" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day, value FROM events),
-         d AS (SELECT user_id, day, round(1e-9 + sum(value), 4) AS day_sum
+         d AS (SELECT user_id, day,
+           round(1e-9 + CAST(sum(CAST(value AS DECIMAL(8,4))) AS DOUBLE), 4)
+             AS day_sum
            FROM e GROUP BY 1, 2),
          span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
            FROM d GROUP BY 1),
