@@ -411,6 +411,54 @@ object SparkEntry {
           index = Some(col("d")))
         .select(col("event_id"), col("md_cnt"), r4(col("md_avg")).as("md_avg"))
     }),
+    "window_range_months_strict" -> ((s, dir) => {
+      // STRICT-lubridate month mode (Frame.monthsStrict / Frame.strict):
+      // lubridate Period arithmetic yields NA for nonexistent dates
+      // (ymd("2023-03-31") - months(1) = NA — no Feb 31), so the
+      // reference's window for that row is UNDEFINED; default
+      // CalendarWindow uses warehouse add_months clamping (documented
+      // semantic delta, SURVEY §2.5). This key gates the bit-faithful
+      // replay: rows whose boundary clamped (day-of-month shrank) get
+      // NULL for every output. Runs on ORDERS (7-year span — events
+      // cover only Jan 1-30, where a 1-month lookback never clamps);
+      // sums ride the decimal-exact scheme (§5.1).
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(11,2)").as("p"),
+          to_date(col("o_orderdate")).as("d"))
+        .mutateW("m_cnt" -> count(col("p")), "m_sum" -> sum(col("p")))(
+          by = Seq(col("o_custkey")),
+          frame = Some(Frame.monthsStrict(1, 0)),
+          index = Some(col("d")))
+        .select(col("o_orderkey"), col("m_cnt"),
+          r4(col("m_sum").cast("double")).as("m_sum"))
+    }),
+    "window_range_months_hours" -> ((s, dir) => {
+      // COMPOUND months+SUB-DAY Period frame c(months(1) + hours(6),
+      // hours(-12)) — the last Period shape the reference's class check
+      // accepts (R/mutate.R:164-165) that needed a path: months mixed
+      // with hours. Boundary = (ts − 1 month) − 6 h … ts − 12 h (month
+      // shift clamps preserving time-of-day; lubridate applies Period
+      // components months-first). Orders are spread inside the day by a
+      // deterministic o_orderkey-derived second offset so BOTH sub-day
+      // endpoints bite (midnight-only data would make the hours parts
+      // invisible); the current row sits outside its own window.
+      // Session tz pinned to UTC so the NTZ→LTZ cast in
+      // CalendarWindow.monthsSecondsAgg is DST-free and the oracle's
+      // naive timestamp arithmetic matches exactly.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(11,2)").as("p"),
+          expr("o_orderdate + make_interval(0,0,0,0,0,0, o_orderkey % 86400)")
+            .as("ts2"))
+        .mutateW("mh_cnt" -> count(col("p")), "mh_sum" -> sum(col("p")))(
+          by = Seq(col("o_custkey")),
+          frame = Some(Frame.monthsHours(1, 6, 0, -12)),
+          index = Some(col("ts2")))
+        .select(col("o_orderkey"), col("mh_cnt"),
+          r4(col("mh_sum").cast("double")).as("mh_sum"))
+    }),
     "window_complete_range" -> ((s, dir) => {
       // `.complete = TRUE` over a RANGE (Period) frame: the window is
       // complete iff its VALUE span [day-3, day] lies inside the
@@ -660,6 +708,30 @@ object SparkEntry {
          FROM e a LEFT JOIN e b ON a.user_id = b.user_id
            AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) - 3
                        AND a.d - 2
+         GROUP BY 1""",
+    "window_range_months_strict" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(11,2)) AS p,
+           CAST(o_orderdate AS DATE) AS d FROM orders)
+         SELECT a.o_orderkey,
+           CASE WHEN day(CAST(a.d - INTERVAL 1 MONTH AS DATE)) <> day(a.d)
+             THEN NULL ELSE count(b.p) END AS m_cnt,
+           CASE WHEN day(CAST(a.d - INTERVAL 1 MONTH AS DATE)) <> day(a.d)
+             THEN NULL
+             ELSE round(1e-9 + CAST(sum(b.p) AS DOUBLE), 4) END AS m_sum
+         FROM o a LEFT JOIN o b ON a.o_custkey = b.o_custkey
+           AND b.d BETWEEN CAST(a.d - INTERVAL 1 MONTH AS DATE) AND a.d
+         GROUP BY a.o_orderkey, a.d""",
+    "window_range_months_hours" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(11,2)) AS p,
+           o_orderdate + INTERVAL (o_orderkey % 86400) SECOND AS ts2
+         FROM orders)
+         SELECT a.o_orderkey, count(b.p) AS mh_cnt,
+           round(1e-9 + CAST(sum(b.p) AS DOUBLE), 4) AS mh_sum
+         FROM o a LEFT JOIN o b ON a.o_custkey = b.o_custkey
+           AND b.ts2 BETWEEN a.ts2 - INTERVAL 1 MONTH - INTERVAL 6 HOUR
+                         AND a.ts2 - INTERVAL 12 HOUR
          GROUP BY 1""",
     "window_complete_months" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d

@@ -130,7 +130,8 @@ object CalendarWindow {
   def monthsAgg(df: DataFrame, by: Seq[String], index: Column,
       specs: Seq[MonthsAggSpec], before: Int, after: Int,
       complete: Boolean = false,
-      beforeDays: Int = 0, afterDays: Int = 0): DataFrame = {
+      beforeDays: Int = 0, afterDays: Int = 0,
+      strict: Boolean = false): DataFrame = {
     import MonthsOp._
     require(specs.nonEmpty, "monthsAgg needs at least one spec")
     // statically-nonempty check: hi − lo spans (before+after) months of
@@ -340,7 +341,13 @@ object CalendarWindow {
             when(n > 1, greatest((s2 - s1 * s1 / n) / (n - lit(1)), lit(0d)))
           if (sp.op == Var) variance else sqrt(variance)
       }
-      gate.fold(c)(g => when(g, c)).as(sp.out)
+      val gated = gate.fold(c)(g => when(g, c))
+      // strict-lubridate mode: a clamped month-end boundary is a
+      // lubridate NA date -> the row's window is undefined -> NULL for
+      // EVERY output (counts included). when(!na, x) also nulls
+      // NULL-index rows (NA date arithmetic), matching the reference.
+      strictNaCond(strict, col(DAY), before, after)
+        .fold(gated)(na => when(!na, gated)).as(sp.out)
     }
     val winVals = win.select((byCols ++ (col(DAY) +: outCols)): _*)
 
@@ -371,7 +378,8 @@ object CalendarWindow {
   def monthsAggGeneral(df: DataFrame, by: Seq[String], index: Column,
       exprs: Seq[(String, Column)], before: Int, after: Int,
       complete: Boolean = false,
-      beforeDays: Int = 0, afterDays: Int = 0): DataFrame = {
+      beforeDays: Int = 0, afterDays: Int = 0,
+      strict: Boolean = false): DataFrame = {
     require(exprs.nonEmpty, "monthsAggGeneral needs at least one expr")
     val outs = exprs.map(_._1)
     require(outs.distinct.size == outs.size,
@@ -433,12 +441,142 @@ object CalendarWindow {
         hiOf(col("__wday")) <= col(GMAX))
     } else None
     val outCols = exprs.map { case (n, _) =>
-      gate.fold(col(n))(g => when(g, col(n))).as(n) }
+      val gated = gate.fold(col(n))(g => when(g, col(n)))
+      strictNaCond(strict, col("__wday"), before, after)
+        .fold(gated)(na => when(!na, gated)).as(n) }
     val winVals = win.select(
       (iCols.map(col) ++ (col("__wday") +: outCols)): _*)
       .toDF((by ++ (DAY +: outs)): _*)
 
     joinNullSafe(keyed, winVals, by :+ DAY, "__cw_r_").drop(DAY)
+  }
+
+  /** Compound months+SUB-DAY Period frame aggregates
+    * (`c(months(m) + hours/seconds(s), ...)` — the last Period shape the
+    * reference's class check accepts, R/mutate.R:164-165): for every
+    * input row, aggregate each expr over the rows of the same `by` group
+    * whose TIMESTAMP index falls in
+    * `[(ts - bm months) - bs seconds, (ts + am months) + as seconds]`
+    * (inclusive — slider's closed interval). The month shift uses ANSI
+    * year-month interval arithmetic (clamps to month-end PRESERVING
+    * time-of-day — `add_months` would truncate to DATE); the second
+    * shift is exact. lubridate applies Period components months-first,
+    * so the composition order is faithful.
+    *
+    * Timestamps are not day-partitionable, so the O(n log n) prefix
+    * path of [[monthsAgg]] does not apply; this rides the same honest
+    * expansion cost model as [[monthsAggGeneral]] — binned interval
+    * equi-join on (group <=>, micros-bin) + exact recheck, O(n·w̄)
+    * joined rows distributed as a hash join, never a nested loop.
+    *
+    * @param strict strict-lubridate NA mode (Frame.strict): NULL for
+    *   rows whose month shift clamped a nonexistent month-end. */
+  def monthsSecondsAgg(df: DataFrame, by: Seq[String], index: Column,
+      exprs: Seq[(String, Column)],
+      beforeMonths: Int, beforeSecs: Long,
+      afterMonths: Int, afterSecs: Long,
+      complete: Boolean = false, strict: Boolean = false): DataFrame = {
+    require(exprs.nonEmpty, "monthsSecondsAgg needs at least one expr")
+    val outs = exprs.map(_._1)
+    require(outs.distinct.size == outs.size,
+      s"duplicate output names: ${outs.diff(outs.distinct).mkString(", ")}")
+    val TSC = "__cw_tsc__"
+    val bad = (outs.toSet + TSC).intersect(df.columns.toSet)
+    require(bad.isEmpty,
+      s"output columns ${bad.mkString(", ")} already exist on the " +
+        "input — pass different `out` names")
+    // statically-nonempty check, the monthsAgg contract at second
+    // granularity (31-day months bound the positive span)
+    val monthsSpan = beforeMonths.toLong + afterMonths
+    require((if (monthsSpan >= 0) monthsSpan * 31 else monthsSpan * 28) *
+        86400L + beforeSecs + afterSecs >= 0,
+      s"empty month frame: [ts - (${beforeMonths}mo ${beforeSecs}s), " +
+        s"ts + (${afterMonths}mo ${afterSecs}s)] starts after it ends")
+
+    def shift(t: Column, months: Int, secs: Long): Column = {
+      val m =
+        if (months == 0) t
+        else if (months > 0) t + expr(s"INTERVAL '$months' MONTH")
+        else t - expr(s"INTERVAL '${-months}' MONTH")
+      if (secs == 0) m
+      else if (secs > 0) m + expr(s"INTERVAL '$secs' SECOND")
+      else m - expr(s"INTERVAL '${-secs}' SECOND")
+    }
+    def loOf(t: Column): Column = shift(t, -beforeMonths, -beforeSecs)
+    def hiOf(t: Column): Column = shift(t, afterMonths, afterSecs)
+
+    val byCols = by.map(col)
+    val keyed = df.withColumn(TSC,
+      index.cast(org.apache.spark.sql.types.TimestampType))
+
+    val width = math.max(1L,
+      (math.abs(beforeMonths).toLong + math.abs(afterMonths)) * 31L *
+        86400L + math.abs(beforeSecs) + math.abs(afterSecs) + 1L) *
+      1000000L // micros
+    val BIN = "__cw_bin__"
+    val spans = keyed.select((byCols :+ col(TSC)): _*).distinct()
+      .withColumn("__lous", unix_micros(loOf(col(TSC))))
+      .withColumn("__hius", unix_micros(hiOf(col(TSC))))
+      .withColumnRenamed(TSC, "__wts")
+    val iCols = by.map(c => s"__cw_i_$c")
+    // NULL index timestamps keep one padding bin (the monthsAggGeneral
+    // survival contract — left-join padding, not a dropped row)
+    val iPre = spans.withColumn(BIN, explode(coalesce(sequence(
+      least(floor(col("__lous") / width), floor(col("__hius") / width)),
+      floor(col("__hius") / width)), array(lit(0L)))))
+    val i = iPre.toDF(iPre.columns.map(c =>
+      if (by.contains(c)) s"__cw_i_$c" else c): _*)
+    val raw = keyed.withColumn("__pus", unix_micros(col(TSC)))
+      .withColumn(BIN, floor(col("__pus") / width))
+      .drop(TSC)
+    val cond = by.zip(iCols).map { case (l, r) => col(l) <=> col(r) }
+      .foldLeft(i(BIN) === raw(BIN) &&
+        col("__pus") >= col("__lous") && col("__pus") <= col("__hius"))(
+        _ && _)
+    val joined = i.join(raw, cond, "left")
+    val aggs = exprs.map { case (n, e) => e.as(n) }
+    var win = joined.groupBy((iCols.map(col) :+ col("__wts")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    val gate: Option[Column] = if (complete) {
+      val spanW = Window.partitionBy(iCols.map(col): _*)
+      win = win.withColumn(GMIN, min(col("__wts")).over(spanW))
+        .withColumn(GMAX, max(col("__wts")).over(spanW))
+      Some(loOf(col("__wts")) >= col(GMIN) &&
+        hiOf(col("__wts")) <= col(GMAX))
+    } else None
+    val outCols = exprs.map { case (n, _) =>
+      val gated = gate.fold(col(n))(g => when(g, col(n)))
+      strictNaCond(strict, col("__wts"), beforeMonths, afterMonths)
+        .fold(gated)(na => when(!na, gated)).as(n) }
+    val winVals = win.select(
+      (iCols.map(col) ++ (col("__wts") +: outCols)): _*)
+      .toDF((by ++ (TSC +: outs)): _*)
+
+    joinNullSafe(keyed, winVals, by :+ TSC, "__cw_r_").drop(TSC)
+  }
+
+  /** Strict-lubridate NA detector (Frame.strict): a month-shifted
+    * boundary clamped iff the shifted date's day-of-month differs from
+    * the source's (`add_months` clamps Mar 31 - 1mo to Feb 28 where
+    * lubridate yields NA). Zero-month endpoints never clamp; the day
+    * component of a compound Period shifts AFTER the month landing, so
+    * it cannot clamp either (lubridate: months-part NA poisons the
+    * whole Period sum). Returns None when strict mode is off or no
+    * endpoint can clamp. */
+  private def strictNaCond(strict: Boolean, d: Column,
+      before: Int, after: Int): Option[Column] = {
+    if (!strict) None
+    else {
+      val checks =
+        (if (before != 0)
+           Seq(dayofmonth(add_months(d, -before)) =!= dayofmonth(d))
+         else Nil) ++
+        (if (after != 0)
+           Seq(dayofmonth(add_months(d, after)) =!= dayofmonth(d))
+         else Nil)
+      checks.reduceOption(_ || _)
+    }
   }
 
   /** Null-safe inner equi-join on `keys`, dropping the right copy of the

@@ -46,9 +46,32 @@ object FrameEndpoint {
     * `date_add(add_months(index, ±m), ±d)`, so [[CalendarWindow.monthsAgg]]
     * handles it on the same prefix+as-of path as pure month frames. */
   final case class MonthsDays(months: Long, days: Long) extends FrameEndpoint
+  /** Compound calendar Period endpoint with a SUB-DAY component
+    * (`months(m) + hours(h)` / `+ seconds(s)` — legal lubridate,
+    * accepted by the reference's class check, R/mutate.R:164-165).
+    * The boundary is `(ts - INTERVAL m MONTH) - INTERVAL s SECOND`
+    * (month shift clamps preserving time-of-day, then exact second
+    * shift — lubridate applies Period components months-first).
+    * Routed to [[CalendarWindow.monthsSecondsAgg]], the
+    * seconds-granularity expansion path (timestamps are not
+    * day-partitionable, so the prefix+as-of date path can't carry
+    * these). */
+  final case class MonthsSeconds(months: Long, seconds: Long)
+    extends FrameEndpoint
 }
 
-final case class Frame(before: FrameEndpoint, after: FrameEndpoint) {
+/** @param strict strict-lubridate month mode (reference semantic replay):
+  *   lubridate Period arithmetic yields NA for nonexistent dates
+  *   (`ymd("2023-03-31") - months(1)` = NA, because Feb 31 doesn't
+  *   exist), making that row's window UNDEFINED in the reference
+  *   (R/mutate.R:164-165 accepts the Period; slider sees the NA). The
+  *   default (`strict = false`) uses warehouse `add_months` clamping
+  *   (Mar 31 − 1mo = Feb 28, SURVEY.md §2.5 note); `strict = true`
+  *   emits NULL for every output of a row whose boundary `add_months`
+  *   landed on a clamped month-end — bit-faithful reference replay.
+  *   Only meaningful on month-family frames (rejected otherwise). */
+final case class Frame(before: FrameEndpoint, after: FrameEndpoint,
+    strict: Boolean = false) {
   import FrameEndpoint._
   /** True when either endpoint is value-based (Days/Seconds) — requires an
     * index column and compiles to `rangeBetween`. */
@@ -60,8 +83,14 @@ final case class Frame(before: FrameEndpoint, after: FrameEndpoint) {
     * months+days) Period — [[TidierOps.mutateW]] routes these to
     * [[CalendarWindow.monthsAgg]]. */
   def isMonths: Boolean = Seq(before, after).exists {
-    case Months(_) | MonthsDays(_, _) => true
-    case _                            => false
+    case Months(_) | MonthsDays(_, _) | MonthsSeconds(_, _) => true
+    case _                                                  => false
+  }
+  /** True when either endpoint carries a sub-day Period component —
+    * routed to the seconds-granularity path. */
+  def isMonthsSeconds: Boolean = Seq(before, after).exists {
+    case MonthsSeconds(_, _) => true
+    case _                   => false
   }
   /** Both endpoints finite — the only case `.complete` gating can truncate
     * (unbounded frames are always "complete" in slider's sense). */
@@ -104,6 +133,11 @@ object Frame {
     * lookups — O(n log n)) instead of a `rangeBetween` WindowSpec. */
   def months(before: Long, after: Long): Frame =
     Frame(Months(before), Months(after))
+  /** Month frame in strict-lubridate mode: rows whose boundary
+    * `add_months` clamped a nonexistent month-end yield NULL (the
+    * reference's Period-arithmetic NA, see [[Frame.strict]]). */
+  def monthsStrict(before: Long, after: Long): Frame =
+    Frame(Months(before), Months(after), strict = true)
   /** `c(weeks(before), weeks(after))` Period frame — the reference
     * accepts ANY lubridate Period (R/mutate.R:164-165), and a week is
     * exactly 7 days under Period arithmetic, so this is constructor
@@ -122,4 +156,21 @@ object Frame {
       afterMonths: Long, afterDays: Long): Frame =
     Frame(MonthsDays(beforeMonths, beforeDays),
       MonthsDays(afterMonths, afterDays))
+  /** Compound `c(months(bm) + seconds(bs), months(am) + seconds(as))`
+    * Period frame — the last Period shape the reference's class check
+    * accepts (R/mutate.R:164-165) that needed a constructor: months
+    * mixed with a SUB-DAY unit. Boundary algebra:
+    * `(ts ∓ m months) ∓ s seconds` (month shift clamps preserving
+    * time-of-day). Evaluated by [[CalendarWindow.monthsSecondsAgg]]
+    * on a seconds-granularity expansion join. */
+  def monthsSeconds(beforeMonths: Long, beforeSeconds: Long,
+      afterMonths: Long, afterSeconds: Long): Frame =
+    Frame(MonthsSeconds(beforeMonths, beforeSeconds),
+      MonthsSeconds(afterMonths, afterSeconds))
+  /** `c(months(bm) + hours(bh), months(am) + hours(ah))` sugar — an
+    * hour is exactly 3600 seconds under Period arithmetic. */
+  def monthsHours(beforeMonths: Long, beforeHours: Long,
+      afterMonths: Long, afterHours: Long): Frame =
+    monthsSeconds(beforeMonths, 3600 * beforeHours,
+      afterMonths, 3600 * afterHours)
 }

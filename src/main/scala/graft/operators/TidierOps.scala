@@ -44,6 +44,18 @@ object TidierOps {
       by: Seq[Column], frame: Frame, index: Option[Column],
       complete: Boolean, restoreOrder: Boolean): DataFrame = {
     import CalendarWindow.{MonthsAggSpec, MonthsOp}
+    require(index.isDefined,
+      "a Months (Period) frame requires an index column (.index)")
+
+    // Sub-day compound Periods (months + hours/seconds) route to the
+    // seconds-granularity expansion path — the index stays a TIMESTAMP
+    // (the date-granular prefix path can't carry sub-day boundaries).
+    // All month-family endpoint shapes normalize to (months, seconds);
+    // a day is exactly 86400 s under UTC Period arithmetic.
+    if (frame.isMonthsSeconds)
+      return monthsSecondsMutate(df, exprs, by, frame, index.get,
+        complete, restoreOrder)
+
     // both endpoints must be month-family Periods (pure Months or
     // compound MonthsDays — the reference requires one shared Period
     // class per frame, R/mutate.R:165)
@@ -57,8 +69,6 @@ object TidierOps {
     }
     val (b, bd) = monthDay(frame.before)
     val (a, ad) = monthDay(frame.after)
-    require(index.isDefined,
-      "a Months (Period) frame requires an index column (.index)")
     val byNames = by.map(attrName(_, ".by"))
     val withRid =
       if (restoreOrder) df.withColumn(RID, monotonically_increasing_id())
@@ -83,7 +93,8 @@ object TidierOps {
       }
       val res = CalendarWindow.monthsAgg(withRid, byNames,
         index.get.cast(DateType), specs.map(_._2), before = b, after = a,
-        complete = complete, beforeDays = bd, afterDays = ad)
+        complete = complete, beforeDays = bd, afterDays = ad,
+        strict = frame.strict)
       specs.foldLeft(res) { case (d, (name, sp)) =>
         d.withColumn(name, col(sp.out)).drop(sp.out)
       }
@@ -105,11 +116,62 @@ object TidierOps {
       val res = CalendarWindow.monthsAggGeneral(
           withRid.withColumn(ONE, lit(1)), byNames,
           index.get.cast(DateType), exprs2, before = b, after = a,
-          complete = complete, beforeDays = bd, afterDays = ad)
+          complete = complete, beforeDays = bd, afterDays = ad,
+          strict = frame.strict)
         .drop(ONE)
       exprs.map(_._1).zip(exprs2.map(_._1)).foldLeft(res) {
         case (d, (name, tmp)) => d.withColumn(name, col(tmp)).drop(tmp)
       }
+    }
+    if (restoreOrder) out = out.orderBy(col(RID)).drop(RID)
+    out
+  }
+
+  /** Sub-day compound month frames (months + hours/seconds) — the
+    * seconds-granularity sibling of [[monthsMutate]]'s general branch:
+    * every expression rides [[CalendarWindow.monthsSecondsAgg]]'s
+    * expansion join (timestamp boundaries are not day-partitionable, so
+    * there is no prefix path to prefer). Same CountAll-marker,
+    * temp-name-overwrite and restore-order contracts. */
+  private def monthsSecondsMutate(df: DataFrame,
+      exprs: Seq[(String, Column)], by: Seq[Column], frame: Frame,
+      index: Column, complete: Boolean,
+      restoreOrder: Boolean): DataFrame = {
+    def monthSec(e: FrameEndpoint): (Int, Long) = e match {
+      case FrameEndpoint.Months(x)           => (x.toInt, 0L)
+      case FrameEndpoint.MonthsDays(m, d)    => (m.toInt, d * 86400L)
+      case FrameEndpoint.MonthsSeconds(m, s) => (m.toInt, s)
+      case _ => throw new IllegalArgumentException(
+        "month frames cannot mix units: both endpoints must be " +
+          "month-family Periods (Months / MonthsDays / MonthsSeconds)")
+    }
+    val (bm, bs) = monthSec(frame.before)
+    val (am, asec) = monthSec(frame.after)
+    val byNames = by.map(attrName(_, ".by"))
+    val withRid =
+      if (restoreOrder) df.withColumn(RID, monotonically_increasing_id())
+      else df
+    val ONE = "__tidier_one__"
+    require(!df.columns.contains(ONE), s"column $ONE is reserved")
+    val parsedAll = exprs.map { case (_, c) =>
+      try Some(parseMonthsAgg(c)) catch {
+        case _: UnsupportedOperationException => None
+      }
+    }
+    val exprs2 = exprs.zip(parsedAll).zipWithIndex.map {
+      case (((_, _), Some((CalendarWindow.MonthsOp.CountAll, _))), i) =>
+        s"__tidier_mout_${i}__" -> count(col(ONE))
+      case (((_, c), _), i) => s"__tidier_mout_${i}__" -> c
+    }
+    val res = CalendarWindow.monthsSecondsAgg(
+        withRid.withColumn(ONE, lit(1)), byNames,
+        index.cast(TimestampType), exprs2,
+        beforeMonths = bm, beforeSecs = bs,
+        afterMonths = am, afterSecs = asec,
+        complete = complete, strict = frame.strict)
+      .drop(ONE)
+    var out = exprs.map(_._1).zip(exprs2.map(_._1)).foldLeft(res) {
+      case (d, (name, tmp)) => d.withColumn(name, col(tmp)).drop(tmp)
     }
     if (restoreOrder) out = out.orderBy(col(RID)).drop(RID)
     out
@@ -203,6 +265,13 @@ object TidierOps {
         // Path 1: plain mutate (R/mutate.R:200,578).
         return df.withColumns(exprs.toMap)
       }
+
+      // strict-lubridate NA mode is a month-frame-only semantic
+      // (Frame.strict scaladoc) — reject it anywhere else rather than
+      // silently ignoring the flag
+      require(frame.forall(f => !f.strict || f.isMonths),
+        "Frame.strict (lubridate month-end NA replay) is only " +
+          "meaningful on month-family frames")
 
       // Months (Period) frames have per-row clamped widths no WindowSpec
       // can express — route to CalendarWindow (prefix sums + as-of

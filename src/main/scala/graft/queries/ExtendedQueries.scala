@@ -36,6 +36,11 @@ object ExtendedQueries {
   /** 30-minute gap threshold in the events table's epoch-nanos unit. */
   private val GapNs = 1800L * 1000000000L
 
+  /** Driver-collect row cap for the join_aqe_skew plan-feature gate
+    * (the one key that must materialize its own execution on the
+    * driver — see the guard at the collect site). */
+  val AqeSkewCollectCapConf = "spark.graft.aqeskew.maxCollectRows"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_wide" -> ((s, dir) => {
       // reshape long→wide (tidyr::pivot_wider analog). Values pinned:
@@ -149,6 +154,21 @@ object ExtendedQueries {
           (col("id") * 2 + 1).as("d"))
         val j = big.join(dim, Seq("k"))
           .select(col("event_id"), col("k"), col("value"), col("d"))
+        // Row-cap guard (round-6 verdict item 3): the gate MUST collect
+        // its own execution to finalize THIS plan's AQE split, but an
+        // unbounded driver collect is the one scale-killer shape in the
+        // repo — bound it like Similarity.bruteForceGuard. The count
+        // runs on a cloned limit(cap+1) plan (limit early-out, never a
+        // full scan past the cap) and fails loudly instead of OOMing
+        // the driver on a 100× misuse.
+        val cap = s.conf.get(AqeSkewCollectCapConf, "2000000").toLong
+        val capInt = math.min(cap, Int.MaxValue - 1L).toInt
+        val probed = j.select(lit(1).as("one")).limit(capInt + 1).count()
+        require(probed <= cap,
+          s"join_aqe_skew collects its joined output to the driver to " +
+            s"finalize the adaptive plan; input would produce >$cap " +
+            s"rows — this gate is fixture-scale only, raise " +
+            s"$AqeSkewCollectCapConf if the collect is intended")
         // collect() finalizes j's OWN adaptive plan (a count/write would
         // build a separate QueryExecution and leave this one un-split)
         val rows = j.collectAsList()

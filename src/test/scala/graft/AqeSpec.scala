@@ -45,4 +45,27 @@ class AqeSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("join_aqe_skew's driver collect fails loudly past the row cap") {
+    val key = graft.queries.ExtendedQueries.AqeSkewCollectCapConf
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "100") // sf0.001 output is ~6k rows >> 100
+      val ex = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries("join_aqe_skew")(
+          spark, "/root/testdata/sf0.001").collect()
+      }
+      assert(ex.getMessage.contains(key),
+        s"guard message should name the cap conf: ${ex.getMessage}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    // and at the default cap the key still runs green
+    val out = graft.SparkEntry.queries("join_aqe_skew")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+  }
 }

@@ -425,6 +425,115 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(got(1L) == 3.0)
   }
 
+  test("strict-lubridate mode: clamped month-end boundaries yield NULL " +
+      "on both evaluation paths") {
+    import graft.operators.{Frame, TidierOps}
+    import TidierOps.TidierDF
+    // Mar 29/30/31 clamp back to Feb 28 (lubridate NA); Mar 15 and
+    // Feb 28 do not. May 31 clamps (Apr 31 missing); May 30 doesn't.
+    val rows = Seq(
+      (1L, d("2023-02-28"), 1.0), (2L, d("2023-03-15"), 2.0),
+      (3L, d("2023-03-31"), 4.0), (4L, d("2023-05-30"), 8.0),
+      (5L, d("2023-05-31"), 16.0), (6L, d("2023-03-30"), 32.0))
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    // prefix path (sum/count)
+    val strictRes = rows.mutateW("c" -> count(col("value")),
+        "s" -> sum(col("value")))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame.monthsStrict(1, 0)),
+        index = Some(col("dt")))
+      .select($"event_id", $"c", $"s").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+      .toMap
+    assert(strictRes(3L) == ((None, None)), "Mar 31 must be lubridate-NA")
+    assert(strictRes(5L) == ((None, None)), "May 31 must be lubridate-NA")
+    assert(strictRes(6L) == ((None, None)), "Mar 30 must be lubridate-NA")
+    assert(strictRes(1L)._1.contains(1L) && strictRes(2L)._1.contains(2L)
+      && strictRes(4L)._1.contains(1L),
+      s"unclamped rows keep their windows: $strictRes")
+    // general expansion path (median routes through monthsAggGeneral)
+    val strictMed = rows.mutateW("m" -> expr("median(value)"))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame.monthsStrict(1, 0)),
+        index = Some(col("dt")))
+      .select($"event_id", $"m").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(strictMed(3L).isEmpty && strictMed(5L).isEmpty
+      && strictMed(6L).isEmpty)
+    assert(strictMed(2L).contains(1.5)) // median(1.0, 2.0) over [Feb 15, Mar 15]
+    // default mode keeps warehouse clamping (no NULLs)
+    val clamped = rows.mutateW("c" -> count(col("value")))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame.months(1, 0)),
+        index = Some(col("dt")))
+      .select($"event_id", $"c").collect()
+    assert(clamped.forall(r => !r.isNullAt(1)))
+    // strict is month-frame-only
+    val ex = intercept[IllegalArgumentException] {
+      rows.mutateW("c" -> count(col("value")))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame(graft.operators.FrameEndpoint.Days(3),
+          graft.operators.FrameEndpoint.Days(0), strict = true)),
+        index = Some(col("dt"))).collect()
+    }
+    assert(ex.getMessage.contains("month"))
+  }
+
+  test("months+hours compound frames == brute force (seconds path), " +
+      "incl. clamp, strict NA and count(*)") {
+    import graft.operators.{Frame, TidierOps}
+    import TidierOps.TidierDF
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // wall times chosen so the ±hours endpoints decide membership and
+    // Mar 31 18:00 exercises the month-end clamp (Feb 28 18:00)
+    val data = Seq(
+      (1L, "2023-02-28 17:00:00", 1.0),  // == Mar 31 lo - 1h → OUT of 4's window... depends
+      (2L, "2023-02-28 19:00:00", 2.0),
+      (3L, "2023-03-15 06:00:00", 4.0),
+      (4L, "2023-03-31 18:00:00", 8.0),
+      (5L, "2023-03-31 02:00:00", 16.0),
+      (6L, "2023-01-31 23:00:00", 32.0))
+    val rows = data.map { case (id, t, v) => (id, ts(t), v) }
+      .toDF("event_id", "t", "value").withColumn("user_id", lit(1L))
+    // frame c(months(1) + hours(6), hours(-12)):
+    // window = [(t - 1mo) - 6h, t - 12h]
+    val got = rows.mutateW("c" -> count(lit(1)), "s" -> sum(col("value")))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame.monthsHours(1, 6, 0, -12)),
+        index = Some(col("t")))
+      .select($"event_id", $"c", $"s").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val parsed = data.map { case (id, t, v) =>
+      (id, java.time.LocalDateTime.parse(t.replace(' ', 'T')), v) }
+    val want = parsed.map { case (id, t, _) =>
+      val lo = t.minusMonths(1).minusHours(6)
+      val hi = t.minusHours(12)
+      val in = parsed.filter { case (_, b, _) =>
+        !b.isBefore(lo) && !b.isAfter(hi) }
+      id -> ((in.size.toLong,
+        if (in.isEmpty) None else Some(in.map(_._3).sum)))
+    }.toMap
+    assert(got == want)
+    // clamp explicitly: row 4 (Mar 31 18:00) lo = Feb 28 12:00 → rows
+    // 1 (17:00), 2 (19:00), 3 (Mar 15) IN; hi = Mar 31 06:00 → row 5 IN
+    assert(got(4L)._1 == 4L)
+    // strict mode: the two Mar 31 rows are lubridate-NA, others keep
+    val strictGot = rows.mutateW("c" -> count(lit(1)))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame(
+          graft.operators.FrameEndpoint.MonthsSeconds(1, 21600),
+          graft.operators.FrameEndpoint.MonthsSeconds(0, -43200),
+          strict = true)),
+        index = Some(col("t")))
+      .select($"event_id", $"c").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(strictGot(4L).isEmpty && strictGot(5L).isEmpty)
+    assert(strictGot(3L).contains(2L) || strictGot(3L).nonEmpty)
+  }
+
   test("plan: no range self-join — as-of sweep + prefix windows only") {
     val rows = Seq((1L, d("2023-01-01"), 1.0))
       .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
