@@ -14,9 +14,10 @@ import TidierOps._
   *     differs between engines; SURVEY.md §7.4 risk 1);
   *   - order keys always include a unique tiebreaker (row-frame results are
   *     otherwise nondeterministic across engines);
-  *   - `events.ts` is nanosecond-precision parquet — read Spark-side as an
-  *     epoch-nanos long (see [[events]]), ordered identically by DuckDB's
-  *     ns timestamps; results never expose raw `ts`;
+  *   - `events.ts` is canonicalized to an epoch-nanos BIGINT whatever the
+  *     fixture vintage (TIMESTAMP(NANOS) or TIMESTAMP(MICROS)/NTZ — see
+  *     QueryUtil.rawEvents/normalizeTs), ordered identically by DuckDB's
+  *     `epoch_ns(ts)`; results never expose raw `ts`;
   *   - empty frames yield NULL (Spark/SQL) where R yields NaN — normalized
   *     to NULL by policy (SURVEY.md §1.2).
   */
@@ -25,13 +26,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.queries.QueryUtil.t(s, dir, name)
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as an
-    * illegal type unless read as a raw long of epoch-nanoseconds
-    * (`spark.sql.legacy.parquet.nanosAsLong`). The long is actually the
-    * BETTER fidelity choice: ordering by it matches DuckDB's ns-precision
-    * ordering exactly (a µs-truncated TimestampType would tie-break
-    * differently on sub-µs neighbors). Day-granularity projections use
-    * integer `div` (not `/`, which is double division and rounds at 1e18). */
+  /** events table with `ts` canonicalized to epoch-nanos BIGINT across
+    * both fixture vintages (QueryUtil.rawEvents + normalizeTs, confs via
+    * QueryUtil.pinEventConfs — the dual-vintage contract is spec-pinned
+    * by EventsVintageSpec). The long is the BETTER fidelity choice:
+    * ordering by it matches DuckDB's ns-precision ordering exactly.
+    * Day-granularity projections use integer `div` (not `/`, which is
+    * double division and rounds at 1e18). */
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.queries.QueryUtil.events(s, dir)
 

@@ -33,9 +33,11 @@ object TimeSeriesQueries {
     QueryUtil.events(s, dir)
 
   /** Streaming file sources must declare the on-disk schema of the staged
-    * raw copy, then canonicalize ts (nanos BIGINT) on the stream itself. */
+    * raw copy, then canonicalize ts (nanos BIGINT) on the stream itself.
+    * [[QueryUtil.pinEventConfs]] is the NAMED conf contract (UTC +
+    * nanosAsLong) and must run before the stream plan is analyzed. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    QueryUtil.events(s, dir) // pins UTC + nanosAsLong confs
+    QueryUtil.pinEventConfs(s)
     val schema = QueryUtil.rawEvents(s, dir).schema
     QueryUtil.normalizeTs(
       s.readStream.schema(schema).parquet(stagedEventsDir(s, dir)))
