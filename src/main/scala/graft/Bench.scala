@@ -73,37 +73,56 @@ object Bench {
     // pass stays failed (no masking a flaky crash with its lucky pass).
     val p1 = timedPass(1)
     val p2 = timedPass(2)
-    // Stall salvage: the box's external stalls occasionally smear the SAME
-    // alphabetic neighborhood in BOTH sweeps (observed: 40s+ landing on
-    // consecutive dedup_*/embedding_* keys twice), which defeats the
-    // per-query min. Queries whose two timings disagree by the stall
-    // signature (>2x AND >1s apart) get ONE targeted re-run — bounded
-    // extra work (only the stalled few), and a legitimate measurement:
-    // we keep the minimum of three attempts of identical work.
-    val suspect = selected.filter { case (name, _) =>
-      (p1(name), p2(name)) match {
-        case (Some(a), Some(b)) =>
-          math.max(a, b) > 2 * math.min(a, b) && math.abs(a - b) > 1.0
-        case _ => false
+    // Stall salvage (round-6 verdict item 7): the box's external stalls
+    // occasionally smear the SAME alphabetic neighborhood in BOTH
+    // sweeps (observed: 40s+ landing on consecutive dedup_*/embedding_*
+    // keys twice), which defeats the per-query min. A key is SUSPECT
+    // while no two of its timings AGREE (within 2x of each other, or
+    // within 1s absolute — small-denominator keys jitter multiplicatively
+    // on sub-second costs). Suspects get targeted re-runs, up to 3
+    // bounded rounds, each touching only the still-disagreeing few; the
+    // reported stall_suspect list is what REMAINS without an agreeing
+    // pair after retries — the artifact's residual doubt, not every key
+    // a stall ever brushed (round 6 reported 26 brushed keys; the goal
+    // is <5 residual).
+    def agrees(a: Double, b: Double): Boolean =
+      math.max(a, b) <= 2 * math.min(a, b) || math.abs(a - b) <= 1.0
+    val timings = scala.collection.mutable.Map[String, List[Double]]()
+    selected.foreach { case (name, _) =>
+      timings(name) = List(p1.get(name), p2.get(name)).flatten.flatten
+    }
+    def settled(name: String): Boolean = {
+      val ts = timings(name)
+      ts.size < 2 || ts.combinations(2).exists {
+        case a :: b :: Nil => agrees(a, b)
+        case _             => false
       }
     }
-    val p3: Map[String, Option[Double]] = if (suspect.nonEmpty) {
-      System.err.println(s"[bench] re-timing ${suspect.size} stall suspects")
-      suspect.map { case (name, fn) =>
+    var open = selected.filter { case (name, _) =>
+      p1(name).isDefined && p2(name).isDefined && !settled(name)
+    }
+    var retryRound = 0
+    while (open.nonEmpty && retryRound < 3) {
+      retryRound += 1
+      System.err.println(
+        s"[bench] retry $retryRound: ${open.size} stall suspects")
+      open.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] p3 $name%-22s $dt%8.2fs")
-        name -> (if (ok) Some(dt) else None)
-      }.toMap
-    } else Map.empty
+        System.err.println(f"[bench] r$retryRound $name%-22s $dt%8.2fs")
+        // a failed retry adds no timing (and cannot mask the base passes)
+        if (ok) timings(name) = dt :: timings(name)
+      }
+      open = open.filter { case (name, _) => !settled(name) }
+    }
+    val stillSuspect = open.map(_._1)
     val results = selected.map { case (name, _) =>
       val best = (p1(name), p2(name)) match {
-        case (Some(a), Some(b)) =>
-          Some((Seq(a, b) ++ p3.getOrElse(name, None)).min)
-        case _ => None
+        case (Some(_), Some(_)) => Some(timings(name).min)
+        case _                  => None
       }
       name -> best
     }.toMap
@@ -120,13 +139,13 @@ object Bench {
     val total = results.values.flatten.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subset = if (only.nonEmpty) "\"subset\":true," else ""
-    // Self-diagnosing artifact: record WHICH queries tripped the stall
-    // signature and got the targeted third run — min-of-three applied
-    // selectively is a one-sided policy, so the JSON must say where it
-    // was applied for a reader comparing rounds to discount those
-    // entries (driver-visible per-query numbers in a stall-smeared run
-    // disagreed with steady state by up to 8x in round 5).
-    val suspectJson = suspect.map(_._1).sorted
+    // Self-diagnosing artifact: stall_suspect now lists only the keys
+    // that STILL lack two agreeing timings after the bounded retry
+    // loop — a reader comparing rounds discounts exactly these (in a
+    // stall-smeared round-5 run, driver-visible numbers disagreed with
+    // steady state by up to 8x; round 6 reported 26 brushed keys
+    // under the old one-retry policy).
+    val suspectJson = stillSuspect.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subset"queries":$qs,"failed":$failedJson,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""

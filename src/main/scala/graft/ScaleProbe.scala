@@ -184,6 +184,20 @@ object ScaleProbe {
       }
     }
 
+    // the GENERAL path at FULL probe scale with a WIDE window (round-6
+    // verdict item 4): median over a trailing 6-month window at 10M
+    // events / 100k users. w̄ ≈ (rows/user/year)·(183/365) ≈ 50 → ~500M
+    // joined rows — the honest O(n·w̄) bill of a non-decomposable
+    // aggregate over a wide calendar window, distributed as one hash
+    // join + one hash agg. The expansion factor to quote is w̄ (≈50
+    // here); at 100 TB the SAME factor holds per partition because the
+    // join is equi on (group, bin).
+    time("monthsAggGeneral median WIDE c(6,0) 10M") {
+      sink(graft.operators.CalendarWindow.monthsAggGeneral(
+        ev, Seq("user_id"), col("dt"),
+        Seq("med" -> expr("percentile(v, 0.5)")), before = 6, after = 0))
+    }
+
     // incremental admission: the 5% "arriving batch" (the planted dup
     // copies) probed against the 95% corpus — each batch doc has exactly
     // one corpus near-dup, so found-pairs ≈ |batch| checks recall while
@@ -265,6 +279,39 @@ object ScaleProbe {
           iv, iv, Seq("k"), "lo", "hi", "lo", "hi", binWidth = 8)
         .filter(col("iid_1") < col("iid_2"))
       println(s"[probe]   overlap pairs: ${pairs.count()}")
+    }
+
+    // interval-overlap under a SKEWED length distribution (round-6
+    // verdict item 4): 10M intervals, 99% short (1-15) + 1% long-tail
+    // (~1000 wide). A fixed binWidth=8 tuned to the short majority
+    // explodes each tail interval into ~125 bins; autoBinWidth (p75 of
+    // observed lengths, one approx_percentile agg) re-anchors the
+    // width from the data. Probe prints both times + the derived width
+    // so README can quote the skew premium and its fix directly.
+    locally {
+      val ivS = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(10000)).as("k"),
+          pmod(xxhash64(col("id"), lit(5)), lit(100000)).as("lo"),
+          col("id").as("iid"))
+        .withColumn("hi", col("lo") + lit(1L) +
+          when(pmod(xxhash64(col("iid"), lit(13)), lit(100)) === 0,
+            lit(1000L))
+          .otherwise(pmod(xxhash64(col("iid"), lit(9)), lit(14))))
+        .repartition(32)
+      sink(ivS)
+      time("intervalOverlap 10M SKEWED binWidth=8") {
+        val pairs = graft.operators.RangeJoin.intervalOverlapJoin(
+            ivS, ivS, Seq("k"), "lo", "hi", "lo", "hi", binWidth = 8)
+          .filter(col("iid_1") < col("iid_2"))
+        println(s"[probe]   skewed overlap pairs (fixed w=8): ${pairs.count()}")
+      }
+      time("intervalOverlap 10M SKEWED autoBinWidth") {
+        val w = graft.operators.RangeJoin.autoBinWidth(ivS, "lo", "hi")
+        val pairs = graft.operators.RangeJoin.intervalOverlapJoin(
+            ivS, ivS, Seq("k"), "lo", "hi", "lo", "hi", binWidth = w)
+          .filter(col("iid_1") < col("iid_2"))
+        println(s"[probe]   skewed overlap pairs (auto w=$w): ${pairs.count()}")
+      }
     }
 
     // Z-order layout locality at 10M rows: write the same table 64 files

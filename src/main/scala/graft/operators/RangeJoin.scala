@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Data-derived bin width: a length quantile of the intervals
+    * themselves (default p75), floored at 1 — ONE tiny aggregate job
+    * (approx_percentile, mergeable sketch; cost is a scan of two
+    * columns). A fixed binWidth tuned to the "typical" span
+    * underestimates on SKEWED length distributions: each tail interval
+    * explodes into span/binWidth + 1 bins, and a heavy tail multiplies
+    * the exploded row count (ScaleProbe's skewed 10M probe measures
+    * this). Anchoring the width at p75 keeps the short majority in
+    * ~1-2 bins while capping the tail's per-interval expansion at
+    * span/p75. Pass the LONGER-tailed side when joining two interval
+    * sets. */
+  def autoBinWidth(intervals: DataFrame, loCol: String, hiCol: String,
+      quantile: Double = 0.75): Long = {
+    val v = intervals
+      .agg(expr(s"approx_percentile($hiCol - $loCol, $quantile)"))
+      .collect()(0).get(0)
+    math.max(1L, Option(v).map(_.toString.toDouble.toLong).getOrElse(1L))
+  }
+
   /** Inner range join: rows of `points` paired with every row of
     * `intervals` with matching `keys` and `pointCol ∈ [loCol, hiCol]`
     * (inclusive both ends). Time columns must be numeric (cast dates/

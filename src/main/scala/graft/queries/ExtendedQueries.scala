@@ -94,19 +94,23 @@ object ExtendedQueries {
       // salt is content-derived, the small side replicated nSalts times,
       // so a hot join key spreads over nSalts tasks instead of one.
       // Result must equal the plain join — the oracle IS the plain join.
-      // rev in exact decimal (round-7 fragility audit): cent/percent-
-      // exact inputs -> exact decimal product -> order-independent sum
+      // rev in exact LONG scaled units (round-7 fragility audit):
+      // cent-exact price x percent-exact discount -> exact integer
+      // product (scale 1e4, ≤ 1.05e9/row, group sums ≤ ~6e14 — int64
+      // safe), order-independent sum, one /1e4 at the end — identical
+      // closed form in the oracle. Long sums codegen fast (the decimal
+      // first cut doubled this key's BENCH cost).
       val li = t(s, dir, "lineitem").select(col("l_suppkey"),
-        (col("l_extendedprice").cast("decimal(9,2)") *
-          (lit(1).cast("decimal(3,2)") -
-            col("l_discount").cast("decimal(3,2)"))).as("rev"))
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_c"))
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
       graft.operators.SkewOps.saltedJoin(li, sup, Seq("l_suppkey"),
           nSalts = 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).cast("long").as("n"),
-          r4(sum(col("rev")).cast("double")).as("rev"))
+          r4(sum(col("rev_c")).cast("double") / lit(10000.0)).as("rev"))
     }),
     "join_aqe_skew" -> ((s, dir) => {
       // AQE runtime skew-join split, oracle-gated (was spec-only, the
@@ -290,37 +294,43 @@ object ExtendedQueries {
       // differs per engine (and per DuckDB thread schedule), jittering
       // ~1e-9-relative digits that straddle the 4-decimal grid on a
       // covariance of magnitude ~1e5. Instead the window computes
-      // DECIMAL-EXACT sums — n, Σx, Σy, Σxy, Σx², Σy² over the inputs
-      // cast to DECIMAL(18,2) (the fixture's quantity/price are
-      // cent-exact, so the cast is value-preserving and the sums are
-      // order-independent integers-in-disguise) — and corr/cov are
-      // assembled from those bit-identical inputs by the very same
+      // EXACT LONG-CENTS sums — n, Σx, Σy, Σxy, Σx², Σy² over the
+      // cent-exact inputs scaled to integer cents (long window sums:
+      // order-independent, codegen-fast — the first decimal rendering
+      // of this key cost 2x in BENCH; every bound fits int64: the
+      // largest term, n·Σy², is ≤ 20·20·1.1e14 ≈ 4.4e16) — and the
+      // CANCELLATION n·Σxy−ΣxΣy happens in exact integers, so corr/cov
+      // are assembled from bit-identical inputs by the very same
       // closed-form double expression embedded in the oracle SQL.
-      // IEEE +,-,*,/,sqrt are correctly rounded, so identical inputs
-      // + identical expression tree = identical doubles, the
+      // IEEE +,-,*,/,sqrt are correctly rounded (and long→double is
+      // correctly rounded in both engines), so identical inputs +
+      // identical expression tree = identical doubles — the
       // window_ewma literal-replay contract extended to moments.
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
         .rowsBetween(-19, 0)
-      val qd = col("l_quantity").cast("decimal(18,2)")
-      val pd = col("l_extendedprice").cast("decimal(18,2)")
-      val n   = count(lit(1)).over(w)
-      val nd  = n.cast("double")
-      val sx  = sum(qd).over(w).cast("double")
-      val sy  = sum(pd).over(w).cast("double")
-      val sxy = sum(qd * pd).over(w).cast("double")
-      val sxx = sum(qd * qd).over(w).cast("double")
-      val syy = sum(pd * pd).over(w).cast("double")
-      // m2 terms cancel in double, but IDENTICALLY in both engines,
-      // so the >0 guards (zero-variance frames → NULL, matching
-      // corr()'s contract) flip in lockstep too.
-      val m2x = nd * sxx - sx * sx
-      val m2y = nd * syy - sy * sy
-      val corrE = (nd * sxy - sx * sy) / (sqrt(m2x) * sqrt(m2y))
-      val covE  = (sxy - sx * sy / nd) / (nd - lit(1.0))
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      val n    = count(lit(1)).over(w)
+      val nd   = n.cast("double")
+      val sxc  = sum(qc).over(w)
+      val syc  = sum(pc).over(w)
+      val sxyc = sum(qc * pc).over(w)
+      val sxxc = sum(qc * qc).over(w)
+      val syyc = sum(pc * pc).over(w)
+      // exact integer cancellation (zero-variance guards flip in
+      // lockstep: exact longs compare identically in both engines)
+      val m2xc = n * sxxc - sxc * sxc
+      val m2yc = n * syyc - syc * syc
+      val cxyc = n * sxyc - sxc * syc
+      // scale factors (1e2 per cents axis) cancel entirely in corr;
+      // cov carries one explicit 1e4
+      val corrE = cxyc.cast("double") /
+        sqrt(m2xc.cast("double") * m2yc.cast("double"))
+      val covE = cxyc.cast("double") / (lit(10000.0) * nd * (nd - lit(1.0)))
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        r4(when(n >= 2 && m2x > 0 && m2y > 0, corrE)).as("roll_corr"),
+        r4(when(n >= 2 && m2xc > 0 && m2yc > 0, corrE)).as("roll_corr"),
         r4(when(n >= 2, covE)).as("roll_cov"))
     }),
     "agg_heavyhitters" -> ((s, dir) => {
@@ -791,31 +801,35 @@ object ExtendedQueries {
     "window_rolling_corr" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber, l_suppkey,
            l_shipdate, l_partkey,
-           CAST(l_quantity AS DECIMAL(18,2)) AS qd,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+           CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
          FROM lineitem),
          m AS (SELECT l_orderkey, l_linenumber,
            count(*) OVER w AS n,
-           CAST(count(*) OVER w AS DOUBLE) AS nd,
-           CAST(sum(qd) OVER w AS DOUBLE) AS sx,
-           CAST(sum(pd) OVER w AS DOUBLE) AS sy,
-           CAST(sum(qd * pd) OVER w AS DOUBLE) AS sxy,
-           CAST(sum(qd * qd) OVER w AS DOUBLE) AS sxx,
-           CAST(sum(pd * pd) OVER w AS DOUBLE) AS syy
+           CAST(sum(qc) OVER w AS BIGINT) AS sxc,
+           CAST(sum(pc) OVER w AS BIGINT) AS syc,
+           CAST(sum(qc * pc) OVER w AS BIGINT) AS sxyc,
+           CAST(sum(qc * qc) OVER w AS BIGINT) AS sxxc,
+           CAST(sum(pc * pc) OVER w AS BIGINT) AS syyc
          FROM d
          WINDOW w AS (PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
-           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         c AS (SELECT l_orderkey, l_linenumber, n,
+           CAST(n AS DOUBLE) AS nd,
+           n * sxxc - sxc * sxc AS m2xc,
+           n * syyc - syc * syc AS m2yc,
+           n * sxyc - sxc * syc AS cxyc
+         FROM m)
          SELECT l_orderkey, l_linenumber,
-           round(1e-9 + CASE WHEN n >= 2
-               AND nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
-             THEN (nd * sxy - sx * sy)
-               / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+           round(1e-9 + CASE WHEN n >= 2 AND m2xc > 0 AND m2yc > 0
+             THEN CAST(cxyc AS DOUBLE)
+               / sqrt(CAST(m2xc AS DOUBLE) * CAST(m2yc AS DOUBLE))
              END, 4) AS roll_corr,
            round(1e-9 + CASE WHEN n >= 2
-             THEN (sxy - sx * sy / nd) / (nd - 1.0)
+             THEN CAST(cxyc AS DOUBLE) / (10000.0 * nd * (nd - 1.0))
              END, 4) AS roll_cov
-         FROM m""",
+         FROM c""",
     "agg_heavyhitters" ->
       """WITH e AS (SELECT user_id, count(*) AS exact_n
            FROM events GROUP BY 1),
@@ -862,9 +876,9 @@ object ExtendedQueries {
          FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey""",
     "join_salted" ->
       """SELECT s_nationkey, count(*) AS n,
-         round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-           AS DOUBLE), 4) AS rev
+         round(1e-9 + CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS DOUBLE) / 10000.0, 4) AS rev
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1""",
     "join_aqe_skew" ->

@@ -22,6 +22,89 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Streaming support verdict for a batch [[graft.operators.Frame]] —
+    * see [[supports]]. */
+  sealed trait StreamSupport
+  object StreamSupport {
+    /** Exact per-row semantics expressible with BOUNDED custom keyed
+      * state (`flatMapGroupsWithState`); `how` names the state shape. */
+    final case class StatefulOnly(how: String) extends StreamSupport
+    /** No bounded-state streaming rendering of the exact semantics
+      * exists; `why` names the obstruction. */
+    final case class NotStreamable(why: String) extends StreamSupport
+  }
+
+  /** The DEGRADATION MATRIX (round-6 verdict item 9, SURVEY §2.4): which
+    * batch `mutateW` frame shapes have a faithful streaming rendering,
+    * and which inherently don't. Codifies what was prose in SURVEY §2.4
+    * ("arbitrary per-row sliding frames are not incrementally
+    * computable") as a checkable function.
+    *
+    * Verdicts (exact PER-ROW mutate semantics — the epoch-aligned
+    * [[mutateStreamW]] windows are a different, grouped output shape,
+    * not a rendering of per-row frames):
+    *
+    *   - `c(Inf, Inf)` (whole partition): NOT streamable — every
+    *     arrival changes every row's result; no append-mode output.
+    *   - any `Inf` FOLLOWING endpoint: NOT streamable — needs the end
+    *     of an unbounded stream.
+    *   - `c(Inf, rows a≤0)` (running/cumulative): stateful — per-key
+    *     accumulator (`mapGroupsWithState`), decomposable aggs only.
+    *   - `c(rows b, rows a≤0)`: stateful — bounded per-key buffer of
+    *     the trailing b+1 rows.
+    *   - any POSITIVE row-count lookahead: NOT streamable — n future
+    *     rows is unbounded in EVENT TIME (they may never arrive), so
+    *     no watermark can ever release the frame.
+    *   - finite event-time Periods (days/seconds/months/compound),
+    *     after ≤ 0 or a finite positive time lookahead: stateful —
+    *     watermark-bounded per-key event-time buffer spanning the
+    *     frame width (months bound by 31 d/mo); emit a row once the
+    *     watermark passes its `hi` boundary. This is exactly the
+    *     bounded-state contract [[sessionize]] demonstrates.
+    *   - unitless numeric `Range` frames: NOT streamable — a non-time
+    *     index has no watermark axis, so state cannot be bounded.
+    */
+  def supports(frame: graft.operators.Frame): StreamSupport = {
+    import graft.operators.FrameEndpoint._
+    import StreamSupport._
+    def isTime(e: graft.operators.FrameEndpoint): Boolean = e match {
+      case Days(_) | Seconds(_) | Months(_) | MonthsDays(_, _) |
+           MonthsSeconds(_, _) => true
+      case _ => false
+    }
+    (frame.before, frame.after) match {
+      case (Unbounded, Unbounded) => NotStreamable(
+        "whole-partition frame: every arrival changes every row's " +
+          "result — no append-mode output exists")
+      case (_, Unbounded) => NotStreamable(
+        "unbounded FOLLOWING endpoint needs the end of an unbounded " +
+          "stream")
+      case (Unbounded, Rows(a)) if a <= 0 => StatefulOnly(
+        "running aggregate: per-key accumulator via " +
+          "mapGroupsWithState (decomposable aggregates only)")
+      case (Unbounded, e) if isTime(e) => StatefulOnly(
+        "running aggregate with a watermark-delayed emit (per-key " +
+          "accumulator; a positive time lookahead waits for the " +
+          "watermark to pass hi)")
+      case (Rows(_), Rows(a)) if a > 0 => NotStreamable(
+        "positive row-count lookahead: n future rows is unbounded in " +
+          "event time — no watermark can release the frame")
+      case (Rows(b), Rows(_)) => StatefulOnly(
+        s"bounded per-key buffer of the trailing ${b + 1} rows " +
+          "(flatMapGroupsWithState)")
+      case (bE, aE) if isTime(bE) && isTime(aE) => StatefulOnly(
+        "watermark-bounded per-key event-time buffer spanning the " +
+          "frame width (calendar months bound by 31 d/mo); emit each " +
+          "row once the watermark passes its hi boundary")
+      case (Range(_), _) | (_, Range(_)) => NotStreamable(
+        "unitless numeric index has no watermark axis — state cannot " +
+          "be bounded")
+      case (bE, aE) => NotStreamable(
+        s"mixed-unit frame ($bE, $aE) has no single event-time axis " +
+          "(batch mutateW rejects it too)")
+    }
+  }
+
   /** Tumbling/sliding windowed mutate on a streaming DataFrame.
     *
     * @param tsCol     event-time column name (must be TimestampType)
