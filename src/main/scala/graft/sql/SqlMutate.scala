@@ -186,6 +186,11 @@ object SqlMutate {
     def monthDay(e: FrameEndpoint): (Long, Long) = e match {
       case FrameEndpoint.Months(m)        => (m, 0L)
       case FrameEndpoint.MonthsDays(m, d) => (m, d)
+      case FrameEndpoint.MonthsSeconds(_, _) =>
+        throw new UnsupportedOperationException(
+          "months+sub-day compound Periods have no single-statement SQL " +
+            "rendering (the seconds-granularity expansion join) — use " +
+            "the DataFrame API (mutateW / CalendarWindow.monthsSecondsAgg)")
       case _ => throw new IllegalArgumentException(
         "month frames cannot mix units: both endpoints must be Months " +
           "or MonthsDays")
@@ -281,13 +286,25 @@ object SqlMutate {
           if (op == Var) varc else s"sqrt($varc)"
       }
     }
+    // strict-lubridate NA replay (Frame.strict) — same clamp detector
+    // as CalendarWindow.strictNaCond, rendered in SQL: a month-shifted
+    // boundary clamped iff its day-of-month changed
+    val strictCond: Option[String] = if (!frame.strict) None else {
+      val checks =
+        (if (b != 0) Seq(s"day(add_months(day, ${-b})) <> day(day)")
+         else Nil) ++
+        (if (a != 0) Seq(s"day(add_months(day, $a)) <> day(day)")
+         else Nil)
+      checks.reduceOption(_ + " OR " + _)
+    }
     val gated = parsed.map { case (n, op, v) =>
       val o = outSql(op, v)
       val g = if (complete)
         s"CASE WHEN ${loSql("day")} >= gmin AND ${hiSql("day")} <= gmax " +
           s"THEN $o END"
       else o
-      s"$g AS $n"
+      val sg = strictCond.fold(g)(c => s"CASE WHEN $c THEN NULL ELSE $g END")
+      s"$sg AS $n"
     }.mkString(", ")
 
     val joinOn = (by.map(c => s"b.$c <=> w.$c") :+

@@ -132,10 +132,45 @@ class GraftExtensionsSpec extends AnyFunSuite {
       df.mutateW("ms" -> sum(col("v")))(
         by = Seq(col("g")), frame = Some(Frame.monthsDays(1, 3, 0, -2)),
         index = Some(col("d"))))
+    // STRICT-lubridate month mode renders too (clamped month-end rows
+    // NULL) — fixture with genuine clamp rows (Mar 30/31 → Feb 31/30 NA,
+    // May 31 → Apr 31 NA; Feb 29 2024 exists, Mar 29 doesn't clamp)
+    val dfStrict = Seq(
+      ("a", 1, java.sql.Date.valueOf("2024-02-29"), 10.0),
+      ("a", 2, java.sql.Date.valueOf("2024-03-15"), 20.0),
+      ("a", 3, java.sql.Date.valueOf("2024-03-30"), 30.0),
+      ("a", 4, java.sql.Date.valueOf("2024-03-31"), 40.0),
+      ("b", 1, java.sql.Date.valueOf("2024-05-30"), 1.0),
+      ("b", 2, java.sql.Date.valueOf("2024-05-31"), 2.0))
+      .toDF("g", "o", "d", "v")
+    dfStrict.createOrReplaceTempView("sqlmutate_strict_t")
+    locally {
+      val sql = SqlMutate.render("sqlmutate_strict_t",
+        Seq("ms" -> "sum(v)", "mc" -> "count(v)"),
+        by = Seq("g"), frame = Some(Frame.monthsStrict(1, 0)),
+        index = Some("d"))
+      val a = spark.sql(sql).collect().map(_.toSeq).toSet
+      val b = dfStrict.mutateW("ms" -> sum(col("v")),
+          "mc" -> count(col("v")))(
+          by = Seq(col("g")), frame = Some(Frame.monthsStrict(1, 0)),
+          index = Some(col("d")))
+        .collect().map(_.toSeq).toSet
+      assert(a == b, s"strict SQL != DataFrame for:\n$sql")
+      // and the NA rows really are NULL (3 clamp rows across both paths)
+      val naRows = spark.sql(sql).filter("ms IS NULL AND mc IS NULL").count()
+      assert(naRows == 3L, s"expected 3 strict-NA rows, got $naRows")
+    }
     // month-frame min/max (interval-expansion path) stay DataFrame-only
     intercept[UnsupportedOperationException] {
       SqlMutate.render("sqlmutate_t", Seq("s" -> "max(v)"),
         by = Seq("g"), frame = Some(Frame.months(1, 0)), index = Some("d"))
+    }
+    // months+sub-day compound Periods have no SQL rendering (documented
+    // inherent-to-SQL delta, like min/max)
+    intercept[UnsupportedOperationException] {
+      SqlMutate.render("sqlmutate_t", Seq("s" -> "sum(v)"),
+        by = Seq("g"), frame = Some(Frame.monthsHours(1, 6, 0, -12)),
+        index = Some("d"))
     }
     // rows frame without an order is rejected (SQL has no input order)
     intercept[IllegalArgumentException] {
