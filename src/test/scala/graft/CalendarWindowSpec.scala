@@ -348,6 +348,64 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: months+seconds frames == brute force on random " +
+      "timestamps (incl. strict mode)") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val base = java.time.LocalDateTime.of(2023, 12, 15, 0, 0, 0)
+    val gen = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 2L)
+        offMin <- Gen.choose(0L, 430L * 24 * 60) // minute grid, ~14 months
+        v <- Gen.choose(-4, 9).map(_.toDouble)
+      } yield (u, base.plusMinutes(offMin), v))
+      bMo <- Gen.choose(0, 2)
+      bH <- Gen.choose(1, 30)
+      // keep the frame statically nonempty: monthsAgg's emptiness check
+      // uses a 28-day bound for negative month spans, so with bMo >= 0
+      // it requires bMo*31*24 + bH + aH >= 0 — generate aH above -bH
+      // so the constraint holds for every bMo
+      aH <- Gen.choose(-bH + 1, 10)
+      strict <- Gen.oneOf(true, false)
+    } yield (rows, bMo, bH, aH, strict)
+    val prop = forAll(gen) { case (rows, bMo, bH, aH, strict) =>
+      val df = rows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, java.sql.Timestamp.valueOf(t), v)
+      }.toDF("event_id", "user_id", "t", "value")
+      val frame0 = Frame.monthsHours(bMo, bH, 0, aH)
+      val frame = if (strict) frame0.copy(strict = true) else frame0
+      val got = df.mutateW(
+          "ws" -> sum(col("value")), "wc" -> count(col("value")))(
+          by = Seq(col("user_id")), frame = Some(frame),
+          index = Some(col("t")))
+        .select($"event_id", $"ws", $"wc").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+        .toMap
+      // lubridate order: months first (NA/clamp on the date), then hours
+      val want = rows.zipWithIndex.map { case ((u, t, _), i) =>
+        val clamped = bMo != 0 &&
+          t.minusMonths(bMo).getDayOfMonth != t.getDayOfMonth
+        if (strict && clamped) i.toLong -> ((None, None))
+        else {
+          val lo = t.minusMonths(bMo).minusHours(bH)
+          val hi = t.plusHours(aH)
+          val w = rows.filter { case (u2, b, _) =>
+            u2 == u && !b.isBefore(lo) && !b.isAfter(hi) }.map(_._3)
+          i.toLong -> ((if (w.isEmpty) None else Some(w.sum),
+            Some(w.size.toLong)))
+        }
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("general expansion path: median/percentile route automatically, " +
       "empty windows yield NULL/0, padding rows not counted") {
     import graft.operators.TidierOps._
