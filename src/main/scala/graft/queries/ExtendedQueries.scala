@@ -185,6 +185,56 @@ object ExtendedQueries {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+    "join_runtime_bloom" -> ((s, dir) => {
+      // Runtime BLOOM-FILTER semi-join reduction, oracle-gated (the
+      // shuffle-join sibling of join_aqe_skew's AQE gate): when a join's
+      // build side carries a selective predicate, Catalyst's
+      // InjectRuntimeFilter plants a bloom_filter_agg on the build side
+      // and a might_contain filter on the PROBE side scan — at 100 TB
+      // that's the difference between shuffling the full fact table and
+      // shuffling only rows that can possibly match. The gate `require`s
+      // the injected filter in the optimized plan, so a regression in
+      // the rule (or a conf drift that disables it) fails the key; rows
+      // equal the plain join — the oracle IS the plain join.
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        // fixture-scale thresholds: the default application-side floor
+        // (10GB scan) assumes warehouse sizes; the FEATURE is the gate
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+          -> "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+          -> "0")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"))
+        // selective build-side predicate (5% of parts at every sf —
+        // retailprice ranges scale with sf, a key-derived predicate
+        // doesn't) — the isLikelySelective shape InjectRuntimeFilter
+        // looks for
+        val p = t(s, dir, "part")
+          .filter(pmod(col("p_partkey"), lit(20)) === 0)
+          .select(col("p_partkey"), col("p_brand"))
+        val j = li.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            r4(sum(col("l_quantity"))).as("qty"))
+        val opt = j.queryExecution.optimizedPlan.toString
+        require(opt.contains("might_contain"),
+          s"runtime bloom filter was not injected:\n$opt")
+        // materialize THIS execution (the one carrying the injected
+        // filter) before the finally restores confs — a later write
+        // action would re-optimize under restored confs and silently
+        // drop the feature under test (the join_aqe_skew snapshot
+        // pattern; output is |brands| ≈ 25 rows, driver-safe)
+        s.createDataFrame(j.collectAsList(), j.schema)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
     "window_zscore_anomaly" -> ((s, dir) => {
       // Rolling z-score anomaly detection: each reading scored against
       // its user's trailing-50 mean/stddev (frame EXCLUDES the current
@@ -879,6 +929,12 @@ object ExtendedQueries {
          SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
            u.n_urgent, l.n_low
          FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey""",
+    "join_runtime_bloom" ->
+      """SELECT p_brand, count(*) AS n,
+         round(1e-9 + sum(l_quantity), 4) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_partkey % 20 = 0
+         GROUP BY 1""",
     "join_salted" ->
       """SELECT s_nationkey, count(*) AS n,
          round(1e-9 + CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
