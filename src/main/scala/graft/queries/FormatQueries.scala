@@ -250,6 +250,43 @@ object FormatQueries {
           r4(sum(col("o_totalprice").cast("decimal(11,2)")).cast("double"))
             .as("total"))
     }),
+    "join_dpp_prune" -> ((s, dir) => {
+      // DYNAMIC PARTITION PRUNING, plan-feature-gated (the scan-side
+      // sibling of join_runtime_bloom / join_aqe_skew): joining a
+      // directory-partitioned fact on its partition column against a
+      // filtered (broadcastable) dim makes Catalyst plant a
+      // dynamicpruning expression in the scan's PartitionFilters — at
+      // 100 TB the fact table reads ONLY the partitions the dim selects,
+      // decided at runtime from the broadcast result, no static literal
+      // required. `require`d on the executed plan; rows equal the
+      // statically-filtered oracle.
+      val path = scratch(s, dir, "orders_dpp")
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(path)
+      val fact = s.read.parquet(path)
+      import s.implicits._
+      // dim carries the selective filter; only status F survives.
+      // TWO planner preconditions earned the hard way: the predicate
+      // must be a comparison shape (Catalyst's isLikelySelective takes
+      // EqualTo/In/Like, not a bare boolean attribute), and the dim
+      // must be FILE-based — ConvertToLocalRelation folds a Filter over
+      // a LocalRelation away before the PartitionPruning optimizer
+      // batch ever sees it
+      val dimPath = scratch(s, dir, "dpp_dim")
+      Seq(("F", "pick"), ("O", "skip"), ("P", "skip"))
+        .toDF("st", "tag").write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath).filter(col("tag") === "pick")
+      val j = fact.join(dim, col("o_orderstatus") === col("st"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          r4(sum(col("o_totalprice").cast("decimal(11,2)")).cast("double"))
+            .as("total"))
+      val rows = j.collectAsList()
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        s"dynamic partition pruning was not planted:\n$plan")
+      s.createDataFrame(rows, j.schema)
+    }),
     "sink_partitioned_parquet" -> ((s, dir) => {
       // directory-partitioned parquet sink; the read-back filter must
       // prune to the o_orderstatus=F subtree (partition pruning, not a
@@ -299,6 +336,11 @@ object FormatQueries {
            AS DOUBLE), 4) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+    "join_dpp_prune" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(11,2)))
+           AS DOUBLE), 4) AS total
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""",
     "sink_partitioned_parquet" ->
       """SELECT o_orderpriority, count(*) AS n,
          round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(11,2)))
