@@ -93,6 +93,21 @@ class RangeJoinSpec extends AnyFunSuite {
     })
   }
 
+  test("autoBinWidth: p75 of lengths, floored at 1, safe on empty input") {
+    // lengths 1..100 uniformly -> p75 = 75
+    val iv = spark.range(100).select(col("id").as("lo"),
+      (col("id") + col("id") + 1).as("hi")) // hi - lo = id + 1 in 1..100
+    val w = RangeJoin.autoBinWidth(iv, "lo", "hi")
+    assert(w >= 70 && w <= 80, s"p75 of 1..100 should be ~75, got $w")
+    // all-zero-length intervals floor at 1 (a 0 bin width would divide
+    // by zero downstream)
+    val zero = spark.range(5).select(col("id").as("lo"), col("id").as("hi"))
+    assert(RangeJoin.autoBinWidth(zero, "lo", "hi") == 1L)
+    // empty input floors at 1 as well (percentile of nothing is NULL)
+    val empty = iv.filter(col("lo") < 0)
+    assert(RangeJoin.autoBinWidth(empty, "lo", "hi") == 1L)
+  }
+
   test("overlap join plan is an equi join, not a nested loop") {
     val l = Seq(("a", 0L, 9L, 1L)).toDF("k", "lo", "hi", "aid")
     val r = Seq(("a", 5L, 15L, 2L)).toDF("k", "lo", "hi", "bid")
