@@ -184,6 +184,29 @@ object ScaleProbe {
       }
     }
 
+    // the new SECONDS-granularity compound-Period path (round-7:
+    // months+hours frames) at 1M events — same expansion-join cost
+    // model as monthsAggGeneral, plus per-row timestamp boundary
+    // arithmetic; pins the constant for the exotic-Period shape
+    locally {
+      val n1m = n / 10
+      val evs = spark.range(n1m).select(
+          pmod(xxhash64(col("id")), lit(10000)).as("user_id"),
+          timestamp_micros(lit(1735689600000000L) + // 2025-01-01 UTC
+            pmod(xxhash64(col("id"), lit(1)), lit(365L * 86400))
+              * lit(1000000L)).as("ts"),
+          (col("id") % 97).cast("double").as("v"))
+        .repartition(32)
+      sink(evs)
+      time("monthsSecondsAgg c(1mo+6h,-12h) 1M") {
+        sink(graft.operators.CalendarWindow.monthsSecondsAgg(
+          evs, Seq("user_id"), col("ts"),
+          Seq("ws" -> sum(col("v")), "wc" -> count(col("v"))),
+          beforeMonths = 1, beforeSecs = 21600,
+          afterMonths = 0, afterSecs = -43200))
+      }
+    }
+
     // the GENERAL path at FULL probe scale with a WIDE window (round-6
     // verdict item 4): median over a trailing 6-month window at 10M
     // events / 100k users. w̄ ≈ (rows/user/year)·(183/365) ≈ 50 → ~500M

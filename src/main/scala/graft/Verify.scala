@@ -19,6 +19,13 @@ object Verify {
     // json) to those keys; the driver never sets it, so its gate sees all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typoed name must not silently shrink the dev loop to a no-op
+    // "everything matches" (Bench has the same warning for the same
+    // reason)
+    only.map(_ -- SparkEntry.queries.keySet).filter(_.nonEmpty)
+      .foreach(u => System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY names match no query: " +
+          u.toSeq.sorted.mkString(",")))
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
