@@ -590,6 +590,25 @@ class CalendarWindowSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(strictGot(4L).isEmpty && strictGot(5L).isEmpty)
     assert(strictGot(3L).contains(2L) || strictGot(3L).nonEmpty)
+    // .complete gating on the seconds path: NULL exactly when the
+    // window's value span [t-1mo-6h, t-12h] leaves the group's
+    // observed [min ts, max ts]
+    val completeGot = rows.mutateW("c" -> count(lit(1)))(
+        by = Seq(col("user_id")),
+        frame = Some(Frame.monthsHours(1, 6, 0, -12)),
+        index = Some(col("t")), complete = true)
+      .select($"event_id", $"c").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val tsMin = parsed.map(_._2).min
+    val tsMax = parsed.map(_._2).max
+    parsed.foreach { case (id, t, _) =>
+      val lo = t.minusMonths(1).minusHours(6)
+      val hi = t.minusHours(12)
+      val inside = !lo.isBefore(tsMin) && !hi.isAfter(tsMax)
+      assert(completeGot(id).isDefined == inside,
+        s"row $id: complete gate expected inside=$inside, got " +
+          s"${completeGot(id)}")
+    }
   }
 
   test("plan: no range self-join — as-of sweep + prefix windows only") {
