@@ -140,7 +140,90 @@ object TimeSeriesQueries {
     staged
   }
 
+  /** Stage the trailing-window stream fixture: events projected to
+    * (key, tsMillis, value), split into three GLOBALLY time-ordered
+    * files (ascending mtimes; maxFilesPerTrigger=1 replays them as
+    * three micro-batches). No sentinels needed — trailingW's emission
+    * is immediate on arrival (a trailing frame needs only PAST events),
+    * so the append sink is complete once the last file is read. The
+    * split boundaries are ts thirds, so a key's events arrive in ts
+    * order across batches — the arrival-order contract under which
+    * trailingW is exact (ties can't straddle a boundary: a tie shares
+    * one ts, and the split is by ts). */
+  private def stagedTrailingDir(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
+    val staged = s"$root/${new java.io.File(dir).getName}/trailfix"
+    val done = new java.io.File(staged, "_STAGED")
+    if (!done.isFile) {
+      stagedEventsDir(s, dir) // registers the shutdown-hook cleanup
+      val ev = events(s, dir).select(col("user_id").as("key"),
+        expr("ts div 1000000").as("tsMillis"), col("value"))
+      val mm = ev.agg(min(col("tsMillis")), max(col("tsMillis"))).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val parts = Seq(ev.filter(col("tsMillis") <= lit(c1)),
+        ev.filter(col("tsMillis") > lit(c1) && col("tsMillis") <= lit(c2)),
+        ev.filter(col("tsMillis") > lit(c2)))
+      val base = System.currentTimeMillis() - 60000
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$staged/__tmp_$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(staged, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 1000L)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      done.createNewFile(): Unit
+    }
+    staged
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_stream_trailing" -> ((s, dir) => {
+      // PER-ROW trailing range frame ON A STREAM — the reference's
+      // flagship `.frame = c(before, 0)` semantics in streaming form
+      // (StreamingOps.trailingW), run to completion and hash-gated.
+      // This realizes the degradation matrix's StatefulOnly recipe
+      // (StreamingOps.supports: "watermark-bounded per-key event-time
+      // buffer") instead of just stating it: per-key bounded buffer,
+      // one output row PER EVENT carrying its own trailing-hour
+      // aggregate, cross-batch state merge forced by
+      // maxFilesPerTrigger=1 over three time-split files. The sum is
+      // an EXACT scaled-integer (value is 1e-4-exact), so the oracle
+      // compare has no float dimension at all. Oracle = the batch
+      // RANGE frame over millis — per-row trailing windows ARE what
+      // range frames mean, so the two must agree row-for-row.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val srcDir = stagedTrailingDir(s, dir)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.trailingW(
+        src, beforeMillis = 3600L * 1000L)
+      val qn = s"graft_stream_trailing_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("winN").as("win_n"),
+        col("winSumE4").as("win_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "window_tumbling_day" -> ((s, dir) => {
       // native tumbling window: window(ts, '1 day') — epoch-aligned
       // buckets, one hash agg over (user, window)
@@ -513,6 +596,15 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "window_stream_trailing" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms,
+           count(*) OVER w AS win_n,
+           CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
     "window_tumbling_day" ->
       """SELECT user_id,
          epoch_ns(ts) // 86400000000000 AS day,

@@ -138,6 +138,79 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  // --- per-row trailing range frame (the StatefulOnly recipe, realized) --
+
+  /** One output row per input event: the trailing-frame aggregate at
+    * that event. `winSumE4` is the EXACT integer sum of `value` scaled
+    * by 1e4 (the fixture's value grid) — integer accumulation makes the
+    * cross-engine comparison deterministic with no rounding epsilon at
+    * all (SURVEY §5.1 discipline, applied at the operator level). */
+  case class TrailingAgg(key: Long, tsMillis: Long, winN: Long,
+      winSumE4: Long)
+
+  /** Per-key buffer state: events inside the trailing horizon of the
+    * newest seen timestamp, ascending; bounded by frame span × arrival
+    * rate. */
+  case class TrailingBuf(entryTs: Seq[Long], entryV: Seq[Long],
+      maxTs: Long)
+
+  /** PER-ROW trailing event-time frame on a stream — the reference's
+    * flagship semantics (`.frame = c(before, 0)` over a time `.index`),
+    * which [[supports]] classifies `StatefulOnly("watermark-bounded
+    * per-key event-time buffer")`. This is that recipe, realized:
+    * each key keeps the events inside `beforeMillis` of its newest
+    * timestamp; every arriving event emits its own
+    * `[t - beforeMillis, t]` aggregate (inclusive both ends and
+    * including equal-timestamp peers — exactly the batch
+    * `rangeBetween(-before, 0)` contract).
+    *
+    * ARRIVAL-ORDER CONTRACT: with per-key ts-ordered arrival (sorted
+    * log/file replay — the gated fixture), emission is immediate and
+    * EXACT: a trailing frame only needs past events, all of which have
+    * arrived. Out-of-order arrivals are best-effort: a late row
+    * aggregates over whatever the retained horizon still holds, and
+    * never corrupts in-order state (it enters the buffer only inside
+    * the horizon). A strict out-of-order deployment would delay each
+    * row's emission until the watermark passes its timestamp — same
+    * state bound, added latency; the immediate form is the one a
+    * time-ordered ingest (Kafka per-key order, dated files) actually
+    * wants.
+    *
+    * State per key is O(frame span × rate), not O(stream); the shuffle
+    * is the standard hash-partition every stateful op pays. Works
+    * identically on batch Datasets (the df/lazy single-path collapse,
+    * like [[sessionize]]). */
+  def trailingW(events: Dataset[KeyedEvent],
+      beforeMillis: Long): Dataset[TrailingAgg] = {
+    require(beforeMillis >= 0, "beforeMillis must be >= 0")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[TrailingBuf, TrailingAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEvent], st: GroupState[TrailingBuf]) =>
+          val batch = it.toSeq.sortBy(e => (e.tsMillis, e.value))
+          val prev = st.getOption.getOrElse(TrailingBuf(Nil, Nil, Long.MinValue))
+          // merged ascending multiset of (ts, scaledValue): retained
+          // horizon + this batch (ties included — range-frame peers)
+          val merged = (prev.entryTs.zip(prev.entryV) ++ batch.map(e =>
+              e.tsMillis -> math.round(e.value * 10000)))
+            .sortBy(identity)
+          val out = batch.map { e =>
+            val lo = e.tsMillis - beforeMillis
+            var n = 0L; var s = 0L
+            merged.foreach { case (t, v) =>
+              if (t >= lo && t <= e.tsMillis) { n += 1; s += v }
+            }
+            TrailingAgg(key, e.tsMillis, n, s)
+          }
+          val maxTs = math.max(prev.maxTs,
+            if (batch.nonEmpty) batch.last.tsMillis else Long.MinValue)
+          val keep = merged.filter(_._1 >= maxTs - beforeMillis)
+          st.update(TrailingBuf(keep.map(_._1), keep.map(_._2), maxTs))
+          out.iterator
+      }
+  }
+
   // --- stateful sessionization (custom state via flatMapGroupsWithState) --
 
   /** Input event for sessionization: epoch-millis event time. */

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps._
 
 class StreamingSpec extends AnyFunSuite {
@@ -121,6 +122,45 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(3), r.getDouble(4)))
     q.stop()
     assert(s.toSeq == Seq((1L, 1000L, 1500L, 2L, 3.0)))
+  }
+
+  test("trailingW (streaming): per-row trailing frames emit immediately, " +
+      "cross-batch buffer carries frame members") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.trailingW(ms.toDS(), beforeMillis = 1000)
+      .writeStream.format("memory").queryName("trailing")
+      .outputMode("append").start()
+    // batch 1: two events 400ms apart — second frame holds both
+    ms.addData(KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1400, 2.0))
+    q.processAllAvailable()
+    // batch 2: 1900 is within 1000ms of both prior events (cross-batch
+    // buffer); 3000 is within nothing but itself
+    ms.addData(KeyedEvent(1, 1900, 4.0), KeyedEvent(1, 3000, 8.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT tsMillis, winN, winSumE4 FROM trailing ORDER BY tsMillis")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (1000L, 1L, 10000L),          // just itself
+      (1400L, 2L, 30000L),          // 1.0 + 2.0
+      (1900L, 3L, 70000L),          // all three within 1s
+      (3000L, 1L, 80000L)))         // alone again
+  }
+
+  test("trailingW: ties share the frame (range-frame peers); batch " +
+      "Dataset path agrees with a window-SQL twin") {
+    import spark.implicits._
+    val ev = Seq(KeyedEvent(1, 100, 1.0), KeyedEvent(1, 100, 2.0),
+      KeyedEvent(1, 150, 4.0), KeyedEvent(2, 100, 8.0)).toDS()
+    val got = StreamingOps.trailingW(ev, beforeMillis = 60)
+      .collect().map(t => (t.key, t.tsMillis, t.winN, t.winSumE4)).toSeq
+      .sorted
+    // ties at (1, 100): both rows see BOTH tied values (peers)
+    assert(got == Seq(
+      (1L, 100L, 2L, 30000L), (1L, 100L, 2L, 30000L),
+      (1L, 150L, 3L, 70000L), (2L, 100L, 1L, 80000L)))
   }
 
   test("dedupStream: duplicates within the watermark emit once") {
