@@ -66,7 +66,16 @@ object SparkEntry {
       graft.queries.FormatQueries.queries ++
       graft.queries.GraphQueries.queries
 
+  /** Every module's oracle SQL, with the negative-zero normalization
+    * applied centrally (QueryUtil.negZeroSafeOracle): each `round(1e-9 …,
+    * 4)` template becomes `(round(… ) + 0.0)`, matching the `+ lit(0.0)`
+    * inside QueryUtil.r4 — see the r07 verdict (DuckDB -0.0 vs Spark +0.0
+    * on 4 roll_corr rows was the round's only driver-red). */
   def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) =>
+      k -> graft.queries.QueryUtil.negZeroSafeOracle(v) }
+
+  private def rawOracleSql: Map[String, String] =
     coreOracleSql ++ graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
@@ -140,6 +149,23 @@ object SparkEntry {
       events(s, dir)
         .mutateW("trail_avg" -> avg(col("value")))(
           by = Seq(col("user_id")),
+          frame = Some(Frame.days(7, -1)),
+          index = Some(tsDate))
+        .select(col("event_id"), r4(col("trail_avg")).as("trail_avg"))
+    }),
+    "window_orderby_neq_index" -> ((s, dir) => {
+      // `.order_by` ≠ `.index` — the reference's own README example
+      // (R/mutate.R:96-101 orders by Day while ranging over date_col).
+      // Policy (SURVEY §7.4 risk 2): the range window orders on the
+      // INDEX; frame membership depends only on the index, so the
+      // result is provably identical for ANY `.order_by`. Pinned here
+      // (r07 verdict item 3): same frame as window_range_index but
+      // passing a deliberately different `.order_by`; the oracle's
+      // standard index-ordered RANGE window must hash-match.
+      events(s, dir)
+        .mutateW("trail_avg" -> avg(col("value")))(
+          by = Seq(col("user_id")),
+          orderBy = Seq(col("value").desc, col("event_id")), // ≠ .index
           frame = Some(Frame.days(7, -1)),
           index = Some(tsDate))
         .select(col("event_id"), r4(col("trail_avg")).as("trail_avg"))
@@ -547,6 +573,15 @@ object SparkEntry {
            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS avg_v
          FROM events""",
     "window_range_index" ->
+      """SELECT event_id,
+         round(1e-9 + avg(value) OVER (PARTITION BY user_id
+           ORDER BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS trail_avg
+         FROM events""",
+    // identical to window_range_index BY DESIGN: `.order_by` must not
+    // change a range window's values (frame membership is an index-only
+    // function)
+    "window_orderby_neq_index" ->
       """SELECT event_id,
          round(1e-9 + avg(value) OVER (PARTITION BY user_id
            ORDER BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))

@@ -75,6 +75,52 @@ private[graft] object QueryUtil {
 
   /** Epsilon-biased 4-decimal rounding: plain round(4) diverges between
     * Spark and DuckDB on exact-halfway floats; both sides add 1e-9 first
-    * (oracle SQL: `round(1e-9 + x, 4)`). */
-  def r4(c: Column): Column = round(c + lit(1e-9), 4)
+    * (oracle SQL: `round(1e-9 + x, 4)`). The trailing `+ 0.0` is the
+    * NEGATIVE-ZERO normalization (r07 verdict item 1): DuckDB rounds
+    * doubles by scaled floating multiply, which preserves the sign bit —
+    * `round(1e-9 + (-3e-5), 4)` = -0.0 — while Spark's Round (BigDecimal
+    * HALF_UP) yields +0.0; the driver hashes raw bits, so the two zeros
+    * fail the gate. IEEE `-0.0 + 0.0 = +0.0` (and `x + 0.0 = x` for every
+    * other double, NULL stays NULL), so adding 0.0 AFTER rounding on BOTH
+    * sides ([[negZeroSafeOracle]] rewrites the oracle template) erases the
+    * sign-of-zero dimension for every r4'd column at once. */
+  def r4(c: Column): Column = round(c + lit(1e-9), 4) + lit(0.0)
+
+  /** Rewrite every `round(1e-9 …, 4)` template occurrence in an oracle SQL
+    * string to `(round(1e-9 …, 4) + 0.0)` — the DuckDB side of the
+    * negative-zero normalization in [[r4]], applied centrally in
+    * `SparkEntry.oracleSql` so no individual key (current or future) can
+    * forget it. Balanced-paren scan, not regex: the rounded expression
+    * routinely nests parens (`round(1e-9 + (a - b) / c, 4)`). Only the
+    * `round(1e-9` spelling is touched — bare `round(x * 100)` cents
+    * conversions are integer-valued and must stay untouched. The 1e-9 bias
+    * guarantees the operand is DOUBLE-typed (decimal + double promotes),
+    * so `+ 0.0` never changes the column type. */
+  def negZeroSafeOracle(sql: String): String = {
+    val marker = "round(1e-9"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val at = sql.indexOf(marker, i)
+      if (at < 0) { sb.append(sql.substring(i)); i = sql.length }
+      else {
+        sb.append(sql.substring(i, at)).append('(')
+        // balanced scan from round's '(' to its matching ')'
+        var j = at + "round".length
+        var depth = 0
+        var done = false
+        while (!done) {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) done = true
+            case _ =>
+          }
+          j += 1
+        }
+        sb.append(sql.substring(at, j)).append(" + 0.0)")
+        i = j
+      }
+    }
+    sb.toString
+  }
 }

@@ -303,7 +303,12 @@ object SqlMutate {
         s"CASE WHEN ${loSql("day")} >= gmin AND ${hiSql("day")} <= gmax " +
           s"THEN $o END"
       else o
-      val sg = strictCond.fold(g)(c => s"CASE WHEN $c THEN NULL ELSE $g END")
+      // NULL-index rows: the clamp checks are NULL on a NULL day, and a
+      // bare CASE would fall through to ELSE (emit the aggregate) where
+      // the DataFrame path's when(!na, gated) yields NULL — render the
+      // guard null-safely so both backends agree (ADVICE r07)
+      val sg = strictCond.fold(g)(c =>
+        s"CASE WHEN ($c) OR day IS NULL THEN NULL ELSE $g END")
       s"$sg AS $n"
     }.mkString(", ")
 

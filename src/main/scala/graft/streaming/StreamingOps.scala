@@ -86,7 +86,11 @@ object StreamingOps {
         "running aggregate with a watermark-delayed emit (per-key " +
           "accumulator; a positive time lookahead waits for the " +
           "watermark to pass hi)")
-      case (Rows(_), Rows(a)) if a > 0 => NotStreamable(
+      case (Rows(_) | Unbounded, Rows(a)) if a > 0 => NotStreamable(
+        // Unbounded-before shares the verdict AND the why: the blocker
+        // is the row-count lookahead, not the trailing side (the old
+        // catch-all called this a "mixed-unit frame", which it isn't —
+        // ADVICE r07)
         "positive row-count lookahead: n future rows is unbounded in " +
           "event time — no watermark can release the frame")
       case (Rows(b), Rows(_)) => StatefulOnly(

@@ -141,7 +141,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       ("a", 3, java.sql.Date.valueOf("2024-03-30"), 30.0),
       ("a", 4, java.sql.Date.valueOf("2024-03-31"), 40.0),
       ("b", 1, java.sql.Date.valueOf("2024-05-30"), 1.0),
-      ("b", 2, java.sql.Date.valueOf("2024-05-31"), 2.0))
+      ("b", 2, java.sql.Date.valueOf("2024-05-31"), 2.0),
+      // NULL-index row: the strict guard must render null-safely — a
+      // bare CASE WHEN clamp THEN NULL ELSE agg END falls to ELSE on
+      // the NULL day where the DataFrame path yields NULL (ADVICE r07)
+      ("b", 3, null.asInstanceOf[java.sql.Date], 3.0))
       .toDF("g", "o", "d", "v")
     dfStrict.createOrReplaceTempView("sqlmutate_strict_t")
     locally {
@@ -156,9 +160,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
           index = Some(col("d")))
         .collect().map(_.toSeq).toSet
       assert(a == b, s"strict SQL != DataFrame for:\n$sql")
-      // and the NA rows really are NULL (3 clamp rows across both paths)
+      // and the NA rows really are NULL (3 clamp rows + 1 NULL-index
+      // row across both paths)
       val naRows = spark.sql(sql).filter("ms IS NULL AND mc IS NULL").count()
-      assert(naRows == 3L, s"expected 3 strict-NA rows, got $naRows")
+      assert(naRows == 4L, s"expected 4 strict-NA rows, got $naRows")
     }
     // month-frame min/max (interval-expansion path) stay DataFrame-only
     intercept[UnsupportedOperationException] {

@@ -237,6 +237,32 @@ class MutateWSpec extends AnyFunSuite {
       (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 1), (1, 2), (1, 1)))
   }
 
+  test(".order_by ≠ .index on a range frame: values are order_by-invariant " +
+      "(reference README example, R/mutate.R:96-101)") {
+    // SURVEY §7.4 risk 2 resolution: range windows order on the INDEX —
+    // frame membership is a function of the index alone, so any
+    // .order_by (none, asc other col, desc other col) yields identical
+    // values; with restoreOrder the row order is the input order either
+    // way. Pinned per r07 verdict item 3 (the oracle sibling is
+    // window_orderby_neq_index).
+    val d = Seq(("a", 1, 1, 10.0), ("a", 2, 3, 30.0), ("a", 3, 4, 20.0),
+      ("a", 4, 10, 40.0), ("b", 5, 2, 5.0), ("b", 6, 3, 7.0))
+      .toDF("g", "rid", "day", "v")
+    def run(ord: Seq[org.apache.spark.sql.Column]) =
+      d.mutateW("s" -> sum($"v"))(
+          by = Seq($"g"), orderBy = ord,
+          frame = Some(Frame.range(2, 0)), index = Some($"day"),
+          restoreOrder = true)
+        .select("rid", "s").collect().map(r =>
+          (r.getInt(0), r.getDouble(1))).toSeq
+    val byIndex = run(Nil)
+    assert(run(Seq($"v")) == byIndex)
+    assert(run(Seq($"v".desc, $"rid")) == byIndex)
+    // and the values are the gap-honoring range results, in input order
+    assert(byIndex == Seq((1, 10.0), (2, 40.0), (3, 50.0), (4, 40.0),
+      (5, 5.0), (6, 12.0)))
+  }
+
   test("mutateSE: per-key .desc vector, length must match") {
     val out = df.mutateSE("rn" -> row_number())(
       by = Seq("g"), orderBy = Seq("o", "v"), desc = Seq(false, true))

@@ -35,6 +35,13 @@ class StreamSupportSpec extends AnyFunSuite {
     val la = verdict(Frame.rows(3, 3))
     assert(la.isInstanceOf[NotStreamable])
     assert(la.asInstanceOf[NotStreamable].why.contains("event time"))
+    // (Unbounded, Rows(a>0)) shares the verdict AND the why — the old
+    // catch-all mislabeled it a "mixed-unit frame" (ADVICE r07)
+    val ula = verdict(Frame(FrameEndpoint.Unbounded, FrameEndpoint.Rows(2)))
+    assert(ula.isInstanceOf[NotStreamable])
+    assert(ula.asInstanceOf[NotStreamable].why.contains("lookahead"),
+      s"wrong reason: ${ula.asInstanceOf[NotStreamable].why}")
+    assert(!ula.asInstanceOf[NotStreamable].why.contains("mixed-unit"))
   }
 
   test("finite event-time Period frames are stateful (watermark-bounded), " +

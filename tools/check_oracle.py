@@ -8,6 +8,7 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -39,17 +40,30 @@ for name, sql in sorted(oracle.items()):
         for c in cols:
             gv, wv = g[c], w[c]
             if gv.dtype.kind == 'f' or wv.dtype.kind == 'f':
-                gv, wv = gv.astype(float).round(6), wv.astype(float).round(6)
-                eq = ((gv == wv) | (gv.isna() & wv.isna())).all()
+                # Driver-faithful: the driver hashes RAW values, so any
+                # bit-level divergence (-0.0 vs +0.0, rendering drift)
+                # must fail HERE too. Compare IEEE bit patterns — the
+                # r07 window_rolling_corr red (DuckDB round() emitting
+                # -0.0) was invisible to the old round(6) + float ==
+                # check for two straight rounds. NaN (any payload) vs
+                # NaN is treated equal: pandas nulls arrive as NaN and
+                # no query emits NaN by policy (empty frame -> NULL).
+                ga = gv.astype('float64').to_numpy()
+                wa = wv.astype('float64').to_numpy()
+                bad = ~((ga.view('int64') == wa.view('int64'))
+                        | (np.isnan(ga) & np.isnan(wa)))
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    status.append(
+                        f"col {c} bit-mismatch ({int(bad.sum())} rows; "
+                        f"first: {ga[i]!r} vs {wa[i]!r} at sorted row {i})")
             else:
                 try:
                     eq = (gv.astype(str) == wv.astype(str)).all()
                 except Exception as e:
                     eq = False
-            if not eq:
-                n_bad = int((~((gv == wv) | (pd.isna(gv) & pd.isna(wv)))).sum()) \
-                    if gv.dtype.kind == 'f' else -1
-                status.append(f"col {c} mismatch ({n_bad} rows)")
+                if not eq:
+                    status.append(f"col {c} mismatch")
     if status:
         fails.append((name, "; ".join(status)))
         print(f"FAIL {name}: {'; '.join(status)}")
