@@ -186,7 +186,100 @@ object TimeSeriesQueries {
     staged
   }
 
+  /** Stage the OUT-OF-ORDER trailing fixture (r07 verdict item 4): the
+    * same (key, tsMillis, value) projection, but split into three files
+    * by a JITTERED arrival time — each row's arrival position is its
+    * event time plus a deterministic per-row jitter in [-J, +J]
+    * (xxhash64), so every file spans overlapping time ranges and a key's
+    * events genuinely arrive out of ts order across micro-batches.
+    * Disorder is bounded by 2J, so a lateness of 2J + 1s guarantees the
+    * engine's late filter drops nothing (watermark before batch i+1 is
+    * at most c_i + J - L <= c_i - J - 1s, below any later arrival's
+    * event time). Two trailing sentinel files (every distinct key, at
+    * S1 = hi + L + 1s and S2 = S1 + 1s) advance the watermark past hi
+    * and invoke every key one last time, flushing all pending rows; the
+    * sentinels' own rows sit forever above the final watermark, so they
+    * never emit — no sink filtering needed (the sessionize pattern). */
+  private def stagedTrailingOooDir(s: SparkSession, dir: String,
+      jitterMs: Long, latenessMs: Long): String = {
+    val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
+    val staged = s"$root/${new java.io.File(dir).getName}/trailooofix"
+    val done = new java.io.File(staged, "_STAGED")
+    if (!done.isFile) {
+      stagedEventsDir(s, dir) // registers the shutdown-hook cleanup
+      val ev = events(s, dir).select(col("user_id").as("key"),
+        expr("ts div 1000000").as("tsMillis"), col("value"))
+        .withColumn("arrival", col("tsMillis") +
+          pmod(xxhash64(col("key"), col("tsMillis")),
+            lit(2 * jitterMs + 1)) - lit(jitterMs))
+      val mm = ev.agg(min(col("arrival")), max(col("arrival")),
+        max(col("tsMillis"))).head
+      val (alo, ahi, hi) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+      val (c1, c2) = (alo + (ahi - alo) / 3, alo + 2 * ((ahi - alo) / 3))
+      val data = Seq(ev.filter(col("arrival") <= lit(c1)),
+        ev.filter(col("arrival") > lit(c1) && col("arrival") <= lit(c2)),
+        ev.filter(col("arrival") > lit(c2))).map(_.drop("arrival"))
+      val sentinel = (ts: Long) => ev.select(col("key")).distinct()
+        .select(col("key"), lit(ts).as("tsMillis"), lit(0.0).as("value"))
+      val parts = data ++ Seq(sentinel(hi + latenessMs + 1000L),
+        sentinel(hi + latenessMs + 2000L))
+      val base = System.currentTimeMillis() - 60000
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$staged/__tmp_$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(staged, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 1000L)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      done.createNewFile(): Unit
+    }
+    staged
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_stream_trailing_ooo" -> ((s, dir) => {
+      // The trailing per-row frame under OUT-OF-ORDER arrival — the
+      // watermark-delayed exact path (StreamingOps.trailingWDelayed),
+      // gated against the very same batch-range-frame oracle as the
+      // ts-ordered key: five micro-batches (three jitter-shuffled data
+      // files + two sentinel files), disorder up to 2×2h inside a 4h
+      // lateness, per-key cross-batch buffer merge of genuinely
+      // unsorted arrivals. Same exact scaled-integer sums — the stream
+      // compare has no float dimension.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val jitter = 2L * 3600L * 1000L             // 2 h disorder each way
+      val lateness = 2 * jitter + 1000L           // covers 2J + 1 s margin
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.trailingWDelayed(
+        src, beforeMillis = 3600L * 1000L, latenessMillis = lateness)
+      val qn = s"graft_stream_trailing_ooo_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("winN").as("win_n"),
+        col("winSumE4").as("win_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "window_stream_trailing" -> ((s, dir) => {
       // PER-ROW trailing range frame ON A STREAM — the reference's
       // flagship `.frame = c(before, 0)` semantics in streaming form
@@ -596,6 +689,18 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical to window_stream_trailing BY DESIGN: watermark-delayed
+    // emission under shuffled arrival must reproduce the batch range
+    // frame row-for-row
+    "window_stream_trailing_ooo" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms,
+           count(*) OVER w AS win_n,
+           CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
     "window_stream_trailing" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
            CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)

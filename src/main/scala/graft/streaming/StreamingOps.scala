@@ -215,6 +215,90 @@ object StreamingOps {
       }
   }
 
+  /** [[trailingWDelayed]] input row: [[KeyedEvent]] plus the TimestampType
+    * projection of tsMillis the watermark is declared on (public because
+    * encoder codegen must construct it). */
+  case class KeyedEventT(key: Long, tsMillis: Long, value: Double,
+      eventTime: java.sql.Timestamp)
+
+  /** [[trailingWDelayed]] per-key state: retained events (ascending
+    * (ts, scaledValue) multiset) and the emission high-water mark —
+    * every event with ts <= emittedThrough has already been emitted. */
+  case class TrailingDelayBuf(entryTs: Seq[Long], entryV: Seq[Long],
+      emittedThrough: Long)
+
+  /** [[trailingW]]'s OUT-OF-ORDER sibling: watermark-DELAYED emission
+    * (r07 verdict item 4 — the "strict out-of-order deployment" the
+    * trailingW scaladoc described, executed). Same output contract (one
+    * row per event carrying its own `[t - beforeMillis, t]` exact
+    * integer aggregate), but each row is held until the watermark
+    * strictly passes its timestamp: at that point every event with
+    * ts <= t is either arrived (it is <= the watermark) or dropped by
+    * the engine's late-row filter as beyond `latenessMillis`, so the
+    * emitted aggregate is EXACT under ANY arrival order with disorder
+    * bounded by the lateness — no sorted-replay contract.
+    *
+    * Emission gates on `wm - 1`, not `wm`: Spark's late filter admits
+    * rows AT the watermark, so a ts == wm row could still arrive after
+    * rows at that timestamp were emitted; the strict gate closes that
+    * one-millisecond race. Stragglers beyond the lateness bound (which
+    * a correctly-configured fixture never produces, and the engine
+    * normally drops) emit immediately, best-effort, like [[trailingW]].
+    *
+    * State per key is O((frame span + lateness) × rate): the retained
+    * horizon covers pending rows' frames; pruning tracks the emission
+    * mark exactly as [[trailingW]] prunes behind maxTs. The trade vs
+    * [[trailingW]] is the standard one: exactness under disorder,
+    * bought with watermark latency and a lateness-widened buffer. */
+  def trailingWDelayed(events: Dataset[KeyedEvent], beforeMillis: Long,
+      latenessMillis: Long): Dataset[TrailingAgg] = {
+    require(beforeMillis >= 0, "beforeMillis must be >= 0")
+    require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
+      .as[KeyedEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TrailingDelayBuf, TrailingAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEventT],
+         st: GroupState[TrailingDelayBuf]) =>
+          val prev = st.getOption.getOrElse(
+            TrailingDelayBuf(Nil, Nil, Long.MinValue))
+          val batch = it.toSeq
+          // stragglers: already past the emission mark (beyond-lateness
+          // arrivals the engine let through) — their own row emits now,
+          // best-effort; they still join the buffer so FUTURE frames
+          // that reach back to them stay exact
+          val (stragglers, fresh) =
+            batch.partition(_.tsMillis <= prev.emittedThrough)
+          val merged = (prev.entryTs.zip(prev.entryV) ++
+              (fresh ++ stragglers).map(e =>
+                e.tsMillis -> math.round(e.value * 10000)))
+            .sortBy(identity)
+          def aggAt(t: Long): TrailingAgg = {
+            val lo = t - beforeMillis
+            var n = 0L; var s = 0L
+            merged.foreach { case (ts, v) =>
+              if (ts >= lo && ts <= t) { n += 1; s += v }
+            }
+            TrailingAgg(key, t, n, s)
+          }
+          val emitUpTo = st.getCurrentWatermarkMs() - 1
+          val out =
+            merged.iterator.map(_._1)
+              .filter(t => t > prev.emittedThrough && t <= emitUpTo)
+              .map(aggAt).toVector ++
+            stragglers.map(e => aggAt(e.tsMillis))
+          val emittedThrough = math.max(prev.emittedThrough, emitUpTo)
+          val keep = merged.filter(_._1 > emittedThrough - beforeMillis)
+          st.update(TrailingDelayBuf(keep.map(_._1), keep.map(_._2),
+            emittedThrough))
+          out.iterator
+      }
+  }
+
   // --- stateful sessionization (custom state via flatMapGroupsWithState) --
 
   /** Input event for sessionization: epoch-millis event time. */

@@ -59,6 +59,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one Window operator:\n$p")
   }
 
+  test("window_ewma's 20 lag terms share exactly ONE Window node (and one " +
+      "exchange)") {
+    // the last audit-only plan shape promoted to a test (r07 verdict
+    // item 5): 20 lag(value, j) calls over one spec must collapse into
+    // a single WindowExec — 20 sequential Window nodes would be 20
+    // sort-buffer passes at 100 TB
+    val df = SparkEntry.queries("window_ewma")(spark, dir)
+    val p = plan(df)
+    assert(p.split("Window \\[").length - 1 == 1,
+      s"expected exactly one Window operator:\n$p")
+    assert(p.split("Exchange ").length - 1 == 1,
+      s"expected exactly one exchange (the user_id hash partition):\n$p")
+  }
+
   test("windowed mutate shuffles ONCE on the partition keys") {
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
     val out = df.mutateW("s" -> sum($"l_quantity"))(

@@ -149,6 +149,43 @@ class StreamingSpec extends AnyFunSuite {
       (3000L, 1L, 80000L)))         // alone again
   }
 
+  test("trailingWDelayed (streaming): out-of-order arrivals emit exactly " +
+      "when the watermark passes, matching batch range-frame values") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.trailingWDelayed(ms.toDS(), beforeMillis = 1000,
+        latenessMillis = 1000)
+      .writeStream.format("memory").queryName("trailing_ooo")
+      .outputMode("append").start()
+    def rows() = spark.sql(
+      "SELECT tsMillis, winN, winSumE4 FROM trailing_ooo ORDER BY tsMillis")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch 1: out of order within the batch; wm 0 → nothing emits
+    ms.addData(KeyedEvent(1, 5000, 1.0), KeyedEvent(1, 3000, 2.0))
+    q.processAllAvailable()
+    assert(rows().isEmpty, "emitted before the watermark passed")
+    // batch 2: 4200 arrives AFTER 5000 (cross-batch disorder, inside
+    // lateness); wm is now 4000 → only ts 3000 emits
+    ms.addData(KeyedEvent(1, 4200, 4.0), KeyedEvent(1, 9000, 8.0))
+    q.processAllAvailable()
+    assert(rows() == Seq((3000L, 1L, 20000L)))
+    // batch 3: wm 8000 → 4200 and 5000 emit; 5000's frame INCLUDES the
+    // late-arrived 4200 — the exactness the delay buys
+    ms.addData(KeyedEvent(1, 9500, 16.0))
+    q.processAllAvailable()
+    assert(rows() == Seq((3000L, 1L, 20000L), (4200L, 1L, 40000L),
+      (5000L, 2L, 50000L)))
+    // two sentinel batches push wm past every real row (the staged
+    // fixture's flush pattern); the sentinels themselves never emit
+    ms.addData(KeyedEvent(1, 12000, 0.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 13000, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() == Seq((3000L, 1L, 20000L), (4200L, 1L, 40000L),
+      (5000L, 2L, 50000L), (9000L, 1L, 80000L), (9500L, 2L, 240000L)))
+  }
+
   test("trailingW: ties share the frame (range-frame peers); batch " +
       "Dataset path agrees with a window-SQL twin") {
     import spark.implicits._
