@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf0.1 → sf1 scaling probe (r07 verdict item 6): times the most
+  * expensive STEADY batch oracle keys at sf1 (6M lineitem / 1M events —
+  * TPC-H sf1 scale) against the same keys at sf0.1 IN THE SAME SESSION,
+  * so the per-key ratio cancels box noise. The driver ships no sf1
+  * fixtures, so the probe materializes one under /tmp by 10× key-shifted
+  * union of sf0.1 — the TPC-H scaling model (more keys, same per-key
+  * density, same time span):
+  *
+  *   - TPC-H tables: every key column shifted by copy × (max+1) —
+  *     10× orders/customers/suppliers/parts, so per-group row counts
+  *     (window partitions, join fan-outs) stay constant like real sf1;
+  *     nation/region stay fixed dims, as in TPC-H.
+  *   - events: event_id/user_id shifted — 10× users, same span, so
+  *     per-user windows keep their density (calendar windows widen
+  *     their per-window row count ~10×, which is exactly what a fixed
+  *     7-year span at 10× data means — the honest scaling for
+  *     window_range_months_median's declared O(n·w̄) path).
+  *   - documents: doc_id shifted AND every token prefixed with the copy
+  *     tag — cross-copy shingle overlap is ZERO by construction, so the
+  *     corpus is 10 independent same-shape corpora: dup-pair and
+  *     cluster counts scale exactly 10×, not quadratically (10 exact
+  *     copies of each doc would mean 45 cross-copy pairs per doc — a
+  *     workload-shape change, not a scale-up).
+  *   - embeddings: vec_id shifted, vector circularly rotated by the
+  *     copy index — rotations of high-dim vectors are ~orthogonal, so
+  *     near-dup structure stays within-copy, same 10-independent-
+  *     corpora argument.
+  *
+  * Output: one JSON line (and SF1PROBE.json) with per-key sf0.1/sf1
+  * seconds and the ratio; ratio ≈ 10 is linear scaling for a 10× input
+  * (per-key notes in README flag the declared superlinear designs).
+  */
+object Sf1Probe {
+
+  /** Most expensive steady batch keys of BENCH_r07 (streaming keys
+    * excluded: their cost is micro-batch machinery, and their staged
+    * fixtures assume the driver sf dirs). */
+  val Keys: Seq[String] = Seq(
+    "join_interval_overlap", "graph_pagerank", "window_range_months_median",
+    "dedup_clusters", "embedding_dup_clusters", "agg_approx",
+    "dedup_containment", "window_rolling_corr", "order_cumsum_scaled",
+    "join_aqe_skew")
+
+  def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+    val ready = new java.io.File(dst, "_READY")
+    if (ready.isFile) return
+    new java.io.File(dst).mkdirs()
+    val copies = 10
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    /** max+1 of an int64 key — the per-copy shift step. */
+    def step(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1L
+
+    /** 10 copies with each listed key column shifted copy×step. */
+    def shifted(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val steps = keys.map(k => k -> step(df, k)).toMap
+      (0 until copies).map { i =>
+        keys.foldLeft(df) { case (d, k) =>
+          d.withColumn(k, col(k) + lit(i * steps(k)))
+        }
+      }.reduce(_ unionAll _)
+    }
+
+    write(shifted(t("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(shifted(t("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(shifted(t("customer"), Seq("c_custkey")), "customer")
+    write(shifted(t("supplier"), Seq("s_suppkey")), "supplier")
+    write(shifted(t("part"), Seq("p_partkey")), "part")
+    write(t("nation"), "nation")
+    write(t("region"), "region")
+    write(shifted(t("events"), Seq("event_id", "user_id")), "events")
+
+    val docs = t("documents")
+    val docStep = step(docs, "doc_id")
+    write((0 until copies).map { i =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(i * docStep))
+      if (i == 0) d
+      // token-space remap: zero cross-copy shingle overlap
+      else d.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
+    }.reduce(_ unionAll _), "documents")
+
+    val emb = t("embeddings")
+    val vecStep = step(emb, "vec_id")
+    write((0 until copies).map { i =>
+      val d = emb.withColumn("vec_id", col("vec_id") + lit(i * vecStep))
+      if (i == 0) d
+      // circular rotation by i: ~orthogonal to the original
+      else d.withColumn("embedding",
+        expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+          s"slice(embedding, 1, $i))"))
+    }.reduce(_ unionAll _), "embeddings")
+
+    ready.createNewFile(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    System.err.println("[sf1probe] building sf1 fixture (10x sf0.1)...")
+    buildSf1(spark, sf01, sf1)
+
+    // warmup (codegen/JIT) at the smallest sf, like Bench
+    Keys.foreach { k =>
+      try SparkEntry.queries(k)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    System.gc()
+
+    def time(k: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(k)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two passes per (key, dir), min — same stall discipline as Bench
+    def best(k: String, dir: String): Double = {
+      val a = time(k, dir); val b = time(k, dir)
+      math.min(a, b)
+    }
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val rows = Keys.map { k =>
+      val t01 = best(k, sf01)
+      val t1 = best(k, sf1)
+      System.err.println(
+        f"[sf1probe] $k%-28s sf0.1 ${t01}%7.2fs   sf1 ${t1}%7.2fs   " +
+          f"ratio ${t1 / t01}%5.2fx")
+      k -> (t01, t1)
+    }
+    val qs = rows.map { case (k, (a, b)) =>
+      s"""\"$k\":{\"sf01\":${r3(a)},\"sf1\":${r3(b)},\"ratio\":${r3(b / a)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"sf1probe","unit":"sec","keys":$qs}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SF1PROBE.json"), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

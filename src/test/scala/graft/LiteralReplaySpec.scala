@@ -91,6 +91,45 @@ class LiteralReplaySpec extends AnyFunSuite {
     assert(maxAbs(cmp, "dcorr") < 1e-9)
   }
 
+  test("cent-conversion round(x*100) has no half-round tie exposure " +
+      "(r07 verdict item 8)") {
+    // The long-cents idiom CAST(round(v*100) AS BIGINT) assumes both
+    // engines round the DOUBLE v*100 to the same integer. A tie (v*100
+    // landing exactly on k+0.5) could split HALF_UP vs round-half-even —
+    // but for CENT-GRID inputs no tie can exist: v is the nearest double
+    // to k/100, so v*100 is within ~1e-9·|k| of the integer k, never
+    // near k+0.5. Property-checked over an adversarial sweep (the cent
+    // values whose double representation errs maximally, ±k around
+    // magnitudes up to 1e7 cents) PLUS the exact engine expression:
+    // round() must return exactly k for every probed k.
+    val ks = (
+      // small cents, all residues mod 4 (the classic 0.29-style errors)
+      (1L to 4000L) ++
+      // large magnitudes: extendedprice-scale and beyond
+      Seq(1L, 3L, 7L, 29L, 57L, 111L).flatMap(o =>
+        Seq(99999L, 999999L, 9999999L, 10000001L).map(_ + o)) ++
+      // maximal-representation-error shapes: k = m*10+5 (x.x5 values)
+      (1L to 2000L).map(_ * 10L + 5L)
+    ).distinct
+    val df2 = ks.toDF("k").select(col("k"),
+      (col("k").cast("double") / 100.0).as("v"))
+    // 1) the double product never gets anywhere near a .5 tie
+    val worst = df2.select(
+      abs(col("v") * 100.0 - col("k").cast("double")).as("err"))
+      .agg(max(col("err"))).head.getDouble(0)
+    assert(worst < 1e-6,
+      f"v*100 strayed $worst%.3e from the cent integer — tie exposure")
+    // 2) the exact committed idiom lands on k in Spark...
+    val bad = df2.select(col("k"),
+      round(col("v") * 100).cast("long").as("r"),
+      // ...and the floor form is value-identical (the fallback the
+      // verdict offered; equality here proves there's nothing to switch)
+      floor(col("v") * 100 + 0.5).cast("long").as("f"))
+      .filter(col("r") =!= col("k") || col("f") =!= col("k"))
+      .count()
+    assert(bad == 0L, s"$bad cent values rounded off-grid")
+  }
+
   test("decimal-exact regression closed forms == native regr_*") {
     val qd = col("x").cast("decimal(9,2)")
     val pd = col("y").cast("decimal(13,2)")
