@@ -201,9 +201,10 @@ object TimeSeriesQueries {
     * sentinels' own rows sit forever above the final watermark, so they
     * never emit — no sink filtering needed (the sessionize pattern). */
   private def stagedTrailingOooDir(s: SparkSession, dir: String,
-      jitterMs: Long, latenessMs: Long): String = {
+      jitterMs: Long, latenessMs: Long, tailMs: Long = 1000L,
+      tag: String = ""): String = {
     val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
-    val staged = s"$root/${new java.io.File(dir).getName}/trailooofix"
+    val staged = s"$root/${new java.io.File(dir).getName}/trailooofix$tag"
     val done = new java.io.File(staged, "_STAGED")
     if (!done.isFile) {
       stagedEventsDir(s, dir) // registers the shutdown-hook cleanup
@@ -221,8 +222,11 @@ object TimeSeriesQueries {
         ev.filter(col("arrival") > lit(c2))).map(_.drop("arrival"))
       val sentinel = (ts: Long) => ev.select(col("key")).distinct()
         .select(col("key"), lit(ts).as("tsMillis"), lit(0.0).as("value"))
-      val parts = data ++ Seq(sentinel(hi + latenessMs + 1000L),
-        sentinel(hi + latenessMs + 2000L))
+      // tailMs sizes the final watermark: wm_final = S1 - lateness =
+      // hi + tailMs, so a lookahead frame needs tailMs > afterMillis to
+      // flush every real row
+      val parts = data ++ Seq(sentinel(hi + latenessMs + tailMs),
+        sentinel(hi + latenessMs + tailMs + 1000L))
       val base = System.currentTimeMillis() - 60000
       parts.zipWithIndex.foreach { case (df, i) =>
         val tmp = s"$staged/__tmp_$i"
@@ -246,6 +250,75 @@ object TimeSeriesQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_stream_running" -> ((s, dir) => {
+      // RUNNING aggregate on a stream — the degradation matrix's first
+      // StatefulOnly recipe realized with O(1) per-key state
+      // (StreamingOps.runningW: an accumulator, not a buffer — state
+      // ∝ |active keys| at 100 TB). The batch `.frame = c(Inf, 0)`
+      // range semantics: ties share the frame, so the oracle is the
+      // UNBOUNDED PRECEDING range window. Same ts-ordered three-file
+      // replay as window_stream_trailing (ties can't straddle a split:
+      // the split is by ts), same exact scaled-integer sums.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val srcDir = stagedTrailingDir(s, dir)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.runningW(src)
+      val qn = s"graft_stream_running_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("cumN").as("cum_n"),
+        col("cumSumE4").as("cum_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "window_stream_lookahead" -> ((s, dir) => {
+      // FINITE POSITIVE TIME LOOKAHEAD on a stream — the last
+      // StatefulOnly recipe realized (StreamingOps.trailingWDelayed
+      // with afterMillis > 0): frame [t-1h, t+30min], each row released
+      // when the watermark passes its hi boundary. Runs over the SAME
+      // jitter-shuffled out-of-order fixture as _ooo (tail sized so the
+      // sentinel watermark clears every row's lookahead), so this key
+      // pins both the future-frame semantics AND their exactness under
+      // disorder. Oracle = the batch range frame with a FOLLOWING
+      // endpoint.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val after = 1800L * 1000L                   // +30 min lookahead
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness,
+        tailMs = after + 1000L, tag = "_la")
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.trailingWDelayed(
+        src, beforeMillis = 3600L * 1000L, latenessMillis = lateness,
+        afterMillis = after)
+      val qn = s"graft_stream_lookahead_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("winN").as("win_n"),
+        col("winSumE4").as("win_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "window_stream_trailing_ooo" -> ((s, dir) => {
       // The trailing per-row frame under OUT-OF-ORDER arrival — the
       // watermark-delayed exact path (StreamingOps.trailingWDelayed),
@@ -689,6 +762,26 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "window_stream_running" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms,
+           count(*) OVER w AS cum_n,
+           CAST(sum(v4) OVER w AS BIGINT) AS cum_sum_e4
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // the batch range frame WITH a following endpoint — the streaming
+    // side must reproduce it exactly under shuffled arrival
+    "window_stream_lookahead" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms,
+           count(*) OVER w AS win_n,
+           CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN 3600000 PRECEDING AND 1800000 FOLLOWING)""",
     // identical to window_stream_trailing BY DESIGN: watermark-delayed
     // emission under shuffled arrival must reproduce the batch range
     // frame row-for-row

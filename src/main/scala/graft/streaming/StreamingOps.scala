@@ -249,11 +249,23 @@ object StreamingOps {
     * horizon covers pending rows' frames; pruning tracks the emission
     * mark exactly as [[trailingW]] prunes behind maxTs. The trade vs
     * [[trailingW]] is the standard one: exactness under disorder,
-    * bought with watermark latency and a lateness-widened buffer. */
+    * bought with watermark latency and a lateness-widened buffer.
+    *
+    * `afterMillis > 0` generalizes the frame to `[t - before, t + after]`
+    * — the FINITE POSITIVE TIME LOOKAHEAD the degradation matrix
+    * classifies StatefulOnly ("a positive time lookahead waits for the
+    * watermark to pass hi"): a row emits once the watermark strictly
+    * passes `t + after`, at which point every frame member has either
+    * arrived or been dropped as beyond-lateness. Same state bound with
+    * the span widened by `after`. (Contrast ROW-count lookahead, which
+    * no watermark can ever release — NotStreamable.) */
   def trailingWDelayed(events: Dataset[KeyedEvent], beforeMillis: Long,
-      latenessMillis: Long): Dataset[TrailingAgg] = {
+      latenessMillis: Long, afterMillis: Long = 0L): Dataset[TrailingAgg] = {
     require(beforeMillis >= 0, "beforeMillis must be >= 0")
     require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    require(afterMillis >= 0,
+      "afterMillis must be >= 0 (a FINITE positive time lookahead — the " +
+        "supports() StatefulOnly verdict for (time b, time a>0) frames)")
     import events.sparkSession.implicits._
     events
       .withColumn("eventTime", timestamp_millis(col("tsMillis")))
@@ -279,13 +291,18 @@ object StreamingOps {
             .sortBy(identity)
           def aggAt(t: Long): TrailingAgg = {
             val lo = t - beforeMillis
+            val hi = t + afterMillis
             var n = 0L; var s = 0L
             merged.foreach { case (ts, v) =>
-              if (ts >= lo && ts <= t) { n += 1; s += v }
+              if (ts >= lo && ts <= hi) { n += 1; s += v }
             }
             TrailingAgg(key, t, n, s)
           }
-          val emitUpTo = st.getCurrentWatermarkMs() - 1
+          // a row's frame closes once the watermark strictly passes its
+          // hi boundary t + after — the watermark-released lookahead of
+          // the degradation matrix ("emit each row once the watermark
+          // passes its hi boundary")
+          val emitUpTo = st.getCurrentWatermarkMs() - 1 - afterMillis
           val out =
             merged.iterator.map(_._1)
               .filter(t => t > prev.emittedThrough && t <= emitUpTo)
@@ -295,6 +312,54 @@ object StreamingOps {
           val keep = merged.filter(_._1 > emittedThrough - beforeMillis)
           st.update(TrailingDelayBuf(keep.map(_._1), keep.map(_._2),
             emittedThrough))
+          out.iterator
+      }
+  }
+
+  /** [[runningW]] output: the running (cumulative) aggregate AT each
+    * event, range-peer semantics (ties share the value). */
+  case class RunningAgg(key: Long, tsMillis: Long, cumN: Long,
+      cumSumE4: Long)
+
+  /** [[runningW]] per-key state — O(1): the accumulator, not a buffer. */
+  case class RunningState(n: Long, sumE4: Long, maxTs: Long)
+
+  /** RUNNING (cumulative) aggregate on a stream — the degradation
+    * matrix's FIRST StatefulOnly recipe ("running aggregate: per-key
+    * accumulator, decomposable aggregates only"), realized: the batch
+    * `.frame = c(Inf, 0)` over a time `.index` (range semantics: rows
+    * sharing a timestamp are frame peers and share the value). One
+    * output row per event carrying the cumulative count and exact
+    * scaled-integer sum through its timestamp.
+    *
+    * State per key is O(1) — three longs, NOT a buffer: this is the
+    * most scalable shape in the matrix (state ∝ |active keys|, like
+    * [[sessionize]], and independent of both frame span and rate).
+    * Same arrival-order contract as [[trailingW]]: per-key ts-ordered
+    * arrival (sorted log/file replay) gives immediate exact emission;
+    * a beyond-contract straggler folds into the accumulator and emits
+    * its row best-effort (the accumulator stays consistent — sums are
+    * order-independent — but rows already emitted are not revised). */
+  def runningW(events: Dataset[KeyedEvent]): Dataset[RunningAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RunningState, RunningAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEvent], st: GroupState[RunningState]) =>
+          val prev = st.getOption.getOrElse(RunningState(0L, 0L, Long.MinValue))
+          val batch = it.toSeq.sortBy(e => (e.tsMillis, e.value))
+          var n = prev.n; var s = prev.sumE4
+          val out = batch.groupBy(_.tsMillis).toSeq.sortBy(_._1)
+            .flatMap { case (ts, peers) =>
+              // range-peer semantics: fold the whole tie group, then
+              // every peer emits the shared post-group value
+              n += peers.size
+              s += peers.map(e => math.round(e.value * 10000)).sum
+              peers.map(_ => RunningAgg(key, ts, n, s))
+            }
+          val maxTs = math.max(prev.maxTs,
+            batch.lastOption.map(_.tsMillis).getOrElse(Long.MinValue))
+          st.update(RunningState(n, s, maxTs))
           out.iterator
       }
   }

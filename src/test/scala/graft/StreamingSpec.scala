@@ -186,6 +186,61 @@ class StreamingSpec extends AnyFunSuite {
       (5000L, 2L, 50000L), (9000L, 1L, 80000L), (9500L, 2L, 240000L)))
   }
 
+  test("runningW (streaming): O(1)-state cumulative aggregate, ties share " +
+      "the value, accumulator carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.runningW(ms.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("append").start()
+    ms.addData(KeyedEvent(1, 100, 1.0), KeyedEvent(1, 100, 2.0),
+      KeyedEvent(1, 200, 4.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 300, 8.0)) // cross-batch accumulation
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT tsMillis, cumN, cumSumE4 FROM running ORDER BY tsMillis, cumN")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (100L, 2L, 30000L), (100L, 2L, 30000L), // range peers: same value
+      (200L, 3L, 70000L),
+      (300L, 4L, 150000L)))
+  }
+
+  test("trailingWDelayed with afterMillis: positive time lookahead frames " +
+      "release when the watermark passes t + after") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.trailingWDelayed(ms.toDS(), beforeMillis = 1000,
+        latenessMillis = 1000, afterMillis = 500)
+      .writeStream.format("memory").queryName("lookahead")
+      .outputMode("append").start()
+    def rows() = spark.sql(
+      "SELECT tsMillis, winN, winSumE4 FROM lookahead ORDER BY tsMillis")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    ms.addData(KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1400, 2.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 3000, 4.0))
+    q.processAllAvailable()
+    // wm is 400: no frame [t-1000, t+500] is closed yet
+    assert(rows().isEmpty)
+    ms.addData(KeyedEvent(1, 5000, 8.0))
+    q.processAllAvailable()
+    // wm 2000 closes t=1000 and t=1400; each row's FUTURE member 1400
+    // (resp. past 1000) is inside its frame
+    assert(rows() == Seq((1000L, 2L, 30000L), (1400L, 2L, 30000L)))
+    ms.addData(KeyedEvent(1, 8000, 16.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 9000, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    // wm 7000 released t=5000 (frame [4000,5500]: alone); t=3000
+    // released at wm 4000 (frame [2000,3500]: alone)
+    assert(rows() == Seq((1000L, 2L, 30000L), (1400L, 2L, 30000L),
+      (3000L, 1L, 40000L), (5000L, 1L, 80000L)))
+  }
+
   test("trailingW: ties share the frame (range-frame peers); batch " +
       "Dataset path agrees with a window-SQL twin") {
     import spark.implicits._
