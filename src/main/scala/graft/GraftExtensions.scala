@@ -77,6 +77,11 @@ object GraftExtensions {
       { case Seq(sk, k) => CmsEstimate(sk, k)
         case args => throw new IllegalArgumentException(
           s"cms_estimate takes 2 arguments, got ${args.length}") }),
+    ("sum_l128",
+      info("sum_l128", "sum_l128(x) - exact 124-bit integer sum of BIGINT terms (|x| <= 2^61) as DECIMAL(38,0); two-long base-2^62 accumulator, pure codegen"),
+      { case Seq(c) => SumL128Expr(c).toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"sum_l128 takes 1 argument, got ${args.length}") }),
     ("product_agg",
       info("product_agg", "product_agg(x) - product aggregate (nulls skipped, all-null group is NULL); window-frame capable"),
       { case Seq(c) =>

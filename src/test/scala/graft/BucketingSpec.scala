@@ -54,6 +54,41 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed mutate over a table bucketed on the partition keys: " +
+      "ZERO exchanges") {
+    // the 100 TB shape of the reference's core operator: mutateW's one
+    // shuffle (PlanSpec "shuffles ONCE") disappears entirely when the
+    // table is already bucketed on the window partition keys — the
+    // bucketed scan's HashPartitioning satisfies the window's
+    // ClusteredDistribution, so a 100 TB fact table laid out once pays
+    // zero network for every subsequent windowed mutate over it
+    import graft.operators.{Frame, TidierOps}
+    import TidierOps._
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.write.bucketBy(8, "l_suppkey").mode("overwrite")
+      .saveAsTable("b_lineitem_w")
+    try {
+      def q(df: org.apache.spark.sql.DataFrame) =
+        df.mutateW("s" -> sum(col("l_quantity")))(
+          by = Seq(col("l_suppkey")),
+          orderBy = Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey")),
+          frame = Some(Frame.rows(2, 0)))
+      val bucketed = q(spark.table("b_lineitem_w"))
+      val p = bucketed.queryExecution.executedPlan.toString
+      assert(p.split("Exchange hashpartitioning").length - 1 == 0,
+        s"bucketed windowed mutate still shuffles:\n$p")
+      // and value-identical to the plain-parquet path (which shuffles)
+      val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val got = bucketed.select(cols.map(col) :+ col("s"): _*)
+        .collect().map(_.toSeq).toSet
+      val expect = q(li).select(cols.map(col) :+ col("s"): _*)
+        .collect().map(_.toSeq).toSet
+      assert(got == expect)
+    } finally spark.sql("DROP TABLE IF EXISTS b_lineitem_w")
+  }
+
   test("compaction: 64 fragments -> 4 range-clustered files, rows intact") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

@@ -167,4 +167,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.filter(_.contains("Project"))
       .forall(_.contains("*(")), s"interpreted Project in:\n$p")
   }
+
+  test("SumL128 moment aggs plan as codegen HashAggregate (long fast path)") {
+    // the round-8 claim behind centMoments: the exact 124-bit sums keep
+    // the whole aggregation in primitive-buffer HashAggregateExec —
+    // an ObjectHashAggregate/SortAggregate here means some buffer type
+    // fell off the UnsafeRow fast path and the rewrite lost its point
+    for (key <- Seq("agg_moments", "agg_regression", "agg_conditional")) {
+      val p = plan(SparkEntry.queries(key)(spark, dir))
+      assert(p.contains("HashAggregate"), s"$key not hash-agg:\n$p")
+      assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+        s"$key left the primitive-buffer agg path:\n$p")
+      assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+        s"$key should shuffle once (partial→final):\n$p")
+    }
+  }
 }
