@@ -788,6 +788,25 @@ object ExtendedQueries {
         .select(col("o_orderkey"), col("op"),
           r4(col("old_price")).as("old_price"),
           r4(col("new_price")).as("new_price"))
+    }),
+    "scd2_intervals" -> ((s, dir) => {
+      // SCD2 validity intervals (operators/Scd2.scala): the change-log →
+      // dimension-history primitive downstream of cdc_snapshot_diff.
+      // Orders is read as a per-customer observation log of
+      // o_orderstatus; change-point compression (null-safe lag compare)
+      // keeps only transitions, then lead() closes each interval. ONE
+      // hash exchange on the key carries both windows (Scd2Spec pins
+      // the single-Exchange single-Sort plan). Dates emitted as strings
+      // (the repo's timestamp-output convention).
+      val log = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      graft.operators.Scd2.intervals(log,
+          keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+          tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("valid_from").cast("date").cast("string").as("valid_from"),
+          col("valid_to").cast("date").cast("string").as("valid_to"),
+          col("is_current"))
     })
   )
 
@@ -1144,6 +1163,22 @@ object ExtendedQueries {
            round(1e-9 + new_price, 4) AS new_price
            FROM old FULL OUTER JOIN neu
              ON old.o_orderkey = neu.o_orderkey)
-         SELECT * FROM d WHERE op <> 'N'"""
+         SELECT * FROM d WHERE op <> 'N'""",
+    "scd2_intervals" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             o_orderstatus,
+           lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+           FROM w WHERE prev IS NULL OR prev <> o_orderstatus)
+         SELECT o_custkey, o_orderkey, o_orderstatus,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS valid_from,
+           CAST(CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS DATE) AS VARCHAR)
+             AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+         FROM c"""
   )
 }
