@@ -57,4 +57,33 @@ object Scd2 {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incrementally apply a batch of LATER observations to an existing
+    * SCD2 table — the 100 TB refresh path. A dimension history grows
+    * forever; recomputing [[intervals]] over the full log every load
+    * reshuffles all of history. This instead windows ONLY (one open
+    * interval per key) ∪ (the batch): each key's current row IS its
+    * last change point, so re-running the same compression over that
+    * union reproduces exactly the new change set — the current row is
+    * re-closed (or stays open) by the lead(), batch echoes of the
+    * current attribute are dropped, new keys open cleanly. Closed
+    * history is unioned back untouched: cost scales with
+    * |keys| + |batch|, never with |history|. Equals a full recompute
+    * (property-pinned in Scd2Spec; the oracle key `scd2_incremental`
+    * hash-gates it against the full-recompute SQL) under the standard
+    * append-only contract: every batch ts is strictly later than every
+    * prior observation of its key.
+    */
+  def applyBatch(prior: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCols: Seq[String], attrCols: Seq[String])
+      : DataFrame = {
+    val logCols = ((keyCols :+ tsCol) ++ tieCols ++ attrCols).distinct
+    val refreshed = intervals(
+      prior.filter(col("is_current")).select(logCols.map(col): _*)
+        .unionByName(batch.select(logCols.map(col): _*)),
+      keyCols, tsCol, tieCols, attrCols)
+    prior.filter(!col("is_current"))
+      .select(refreshed.columns.map(col).toIndexedSeq: _*)
+      .unionByName(refreshed)
+  }
 }

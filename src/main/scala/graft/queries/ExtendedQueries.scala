@@ -807,6 +807,30 @@ object ExtendedQueries {
           col("valid_from").cast("date").cast("string").as("valid_from"),
           col("valid_to").cast("date").cast("string").as("valid_to"),
           col("is_current"))
+    }),
+    "scd2_incremental" -> ((s, dir) => {
+      // Incremental SCD2 refresh (Scd2.applyBatch): history built from
+      // pre-1996 orders, then the 1996+ tail applied as an append
+      // batch. The windowed work touches only (one current row per
+      // customer) + the batch — closed history is unioned back
+      // untouched, so a daily load at 100 TB costs |keys| + |batch|,
+      // not |history|. The ORACLE is the full-recompute SQL verbatim:
+      // the gate proves incremental == recompute, hash-exact.
+      val log = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      val cut = lit("1996-01-01").cast("timestamp")
+      val prior = graft.operators.Scd2.intervals(
+        log.filter(col("o_orderdate") < cut),
+        keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+        tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"))
+      graft.operators.Scd2.applyBatch(prior,
+          log.filter(col("o_orderdate") >= cut),
+          keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+          tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("valid_from").cast("date").cast("string").as("valid_from"),
+          col("valid_to").cast("date").cast("string").as("valid_to"),
+          col("is_current"))
     })
   )
 
@@ -1165,6 +1189,25 @@ object ExtendedQueries {
              ON old.o_orderkey = neu.o_orderkey)
          SELECT * FROM d WHERE op <> 'N'""",
     "scd2_intervals" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             o_orderstatus,
+           lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+           FROM w WHERE prev IS NULL OR prev <> o_orderstatus)
+         SELECT o_custkey, o_orderkey, o_orderstatus,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS valid_from,
+           CAST(CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS DATE) AS VARCHAR)
+             AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+         FROM c""",
+    // deliberately the SAME full-recompute SQL as scd2_intervals: the
+    // Spark side computes it INCREMENTALLY (history + applied batch),
+    // and the hash gate proves incremental == recompute
+    "scd2_incremental" ->
       """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
              o_orderstatus,
            lag(o_orderstatus) OVER (PARTITION BY o_custkey

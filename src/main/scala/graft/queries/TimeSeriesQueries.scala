@@ -758,6 +758,40 @@ object TimeSeriesQueries {
         .select(col("event_id"), col("dow"),
           r4(col("dow_mean")).as("dow_mean"),
           r4(col("value") - col("dow_mean")).as("resid"))
+    }),
+    "ts_twap" -> ((s, dir) => {
+      // Time-weighted average (TWAP) per user over an IRREGULAR series:
+      // each observation holds until the next one, so the mean weights
+      // value by its holding duration — the standard finance/telemetry
+      // aggregate a row-count mean gets wrong on bursty data. Contract:
+      // value at 1e-6 resolution (the fixture carries full-precision
+      // doubles; floor(v*1e6+0.5) is the identical IEEE op in both
+      // engines), durations at ms resolution. Both factors become exact
+      // longs, term ≤ 5.6e8·2.6e9 ≈ 1.5e18 < 2^61, so the moment sums
+      // ride sum_l128 — order-independent exact integers; per-user
+      // division happens once per group in double. One window + one
+      // hash agg, both on the user_id exchange. The last observation
+      // per user has no close and is excluded (open-interval policy).
+      import graft.functions.SumL128.sumL128
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .select(col("user_id"),
+          (floor(col("value") * 1e6 + 0.5).cast("long") *
+            floor((col("next_ts") - col("ts")).cast("double") / 1e6)
+              .cast("long")).as("term"),
+          floor((col("next_ts") - col("ts")).cast("double") / 1e6)
+            .cast("long").as("dur_ms"))
+        .groupBy("user_id")
+        .agg(sumL128(col("term")).as("num"),
+          sumL128(col("dur_ms")).as("den"),
+          count(lit(1)).as("n_iv"))
+        .select(col("user_id"), col("n_iv"),
+          r4(when(col("den") > 0,
+            col("num").cast("double") /
+              (col("den").cast("double") * 1e6))).as("twap"))
     })
   )
 
@@ -936,6 +970,26 @@ object TimeSeriesQueries {
          SELECT e.event_id, e.dow,
            round(1e-9 + m.dow_mean, 4) AS dow_mean,
            round(1e-9 + (e.value - m.dow_mean), 4) AS resid
-         FROM e JOIN m ON e.dow = m.dow"""
+         FROM e JOIN m ON e.dow = m.dow""",
+    "ts_twap" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts) AS tsn
+           FROM events),
+         n AS (SELECT user_id, value, tsn,
+           lead(tsn) OVER (PARTITION BY user_id
+             ORDER BY tsn, event_id) AS next_tsn
+           FROM e),
+         d AS (SELECT user_id,
+           CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(next_tsn - tsn AS DOUBLE) / 1000000)
+                 AS BIGINT) AS term,
+           CAST(floor(CAST(next_tsn - tsn AS DOUBLE) / 1000000)
+             AS BIGINT) AS dur_ms
+           FROM n WHERE next_tsn IS NOT NULL)
+         SELECT user_id, count(*) AS n_iv,
+           round(1e-9 + CASE WHEN sum(dur_ms) > 0 THEN
+             CAST(sum(term) AS DOUBLE)
+               / (CAST(sum(dur_ms) AS DOUBLE) * 1000000.0) END, 4)
+             AS twap
+         FROM d GROUP BY 1"""
   )
 }

@@ -84,4 +84,30 @@ class Scd2Spec extends AnyFunSuite {
     assert(got.keySet == expect.keySet)
     for (k <- expect.keySet) assert(got(k) == expect(k), s"key $k")
   }
+
+  test("applyBatch == full recompute at every cut point") {
+    // the incremental contract: for ANY ts split (history < cut ≤
+    // batch), applying the tail as a batch to intervals(head) equals
+    // intervals(full log) — including cuts where a key has no history,
+    // no batch rows, or a batch echo of its current attribute
+    val rnd = new scala.util.Random(11)
+    val data = for {
+      k <- (0 until 9).map(i => s"k$i")
+      ts <- 0 until (1 + rnd.nextInt(20))
+      if rnd.nextInt(4) > 0 // ragged per-key coverage
+    } yield (k, ts, "s" + rnd.nextInt(2))
+    val df = data.toDF("k", "ts", "attr")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "ts", "attr", "valid_from", "valid_to", "is_current")
+        .collect().map(_.toSeq).toSet
+    val full = canon(Scd2.intervals(df, Seq("k"), "ts", Seq.empty,
+      Seq("attr")))
+    for (cut <- Seq(1, 5, 10, 19)) {
+      val prior = Scd2.intervals(df.filter(col("ts") < cut),
+        Seq("k"), "ts", Seq.empty, Seq("attr"))
+      val inc = Scd2.applyBatch(prior, df.filter(col("ts") >= cut),
+        Seq("k"), "ts", Seq.empty, Seq("attr"))
+      assert(canon(inc) == full, s"cut=$cut")
+    }
+  }
 }
