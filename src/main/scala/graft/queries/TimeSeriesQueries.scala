@@ -792,6 +792,50 @@ object TimeSeriesQueries {
           r4(when(col("den") > 0,
             col("num").cast("double") /
               (col("den").cast("double") * 1e6))).as("twap"))
+    }),
+    "cohort_retention" -> ((s, dir) => {
+      // Cohort retention matrix: users grouped by first-active day,
+      // counted per day-offset of later activity — the standard
+      // product-analytics rollup. Scale shape: events collapse to
+      // DISTINCT (user, day) FIRST (the big reduction), cohort day is
+      // a hash agg over that, and the join back is user_id-partitioned
+      // like everything before it — one key's worth of exchanges, no
+      // window over raw events. (user, day) distinct × unique cohort
+      // per user makes count(*) == count(DISTINCT user): no distinct
+      // agg needed in the final rollup.
+      val a = events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val coh = a.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      a.join(coh, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("offset_d"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    "funnel_steps" -> ((s, dir) => {
+      // Ordered funnel (view → click → purchase) per user: each stage
+      // is the MIN event time strictly after the previous stage —
+      // three conditional hash aggs chained by user_id-partitioned
+      // joins (every stage reuses the same key exchange; no per-user
+      // sort, no window over raw events). Users without a view are
+      // not in the funnel; step = furthest stage reached.
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          expr("t_view div 1000000").as("t_view_ms"),
+          expr("t_click div 1000000").as("t_click_ms"),
+          expr("t_purchase div 1000000").as("t_purchase_ms"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L).otherwise(1L).as("step"))
     })
   )
 
@@ -990,6 +1034,36 @@ object TimeSeriesQueries {
              CAST(sum(term) AS DOUBLE)
                / (CAST(sum(dur_ms) AS DOUBLE) * 1000000.0) END, 4)
              AS twap
-         FROM d GROUP BY 1"""
+         FROM d GROUP BY 1""",
+    "cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+         SELECT c.cohort_day, a.day - c.cohort_day AS offset_d,
+           count(*) AS n_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2""",
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn
+           FROM events),
+         v AS (SELECT user_id, min(tsn) AS t_view FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(tsn) AS t_click
+           FROM e JOIN v ON e.user_id = v.user_id
+           WHERE event_type = 'click' AND tsn > t_view
+           GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(tsn) AS t_purchase
+           FROM e JOIN c ON e.user_id = c.user_id
+           WHERE event_type = 'purchase' AND tsn > t_click
+           GROUP BY e.user_id)
+         SELECT v.user_id,
+           v.t_view // 1000000 AS t_view_ms,
+           c.t_click // 1000000 AS t_click_ms,
+           p.t_purchase // 1000000 AS t_purchase_ms,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS BIGINT) AS step
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id"""
   )
 }
