@@ -186,6 +186,69 @@ object TimeSeriesQueries {
     staged
   }
 
+  /** Stage the stream-stream JOIN fixture: (event_id, key, tsMillis)
+    * split into three globally ts-ordered files (the stagedTrailingDir
+    * layout), plus two trailing sentinel files that exist to flush the
+    * LEFT-OUTER join's null-extended rows: an outer result only emits
+    * when the watermark passes the left row's join-window end, and
+    * under AvailableNow the final watermark stops `delay` short of the
+    * last real event — the last ~(range) hours of unmatched left rows
+    * would never emit. Sentinels at S1 = hi + range + 2s (and S2 =
+    * S1 + 1s) on BOTH sides push the min-of-sides watermark past every
+    * real row's window end. Sentinel rows carry an explicit staged
+    * `side` column and keys -1 (left) / -2 (right): they join nothing
+    * (negative keys match no real user and not each other), and their
+    * own eviction point S1 + range sits above the final watermark, so
+    * they never emit — the established sentinel-never-emits contract. */
+  private def stagedJoinDir(s: SparkSession, dir: String,
+      rangeMs: Long): String = {
+    val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
+    val staged = s"$root/${new java.io.File(dir).getName}/ssjoinfix"
+    val done = new java.io.File(staged, "_STAGED")
+    if (!done.isFile) {
+      stagedEventsDir(s, dir) // registers the shutdown-hook cleanup
+      // quarter of the events per side (mod-4 halves 0/1), with the
+      // side STAGED as a column — sentinel rows then pick their side
+      // explicitly instead of fighting Scala's negative-% semantics
+      val ev = events(s, dir)
+        .filter(col("event_id") % 4 < 2)
+        .select(col("event_id"), col("user_id").as("key"),
+          expr("ts div 1000000").as("tsMillis"),
+          (col("event_id") % 4).cast("int").as("side"))
+      val mm = ev.agg(min(col("tsMillis")), max(col("tsMillis"))).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      import s.implicits._
+      val sentinel = (ts: Long, gen: Int) => Seq(
+        (-2L - 2 * gen, -1L, ts, 0), (-1L - 2 * gen, -2L, ts, 1))
+        .toDF("event_id", "key", "tsMillis", "side")
+      val s1 = hi + rangeMs + 2000L
+      val parts = Seq(ev.filter(col("tsMillis") <= lit(c1)),
+        ev.filter(col("tsMillis") > lit(c1) && col("tsMillis") <= lit(c2)),
+        ev.filter(col("tsMillis") > lit(c2)),
+        sentinel(s1, 0), sentinel(s1 + 1000L, 1))
+      val base = System.currentTimeMillis() - 60000
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$staged/__tmp_$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(staged, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 1000L)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      done.createNewFile(): Unit
+    }
+    staged
+  }
+
   /** Stage the OUT-OF-ORDER trailing fixture (r07 verdict item 4): the
     * same (key, tsMillis, value) projection, but split into three files
     * by a JITTERED arrival time — each row's arrival position is its
@@ -615,6 +678,70 @@ object TimeSeriesQueries {
       s.catalog.dropTempView(qn)
       out
     }),
+    "join_stream_stream_louter" -> ((s, dir) => {
+      // Stream-stream LEFT-OUTER join — the semantics inner join can't
+      // give: an unmatched left row must emit null-extended, and only
+      // the WATERMARK can prove "no match will ever arrive" (the row
+      // emits when the global watermark passes its join-window end, at
+      // state eviction). Mod-4 event-id quarters (sides 0/1) per user
+      // within ±1h;
+      // five micro-batches over the ts-ordered staged fixture, 1s
+      // delay; the two sentinel files push the final watermark past
+      // every real row's window end so ALL null extensions flush
+      // (stagedJoinDir scaladoc has the arithmetic — without them the
+      // last ~1h of unmatched left rows would be missing from the
+      // sink, silently). Oracle: the plain batch LEFT JOIN.
+      // State-store note: a streaming join keeps four state stores per
+      // shuffle partition per micro-batch; at 32 partitions × 5
+      // batches the store machinery dwarfed the data (19s at sf0.1) —
+      // scoping shuffle.partitions to 8 for this query is the knob a
+      // real deployment would tune per-stream (state cost scales with
+      // partitions, not rows, at this volume).
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val rangeMs = 3600000L
+      val srcDir = stagedJoinDir(s, dir, rangeMs)
+      val schema = new StructType().add("event_id", LongType)
+        .add("key", LongType).add("tsMillis", LongType)
+        .add("side", IntegerType)
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val l = src.filter(col("side") === 0)
+        .select(col("event_id").as("l_id"), col("key"),
+          timestamp_millis(col("tsMillis")).as("l_ts"))
+        .withWatermark("l_ts", "1 second")
+      val r = src.filter(col("side") === 1)
+        .select(col("event_id").as("r_id"), col("key").as("r_key"),
+          timestamp_millis(col("tsMillis")).as("r_ts"))
+        .withWatermark("r_ts", "1 second")
+      val joined = l.join(r, col("key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        // NO key-sign "sentinel guard" filter here: sentinels never
+        // emit by construction (their eviction point sits above the
+        // final watermark), and a `key >= 0` filter is actively fatal —
+        // Catalyst pushes it below the left-side watermark (and infers
+        // `r_key >= 0` across the equi-join onto the right side), so
+        // parquet row-group stats skip the sentinel files entirely and
+        // both watermarks stall at the last data batch, leaving the
+        // tail's null extensions unflushed. Filter-pushdown is usually
+        // the free win; on watermark-carrying rows it's a correctness
+        // hazard.
+        .select(col("l_id"), col("key").as("user_id"), col("r_id"))
+      val qn = s"graft_ss_louter_${streamRuns.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val out = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = joined.writeStream.outputMode("append").format("memory")
+          .queryName(qn).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val sink = s.table(qn)
+        s.createDataFrame(sink.collectAsList(), sink.schema)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "stream_sink_idempotent" -> ((s, dir) => {
       // foreachBatch EXACTLY-ONCE parquet sink: each micro-batch
       // overwrites its OWN batch-id-keyed directory, so replaying a
@@ -960,6 +1087,18 @@ object TimeSeriesQueries {
            AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
            AND b.tus BETWEEN a.tus - 3600000000
                          AND a.tus + 3600000000""",
+    // ms (not µs) range: the staged join fixture truncates ts to
+    // milliseconds before the stream sees it
+    "join_stream_stream_louter" ->
+      """WITH e AS (SELECT event_id, user_id,
+           epoch_ns(ts) // 1000000 AS ms FROM events),
+         l AS (SELECT event_id AS l_id, user_id, ms FROM e
+           WHERE event_id % 4 = 0),
+         r AS (SELECT event_id AS r_id, user_id AS r_uid, ms AS rms
+           FROM e WHERE event_id % 4 = 1)
+         SELECT l.l_id, l.user_id, r.r_id
+         FROM l LEFT JOIN r ON l.user_id = r.r_uid
+           AND r.rms BETWEEN l.ms - 3600000 AND l.ms + 3600000""",
     "stream_sink_idempotent" ->
       "SELECT event_id, user_id, value FROM events",
     "resample_gapfill" ->
