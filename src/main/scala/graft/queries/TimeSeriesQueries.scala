@@ -312,7 +312,38 @@ object TimeSeriesQueries {
     staged
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Stateful streaming executions keep state-store machinery per
+    * shuffle partition per micro-batch (a stream-stream join keeps
+    * FOUR stores per partition); at the session's 32 partitions that
+    * machinery — not the data — dominated every stateful key's cost
+    * (join_stream_stream_louter measured 19.4s → 6.2s at 8). Scoping
+    * `spark.sql.shuffle.partitions` for the duration of the streaming
+    * run is the per-stream state-sizing knob a real deployment sets;
+    * results are partitioning-independent (the oracle gate re-proves it
+    * every round). Restored in finally — batch keys in the same session
+    * are untouched. */
+  private val StatefulStreamKeys = Set(
+    "window_stream_running", "window_stream_lookahead",
+    "window_stream_trailing_ooo", "window_stream_trailing",
+    "window_stream_tumbling", "window_stream_sliding",
+    "dedup_stream_exact", "sessionize_stream_stateful",
+    "join_stream_stream", "join_stream_stream_louter")
+
+  private def withStreamParts[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", "8"); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  // lazy: rawQueries is declared below (object vals init in order)
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> (if (StatefulStreamKeys(name))
+        (s: SparkSession, d: String) => withStreamParts(s)(fn(s, d))
+      else fn)
+    }
+
+  private val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_stream_running" -> ((s, dir) => {
       // RUNNING aggregate on a stream — the degradation matrix's first
       // StatefulOnly recipe realized with O(1) per-key state
@@ -730,15 +761,13 @@ object TimeSeriesQueries {
         // hazard.
         .select(col("l_id"), col("key").as("user_id"), col("r_id"))
       val qn = s"graft_ss_louter_${streamRuns.incrementAndGet()}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val out = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = joined.writeStream.outputMode("append").format("memory")
-          .queryName(qn).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val sink = s.table(qn)
-        s.createDataFrame(sink.collectAsList(), sink.schema)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // shuffle.partitions scoping comes from the StatefulStreamKeys
+      // wrapper (see withStreamParts)
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn)
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
     }),
