@@ -65,37 +65,56 @@ object AsofJoin {
 
   /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`, the
     * third direction): the closer of the backward and forward matches by
-    * absolute time distance, backward preferred on exact ties. Composes
-    * the two sweeps — the backward pass's outputs ride through the
-    * forward pass as ordinary left columns (each sweep preserves its
-    * left side), so the cost is two union-and-sweep passes, still O(n)
-    * per key and two shuffles total, never a range probe. `strict`
-    * and `tolerance` apply symmetrically to both directions. */
+    * absolute time distance, backward preferred on exact ties. FUSED
+    * single-shuffle rendering: both inputs are tagged and unioned ONCE,
+    * then the backward candidate comes from the ascending-time running
+    * window and the forward candidate from the descending-time one —
+    * both windows partition on the same keys, so Catalyst plans ONE
+    * exchange with two sorts, instead of the naive composition of two
+    * full union-and-sweep passes (which re-executes the backward pass's
+    * whole upstream plan inside the forward pass and shuffles twice).
+    * Still O(n) per key, never a range probe. `strict` and `tolerance`
+    * apply symmetrically to both directions. */
   def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
       strict: Boolean = false, tolerance: Option[Column] = None,
       matchedTimeCol: String = "matched_time"): DataFrame = {
-    val bT = "__asof_bt__"; val fT = "__asof_ft__"
-    def bName(v: String) = s"__asof_b_$v"
-    val bwd0 = asofBackward(left, right, keys, leftTime, rightTime,
-      valueCols, strict, tolerance, bT)
-    val bwd = valueCols.foldLeft(bwd0)((d, v) =>
-      d.withColumnRenamed(v, bName(v)))
-    val both = asofForward(bwd, right, keys, leftTime, rightTime,
-      valueCols, strict, tolerance, fT)
-    val useB = col(bT).isNotNull && (col(fT).isNull ||
-      (col(leftTime) - col(bT)) <= (col(fT) - col(leftTime)))
-    val out = both
-      .withColumn(matchedTimeCol, when(useB, col(bT)).otherwise(col(fT)))
-    valueCols.foldLeft(out)((d, v) =>
-        d.withColumn(v, when(useB, col(bName(v))).otherwise(col(v))))
-      .drop((bT +: fT +: valueCols.map(bName)): _*)
+    val (unioned, leftCols, t, pay, lSide) =
+      tagAndUnion(left, right, keys, leftTime, rightTime, valueCols,
+        strict, matchedTimeCol)
+    val BP = "__asof_bpay__"; val FP = "__asof_fpay__"
+    // Same SIDE tiebreak serves both directions: the forward sweep flips
+    // the TIME sort only (see tagAndUnion's side-bit comment).
+    def w(ord: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord, col(SIDE))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn(BP, last(col(pay), ignoreNulls = true).over(w(col(t).asc)))
+      .withColumn(FP, last(col(pay), ignoreNulls = true).over(w(col(t).desc)))
+      .filter(col(SIDE) === lSide)
+    def gate(c: String, gap: Column => Column): Column =
+      tolerance.fold(col(c))(tol =>
+        when(col(c).isNotNull && gap(col(c).getField("__mt")) <= tol, col(c)))
+    val g = filled
+      .withColumn(BP, gate(BP, mt => col(t) - mt))
+      .withColumn(FP, gate(FP, mt => mt - col(t)))
+    val useB = col(BP).isNotNull && (col(FP).isNull ||
+      (col(t) - col(BP).getField("__mt")) <=
+        (col(FP).getField("__mt") - col(t)))
+    val chosen = g.withColumn(pay, when(useB, col(BP)).otherwise(col(FP)))
+    chosen
+      .withColumn(matchedTimeCol, col(pay).getField("__mt"))
+      .withColumns(valueCols.map(v => v -> col(pay).getField(v)).toMap)
+      .select((leftCols.map(col) :+ col(matchedTimeCol)) ++
+        valueCols.map(col): _*)
   }
 
-  private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, valueCols: Seq[String],
-      strict: Boolean, tolerance: Option[Column],
-      matchedTimeCol: String, forward: Boolean): DataFrame = {
+  /** Shared tag-and-union construction: returns (unioned df, left column
+    * list, time-column name, payload-column name, left side bit). */
+  private def tagAndUnion(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      valueCols: Seq[String], strict: Boolean, matchedTimeCol: String)
+      : (DataFrame, Seq[String], String, String, Int) = {
     require(valueCols.nonEmpty, "asof join needs at least one value column")
     require(valueCols.toSet.intersect(keys.toSet).isEmpty,
       "valueCols must be disjoint from the join keys")
@@ -132,31 +151,39 @@ object AsofJoin {
       .withColumns(leftCols.filterNot(keys.contains).map { c =>
         c -> lit(null).cast(left.schema(c).dataType)
       }.toMap)
+    (l.unionByName(r.select(l.columns.map(col): _*)), leftCols, t, PAY, lSide)
+  }
 
+  private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      strict: Boolean, tolerance: Option[Column],
+      matchedTimeCol: String, forward: Boolean): DataFrame = {
+    val (unioned, leftCols, t, pay, lSide) =
+      tagAndUnion(left, right, keys, leftTime, rightTime, valueCols,
+        strict, matchedTimeCol)
     // One running frame both ways: forward = backward on reversed time.
     // last(ignoreNulls) over [unboundedPreceding, currentRow] is the
     // incremental (O(1)-per-row) frame in WindowExec; with t sorted desc
     // the nearest FOLLOWING right row is the last preceding non-null.
-    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
     val tOrd = if (forward) col(t).desc else col(t).asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tOrd, col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = unioned
-      .withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
       .filter(col(SIDE) === lSide)
 
     val gated = tolerance.fold(filled) { tol =>
       val gap =
-        if (forward) col(PAY).getField("__mt") - col(t)
-        else col(t) - col(PAY).getField("__mt")
-      filled.withColumn(PAY,
-        when(col(PAY).isNotNull && gap <= tol, col(PAY)))
+        if (forward) col(pay).getField("__mt") - col(t)
+        else col(t) - col(pay).getField("__mt")
+      filled.withColumn(pay,
+        when(col(pay).isNotNull && gap <= tol, col(pay)))
     }
     gated
-      .withColumn(matchedTimeCol, col(PAY).getField("__mt"))
-      .withColumns(valueCols.map(v => v -> col(PAY).getField(v)).toMap)
+      .withColumn(matchedTimeCol, col(pay).getField("__mt"))
+      .withColumns(valueCols.map(v => v -> col(pay).getField(v)).toMap)
       .select((leftCols.map(col) :+ col(matchedTimeCol)) ++
         valueCols.map(col): _*)
   }
