@@ -383,6 +383,34 @@ object ExtendedQueries {
         r4(when(n >= 2 && m2xc > 0 && m2yc > 0, corrE)).as("roll_corr"),
         r4(when(n >= 2, covE)).as("roll_cov"))
     }),
+    "window_rolling_median" -> ((s, dir) => {
+      // Rolling EXACT order statistics as window aggregates: trailing
+      // 7-row median and p75 of the price per supplier — the
+      // order-statistic sibling of window_rolling_corr's moment
+      // family. Spark's percentile (TypedImperativeAggregate) runs
+      // inside the same sort-based WindowExec, re-accumulating the
+      // frame buffer per row — O(w) per row, the right trade at small
+      // w where EXACT quantiles are wanted; for wide frames the
+      // declared alternatives are the moment keys (corr/zscore) or
+      // the sketch families (HLL/CMS). DETERMINISM: inputs are exact
+      // long cents and the quantile ps are 2^-k rationals, so the
+      // interpolation position p·(n-1) and fraction are exact doubles
+      // and BOTH engines' interpolation formulas (Spark lo·(1-f)+hi·f,
+      // DuckDB lo+(hi-lo)·f) evaluate the same exact rational — no
+      // float jitter despite different expression shapes. (p=0.9
+      // would NOT be safe: 0.9 is inexact, the two formulas then
+      // differ in the last ulp.) The /100.0 rescale is one identical
+      // IEEE division on each side.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+        .rowsBetween(-6, 0)
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        r4(percentile(pc, lit(0.5)).over(w) / 100.0).as("roll_med"),
+        r4(percentile(pc, lit(0.75)).over(w) / 100.0).as("roll_p75"))
+    }),
     "agg_heavyhitters" -> ((s, dir) => {
       // Count-Min-sketch heavy-hitter detection, oracle-gated on the
       // sketch's one-sided contract (the agg_approx/decontam_bloom
@@ -928,6 +956,20 @@ object ExtendedQueries {
              THEN CAST(cxyc AS DOUBLE) / (10000.0 * nd * (nd - 1.0))
              END, 4) AS roll_cov
          FROM c""",
+    "window_rolling_median" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_shipdate,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           round(1e-9 + (quantile_cont(pc, 0.5) OVER w) / 100.0, 4)
+             AS roll_med,
+           round(1e-9 + (quantile_cont(pc, 0.75) OVER w) / 100.0, 4)
+             AS roll_p75
+         FROM d
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "agg_heavyhitters" ->
       """WITH e AS (SELECT user_id, count(*) AS exact_n
            FROM events GROUP BY 1),

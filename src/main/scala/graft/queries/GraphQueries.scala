@@ -67,6 +67,70 @@ object GraphQueries {
               .as("r"))
       }
       ranks.select(col("v").as("nationkey"), r4(col("r")).as("rank"))
+    }),
+    "graph_triangles" -> ((s, dir) => {
+      // Per-vertex triangle counting on the undirected trade network —
+      // the standard degree-ordered-orientation algorithm (each edge
+      // points from its lower-(degree, id) endpoint to the higher, so
+      // every triangle is enumerated at exactly one vertex and the
+      // wedge join fans out by the ORIENTED out-degree, which the
+      // orientation caps at O(sqrt(|E|)) amortized — the reason this
+      // survives power-law graphs where a naive wedge join explodes on
+      // the hub vertices). Pipeline: threshold to above-average-weight
+      // edges (gives the gate graph real degree variance), one
+      // explode+hash-agg for degrees, one self-join for wedges, one
+      // equi-join back to the edge set to close them, one explode to
+      // attribute each triangle to its three corners. All joins are
+      // vertex/edge equi-joins — no driver-side adjacency, nothing
+      // quadratic in vertices.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val dirEdges = li
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          li("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val undAll = dirEdges.filter(col("src") =!= col("dst"))
+        .groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(sum(col("w")).as("wu"))
+      // one driver scalar (mean edge weight) — broadcast-side bounded
+      val avgW = undAll.agg(
+        (sum(col("wu")).cast("double") / count(lit(1))).as("m"))
+        .head.getDouble(0)
+      val und = undAll.filter(col("wu") > avgW).select("a", "b")
+      val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("x"))
+      val e1 = oriented.select(col("u"), col("x").as("x1"))
+      val e2 = oriented.select(col("u"), col("x").as("x2"))
+      // wedge ends in id order so the closing lookup hits the (a<b)
+      // normalized edge set directly
+      val wedges = e1.join(e2, Seq("u")).filter(col("x1") < col("x2"))
+      val tri = wedges.join(und,
+        wedges("x1") === und("a") && wedges("x2") === und("b"))
+        .select(col("u"), col("x1"), col("x2"))
+      val perV = tri
+        .select(explode(array(col("u"), col("x1"), col("x2"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
+        .join(perV.withColumnRenamed("v", "nationkey"),
+          Seq("nationkey"), "left")
+        .select(col("nationkey"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
     })
   )
 
@@ -109,6 +173,49 @@ object GraphQueries {
          ), $iterCte
          SELECT v AS nationkey,
            round(1e-9 + r, 4) AS rank
-         FROM r$Iters"""
+         FROM r$Iters""",
+    "graph_triangles" ->
+      """WITH de AS (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             count(*) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2
+         ), undall AS (
+           SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             sum(w) AS wu
+           FROM de WHERE src != dst GROUP BY 1, 2
+         ), und AS (
+           SELECT a, b FROM undall
+           WHERE wu > (SELECT CAST(sum(wu) AS DOUBLE) / count(*)
+                       FROM undall)
+         ), deg AS (
+           SELECT v, count(*) AS d FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+           GROUP BY 1
+         ), oriented AS (
+           SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                    THEN a ELSE b END AS u,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                    THEN b ELSE a END AS x
+           FROM und JOIN deg da ON und.a = da.v
+                    JOIN deg db ON und.b = db.v
+         ), tri AS (
+           SELECT e1.u, e1.x AS x1, e2.x AS x2
+           FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+             AND e1.x < e2.x
+           JOIN und ON e1.x = und.a AND e2.x = und.b
+         ), perv AS (
+           SELECT v, count(*) AS n_tri FROM (
+             SELECT u AS v FROM tri UNION ALL
+             SELECT x1 AS v FROM tri UNION ALL
+             SELECT x2 AS v FROM tri)
+           GROUP BY 1
+         )
+         SELECT n.n_nationkey AS nationkey,
+           COALESCE(p.n_tri, 0) AS n_tri
+         FROM nation n LEFT JOIN perv p ON n.n_nationkey = p.v"""
   )
 }

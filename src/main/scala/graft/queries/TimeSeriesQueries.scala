@@ -968,6 +968,50 @@ object TimeSeriesQueries {
           (col("day") - col("cohort_day")).as("offset_d"))
         .agg(count(lit(1)).as("n_users"))
     }),
+    "ts_interpolate" -> ((s, dir) => {
+      // Linear interpolation over the per-user daily grid — the gap
+      // policy between resample_gapfill's zero-fill and window_locf's
+      // carry-forward: a missing day gets the straight line between
+      // the surrounding observed days. Scale shape: the grid is
+      // sequence(lo, hi) exploded per user (row-local, no driver
+      // state); the surrounding observations come from TWO running
+      // last(ignoreNulls) windows (asc + desc) sharing one user_id
+      // exchange — the as-of sweep trick, never an UnboundedFollowing
+      // frame (which re-aggregates the partition suffix per row).
+      // DETERMINISM: daily means are exact long micro-unit sums
+      // divided once (identical IEEE chain in both engines); the
+      // interpolation expression shape is mirrored verbatim in the
+      // oracle, so identical inputs → identical doubles. Grid
+      // endpoints are observed by construction (lo/hi = min/max
+      // observed day), so every gap row has both neighbors.
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vmu"))
+      val daily = e.groupBy("user_id", "day")
+        .agg(sum("vmu").as("sv"), count(lit(1)).as("n"))
+        .select(col("user_id"), col("day"),
+          (col("sv").cast("double") / col("n").cast("double") / 1e6)
+            .as("dm"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val j = grid.join(daily, Seq("user_id", "day"), "left")
+      // day+value travel as ONE struct so both always come from the
+      // same observation (the AsofJoin payload rule).
+      val obsP = when(col("dm").isNotNull,
+        struct(col("day").as("d"), col("dm").as("v")))
+      def wRun(ord: Column) = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(ord)
+        .rowsBetween(Long.MinValue, 0)
+      j.withColumn("p", last(obsP, ignoreNulls = true).over(wRun(col("day").asc)))
+        .withColumn("nx", last(obsP, ignoreNulls = true).over(wRun(col("day").desc)))
+        .select(col("user_id"), col("day"), col("dm").isNotNull.as("obs"),
+          r4(when(col("dm").isNotNull, col("dm")).otherwise(
+            col("p.v") + (col("nx.v") - col("p.v")) *
+              ((col("day") - col("p.d")).cast("double") /
+                (col("nx.d") - col("p.d")).cast("double")))).as("v_fill"))
+    }),
     "funnel_steps" -> ((s, dir) => {
       // Ordered funnel (view → click → purchase) per user: each stage
       // is the MIN event time strictly after the previous stage —
@@ -1211,6 +1255,39 @@ object TimeSeriesQueries {
            count(*) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2""",
+    "ts_interpolate" ->
+      """WITH e AS (SELECT user_id,
+           epoch_ns(ts) // 86400000000000 AS day,
+           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmu FROM events),
+         daily AS (SELECT user_id, day,
+           CAST(sum(vmu) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 AS dm
+           FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+           FROM daily GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+           FROM span),
+         g AS (SELECT grid.user_id, grid.day, daily.dm
+           FROM grid LEFT JOIN daily
+             ON grid.user_id = daily.user_id AND grid.day = daily.day),
+         f AS (SELECT user_id, day, dm,
+           last_value(CASE WHEN dm IS NOT NULL THEN day END IGNORE NULLS)
+             OVER wa AS pd,
+           last_value(CASE WHEN dm IS NOT NULL THEN dm END IGNORE NULLS)
+             OVER wa AS pv,
+           last_value(CASE WHEN dm IS NOT NULL THEN day END IGNORE NULLS)
+             OVER wd AS nd,
+           last_value(CASE WHEN dm IS NOT NULL THEN dm END IGNORE NULLS)
+             OVER wd AS nv
+           FROM g
+           WINDOW wa AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wd AS (PARTITION BY user_id ORDER BY day DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, day, dm IS NOT NULL AS obs,
+           round(1e-9 + CASE WHEN dm IS NOT NULL THEN dm
+             ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+               / CAST(nd - pd AS DOUBLE)) END, 4) AS v_fill
+         FROM f""",
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn
            FROM events),
