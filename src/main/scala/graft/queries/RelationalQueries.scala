@@ -304,6 +304,78 @@ object RelationalQueries {
         .agg(count(lit(1)).cast("long").as("n"),
           min(col("l_quantity")).cast("long").as("q_lo"),
           max(col("l_quantity")).cast("long").as("q_hi"))
+    }),
+    "dq_checks" -> ((s, dir) => {
+      // Single-pass data-quality audit — the ingest gate a training
+      // pipeline runs before admitting a batch: every row-level rule
+      // is ONE conditional sum in ONE scan (adding a rule costs a
+      // column, not a pass), plus the two rules that need their own
+      // shape — duplicate-PK (hash agg on the key) and referential
+      // orphans (left-anti against the parent, broadcast at dim
+      // scale). Output is the (rule, violation_count) table a
+      // scheduler would alert on. Zero AND nonzero counts both gate:
+      // the zeros prove the rule fires nowhere, not that it was
+      // skipped.
+      val li = t(s, dir, "lineitem")
+      val rc = li.agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L)
+            .otherwise(0L)).as("qty_out_of_range"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("discount_out_of_range"),
+          sum(when(col("l_tax") > 0.06, 1L).otherwise(0L))
+            .as("tax_out_of_range"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+            .as("null_returnflag"))
+        .selectExpr("""stack(4,
+          'qty_out_of_range', qty_out_of_range,
+          'discount_out_of_range', discount_out_of_range,
+          'tax_out_of_range', tax_out_of_range,
+          'null_returnflag', null_returnflag) AS (check_name, n_bad)""")
+      // cross-table temporal rule: a lineitem must not ship before its
+      // order was placed — fact-dim join shape (broadcast at dim scale)
+      val shipEarly = li.select("l_orderkey", "l_shipdate")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          li("l_orderkey") === col("o_orderkey"))
+        .agg(sum(when(col("l_shipdate").cast("date") < col("o_orderdate"),
+          1L).otherwise(0L)).as("n_bad"))
+        .select(lit("ship_before_order").as("check_name"),
+          coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+      val dup = li
+        .groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad"))
+        .select(lit("dup_pk").as("check_name"), col("n_bad"))
+      val orphan = li
+        .join(t(s, dir, "orders").select("o_orderkey"),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("orphan_orderkey").as("check_name"), col("n_bad"))
+      rc.unionByName(shipEarly).unionByName(dup).unionByName(orphan)
+    }),
+    "agg_incremental_refresh" -> ((s, dir) => {
+      // Incremental aggregate maintenance — the partial-aggregate
+      // state-merge primitive behind every "refresh yesterday's
+      // rollup without rescanning history" job: history before the
+      // cutoff is a pre-aggregated state table (per-group sum+count
+      // partials — avg is NOT mergeable, so it is carried decomposed
+      // and assembled only at read time), the new batch is aggregated
+      // alone, and the refresh is union + re-aggregate of the
+      // PARTIALS — cost scales with |batch| + |groups|, never with
+      // history. The oracle is the full single-scan recompute, so the
+      // gate proves merge(state, batch) == recompute exactly (cent
+      // sums are exact longs — merge order cannot drift them).
+      val o = t(s, dir, "orders").select(col("o_orderdate").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("pc"))
+      def part(df: DataFrame): DataFrame = df.groupBy("d")
+        .agg(sum("pc").as("sum_pc"), count(lit(1)).as("n"))
+      val cutoff = to_date(lit("1996-01-01"))
+      val state = part(o.filter(col("d") < cutoff))
+      val batch = part(o.filter(col("d") >= cutoff))
+      state.unionByName(batch).groupBy("d")
+        .agg(sum("sum_pc").as("rev_cents"), sum("n").as("n"))
+        .select(col("d").as("o_orderdate"), col("n"), col("rev_cents"),
+          r4(col("rev_cents").cast("double") / col("n").cast("double")
+            / 100.0).as("avg_price"))
     })
   )
 
@@ -485,6 +557,43 @@ object RelationalQueries {
            CAST(floor(min(l_quantity)) AS BIGINT) AS q_lo,
            CAST(floor(max(l_quantity)) AS BIGINT) AS q_hi
          FROM lineitem CROSS JOIN q
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "dq_checks" ->
+      """SELECT 'qty_out_of_range' AS check_name,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 45
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad FROM lineitem
+         UNION ALL
+         SELECT 'discount_out_of_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'tax_out_of_range',
+           CAST(sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+         UNION ALL
+         SELECT 'null_returnflag',
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'ship_before_order',
+           CAST(COALESCE(sum(CASE WHEN CAST(l.l_shipdate AS DATE)
+             < o.o_orderdate THEN 1 ELSE 0 END), 0) AS BIGINT)
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'dup_pk', CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+         FROM (SELECT count(*) AS c FROM lineitem
+               GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+         UNION ALL
+         SELECT 'orphan_orderkey', count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)""",
+    "agg_incremental_refresh" ->
+      """SELECT o_orderdate, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           round(1e-9 + CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 4)
+             AS avg_price
+         FROM orders GROUP BY 1"""
   )
 }
