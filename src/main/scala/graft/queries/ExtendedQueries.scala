@@ -383,6 +383,43 @@ object ExtendedQueries {
         r4(when(n >= 2 && m2xc > 0 && m2yc > 0, corrE)).as("roll_corr"),
         r4(when(n >= 2, covE)).as("roll_cov"))
     }),
+    "window_rolling_skew" -> ((s, dir) => {
+      // Rolling HIGHER moments — trailing 20-row skewness and excess
+      // kurtosis of quantity per supplier, extending the rolling_corr
+      // family from second to third/fourth moments. Exact-integer
+      // design: quantity is integer-valued, so Σq..Σq⁴ are exact long
+      // window sums (bounds: n≤20, Σq⁴ ≤ 20·50⁴ = 1.25e8; the largest
+      // assembled term, 6nΣq²Σq², is ≤ 6e12 — all well inside int64),
+      // and the scaled central sums
+      //   A2 = nΣq² − (Σq)²        (= n²·m2)
+      //   A3 = n²Σq³ − 3nΣqΣq² + 2(Σq)³      (= n³·m3)
+      //   A4 = n³Σq⁴ − 4n²ΣqΣq³ + 6nΣq²(Σq)² − 3(Σq)⁴  (= n⁴·m4)
+      // cancel n entirely in the standardized moments:
+      //   g1 = m3/m2^1.5 = A3/√(A2³),  g2 = m4/m2² − 3 = A4/A2² − 3
+      // (A2³ ≤ 1e18 stays exact in int64), so both engines assemble
+      // identical doubles from bit-identical integers — the
+      // literal-replay contract at the third and fourth moment.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+        .rowsBetween(-19, 0)
+      val q = round(col("l_quantity")).cast("long")
+      val n  = count(lit(1)).over(w)
+      val s1 = sum(q).over(w)
+      val s2 = sum(q * q).over(w)
+      val s3 = sum(q * q * q).over(w)
+      val s4 = sum(q * q * q * q).over(w)
+      val a2 = n * s2 - s1 * s1
+      val a3 = n * n * s3 - lit(3L) * n * s1 * s2 + lit(2L) * s1 * s1 * s1
+      val a4 = n * n * n * s4 - lit(4L) * n * n * s1 * s3 +
+        lit(6L) * n * s1 * s1 * s2 - lit(3L) * s1 * s1 * s1 * s1
+      val skew = a3.cast("double") / sqrt((a2 * a2 * a2).cast("double"))
+      val kurt = a4.cast("double") / (a2 * a2).cast("double") - lit(3.0)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        r4(when(n >= 3 && a2 > 0, skew)).as("roll_skew"),
+        r4(when(n >= 4 && a2 > 0, kurt)).as("roll_kurt"))
+    }),
     "window_rolling_median" -> ((s, dir) => {
       // Rolling EXACT order statistics as window aggregates: trailing
       // 7-row median and p75 of the price per supplier — the
@@ -955,6 +992,34 @@ object ExtendedQueries {
            round(1e-9 + CASE WHEN n >= 2
              THEN CAST(cxyc AS DOUBLE) / (10000.0 * nd * (nd - 1.0))
              END, 4) AS roll_cov
+         FROM c""",
+    "window_rolling_skew" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_shipdate, CAST(round(l_quantity) AS BIGINT) AS q
+         FROM lineitem),
+         m AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           count(*) OVER w AS n,
+           CAST(sum(q) OVER w AS BIGINT) AS s1,
+           CAST(sum(q * q) OVER w AS BIGINT) AS s2,
+           CAST(sum(q * q * q) OVER w AS BIGINT) AS s3,
+           CAST(sum(q * q * q * q) OVER w AS BIGINT) AS s4
+         FROM d
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         c AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, n,
+           n * s2 - s1 * s1 AS a2,
+           n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+           n * n * n * s4 - 4 * n * n * s1 * s3
+             + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+         FROM m)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           round(1e-9 + CASE WHEN n >= 3 AND a2 > 0
+             THEN CAST(a3 AS DOUBLE)
+               / sqrt(CAST(a2 * a2 * a2 AS DOUBLE)) END, 4) AS roll_skew,
+           round(1e-9 + CASE WHEN n >= 4 AND a2 > 0
+             THEN CAST(a4 AS DOUBLE) / CAST(a2 * a2 AS DOUBLE) - 3.0
+             END, 4) AS roll_kurt
          FROM c""",
     "window_rolling_median" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -323,6 +323,7 @@ object TimeSeriesQueries {
     * every round). Restored in finally — batch keys in the same session
     * are untouched. */
   private val StatefulStreamKeys = Set(
+    "window_stream_rows",
     "window_stream_running", "window_stream_lookahead",
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
@@ -344,6 +345,39 @@ object TimeSeriesQueries {
     }
 
   private val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_stream_rows" -> ((s, dir) => {
+      // Trailing N-ROWS frame on a stream — the degradation matrix's
+      // (Rows(b), Rows(0)) StatefulOnly recipe realized
+      // (StreamingOps.trailingRowsW): per-key buffer of exactly the
+      // previous 9 entries, O(nRows) state — independent of frame span
+      // and arrival rate, the cheapest stateful window shape. Same
+      // ts-ordered three-file replay and exact scaled-integer sums as
+      // window_stream_trailing; the oracle is the batch
+      // ROWS BETWEEN 9 PRECEDING AND CURRENT ROW window ordered by
+      // (ts_ms, v4) — the output multiset is tie-order invariant, which
+      // is what the sorted-hash gate compares.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val srcDir = stagedTrailingDir(s, dir)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.trailingRowsW(src, nRows = 10)
+      val qn = s"graft_stream_rows_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("winN").as("win_n"),
+        col("winSumE4").as("win_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "window_stream_running" -> ((s, dir) => {
       // RUNNING aggregate on a stream — the degradation matrix's first
       // StatefulOnly recipe realized with O(1) per-key state
@@ -1072,6 +1106,15 @@ object TimeSeriesQueries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
            RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
+    "window_stream_rows" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms,
+           count(*) OVER w AS win_n,
+           CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, v4
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     "window_stream_trailing" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
            CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)

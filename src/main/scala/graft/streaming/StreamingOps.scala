@@ -364,6 +364,58 @@ object StreamingOps {
       }
   }
 
+  /** [[trailingRowsW]] per-key state: the trailing nRows−1 entries as an
+    * ascending (ts, scaledValue) list. */
+  case class RowsBuf(entryTs: Seq[Long], entryV: Seq[Long])
+
+  /** Trailing N-ROWS frame on a stream — the `(Rows(b), Rows(0))`
+    * StatefulOnly recipe from [[supports]] ("bounded per-key buffer of
+    * the trailing b+1 rows"), realized: each key retains exactly the
+    * previous nRows−1 entries, and every arriving event emits its own
+    * rows-frame aggregate over them plus itself — the batch
+    * `rowsBetween(-(n-1), 0)` contract, ramp-up included.
+    *
+    * State per key is O(nRows) — independent of frame SPAN and rate
+    * (contrast [[trailingW]]'s time-buffer, which is O(span × rate)):
+    * rows frames are the cheapest stateful window shape.
+    *
+    * ARRIVAL-ORDER CONTRACT as [[trailingW]]: per-key ts-ordered file
+    * replay gives immediate exact emission; within a micro-batch rows
+    * order by (ts, scaledValue). Rows-frame tie order is inherently
+    * ambiguous, but the OUTPUT MULTISET is tie-order invariant (tied
+    * rows carry equal values, so swapping two tied rows swaps which of
+    * them gets which frame sum — the set of emitted rows is unchanged),
+    * which is exactly what the sorted-hash oracle gate compares. A
+    * beyond-contract straggler aggregates over the retained buffer
+    * best-effort, like trailingW's late rows. */
+  def trailingRowsW(events: Dataset[KeyedEvent],
+      nRows: Int): Dataset[TrailingAgg] = {
+    require(nRows >= 1, "nRows must be >= 1")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RowsBuf, TrailingAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEvent], st: GroupState[RowsBuf]) =>
+          val batch = it.toSeq
+            .map(e => (e.tsMillis, math.round(e.value * 10000)))
+            .sortBy(identity)
+          val prev = st.getOption.getOrElse(RowsBuf(Nil, Nil))
+          // state entries are strictly older than the batch under the
+          // arrival contract (file splits are by ts), so concatenation
+          // IS the merged order
+          val all = (prev.entryTs.zip(prev.entryV) ++ batch).toIndexedSeq
+          val k = all.length - batch.length
+          val out = batch.zipWithIndex.map { case ((ts, _), j) =>
+            val i = k + j
+            val fr = all.slice(math.max(0, i - (nRows - 1)), i + 1)
+            TrailingAgg(key, ts, fr.length.toLong, fr.iterator.map(_._2).sum)
+          }
+          val keep = all.takeRight(nRows - 1)
+          st.update(RowsBuf(keep.map(_._1), keep.map(_._2)))
+          out.iterator
+      }
+  }
+
   // --- stateful sessionization (custom state via flatMapGroupsWithState) --
 
   /** Input event for sessionization: epoch-millis event time. */

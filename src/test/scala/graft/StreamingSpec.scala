@@ -149,6 +149,31 @@ class StreamingSpec extends AnyFunSuite {
       (3000L, 1L, 80000L)))         // alone again
   }
 
+  test("trailingRowsW (streaming): trailing N-rows frames ramp up and the " +
+      "cross-batch buffer keeps exactly nRows-1 entries") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.trailingRowsW(ms.toDS(), nRows = 3)
+      .writeStream.format("memory").queryName("trailing_rows")
+      .outputMode("append").start()
+    // batch 1: ramp-up — frames of 1 then 2 rows
+    ms.addData(KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 2000, 2.0))
+    q.processAllAvailable()
+    // batch 2: full 3-row frames sliding over the cross-batch buffer;
+    // the time GAP is irrelevant (rows frame, not a time frame)
+    ms.addData(KeyedEvent(1, 90000, 4.0), KeyedEvent(1, 91000, 8.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT tsMillis, winN, winSumE4 FROM trailing_rows ORDER BY tsMillis")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (1000L, 1L, 10000L),           // just itself
+      (2000L, 2L, 30000L),           // 1.0 + 2.0
+      (90000L, 3L, 70000L),          // 1.0 + 2.0 + 4.0 (gap ignored)
+      (91000L, 3L, 140000L)))        // 2.0 + 4.0 + 8.0 (1.0 slid out)
+  }
+
   test("trailingWDelayed (streaming): out-of-order arrivals emit exactly " +
       "when the watermark passes, matching batch range-frame values") {
     implicit val sqlCtx = spark.sqlContext
