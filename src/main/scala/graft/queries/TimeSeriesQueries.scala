@@ -328,7 +328,8 @@ object TimeSeriesQueries {
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
     "dedup_stream_exact", "sessionize_stream_stateful",
-    "join_stream_stream", "join_stream_stream_louter")
+    "join_stream_stream", "join_stream_stream_louter",
+    "join_stream_stream_fouter")
 
   private def withStreamParts[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -805,6 +806,49 @@ object TimeSeriesQueries {
       s.catalog.dropTempView(qn)
       out
     }),
+    "join_stream_stream_fouter" -> ((s, dir) => {
+      // Stream-stream FULL-OUTER join — BOTH directions of the louter
+      // key's watermark proof: an unmatched row on EITHER side emits
+      // null-extended only when the global watermark passes its join
+      // window's end at state eviction. Same shared fixture (the
+      // two-sided sentinel files advance both watermarks past every
+      // real row's window end, so both sides' null extensions flush;
+      // the sentinels' own eviction points sit above the final
+      // watermark, so they never emit). Same pushdown hazard applies:
+      // no post-join filters — see the louter key's note. Oracle: the
+      // plain batch FULL JOIN; user_id coalesces across sides.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val rangeMs = 3600000L
+      val srcDir = stagedJoinDir(s, dir, rangeMs)
+      val schema = new StructType().add("event_id", LongType)
+        .add("key", LongType).add("tsMillis", LongType)
+        .add("side", IntegerType)
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val l = src.filter(col("side") === 0)
+        .select(col("event_id").as("l_id"), col("key"),
+          timestamp_millis(col("tsMillis")).as("l_ts"))
+        .withWatermark("l_ts", "1 second")
+      val r = src.filter(col("side") === 1)
+        .select(col("event_id").as("r_id"), col("key").as("r_key"),
+          timestamp_millis(col("tsMillis")).as("r_ts"))
+        .withWatermark("r_ts", "1 second")
+      val joined = l.join(r, col("key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+          "fullOuter")
+        .select(col("l_id"),
+          coalesce(col("key"), col("r_key")).as("user_id"), col("r_id"))
+      val qn = s"graft_ss_fouter_${streamRuns.incrementAndGet()}"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn)
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "stream_sink_idempotent" -> ((s, dir) => {
       // foreachBatch EXACTLY-ONCE parquet sink: each micro-batch
       // overwrites its OWN batch-id-keyed directory, so replaying a
@@ -1214,6 +1258,16 @@ object TimeSeriesQueries {
            FROM e WHERE event_id % 4 = 1)
          SELECT l.l_id, l.user_id, r.r_id
          FROM l LEFT JOIN r ON l.user_id = r.r_uid
+           AND r.rms BETWEEN l.ms - 3600000 AND l.ms + 3600000""",
+    "join_stream_stream_fouter" ->
+      """WITH e AS (SELECT event_id, user_id,
+           epoch_ns(ts) // 1000000 AS ms FROM events),
+         l AS (SELECT event_id AS l_id, user_id, ms FROM e
+           WHERE event_id % 4 = 0),
+         r AS (SELECT event_id AS r_id, user_id AS r_uid, ms AS rms
+           FROM e WHERE event_id % 4 = 1)
+         SELECT l.l_id, COALESCE(l.user_id, r.r_uid) AS user_id, r.r_id
+         FROM l FULL JOIN r ON l.user_id = r.r_uid
            AND r.rms BETWEEN l.ms - 3600000 AND l.ms + 3600000""",
     "stream_sink_idempotent" ->
       "SELECT event_id, user_id, value FROM events",
