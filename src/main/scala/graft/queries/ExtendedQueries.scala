@@ -854,6 +854,46 @@ object ExtendedQueries {
           r4(col("old_price")).as("old_price"),
           r4(col("new_price")).as("new_price"))
     }),
+    "cdc_apply" -> ((s, dir) => {
+      // CDC APPLY — the inverse of cdc_snapshot_diff and the missing
+      // MERGE arm of sink_upsert_snapshot (which has no deletes):
+      // replay the I/U/D change log onto the OLD snapshot and get the
+      // NEW one. One left-outer join of snapshot×changes (op=D drops
+      // the row, op=U takes the new value, no match keeps the old row)
+      // plus a union of the inserts — cost is |snapshot| + |changes|
+      // with the changes side join-key bounded, the recompute-free
+      // refresh shape at 100 TB. The ORACLE is the NEW snapshot
+      // computed directly, so the gate proves apply(old, diff(old,new))
+      // == new EXACTLY — the round-trip contract that makes a CDC
+      // pipeline trustworthy. Snapshot carving is cdc_snapshot_diff's,
+      // verbatim.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"))
+      val old = o.filter(pmod(col("o_orderkey"), lit(89L)) =!= 0)
+        .withColumnRenamed("o_totalprice", "old_price")
+      val neu = o.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(11L)) === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+        .withColumnRenamed("o_totalprice", "new_price")
+      val changes = old.join(neu, Seq("o_orderkey"), "full_outer")
+        .withColumn("op",
+          when(col("new_price").isNull, "D")
+            .when(col("old_price").isNull, "I")
+            .when(col("old_price") =!= col("new_price"), "U")
+            .otherwise("N"))
+        .filter(col("op") =!= "N")
+        .select(col("o_orderkey"), col("op"), col("new_price"))
+      val applied = old
+        .join(changes, Seq("o_orderkey"), "left_outer")
+        .filter(coalesce(col("op"), lit("N")) =!= "D")
+        .select(col("o_orderkey"),
+          when(col("op") === "U", col("new_price"))
+            .otherwise(col("old_price")).as("price"))
+        .unionByName(changes.filter(col("op") === "I")
+          .select(col("o_orderkey"), col("new_price").as("price")))
+      applied.select(col("o_orderkey"), r4(col("price")).as("new_price"))
+    }),
     "scd2_intervals" -> ((s, dir) => {
       // SCD2 validity intervals (operators/Scd2.scala): the change-log →
       // dimension-history primitive downstream of cdc_snapshot_diff.
@@ -1295,6 +1335,12 @@ object ExtendedQueries {
            FROM old FULL OUTER JOIN neu
              ON old.o_orderkey = neu.o_orderkey)
          SELECT * FROM d WHERE op <> 'N'""",
+    "cdc_apply" ->
+      """SELECT o_orderkey,
+           round(1e-9 + CASE WHEN o_orderkey % 11 = 0
+             THEN o_totalprice + 1.0 ELSE o_totalprice END, 4)
+             AS new_price
+         FROM orders WHERE o_orderkey % 97 <> 0""",
     "scd2_intervals" ->
       """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
              o_orderstatus,
