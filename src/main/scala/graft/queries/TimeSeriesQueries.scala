@@ -323,7 +323,7 @@ object TimeSeriesQueries {
     * every round). Restored in finally — batch keys in the same session
     * are untouched. */
   private val StatefulStreamKeys = Set(
-    "window_stream_rows",
+    "window_stream_rows", "window_stream_running_ooo",
     "window_stream_running", "window_stream_lookahead",
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
@@ -444,6 +444,39 @@ object TimeSeriesQueries {
       val sink = s.table(qn).select(col("key").as("user_id"),
         col("tsMillis").as("ts_ms"), col("winN").as("win_n"),
         col("winSumE4").as("win_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "window_stream_running_ooo" -> ((s, dir) => {
+      // RUNNING aggregate under OUT-OF-ORDER arrival — the LAST
+      // StatefulOnly recipe of the degradation matrix realized
+      // (StreamingOps.runningWDelayed): O(1) accumulator + a pending
+      // buffer spanning only the lateness sliver; each row's cumulative
+      // (count, exact sum) releases when the watermark strictly passes
+      // its timestamp, so the emission is EXACT under the fixture's
+      // 2×2h shuffle — gated against the very same unbounded-range
+      // batch oracle as the ts-ordered running key.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.runningWDelayed(src, lateness)
+      val qn = s"graft_stream_running_ooo_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("cumN").as("cum_n"),
+        col("cumSumE4").as("cum_sum_e4"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -1119,6 +1152,17 @@ object TimeSeriesQueries {
 
   val oracleSql: Map[String, String] = Map(
     "window_stream_running" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms,
+           count(*) OVER w AS cum_n,
+           CAST(sum(v4) OVER w AS BIGINT) AS cum_sum_e4
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // same oracle as the in-order key: the delayed path must land on
+    // the identical batch semantics under shuffled arrival
+    "window_stream_running_ooo" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
            CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,

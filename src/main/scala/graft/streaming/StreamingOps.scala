@@ -364,6 +364,69 @@ object StreamingOps {
       }
   }
 
+  /** [[runningWDelayed]] per-key state: the accumulator through
+    * `emittedThrough` plus the pending (ts, scaledValue) buffer of rows
+    * the watermark has not yet released. */
+  case class RunningDelayBuf(n: Long, sumE4: Long, emittedThrough: Long,
+      pendTs: Seq[Long], pendV: Seq[Long])
+
+  /** [[runningW]]'s OUT-OF-ORDER sibling — the LAST StatefulOnly recipe
+    * of the degradation matrix realized ("running aggregate with a
+    * watermark-delayed emit"): the accumulator is still O(1), but each
+    * row is held in a pending buffer until the watermark strictly
+    * passes its timestamp — at that point every row with ts <= t has
+    * either arrived or been dropped as beyond-lateness, so the emitted
+    * cumulative (count, exact scaled-integer sum) is EXACT under ANY
+    * arrival order with disorder bounded by the lateness. Range-peer
+    * semantics as [[runningW]]: ties fold as one group and share the
+    * post-group value.
+    *
+    * State per key is O(1) + O(lateness × rate) pending rows — the
+    * lateness-widened sliver between the watermark and the newest
+    * arrival, NOT the stream (contrast [[trailingWDelayed]], whose
+    * buffer also spans the frame width). Stragglers beyond the
+    * emission mark fold into the accumulator immediately (sums are
+    * order-independent, so state stays consistent) and emit their own
+    * row best-effort, like every delayed operator here. */
+  def runningWDelayed(events: Dataset[KeyedEvent],
+      latenessMillis: Long): Dataset[RunningAgg] = {
+    require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
+      .as[KeyedEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RunningDelayBuf, RunningAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEventT],
+         st: GroupState[RunningDelayBuf]) =>
+          val prev = st.getOption.getOrElse(
+            RunningDelayBuf(0L, 0L, Long.MinValue, Nil, Nil))
+          val batch = it.toSeq
+            .map(e => e.tsMillis -> math.round(e.value * 10000))
+          val (stragglers, fresh) =
+            batch.partition(_._1 <= prev.emittedThrough)
+          var n = prev.n; var s = prev.sumE4
+          val stragglerOut = stragglers.sortBy(identity).map {
+            case (ts, v) => n += 1; s += v; RunningAgg(key, ts, n, s)
+          }
+          val pending = (prev.pendTs.zip(prev.pendV) ++ fresh)
+            .sortBy(identity)
+          val emitUpTo = st.getCurrentWatermarkMs() - 1
+          val (release, keep) = pending.partition(_._1 <= emitUpTo)
+          val releaseOut = release.groupBy(_._1).toSeq.sortBy(_._1)
+            .flatMap { case (ts, peers) =>
+              n += peers.size; s += peers.iterator.map(_._2).sum
+              peers.map(_ => RunningAgg(key, ts, n, s))
+            }
+          val emittedThrough = math.max(prev.emittedThrough, emitUpTo)
+          st.update(RunningDelayBuf(n, s, emittedThrough,
+            keep.map(_._1), keep.map(_._2)))
+          (stragglerOut ++ releaseOut).iterator
+      }
+  }
+
   /** [[trailingRowsW]] per-key state: the trailing nRows−1 entries as an
     * ascending (ts, scaledValue) list. */
   case class RowsBuf(entryTs: Seq[Long], entryV: Seq[Long])

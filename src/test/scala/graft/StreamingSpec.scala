@@ -149,6 +149,31 @@ class StreamingSpec extends AnyFunSuite {
       (3000L, 1L, 80000L)))         // alone again
   }
 
+  test("runningWDelayed (streaming): out-of-order arrivals release in ts " +
+      "order with exact cumulative sums once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.runningWDelayed(ms.toDS(), latenessMillis = 1000)
+      .writeStream.format("memory").queryName("running_ooo")
+      .outputMode("append").start()
+    def rows() = spark.sql(
+      "SELECT tsMillis, cumN, cumSumE4 FROM running_ooo ORDER BY tsMillis")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch 1 arrives OUT of ts order; watermark still MinValue → no emit
+    ms.addData(KeyedEvent(1, 2000, 2.0), KeyedEvent(1, 1000, 1.0))
+    q.processAllAvailable()
+    assert(rows().isEmpty)
+    // batch 2: wm advances to 2000-1000=1000 → releases only ts=1000...
+    ms.addData(KeyedEvent(1, 4000, 4.0))
+    q.processAllAvailable()
+    // ...in batch 3 wm=3000 releases ts=2000 with the cumulative THROUGH
+    // it (1.0+2.0), proving the pending buffer preserved ts order
+    ms.addData(KeyedEvent(1, 9000, 8.0))
+    q.processAllAvailable()
+    assert(rows() == Seq((1000L, 1L, 10000L), (2000L, 2L, 30000L)))
+    q.stop()
+  }
+
   test("trailingRowsW (streaming): trailing N-rows frames ramp up and the " +
       "cross-batch buffer keeps exactly nRows-1 entries") {
     implicit val sqlCtx = spark.sqlContext
