@@ -279,6 +279,21 @@ object RelationalQueries {
           lag(col("o_orderkey"), 1).over(w).as("prev_key"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"))
     }),
+    "window_pct_rank" -> ((s, dir) => {
+      // the DISTRIBUTION-ranking analytic trio completing window_ranks:
+      // percent_rank ((rank−1)/(n−1)), cume_dist (peers≤/n), and
+      // nth_value(3) — one shared WindowExec like its sibling.
+      // DETERMINISM: both ratios are small-exact-int divisions (one
+      // correctly-rounded IEEE op each, identical in both engines), so
+      // no rounding epsilon is needed; they are emitted raw.
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_orderkey"),
+          percent_rank().over(w).as("pct_rnk"),
+          cume_dist().over(w).as("cdist"),
+          nth_value(col("o_orderkey"), 3).over(wf).as("third_key"))
+    }),
     "bucketize_quantiles" -> ((s, dir) => {
       // Quantile discretization (feature bucketing): quartile
       // boundaries from ONE exact array-percentile aggregate, fetched
@@ -558,6 +573,16 @@ object RelationalQueries {
            CAST(floor(max(l_quantity)) AS BIGINT) AS q_hi
          FROM lineitem CROSS JOIN q
          GROUP BY 1""",
+    "window_pct_rank" ->
+      """SELECT o_orderkey,
+         percent_rank() OVER w AS pct_rnk,
+         cume_dist() OVER w AS cdist,
+         nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey)""",
     "dq_checks" ->
       """SELECT 'qty_out_of_range' AS check_name,
            CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 45
