@@ -321,16 +321,17 @@ object RelationalQueries {
           max(col("l_quantity")).cast("long").as("q_hi"))
     }),
     "dq_checks" -> ((s, dir) => {
-      // Single-pass data-quality audit — the ingest gate a training
-      // pipeline runs before admitting a batch: every row-level rule
-      // is ONE conditional sum in ONE scan (adding a rule costs a
-      // column, not a pass), plus the two rules that need their own
-      // shape — duplicate-PK (hash agg on the key) and referential
-      // orphans (left-anti against the parent, broadcast at dim
-      // scale). Output is the (rule, violation_count) table a
-      // scheduler would alert on. Zero AND nonzero counts both gate:
-      // the zeros prove the rule fires nowhere, not that it was
-      // skipped.
+      // Data-quality audit — the ingest gate a training pipeline runs
+      // before admitting a batch, with each rule CLASS in its minimal
+      // plan shape: every row-level rule is one conditional sum in ONE
+      // shared scan (adding a rule costs a column, not a pass); both
+      // cross-table rules (referential orphan + ship-before-order
+      // temporal) are conditional sums over ONE shared left join; the
+      // duplicate-PK rule is the one hash agg on the key. Three
+      // lineitem scans total for seven rules. Output is the
+      // (rule, violation_count) table a scheduler would alert on.
+      // Zero AND nonzero counts both gate: the zeros prove the rule
+      // fires nowhere, not that it was skipped.
       val li = t(s, dir, "lineitem")
       val rc = li.agg(
           sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L)
@@ -346,26 +347,29 @@ object RelationalQueries {
           'discount_out_of_range', discount_out_of_range,
           'tax_out_of_range', tax_out_of_range,
           'null_returnflag', null_returnflag) AS (check_name, n_bad)""")
-      // cross-table temporal rule: a lineitem must not ship before its
-      // order was placed — fact-dim join shape (broadcast at dim scale)
-      val shipEarly = li.select("l_orderkey", "l_shipdate")
+      // cross-table rules share ONE left join pass against the parent:
+      // referential orphans (no parent row) and the temporal rule
+      // (shipped before its order was placed) are both conditional
+      // sums over the same joined row — one scan, one join, two rules
+      // (fact-dim join, broadcast at dim scale)
+      val joined = li.select("l_orderkey", "l_shipdate")
         .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
-          li("l_orderkey") === col("o_orderkey"))
-        .agg(sum(when(col("l_shipdate").cast("date") < col("o_orderdate"),
-          1L).otherwise(0L)).as("n_bad"))
-        .select(lit("ship_before_order").as("check_name"),
-          coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+          li("l_orderkey") === col("o_orderkey"), "left_outer")
+        .agg(
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("orphans"),
+          sum(when(col("l_shipdate").cast("date") < col("o_orderdate"),
+            1L).otherwise(0L)).as("early"))
+      val crossRules = joined.selectExpr("""stack(2,
+          'orphan_orderkey', coalesce(orphans, 0L),
+          'ship_before_order', coalesce(early, 0L))
+          AS (check_name, n_bad)""")
       val dup = li
         .groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad"))
         .select(lit("dup_pk").as("check_name"), col("n_bad"))
-      val orphan = li
-        .join(t(s, dir, "orders").select("o_orderkey"),
-          li("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("n_bad"))
-        .select(lit("orphan_orderkey").as("check_name"), col("n_bad"))
-      rc.unionByName(shipEarly).unionByName(dup).unionByName(orphan)
+      rc.unionByName(crossRules).unionByName(dup)
     }),
     "agg_incremental_refresh" -> ((s, dir) => {
       // Incremental aggregate maintenance — the partial-aggregate
