@@ -884,6 +884,11 @@ object ExtendedQueries {
             .otherwise("N"))
         .filter(col("op") =!= "N")
         .select(col("o_orderkey"), col("op"), col("new_price"))
+        // materialize the change log ONCE — which is also the real
+        // contract (a CDC consumer reads a materialized log, it does
+        // not re-derive it per reference); without truncation both
+        // apply branches re-execute the full-outer diff
+        .localCheckpoint()
       val applied = old
         .join(changes, Seq("o_orderkey"), "left_outer")
         .filter(coalesce(col("op"), lit("N")) =!= "D")

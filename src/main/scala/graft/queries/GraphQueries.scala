@@ -102,7 +102,16 @@ object GraphQueries {
       val avgW = undAll.agg(
         (sum(col("wu")).cast("double") / count(lit(1))).as("m"))
         .head.getDouble(0)
+      // materialize the graph ONCE: the edge set is referenced five
+      // times downstream (degrees ×2, wedge self-join ×2, closing
+      // lookup), and without truncation each reference re-executes the
+      // whole 4-table derivation — 29 parquet scans in the un-cut plan
+      // vs 5 after. localCheckpoint is the iterative-graph norm (the
+      // pagerank scaladoc's documented move, done here); at 100 TB a
+      // reliable checkpoint()/write-out of the edge list is the
+      // fault-tolerant variant of the same decision.
       val und = undAll.filter(col("wu") > avgW).select("a", "b")
+        .localCheckpoint()
       val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
       val oriented = und
