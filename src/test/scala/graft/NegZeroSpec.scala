@@ -79,7 +79,11 @@ class NegZeroSpec extends AnyFunSuite {
   test("signed-output keys emit no signbit-set zeros at sf0.001") {
     // the verdict's hazard list: every r4'd column that can be negative
     val keys = Seq("window_rolling_corr", "window_zscore_anomaly",
-      "agg_moments", "agg_regression", "text_source_kl", "window_ewma")
+      "agg_moments", "agg_regression", "text_source_kl", "window_ewma",
+      // round-8 signed additions: skewness/kurtosis straddle zero on
+      // near-symmetric frames (|A3| ≥ 1 over √A2³ ≤ 1e9 can land in the
+      // sub-1e-4 band), and interpolated fills inherit value's sign
+      "window_rolling_skew", "ts_interpolate")
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)
       val doubleCols = df.schema.fields.collect {

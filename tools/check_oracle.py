@@ -14,6 +14,14 @@ import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+# optional arg 3: comma-separated key subset (long sf0.1 sweeps run in
+# resumable chunks; a typo'd name errors rather than silently shrinking)
+if len(sys.argv) > 3:
+    only = [k.strip() for k in sys.argv[3].split(",") if k.strip()]
+    unknown = [k for k in only if k not in oracle]
+    if unknown:
+        sys.exit(f"unknown keys in subset: {unknown}")
+    oracle = {k: oracle[k] for k in only}
 
 con = duckdb.connect()
 for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
