@@ -112,29 +112,7 @@ object GraphQueries {
       // fault-tolerant variant of the same decision.
       val und = undAll.filter(col("wu") > avgW).select("a", "b")
         .localCheckpoint()
-      val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-      val oriented = und
-        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            col("a")).otherwise(col("b")).as("u"),
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            col("b")).otherwise(col("a")).as("x"))
-      val e1 = oriented.select(col("u"), col("x").as("x1"))
-      val e2 = oriented.select(col("u"), col("x").as("x2"))
-      // wedge ends in id order so the closing lookup hits the (a<b)
-      // normalized edge set directly
-      val wedges = e1.join(e2, Seq("u")).filter(col("x1") < col("x2"))
-      val tri = wedges.join(und,
-        wedges("x1") === und("a") && wedges("x2") === und("b"))
-        .select(col("u"), col("x1"), col("x2"))
-      val perV = tri
-        .select(explode(array(col("u"), col("x1"), col("x2"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      val perV = triangleCounts(und)
       t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
         .join(perV.withColumnRenamed("v", "nationkey"),
           Seq("nationkey"), "left")
@@ -142,6 +120,37 @@ object GraphQueries {
           coalesce(col("n_tri"), lit(0L)).as("n_tri"))
     })
   )
+
+  /** Per-vertex triangle counts of an UNDIRECTED simple graph given as
+    * (a, b) normalized edges (a < b, no self-loops, no duplicates) —
+    * the degree-ordered-orientation core of `graph_triangles`,
+    * factored out so the algorithm is pinned by GraphSpec on known
+    * graphs independent of the DuckDB oracle. Returns (v, n_tri) for
+    * vertices in at least one triangle. */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("x"))
+    val e1 = oriented.select(col("u"), col("x").as("x1"))
+    val e2 = oriented.select(col("u"), col("x").as("x2"))
+    // wedge ends in id order so the closing lookup hits the (a<b)
+    // normalized edge set directly
+    val wedges = e1.join(e2, Seq("u")).filter(col("x1") < col("x2"))
+    val tri = wedges.join(und,
+      wedges("x1") === und("a") && wedges("x2") === und("b"))
+      .select(col("u"), col("x1"), col("x2"))
+    tri.select(explode(array(col("u"), col("x1"), col("x2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+  }
 
   /** The oracle unrolls the 3 iterations as generated CTEs — identical
     * arithmetic (the damping constants are INTERPOLATED from D, so the
