@@ -279,6 +279,27 @@ object RelationalQueries {
           lag(col("o_orderkey"), 1).over(w).as("prev_key"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"))
     }),
+    "agg_entropy" -> ((s, dir) => {
+      // Shannon entropy of the event-type mix per user — the
+      // distribution-health statistic a mixture monitor alerts on
+      // (collapsed mix → entropy drop). Two vocabulary-bounded hash
+      // aggs + one broadcast-joinable per-user total; H assembled as
+      // -Σ (c/n)·ln(c/n) from EXACT integer counts with the identical
+      // expression in the oracle (the unigram_logprob/source_kl log
+      // determinism precedent: exact inputs + same expression tree,
+      // 1e-9-biased rounding absorbs sub-ulp libm drift).
+      val e = QueryUtil.events(s, dir).select(col("user_id"),
+        col("event_type"))
+      val c = e.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val n = c.groupBy("user_id").agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"))
+      c.join(n, Seq("user_id"))
+        .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+        .groupBy("user_id")
+        .agg(r4(-sum(col("p") * log(col("p")))).as("entropy"),
+          max(col("n_types")).as("n_types"))
+    }),
     "window_pct_rank" -> ((s, dir) => {
       // the DISTRIBUTION-ranking analytic trio completing window_ranks:
       // percent_rank ((rank−1)/(n−1)), cume_dist (peers≤/n), and
@@ -577,6 +598,18 @@ object RelationalQueries {
            CAST(floor(max(l_quantity)) AS BIGINT) AS q_hi
          FROM lineitem CROSS JOIN q
          GROUP BY 1""",
+    "agg_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         n AS (SELECT user_id, sum(c) AS n, count(*) AS n_types
+           FROM c GROUP BY 1),
+         p AS (SELECT c.user_id,
+           CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS p, n.n_types
+           FROM c JOIN n ON c.user_id = n.user_id)
+         SELECT user_id,
+           round(1e-9 + -sum(p * ln(p)), 4) AS entropy,
+           CAST(max(n_types) AS BIGINT) AS n_types
+         FROM p GROUP BY 1""",
     "window_pct_rank" ->
       """SELECT o_orderkey,
          percent_rank() OVER w AS pct_rnk,

@@ -1079,6 +1079,32 @@ object TimeSeriesQueries {
           (col("day") - col("cohort_day")).as("offset_d"))
         .agg(count(lit(1)).as("n_users"))
     }),
+    "ts_outlier_mad" -> ((s, dir) => {
+      // Robust outlier detection via Median Absolute Deviation — the
+      // zscore key's resistant sibling (median/MAD shrug off the very
+      // outliers that inflate mean/stddev). Two grouped exact-median
+      // passes + one join, all on the user exchange. EXACTNESS TRICK:
+      // a median of integers interpolates to x.5 at even counts, so
+      // every median is computed on DOUBLED units — median(2·v4) and
+      // median(2·dev8) are integer-valued doubles, bit-identical in
+      // both engines (the dyadic-midpoint argument of
+      // window_rolling_median), and the flag threshold 2.25 (dev8 >
+      // 2.25·mad16, i.e. dev > 4.5·MAD ≈ 3σ-equivalent) is a dyadic
+      // constant so both engines compare identical doubles.
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      val med = e.groupBy("user_id")
+        .agg(percentile(col("v4") * 2, lit(0.5)).as("med8"))
+      val d = e.join(med, Seq("user_id"))
+        .withColumn("dev8", abs(col("v4") * 2 - col("med8")))
+      val mad = d.groupBy("user_id")
+        .agg(percentile(col("dev8") * 2, lit(0.5)).as("mad16"))
+      d.join(mad, Seq("user_id"))
+        .select(col("event_id"),
+          r4(col("med8") / 2 / 1e4).as("med_v"),
+          r4(col("mad16") / 4 / 1e4).as("mad_v"),
+          (col("dev8") > lit(2.25) * col("mad16")).as("is_outlier"))
+    }),
     "ts_interpolate" -> ((s, dir) => {
       // Linear interpolation over the per-user daily grid — the gap
       // policy between resample_gapfill's zero-fill and window_locf's
@@ -1396,6 +1422,21 @@ object TimeSeriesQueries {
            count(*) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2""",
+    "ts_outlier_mad" ->
+      """WITH e AS (SELECT event_id, user_id,
+           CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4 FROM events),
+         med AS (SELECT user_id, quantile_cont(v4 * 2, 0.5) AS med8
+           FROM e GROUP BY 1),
+         d AS (SELECT e.event_id, e.user_id, e.v4, med.med8,
+           abs(e.v4 * 2 - med.med8) AS dev8
+           FROM e JOIN med ON e.user_id = med.user_id),
+         mad AS (SELECT user_id, quantile_cont(dev8 * 2, 0.5) AS mad16
+           FROM d GROUP BY 1)
+         SELECT d.event_id,
+           round(1e-9 + d.med8 / 2 / 1e4, 4) AS med_v,
+           round(1e-9 + mad.mad16 / 4 / 1e4, 4) AS mad_v,
+           d.dev8 > 2.25 * mad.mad16 AS is_outlier
+         FROM d JOIN mad ON d.user_id = mad.user_id""",
     "ts_interpolate" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day,
