@@ -360,8 +360,12 @@ object ExtendedQueries {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
         .rowsBetween(-19, 0)
-      val qc = round(col("l_quantity") * 100).cast("long")
-      val pc = round(col("l_extendedprice") * 100).cast("long")
+      // floor(v*100 + 0.5) == round(v*100) on cent-grid data
+      // (LiteralReplaySpec tie-exposure property) and stays pure
+      // codegen double math — Spark's Round on doubles allocates a
+      // BigDecimal per row (the centMoments finding, applied here)
+      val qc = floor(col("l_quantity") * 100 + 0.5).cast("long")
+      val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
       val n    = count(lit(1)).over(w)
       val nd   = n.cast("double")
       val sxc  = sum(qc).over(w)
@@ -403,7 +407,9 @@ object ExtendedQueries {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
         .rowsBetween(-19, 0)
-      val q = round(col("l_quantity")).cast("long")
+      // quantity is integer-valued and positive: floor(q + 0.5) == round
+      // exactly, without Round's per-row BigDecimal on doubles
+      val q = floor(col("l_quantity") + 0.5).cast("long")
       val n  = count(lit(1)).over(w)
       val s1 = sum(q).over(w)
       val s2 = sum(q * q).over(w)
@@ -442,7 +448,9 @@ object ExtendedQueries {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
         .rowsBetween(-6, 0)
-      val pc = round(col("l_extendedprice") * 100).cast("long")
+      // floor form: codegen double math, no per-row BigDecimal (the
+      // centMoments finding; value-identical on the cent grid)
+      val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
         r4(percentile(pc, lit(0.5)).over(w) / 100.0).as("roll_med"),
