@@ -423,6 +423,47 @@ object ScaleProbe {
       }
       prior.unpersist()
     }
+
+    // Rolling order statistics: percentile inside WindowExec rebuilds
+    // its buffer per sliding row — O(w) per row. The probe pins the
+    // constant at the gate's w=7 against the O(1)-per-row long-sum
+    // moments on the same window, full 10M rows — the measured price
+    // of EXACT rolling quantiles vs rolling moments.
+    {
+      val w = Window.partitionBy(col("flag")).orderBy(col("id"))
+        .rowsBetween(-6, 0)
+      time(s"rolling median w=7 (${n / 1000000}M rows)") {
+        sink(df.select(col("id"),
+          percentile(col("v").cast("long"), lit(0.5)).over(w).as("m")))
+      }
+      time(s"rolling long-sum moments w=7 (same window)") {
+        val q = col("v").cast("long")
+        sink(df.select(col("id"), sum(q).over(w).as("s1"),
+          sum(q * q).over(w).as("s2")))
+      }
+    }
+
+    // Triangle counting: 1M-edge power-law-ish graph (vertex ids from
+    // xxhash64 mod a zipf-ish split: 10k hub-heavy + 1M sparse tail).
+    // The degree-ordered orientation is what keeps the wedge join
+    // bounded: oriented out-degree ≤ O(sqrt E) even at the hubs.
+    {
+      val e = math.max(1000000L, n / 10)
+      // hub core [0, 2000) with ~500 avg degree against a uniform 1M
+      // tail; ranges OVERLAP (a disjoint split would be bipartite —
+      // zero triangles), so core-core edges close wedges at the hubs
+      val raw = spark.range(e).select(
+          pmod(xxhash64(col("id")), lit(2000)).as("x"),
+          pmod(xxhash64(col("id") + 7), lit(1000000)).as("y"))
+        .repartition(32)
+      val und = raw.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      time(s"triangleCounts (${e / 1000000}M-edge hub graph)") {
+        sink(graft.queries.GraphQueries.triangleCounts(und))
+      }
+    }
     spark.stop()
   }
 }

@@ -193,7 +193,7 @@ object GraphQueries {
            round(1e-9 + r, 4) AS rank
          FROM r$Iters""",
     "graph_triangles" ->
-      """WITH de AS (
+      """WITH de AS MATERIALIZED (
            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              count(*) AS w
            FROM lineitem l
@@ -201,26 +201,26 @@ object GraphQueries {
            JOIN customer c ON o.o_custkey = c.c_custkey
            JOIN supplier s ON l.l_suppkey = s.s_suppkey
            GROUP BY 1, 2
-         ), undall AS (
+         ), undall AS MATERIALIZED (
            SELECT least(src, dst) AS a, greatest(src, dst) AS b,
              sum(w) AS wu
            FROM de WHERE src != dst GROUP BY 1, 2
-         ), und AS (
+         ), und AS MATERIALIZED (
            SELECT a, b FROM undall
            WHERE wu > (SELECT CAST(sum(wu) AS DOUBLE) / count(*)
                        FROM undall)
-         ), deg AS (
+         ), deg AS MATERIALIZED (
            SELECT v, count(*) AS d FROM (
              SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
            GROUP BY 1
-         ), oriented AS (
+         ), oriented AS MATERIALIZED (
            SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
                     THEN a ELSE b END AS u,
                   CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
                     THEN b ELSE a END AS x
            FROM und JOIN deg da ON und.a = da.v
                     JOIN deg db ON und.b = db.v
-         ), tri AS (
+         ), tri AS MATERIALIZED (
            SELECT e1.u, e1.x AS x1, e2.x AS x2
            FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
              AND e1.x < e2.x
