@@ -387,6 +387,29 @@ object ExtendedQueries {
         r4(when(n >= 2 && m2xc > 0 && m2yc > 0, corrE)).as("roll_corr"),
         r4(when(n >= 2, covE)).as("roll_cov"))
     }),
+    "window_cume_distinct" -> ((s, dir) => {
+      // CUMULATIVE distinct count per user over time — the running
+      // sibling of the trailing rolling-distinct family: "how many
+      // distinct items has this user touched so far". Not natively
+      // windowable (COUNT(DISTINCT) OVER is unsupported in both
+      // engines); the scalable rewrite is the first-occurrence flag
+      // (row_number over (user, item) == 1) followed by a running sum
+      // over (user) — two window passes on two different keys, each a
+      // plain hash exchange + sort, no per-row set state (the same
+      // flag-then-sum decomposition RollingDistinct uses for its
+      // difference array). Item = the value bucket (floor(value)).
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"), floor(col("value")).cast("long").as("item"))
+      val wFirst = Window.partitionBy(col("user_id"), col("item"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("first",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("event_id"),
+          sum(col("first")).over(wRun).as("cume_distinct"))
+    }),
     "window_rolling_skew" -> ((s, dir) => {
       // Rolling HIGHER moments — trailing 20-row skewness and excess
       // kurtosis of quantity per supplier, extending the rolling_corr
@@ -1046,6 +1069,19 @@ object ExtendedQueries {
              THEN CAST(cxyc AS DOUBLE) / (10000.0 * nd * (nd - 1.0))
              END, 4) AS roll_cov
          FROM c""",
+    "window_cume_distinct" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+           CAST(floor(value) AS BIGINT) AS item FROM events),
+         f AS (SELECT event_id, user_id, tsn,
+           CASE WHEN row_number() OVER (PARTITION BY user_id, item
+             ORDER BY tsn, event_id) = 1 THEN 1 ELSE 0 END AS fst
+           FROM e)
+         SELECT event_id,
+           CAST(sum(fst) OVER (PARTITION BY user_id
+             ORDER BY tsn, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cume_distinct
+         FROM f""",
     "window_rolling_skew" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
            l_shipdate, CAST(round(l_quantity) AS BIGINT) AS q
