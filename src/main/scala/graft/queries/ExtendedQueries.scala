@@ -245,16 +245,21 @@ object ExtendedQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(-50, -1)
-      val mu = avg(col("value")).over(w)
-      val sd = stddev_samp(col("value")).over(w)
-      val z = (col("value") - mu) / sd
+      // two-step select (the rolling_skew buffer-dedup fix): one avg
+      // and one stddev buffer; inlining mu/sd into both output columns
+      // instantiated each aggregate per reference
+      val sums = events(s, dir).select(col("event_id"), col("value"),
+        avg(col("value")).over(w).as("mu"),
+        stddev_samp(col("value")).over(w).as("sd"))
+      val sd = col("sd")
+      val z = (col("value") - col("mu")) / sd
       // the flag compares the ROUNDED z (identical doubles in both
       // engines) — an unrounded |z| straddling 3.0 by summation-order
       // ulps would flip the boolean cross-engine
       // the flag is NON-NULL (false when the trailing stddev is
       // undefined/zero): nullable booleans round-trip differently
       // through the two engines' dataframe bridges
-      events(s, dir).select(col("event_id"),
+      sums.select(col("event_id"),
         r4(when(sd > 0, z)).as("zscore"),
         coalesce(when(sd > 0, abs(r4(z)) > 3), lit(false))
           .as("is_anomaly"))
@@ -366,24 +371,30 @@ object ExtendedQueries {
       // BigDecimal per row (the centMoments finding, applied here)
       val qc = floor(col("l_quantity") * 100 + 0.5).cast("long")
       val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val n    = count(lit(1)).over(w)
-      val nd   = n.cast("double")
-      val sxc  = sum(qc).over(w)
-      val syc  = sum(pc).over(w)
-      val sxyc = sum(qc * pc).over(w)
-      val sxxc = sum(qc * qc).over(w)
-      val syyc = sum(pc * pc).over(w)
+      // two-step select (the rolling_skew buffer-dedup fix): window
+      // sums land in named columns once — Catalyst does not CSE window
+      // aggregates inside one projection, so inlining them into the
+      // moment formulas multiplied the WindowExec buffers
+      val sums = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          count(lit(1)).over(w).as("n"),
+          sum(qc).over(w).as("sxc"),
+          sum(pc).over(w).as("syc"),
+          sum(qc * pc).over(w).as("sxyc"),
+          sum(qc * qc).over(w).as("sxxc"),
+          sum(pc * pc).over(w).as("syyc"))
+      val n = col("n"); val nd = col("n").cast("double")
       // exact integer cancellation (zero-variance guards flip in
       // lockstep: exact longs compare identically in both engines)
-      val m2xc = n * sxxc - sxc * sxc
-      val m2yc = n * syyc - syc * syc
-      val cxyc = n * sxyc - sxc * syc
+      val m2xc = n * col("sxxc") - col("sxc") * col("sxc")
+      val m2yc = n * col("syyc") - col("syc") * col("syc")
+      val cxyc = n * col("sxyc") - col("sxc") * col("syc")
       // scale factors (1e2 per cents axis) cancel entirely in corr;
       // cov carries one explicit 1e4
       val corrE = cxyc.cast("double") /
         sqrt(m2xc.cast("double") * m2yc.cast("double"))
       val covE = cxyc.cast("double") / (lit(10000.0) * nd * (nd - lit(1.0)))
-      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      sums.select(col("l_orderkey"), col("l_linenumber"),
         r4(when(n >= 2 && m2xc > 0 && m2yc > 0, corrE)).as("roll_corr"),
         r4(when(n >= 2, covE)).as("roll_cov"))
     }),
@@ -433,18 +444,28 @@ object ExtendedQueries {
       // quantity is integer-valued and positive: floor(q + 0.5) == round
       // exactly, without Round's per-row BigDecimal on doubles
       val q = floor(col("l_quantity") + 0.5).cast("long")
-      val n  = count(lit(1)).over(w)
-      val s1 = sum(q).over(w)
-      val s2 = sum(q * q).over(w)
-      val s3 = sum(q * q * q).over(w)
-      val s4 = sum(q * q * q * q).over(w)
+      // TWO-STEP select: window sums land in named columns FIRST, the
+      // assembly reads the columns. Catalyst does NOT common-subexpr
+      // window aggregates inside one projection — inlining n/s1..s4
+      // into the a2/a3/a4 formulas instantiated 16 buffers (6×count,
+      // 10×sum) in one WindowExec where 5 suffice (measured 2× cost).
+      val sums = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          count(lit(1)).over(w).as("n"),
+          sum(q).over(w).as("s1"),
+          sum(q * q).over(w).as("s2"),
+          sum(q * q * q).over(w).as("s3"),
+          sum(q * q * q * q).over(w).as("s4"))
+      val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+      val s3 = col("s3"); val s4 = col("s4")
       val a2 = n * s2 - s1 * s1
       val a3 = n * n * s3 - lit(3L) * n * s1 * s2 + lit(2L) * s1 * s1 * s1
       val a4 = n * n * n * s4 - lit(4L) * n * n * s1 * s3 +
         lit(6L) * n * s1 * s1 * s2 - lit(3L) * s1 * s1 * s1 * s1
       val skew = a3.cast("double") / sqrt((a2 * a2 * a2).cast("double"))
       val kurt = a4.cast("double") / (a2 * a2).cast("double") - lit(3.0)
-      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      sums.select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
         r4(when(n >= 3 && a2 > 0, skew)).as("roll_skew"),
         r4(when(n >= 4 && a2 > 0, kurt)).as("roll_kurt"))
