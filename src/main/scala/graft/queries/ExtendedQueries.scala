@@ -493,12 +493,19 @@ object ExtendedQueries {
           col("l_partkey"))
         .rowsBetween(-6, 0)
       // floor form: codegen double math, no per-row BigDecimal (the
-      // centMoments finding; value-identical on the cent grid)
+      // centMoments finding; value-identical on the cent grid).
+      // ARRAY percentile: both quantiles share ONE sorted buffer per
+      // frame (the agg_quantiles finding, inside WindowExec), landed
+      // in a named column first (the buffer-dedup rule).
       val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"),
-        r4(percentile(pc, lit(0.5)).over(w) / 100.0).as("roll_med"),
-        r4(percentile(pc, lit(0.75)).over(w) / 100.0).as("roll_p75"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          percentile(pc, array(lit(0.5), lit(0.75))).over(w).as("qs"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          r4(col("qs")(0) / 100.0).as("roll_med"),
+          r4(col("qs")(1) / 100.0).as("roll_p75"))
     }),
     "agg_heavyhitters" -> ((s, dir) => {
       // Count-Min-sketch heavy-hitter detection, oracle-gated on the
