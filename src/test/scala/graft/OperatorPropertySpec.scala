@@ -142,6 +142,71 @@ class OperatorPropertySpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("asofNearest (fused single-shuffle) equals a naive two-direction " +
+      "scan, backward preferred on ties") {
+    check(forAll(asofGen, Gen.oneOf(true, false)) { case ((ls, rs), strict) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val lDf = left.toDF("k", "lt", "rid")
+      val rDf = rs.toDF("k", "rt", "v")
+      val got = graft.operators.AsofJoin
+        .asofNearest(lDf, rDf, Seq("k"), "lt", "rt", Seq("v"),
+          strict = strict)
+        .collect().map(r => r.getLong(2) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+      val want = left.map { case (k, t, i) =>
+        val bwd = rs.filter(r => r._1 == k &&
+          (if (strict) r._2 < t else r._2 <= t)) match {
+          case Nil => None; case cs => Some(cs.maxBy(_._2))
+        }
+        val fwd = rs.filter(r => r._1 == k &&
+          (if (strict) r._2 > t else r._2 >= t)) match {
+          case Nil => None; case cs => Some(cs.minBy(_._2))
+        }
+        val best = (bwd, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        i -> (best.map(_._2), best.map(_._3))
+      }.toMap
+      got == want
+    })
+  }
+
+  test("rolling skew/kurtosis integer algebra equals direct central " +
+      "moments per frame") {
+    // the window_rolling_skew contract: A2/A3/A4 assembled from power
+    // sums equal n^2 m2 / n^3 m3 / n^4 m4 exactly, and the
+    // standardized forms g1 = A3/sqrt(A2^3), g2 = A4/A2^2 - 3 match
+    // the textbook population moments computed directly in double
+    val gen = for {
+      n <- Gen.choose(3, 20)
+      xs <- Gen.listOfN(n, Gen.choose(1L, 50L))
+    } yield xs
+    check(forAll(gen) { xs =>
+      val n = xs.length.toLong
+      val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      val s3 = xs.map(x => x * x * x).sum
+      val s4 = xs.map(x => x * x * x * x).sum
+      val a2 = n * s2 - s1 * s1
+      val a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+      val a4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
+        6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      val mu = xs.sum.toDouble / n
+      val m2 = xs.map(x => math.pow(x - mu, 2)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      if (a2 == 0) m2 < 1e-9 // constant frame: no moments defined
+      else {
+        val g1 = a3.toDouble / math.sqrt((a2 * a2 * a2).toDouble)
+        val g2 = a4.toDouble / (a2 * a2).toDouble - 3.0
+        math.abs(g1 - m3 / math.pow(m2, 1.5)) < 1e-9 &&
+          math.abs(g2 - (m4 / (m2 * m2) - 3.0)) < 1e-9
+      }
+    })
+  }
+
   test("groupedCumSum equals a sequential per-group scan (nulls, dup keys)") {
     // adversarial shapes for the content-pid path: duplicate order keys
     // (bounds collapse), null values (count gating), few rows over many
