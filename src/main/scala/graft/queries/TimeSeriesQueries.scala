@@ -324,6 +324,7 @@ object TimeSeriesQueries {
     * are untouched. */
   private val StatefulStreamKeys = Set(
     "window_stream_rows", "window_stream_running_ooo",
+    "window_stream_running_lookahead",
     "window_stream_running", "window_stream_lookahead",
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
@@ -444,6 +445,42 @@ object TimeSeriesQueries {
       val sink = s.table(qn).select(col("key").as("user_id"),
         col("tsMillis").as("ts_ms"), col("winN").as("win_n"),
         col("winSumE4").as("win_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "window_stream_running_lookahead" -> ((s, dir) => {
+      // Running aggregate WITH a positive time lookahead on a stream —
+      // the (Unbounded, time a>0) matrix arm executed: frame
+      // [-inf, t+30min], each row released when the watermark passes
+      // t+after, its value folding every frame member (including
+      // still-unreleased lookahead rows — the fold/emit pendings
+      // differ, see RunningDelayBuf). Same jitter-shuffled fixture as
+      // window_stream_lookahead; oracle = the batch range frame with
+      // UNBOUNDED PRECEDING and a FOLLOWING end.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val after = 1800L * 1000L
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness,
+        tailMs = after + 1000L, tag = "_la")
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.runningWDelayed(src,
+        latenessMillis = lateness, afterMillis = after)
+      val qn = s"graft_stream_run_la_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("cumN").as("cum_n"),
+        col("cumSumE4").as("cum_sum_e4"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -1188,6 +1225,15 @@ object TimeSeriesQueries {
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     // same oracle as the in-order key: the delayed path must land on
     // the identical batch semantics under shuffled arrival
+    "window_stream_running_lookahead" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms,
+           count(*) OVER w AS cum_n,
+           CAST(sum(v4) OVER w AS BIGINT) AS cum_sum_e4
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1800000 FOLLOWING)""",
     "window_stream_running_ooo" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
            CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)

@@ -364,11 +364,14 @@ object StreamingOps {
       }
   }
 
-  /** [[runningWDelayed]] per-key state: the accumulator through
-    * `emittedThrough` plus the pending (ts, scaledValue) buffer of rows
-    * the watermark has not yet released. */
+  /** [[runningWDelayed]] per-key state: the accumulator (n, sumE4) over
+    * every FOLDED row, the emission high-water mark, the not-yet-folded
+    * (ts, scaledValue) buffer, and the not-yet-emitted ts list. With a
+    * positive lookahead the two pendings differ: a row inside an
+    * earlier row's `[_, t+after]` frame folds into the accumulator
+    * before its own release point arrives. */
   case class RunningDelayBuf(n: Long, sumE4: Long, emittedThrough: Long,
-      pendTs: Seq[Long], pendV: Seq[Long])
+      pendTs: Seq[Long], pendV: Seq[Long], emitTs: Seq[Long])
 
   /** [[runningW]]'s OUT-OF-ORDER sibling — the LAST StatefulOnly recipe
     * of the degradation matrix realized ("running aggregate with a
@@ -389,8 +392,11 @@ object StreamingOps {
     * order-independent, so state stays consistent) and emit their own
     * row best-effort, like every delayed operator here. */
   def runningWDelayed(events: Dataset[KeyedEvent],
-      latenessMillis: Long): Dataset[RunningAgg] = {
+      latenessMillis: Long, afterMillis: Long = 0L): Dataset[RunningAgg] = {
     require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    require(afterMillis >= 0,
+      "afterMillis must be >= 0 (a FINITE positive time lookahead — the " +
+        "supports() StatefulOnly verdict for (Unbounded, time a>0) frames)")
     import events.sparkSession.implicits._
     events
       .withColumn("eventTime", timestamp_millis(col("tsMillis")))
@@ -402,27 +408,44 @@ object StreamingOps {
         (key: Long, it: Iterator[KeyedEventT],
          st: GroupState[RunningDelayBuf]) =>
           val prev = st.getOption.getOrElse(
-            RunningDelayBuf(0L, 0L, Long.MinValue, Nil, Nil))
+            RunningDelayBuf(0L, 0L, Long.MinValue, Nil, Nil, Nil))
           val batch = it.toSeq
             .map(e => e.tsMillis -> math.round(e.value * 10000))
           val (stragglers, fresh) =
             batch.partition(_._1 <= prev.emittedThrough)
           var n = prev.n; var s = prev.sumE4
+          // stragglers fold + emit best-effort: with a lookahead the
+          // accumulator has already folded through a LATER frame end,
+          // so the straggler's value over-counts — documented, like
+          // every delayed operator's beyond-lateness path
           val stragglerOut = stragglers.sortBy(identity).map {
             case (ts, v) => n += 1; s += v; RunningAgg(key, ts, n, s)
           }
-          val pending = (prev.pendTs.zip(prev.pendV) ++ fresh)
+          // two pendings (see RunningDelayBuf): fold-pending carries
+          // values for the accumulator, emit-pending carries rows
+          // awaiting their own release — a lookahead folds frame
+          // members before they emit
+          var pendFold = (prev.pendTs.zip(prev.pendV) ++ fresh)
             .sortBy(identity)
-          val emitUpTo = st.getCurrentWatermarkMs() - 1
-          val (release, keep) = pending.partition(_._1 <= emitUpTo)
-          val releaseOut = release.groupBy(_._1).toSeq.sortBy(_._1)
+          val pendEmit = (prev.emitTs ++ fresh.map(_._1)).sorted
+          // a row's frame [start, t + after] closes once the watermark
+          // strictly passes t + after; every frame member (ts' <= t +
+          // after <= wm - 1) has then arrived or been dropped
+          val emitUpTo = st.getCurrentWatermarkMs() - 1 - afterMillis
+          val (release, keepEmit) = pendEmit.partition(_ <= emitUpTo)
+          val releaseOut = release.groupBy(identity).toSeq.sortBy(_._1)
             .flatMap { case (ts, peers) =>
-              n += peers.size; s += peers.iterator.map(_._2).sum
+              // fold EVERYTHING inside this frame end (<= ts + after);
+              // releases ascend in ts, so folds ascend consistently
+              // (after = 0 folds exactly the release tie-group)
+              val (in, out) = pendFold.partition(_._1 <= ts + afterMillis)
+              in.foreach { case (_, v) => n += 1; s += v }
+              pendFold = out
               peers.map(_ => RunningAgg(key, ts, n, s))
             }
           val emittedThrough = math.max(prev.emittedThrough, emitUpTo)
           st.update(RunningDelayBuf(n, s, emittedThrough,
-            keep.map(_._1), keep.map(_._2)))
+            pendFold.map(_._1), pendFold.map(_._2), keepEmit))
           (stragglerOut ++ releaseOut).iterator
       }
   }
