@@ -323,7 +323,8 @@ object TimeSeriesQueries {
     * every round). Restored in finally — batch keys in the same session
     * are untouched. */
   private val StatefulStreamKeys = Set(
-    "window_stream_rows", "window_stream_running_ooo",
+    "window_stream_rows", "window_stream_rows_ooo",
+    "window_stream_running_ooo",
     "window_stream_running_lookahead",
     "window_stream_running", "window_stream_lookahead",
     "window_stream_trailing_ooo", "window_stream_trailing",
@@ -438,6 +439,40 @@ object TimeSeriesQueries {
         src, beforeMillis = 3600L * 1000L, latenessMillis = lateness,
         afterMillis = after)
       val qn = s"graft_stream_lookahead_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("winN").as("win_n"),
+        col("winSumE4").as("win_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "window_stream_rows_ooo" -> ((s, dir) => {
+      // Trailing N-ROWS frame under OUT-OF-ORDER arrival
+      // (StreamingOps.trailingRowsWDelayed): row order is the total
+      // (ts, v4) order, a row releases when the watermark strictly
+      // passes its ts, and its frame (self + the 9 rows before it in
+      // that order) is exact under the fixture's 2x2h shuffle. State =
+      // trailing 9 entries of the released prefix + the lateness
+      // sliver. Same jitter-shuffled fixture as the other _ooo keys;
+      // oracle = the batch ROWS frame ordered by (ts_ms, v4).
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.trailingRowsWDelayed(src,
+        nRows = 10, latenessMillis = lateness)
+      val qn = s"graft_stream_rows_ooo_${streamRuns.incrementAndGet()}"
       val q = agg.toDF().writeStream.outputMode("append")
         .format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow()).start()
@@ -1225,6 +1260,15 @@ object TimeSeriesQueries {
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     // same oracle as the in-order key: the delayed path must land on
     // the identical batch semantics under shuffled arrival
+    "window_stream_rows_ooo" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms,
+           count(*) OVER w AS win_n,
+           CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, v4
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     "window_stream_running_lookahead" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
            CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)

@@ -502,6 +502,70 @@ object StreamingOps {
       }
   }
 
+  /** [[trailingRowsWDelayed]] per-key state: trailing nRows−1 entries of
+    * the RELEASED prefix (ascending (ts, scaledValue)), the pending
+    * not-yet-released buffer, and the emission high-water mark. */
+  case class RowsDelayBuf(tailTs: Seq[Long], tailV: Seq[Long],
+      pendTs: Seq[Long], pendV: Seq[Long], emittedThrough: Long)
+
+  /** [[trailingRowsW]]'s OUT-OF-ORDER sibling: trailing N-rows frames
+    * under bounded-disorder arrival. Row order is the total (ts,
+    * scaledValue) order; a row releases when the watermark strictly
+    * passes its ts — at that point every row sorting before it has
+    * either arrived or been dropped as beyond-lateness, so the frame
+    * (the N−1 rows immediately before it in the total order, plus
+    * itself) is exact. Releases ascend, so the released prefix grows in
+    * order and the state keeps only its trailing N−1 entries plus the
+    * pending sliver — O(nRows + lateness × rate). Output multiset is
+    * tie-order invariant (the trailingRowsW argument). Stragglers emit
+    * best-effort over the retained tail. */
+  def trailingRowsWDelayed(events: Dataset[KeyedEvent], nRows: Int,
+      latenessMillis: Long): Dataset[TrailingAgg] = {
+    require(nRows >= 1, "nRows must be >= 1")
+    require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
+      .as[KeyedEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RowsDelayBuf, TrailingAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEventT],
+         st: GroupState[RowsDelayBuf]) =>
+          val prev = st.getOption.getOrElse(
+            RowsDelayBuf(Nil, Nil, Nil, Nil, Long.MinValue))
+          val batch = it.toSeq
+            .map(e => e.tsMillis -> math.round(e.value * 10000))
+          val (stragglers, fresh) =
+            batch.partition(_._1 <= prev.emittedThrough)
+          val stragglerOut = stragglers.sortBy(identity).map {
+            case (ts, v) =>
+              val fr = (prev.tailTs.zip(prev.tailV) :+ ((ts, v)))
+                .takeRight(nRows)
+              TrailingAgg(key, ts, fr.length.toLong,
+                fr.iterator.map(_._2).sum)
+          }
+          val pending = (prev.pendTs.zip(prev.pendV) ++ fresh)
+            .sortBy(identity)
+          val emitUpTo = st.getCurrentWatermarkMs() - 1
+          val (release, keep) = pending.partition(_._1 <= emitUpTo)
+          // walk releases in total order against the running tail of
+          // the released prefix: frame = self + the nRows-1 before it
+          var runTail = prev.tailTs.zip(prev.tailV)
+          val releaseOut = release.map { case (ts, v) =>
+            val fr = (runTail :+ ((ts, v))).takeRight(nRows)
+            runTail = (runTail :+ ((ts, v))).takeRight(nRows - 1)
+            TrailingAgg(key, ts, fr.length.toLong,
+              fr.iterator.map(_._2).sum)
+          }
+          val emittedThrough = math.max(prev.emittedThrough, emitUpTo)
+          st.update(RowsDelayBuf(runTail.map(_._1), runTail.map(_._2),
+            keep.map(_._1), keep.map(_._2), emittedThrough))
+          (stragglerOut ++ releaseOut).iterator
+      }
+  }
+
   // --- stateful sessionization (custom state via flatMapGroupsWithState) --
 
   /** Input event for sessionization: epoch-millis event time. */
