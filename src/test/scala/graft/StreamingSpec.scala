@@ -174,6 +174,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("trailingRowsWDelayed (streaming): out-of-order rows release in " +
+      "total (ts, value) order with exact N-rows frames") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.trailingRowsWDelayed(ms.toDS(), nRows = 2,
+        latenessMillis = 1000)
+      .writeStream.format("memory").queryName("rows_ooo")
+      .outputMode("append").start()
+    def rows() = spark.sql(
+      "SELECT tsMillis, winN, winSumE4 FROM rows_ooo ORDER BY tsMillis")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch 1 out of ts order; wm still 0 → nothing releases
+    ms.addData(KeyedEvent(1, 3000, 4.0), KeyedEvent(1, 1000, 1.0))
+    q.processAllAvailable()
+    assert(rows().isEmpty)
+    // batch 2: a row BETWEEN the two earlier ones (disorder); wm=2000
+    // releases ts=1000 only
+    ms.addData(KeyedEvent(1, 2000, 2.0), KeyedEvent(1, 9000, 8.0))
+    q.processAllAvailable()
+    assert(rows() == Seq((1000L, 1L, 10000L)))
+    // batch 3: wm=8000 releases 2000 (frame = {1000, 2000}) and 3000
+    // (frame = {2000, 3000}) — the disordered middle row slotted into
+    // its total-order position before the later row's frame was cut
+    ms.addData(KeyedEvent(1, 20000, 16.0))
+    q.processAllAvailable()
+    assert(rows() == Seq((1000L, 1L, 10000L),
+      (2000L, 2L, 30000L), (3000L, 2L, 60000L)))
+    q.stop()
+  }
+
   test("trailingRowsW (streaming): trailing N-rows frames ramp up and the " +
       "cross-batch buffer keeps exactly nRows-1 entries") {
     implicit val sqlCtx = spark.sqlContext
