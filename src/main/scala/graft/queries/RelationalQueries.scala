@@ -279,6 +279,36 @@ object RelationalQueries {
           lag(col("o_orderkey"), 1).over(w).as("prev_key"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"))
     }),
+    "agg_winsorized" -> ((s, dir) => {
+      // IQR-winsorized mean per group — the robust-mean member of the
+      // MAD/median family: prices clamp to [p25, p75] before
+      // averaging, so tail outliers move the estimate by at most the
+      // clamp width. Two passes (exact quantiles need one), quantile
+      // bounds broadcast back. EXACTNESS: quantiles are computed on
+      // 4x-SCALED cents — the dyadic ps interpolate at fractions
+      // {0, .25, .5, .75}, and on multiples of 4 every such
+      // interpolant is an INTEGER, bit-identical across engines (2x
+      // only fixes the .5 fraction; .25 of doubled cents is a half,
+      // where Spark's long cast truncates and DuckDB's rounds). The
+      // clamp compares exact integer-valued doubles and the clamped
+      // values sum as exact LONGS — the winsorized mean is one final
+      // division.
+      val pc2 = (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        * 4).as("pc2")
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), pc2)
+      val q = li.groupBy("l_returnflag")
+        .agg(percentile(col("pc2"), array(lit(0.25), lit(0.75)))
+          .as("qs"))
+      li.join(broadcast(q), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          least(greatest(col("pc2").cast("double"), col("qs")(0)),
+            col("qs")(1)).cast("long").as("w2"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("w2")).as("sw2"))
+        .select(col("l_returnflag"), col("n"),
+          r4(col("sw2").cast("double") /
+            (col("n").cast("double") * 400.0)).as("wins_mean"))
+    }),
     "agg_entropy" -> ((s, dir) => {
       // Shannon entropy of the event-type mix per user — the
       // distribution-health statistic a mixture monitor alerts on
@@ -598,6 +628,21 @@ object RelationalQueries {
            CAST(floor(max(l_quantity)) AS BIGINT) AS q_hi
          FROM lineitem CROSS JOIN q
          GROUP BY 1""",
+    "agg_winsorized" ->
+      """WITH d AS (SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 4 AS pc2
+           FROM lineitem),
+         q AS (SELECT l_returnflag,
+           quantile_cont(pc2, [0.25, 0.75]) AS qs
+           FROM d GROUP BY 1),
+         w AS (SELECT d.l_returnflag,
+           CAST(least(greatest(CAST(d.pc2 AS DOUBLE), q.qs[1]),
+             q.qs[2]) AS BIGINT) AS w2
+           FROM d JOIN q ON d.l_returnflag = q.l_returnflag)
+         SELECT l_returnflag, count(*) AS n,
+           round(1e-9 + CAST(sum(w2) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 400.0), 4) AS wins_mean
+         FROM w GROUP BY 1""",
     "agg_entropy" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS c
            FROM events GROUP BY 1, 2),

@@ -1151,6 +1151,39 @@ object TimeSeriesQueries {
           (col("day") - col("cohort_day")).as("offset_d"))
         .agg(count(lit(1)).as("n_users"))
     }),
+    "ts_interval_active" -> ((s, dir) => {
+      // Interval CONCURRENCY — how many orders are open (placed but
+      // not fully shipped) on each order's placement day: the classic
+      // +1/−1 boundary sweep, rendered scalably. Boundaries collapse
+      // to ONE delta per day first (also what makes same-day
+      // concurrency well-defined: everything starting on d counts for
+      // everything else on d), then the GLOBAL running sum over the
+      // unique day axis rides GlobalWindow's two-pass G×P rewrite —
+      // never a single-partition window over the whole time axis. End
+      // day is the order's last ship date, inclusive (−1 lands on
+      // e+1). At 100 TB the sweep costs one hash agg over |days| +
+      // the GlobalWindow machinery — independent of interval width.
+      val li = QueryUtil.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), expr(
+          "CAST(l_shipdate AS DATE)").as("sd"))
+        .groupBy("l_orderkey")
+        .agg(max(col("sd")).as("e_day"))
+      val o = QueryUtil.t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("s_day"))
+      val iv = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select(col("o_orderkey"),
+          datediff(col("s_day"), lit("1970-01-01")).as("s"),
+          datediff(col("e_day"), lit("1970-01-01")).as("e"))
+      val pts = iv.select(col("s").as("day"), lit(1L).as("delta"))
+        .unionByName(iv.select((col("e") + 1).as("day"),
+          lit(-1L).as("delta")))
+      val dayDeltas = pts.groupBy("day")
+        .agg(sum(col("delta")).as("d_sum"))
+      val active = graft.operators.GlobalWindow.cumSum(dayDeltas,
+        Seq(col("day")), "d_sum", "active")
+      iv.join(active.select(col("day").as("s"), col("active")), Seq("s"))
+        .select(col("o_orderkey"), col("active").cast("long").as("n_open"))
+    }),
     "ts_outlier_mad" -> ((s, dir) => {
       // Robust outlier detection via Median Absolute Deviation — the
       // zscore key's resistant sibling (median/MAD shrug off the very
@@ -1512,6 +1545,24 @@ object TimeSeriesQueries {
            count(*) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2""",
+    "ts_interval_active" ->
+      """WITH li AS (SELECT l_orderkey,
+           max(CAST(l_shipdate AS DATE)) AS e_day
+           FROM lineitem GROUP BY 1),
+         iv AS (SELECT o.o_orderkey,
+           date_diff('day', DATE '1970-01-01',
+             CAST(o.o_orderdate AS DATE)) AS s,
+           date_diff('day', DATE '1970-01-01', e_day) AS e
+           FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey),
+         pts AS (SELECT s AS day, 1 AS delta FROM iv
+           UNION ALL SELECT e + 1, -1 FROM iv),
+         dd AS (SELECT day, sum(delta) AS d_sum FROM pts GROUP BY 1),
+         cum AS (SELECT day, CAST(sum(d_sum) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS active
+           FROM dd)
+         SELECT iv.o_orderkey, cum.active AS n_open
+         FROM iv JOIN cum ON iv.s = cum.day""",
     "ts_outlier_mad" ->
       """WITH e AS (SELECT event_id, user_id,
            CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4 FROM events),
