@@ -44,7 +44,11 @@ object Sf1Probe {
     "join_interval_overlap", "graph_pagerank", "window_range_months_median",
     "dedup_clusters", "embedding_dup_clusters", "agg_approx",
     "dedup_containment", "window_rolling_corr", "order_cumsum_scaled",
-    "join_aqe_skew")
+    "join_aqe_skew",
+    // round-8 second-sweep analytics (the new top steady batch keys)
+    "graph_triangles", "ts_interval_active", "agg_winsorized",
+    "window_rolling_median", "window_rolling_skew", "ts_outlier_mad",
+    "ts_interpolate", "window_cume_distinct")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")
