@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on DataFrames — the loop-of-joins shape
@@ -83,43 +84,80 @@ object GraphQueries {
       // attribute each triangle to its three corners. All joins are
       // vertex/edge equi-joins — no driver-side adjacency, nothing
       // quadratic in vertices.
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val dirEdges = li
-        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          li("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"),
-          col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      val undAll = dirEdges.filter(col("src") =!= col("dst"))
-        .groupBy(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(sum(col("w")).as("wu"))
-      // one driver scalar (mean edge weight) — broadcast-side bounded
-      val avgW = undAll.agg(
-        (sum(col("wu")).cast("double") / count(lit(1))).as("m"))
-        .head.getDouble(0)
-      // materialize the graph ONCE: the edge set is referenced five
-      // times downstream (degrees ×2, wedge self-join ×2, closing
-      // lookup), and without truncation each reference re-executes the
-      // whole 4-table derivation — 29 parquet scans in the un-cut plan
-      // vs 5 after. localCheckpoint is the iterative-graph norm (the
-      // pagerank scaladoc's documented move, done here); at 100 TB a
-      // reliable checkpoint()/write-out of the edge list is the
-      // fault-tolerant variant of the same decision.
-      val und = undAll.filter(col("wu") > avgW).select("a", "b")
-        .localCheckpoint()
+      val und = tradeGraph(s, dir)
       val perV = triangleCounts(und)
       t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
         .join(perV.withColumnRenamed("v", "nationkey"),
           Seq("nationkey"), "left")
         .select(col("nationkey"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    }),
+    "graph_label_prop" -> ((s, dir) => {
+      // Community detection by SYNCHRONOUS label propagation on the
+      // same thresholded trade network — the deterministic LPA form:
+      // every vertex simultaneously adopts the most frequent neighbor
+      // label, smallest label on ties, fixed round count (async LPA's
+      // update order is a nondeterminism no cross-engine gate can
+      // carry; synchronous + min-tiebreak makes the whole trajectory a
+      // pure function of the graph, like kmeansAssignments' rounds).
+      // Per round: one edge-to-labels join + one (v, lbl) hash count +
+      // one per-vertex top-1 window — all vertex-partitioned, no
+      // driver state; isolated vertices keep their own label.
+      val und = tradeGraph(s, dir)
+      val e2 = und.select(col("a").as("v"), col("b").as("nb"))
+        .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
+      val nodes = t(s, dir, "nation").select(col("n_nationkey").as("v"))
+      var labels = nodes.select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to LpaRounds) {
+        val nbl = e2.join(
+          labels.select(col("v").as("nb"), col("lbl")), Seq("nb"))
+        val cnt = nbl.groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("v")
+          .orderBy(col("c").desc, col("lbl").asc)
+        val adopted = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("v"), col("lbl").as("newl"))
+        labels = labels.join(adopted, Seq("v"), "left")
+          .select(col("v"),
+            coalesce(col("newl"), col("lbl")).as("lbl"))
+      }
+      labels.select(col("v").as("nationkey"), col("lbl").as("community"))
     })
   )
+
+  private val LpaRounds = 3
+
+  /** The thresholded undirected trade network shared by the structural
+    * graph keys: nation-nation edges above the mean weight, normalized
+    * (a < b, no self-loops), MATERIALIZED once via localCheckpoint —
+    * the edge set is referenced many times downstream and without
+    * truncation every reference re-executes the whole 4-table
+    * derivation (29 parquet scans in the un-cut triangle plan vs 5
+    * after). localCheckpoint is the iterative-graph norm; at 100 TB a
+    * reliable checkpoint()/write-out of the edge list is the
+    * fault-tolerant variant of the same decision. */
+  private def tradeGraph(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val dirEdges = li
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        li("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"),
+        col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val undAll = dirEdges.filter(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("wu"))
+    // one driver scalar (mean edge weight) — broadcast-side bounded
+    val avgW = undAll.agg(
+      (sum(col("wu")).cast("double") / count(lit(1))).as("m"))
+      .head.getDouble(0)
+    undAll.filter(col("wu") > avgW).select("a", "b").localCheckpoint()
+  }
 
   /** Per-vertex triangle counts of an UNDIRECTED simple graph given as
     * (a, b) normalized edges (a < b, no self-loops, no duplicates) —
@@ -151,6 +189,42 @@ object GraphQueries {
     tri.select(explode(array(col("u"), col("x1"), col("x2"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Shared MATERIALIZED CTE prefix deriving the thresholded
+    * undirected trade network (`und(a, b)`) — used verbatim by every
+    * structural-graph oracle so the two engines always agree on the
+    * graph. */
+  private val undSql: String =
+    """de AS MATERIALIZED (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             count(*) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2
+         ), undall AS MATERIALIZED (
+           SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             sum(w) AS wu
+           FROM de WHERE src != dst GROUP BY 1, 2
+         ), und AS MATERIALIZED (
+           SELECT a, b FROM undall
+           WHERE wu > (SELECT CAST(sum(wu) AS DOUBLE) / count(*)
+                       FROM undall)
+         )"""
+
+  /** LPA oracle: synchronous rounds unrolled as generated CTEs,
+    * identical adopt/tiebreak logic (most frequent neighbor label,
+    * smallest on ties, keep own when isolated). */
+  private val lpaCtes: String = (1 to LpaRounds).map { i =>
+    s"""n$i AS (SELECT e.v, l.lbl, count(*) AS c
+           FROM e2 e JOIN l${i - 1} l ON e.nb = l.v GROUP BY 1, 2),
+         a$i AS (SELECT v, lbl FROM (
+           SELECT v, lbl, row_number() OVER (PARTITION BY v
+             ORDER BY c DESC, lbl) AS rn FROM n$i) WHERE rn = 1),
+         l$i AS (SELECT p.v, COALESCE(a$i.lbl, p.lbl) AS lbl
+           FROM l${i - 1} p LEFT JOIN a$i ON p.v = a$i.v)"""
+  }.mkString(", ")
 
   /** The oracle unrolls the 3 iterations as generated CTEs — identical
     * arithmetic (the damping constants are INTERPOLATED from D, so the
@@ -193,23 +267,7 @@ object GraphQueries {
            round(1e-9 + r, 4) AS rank
          FROM r$Iters""",
     "graph_triangles" ->
-      """WITH de AS MATERIALIZED (
-           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-             count(*) AS w
-           FROM lineitem l
-           JOIN orders o ON l.l_orderkey = o.o_orderkey
-           JOIN customer c ON o.o_custkey = c.c_custkey
-           JOIN supplier s ON l.l_suppkey = s.s_suppkey
-           GROUP BY 1, 2
-         ), undall AS MATERIALIZED (
-           SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-             sum(w) AS wu
-           FROM de WHERE src != dst GROUP BY 1, 2
-         ), und AS MATERIALIZED (
-           SELECT a, b FROM undall
-           WHERE wu > (SELECT CAST(sum(wu) AS DOUBLE) / count(*)
-                       FROM undall)
-         ), deg AS MATERIALIZED (
+      s"""WITH $undSql, deg AS MATERIALIZED (
            SELECT v, count(*) AS d FROM (
              SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
            GROUP BY 1
@@ -234,6 +292,14 @@ object GraphQueries {
          )
          SELECT n.n_nationkey AS nationkey,
            COALESCE(p.n_tri, 0) AS n_tri
-         FROM nation n LEFT JOIN perv p ON n.n_nationkey = p.v"""
+         FROM nation n LEFT JOIN perv p ON n.n_nationkey = p.v""",
+    "graph_label_prop" ->
+      s"""WITH $undSql, e2 AS MATERIALIZED (
+           SELECT a AS v, b AS nb FROM und
+           UNION ALL SELECT b AS v, a AS nb FROM und
+         ), l0 AS (
+           SELECT n_nationkey AS v, n_nationkey AS lbl FROM nation
+         ), $lpaCtes
+         SELECT v AS nationkey, lbl AS community FROM l$LpaRounds"""
   )
 }
