@@ -122,8 +122,34 @@ object GraphQueries {
             coalesce(col("newl"), col("lbl")).as("lbl"))
       }
       labels.select(col("v").as("nationkey"), col("lbl").as("community"))
+    }),
+    "graph_khop_reach" -> ((s, dir) => {
+      // Transitive reachability to a FIXED depth — BFS as iterated
+      // distinct join: the (v, reached) pair set extends one hop per
+      // round through the edge list, dedup'd by hash aggregation. The
+      // 100 TB shape note: this materializes the FULL closed set each
+      // round for oracle replayability; the production optimization is
+      // frontier-delta BFS (join only the pairs added last round —
+      // same plan per round, smaller input), plus localCheckpoint per
+      // round to cut lineage. Output: |reachable within 3 hops| per
+      // nation, self included.
+      val und = tradeGraph(s, dir)
+      val e2 = und.select(col("a").as("v"), col("b").as("nb"))
+        .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
+      val nodes = t(s, dir, "nation").select(col("n_nationkey").as("v"))
+      var reach = nodes.select(col("v"), col("v").as("r"))
+      for (_ <- 1 to KhopDepth) {
+        reach = reach.unionByName(
+            reach.join(e2.select(col("v").as("r"), col("nb")), Seq("r"))
+              .select(col("v"), col("nb").as("r")))
+          .distinct()
+      }
+      reach.groupBy(col("v").as("nationkey"))
+        .agg(count(lit(1)).as("n_reach"))
     })
   )
+
+  private val KhopDepth = 3
 
   private val LpaRounds = 3
 
@@ -226,6 +252,15 @@ object GraphQueries {
            FROM l${i - 1} p LEFT JOIN a$i ON p.v = a$i.v)"""
   }.mkString(", ")
 
+  /** k-hop oracle: BFS rounds unrolled as generated CTEs. */
+  private val khopCtes: String = (1 to KhopDepth).map { i =>
+    s"""p$i AS (SELECT DISTINCT v, r FROM (
+           SELECT v, r FROM p${i - 1}
+           UNION ALL
+           SELECT p.v, e.nb AS r FROM p${i - 1} p
+           JOIN e2 e ON p.r = e.v))"""
+  }.mkString(", ")
+
   /** The oracle unrolls the 3 iterations as generated CTEs — identical
     * arithmetic (the damping constants are INTERPOLATED from D, so the
     * oracle can never desynchronize from the Spark side, and `1 - D`'s
@@ -300,6 +335,15 @@ object GraphQueries {
          ), l0 AS (
            SELECT n_nationkey AS v, n_nationkey AS lbl FROM nation
          ), $lpaCtes
-         SELECT v AS nationkey, lbl AS community FROM l$LpaRounds"""
+         SELECT v AS nationkey, lbl AS community FROM l$LpaRounds""",
+    "graph_khop_reach" ->
+      s"""WITH $undSql, e2 AS MATERIALIZED (
+           SELECT a AS v, b AS nb FROM und
+           UNION ALL SELECT b AS v, a AS nb FROM und
+         ), p0 AS (
+           SELECT n_nationkey AS v, n_nationkey AS r FROM nation
+         ), $khopCtes
+         SELECT v AS nationkey, count(*) AS n_reach
+         FROM p$KhopDepth GROUP BY 1"""
   )
 }
