@@ -1151,6 +1151,41 @@ object TimeSeriesQueries {
           (col("day") - col("cohort_day")).as("offset_d"))
         .agg(count(lit(1)).as("n_users"))
     }),
+    "ts_autocorr" -> ((s, dir) => {
+      // Lag-1 autocorrelation per user — the seasonality/persistence
+      // statistic beside ts_seasonal_dow: Pearson corr of (xₜ₋₁, xₜ)
+      // over the per-user time order. One lag window + one hash agg on
+      // the same user exchange. EXACTNESS is agg_moments' recipe at
+      // the pair level: micro-unit longs, five sum_l128 accumulators
+      // (order-independent, exact to 2^123 — Σx² per user can top
+      // int64 at scale), the cancellation n·Σxy−ΣxΣy in exact decimal
+      // (DuckDB's HUGEINT sums mirror it exactly), and one identical
+      // closed-form double assembly on both sides.
+      import graft.functions.SumL128.sumL128
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir).select(col("user_id"), col("ts"),
+          col("event_id"), floor(col("value") * 1e4 + 0.5).cast("long")
+            .as("y"))
+        .withColumn("x", lag(col("y"), 1).over(w))
+        .filter(col("x").isNotNull)
+      val g = pairs.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sumL128(col("x")).as("sx"),
+        sumL128(col("y")).as("sy"),
+        sumL128(col("x") * col("y")).as("sxy"),
+        sumL128(col("x") * col("x")).as("sxx"),
+        sumL128(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("decimal(10,0)")
+      val cxy = nD * col("sxy") - col("sx") * col("sy")
+      val m2x = nD * col("sxx") - col("sx") * col("sx")
+      val m2y = nD * col("syy") - col("sy") * col("sy")
+      g.select(col("user_id"), col("n"),
+        r4(when(col("n") >= 2 && m2x > 0 && m2y > 0,
+          cxy.cast("double") /
+            sqrt(m2x.cast("double") * m2y.cast("double"))))
+          .as("autocorr"))
+    }),
     "ts_interval_active" -> ((s, dir) => {
       // Interval CONCURRENCY — how many orders are open (placed but
       // not fully shipped) on each order's placement day: the classic
@@ -1545,6 +1580,27 @@ object TimeSeriesQueries {
            count(*) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2""",
+    "ts_autocorr" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+           CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS y FROM events),
+         p AS (SELECT user_id, y, lag(y) OVER (PARTITION BY user_id
+           ORDER BY tsn, event_id) AS x FROM e),
+         q AS (SELECT user_id, x, y FROM p WHERE x IS NOT NULL),
+         g AS (SELECT user_id, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM q GROUP BY 1),
+         c AS (SELECT user_id, n,
+           n * sxy - sx * sy AS cxy,
+           n * sxx - sx * sx AS m2x,
+           n * syy - sy * sy AS m2y
+           FROM g)
+         SELECT user_id, n,
+           round(1e-9 + CASE WHEN n >= 2 AND m2x > 0 AND m2y > 0
+             THEN CAST(cxy AS DOUBLE)
+               / sqrt(CAST(m2x AS DOUBLE) * CAST(m2y AS DOUBLE))
+             END, 4) AS autocorr
+         FROM c""",
     "ts_interval_active" ->
       """WITH li AS (SELECT l_orderkey,
            max(CAST(l_shipdate AS DATE)) AS e_day
