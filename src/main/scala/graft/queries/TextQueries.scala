@@ -144,6 +144,24 @@ object TextQueries {
           col("doc_id").cast("string")), lit(100)) < 10)
         .select("doc_id")
     }),
+    "sample_split_consistent" -> ((s, dir) => {
+      // Deterministic train/valid/test assignment (80/10/10) by key
+      // hash — sample_hash's split sibling and the dataset-versioning
+      // primitive a training pipeline needs: the same doc lands in the
+      // same split on every run, engine, and partitioning, and a
+      // regenerated corpus only moves docs whose KEYS changed.
+      // Stratification check built into the gate: per-(source, split)
+      // doc and char counts — a skewed hash or an engine-divergent
+      // bucket boundary fails the exact counts.
+      val h = pmod(graft.operators.Dedup.baseHash(
+        col("doc_id").cast("string")), lit(100))
+      docs(s, dir)
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+    }),
     "text_source_kl" -> ((s, dir) => {
       // Per-source distribution drift: KL(source unigram dist ‖ corpus
       // unigram dist) — the mixture-monitoring statistic that flags a
@@ -456,6 +474,17 @@ object TextQueries {
       """SELECT doc_id FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
            AS BIGINT) % 100 < 10""",
+    "sample_split_consistent" ->
+      """WITH h AS (SELECT source, n_chars,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 100 AS b
+           FROM documents)
+         SELECT source,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM h GROUP BY 1, 2""",
     "text_ngrams" ->
       s"""$withToks, bg AS (
            SELECT doc_id, unnest(list_distinct(list_transform(
