@@ -146,6 +146,37 @@ object GraphQueries {
       }
       reach.groupBy(col("v").as("nationkey"))
         .agg(count(lit(1)).as("n_reach"))
+    }),
+    "graph_common_neighbors" -> ((s, dir) => {
+      // LINK PREDICTION scores for non-adjacent pairs: common-neighbor
+      // count and neighborhood Jaccard — the classic "who should be
+      // trading but isn't" statistic. One wedge self-join generates
+      // candidate pairs (u adjacent to both p and q), a hash count
+      // collapses them, an ANTI join removes existing edges, and the
+      // degree join assembles Jaccard = cn / (deg(p) + deg(q) − cn)
+      // from exact integers — one IEEE division per pair, identical in
+      // both engines. The wedge join is the triangle key's candidate
+      // generator without the closing edge: same orientation-free
+      // bound per hub at this shape (pairs through u ∝ deg(u)²; at
+      // power-law scale the production move is the degree-ordered
+      // split the triangle key uses).
+      val und = tradeGraph(s, dir)
+      val e2 = und.select(col("a").as("v"), col("b").as("nb"))
+        .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
+      val deg = e2.groupBy("v").agg(count(lit(1)).as("d"))
+      val cn = e2.select(col("v").as("u"), col("nb").as("p"))
+        .join(e2.select(col("v").as("u"), col("nb").as("q")), Seq("u"))
+        .filter(col("p") < col("q"))
+        .groupBy("p", "q").agg(count(lit(1)).as("cn"))
+      val nonEdge = cn.join(und,
+        cn("p") === und("a") && cn("q") === und("b"), "left_anti")
+      nonEdge
+        .join(deg.select(col("v").as("p"), col("d").as("dp")), Seq("p"))
+        .join(deg.select(col("v").as("q"), col("d").as("dq")), Seq("q"))
+        .select(col("p"), col("q"), col("cn"),
+          r4(col("cn").cast("double") /
+            (col("dp") + col("dq") - col("cn")).cast("double"))
+            .as("jaccard"))
     })
   )
 
@@ -336,6 +367,26 @@ object GraphQueries {
            SELECT n_nationkey AS v, n_nationkey AS lbl FROM nation
          ), $lpaCtes
          SELECT v AS nationkey, lbl AS community FROM l$LpaRounds""",
+    "graph_common_neighbors" ->
+      s"""WITH $undSql, e2 AS MATERIALIZED (
+           SELECT a AS v, b AS nb FROM und
+           UNION ALL SELECT b AS v, a AS nb FROM und
+         ), deg AS MATERIALIZED (
+           SELECT v, count(*) AS d FROM e2 GROUP BY 1
+         ), cn AS MATERIALIZED (
+           SELECT e1.nb AS p, e2x.nb AS q, count(*) AS cn
+           FROM e2 e1 JOIN e2 e2x ON e1.v = e2x.v AND e1.nb < e2x.nb
+           GROUP BY 1, 2
+         ), ne AS (
+           SELECT cn.* FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM und
+             WHERE und.a = cn.p AND und.b = cn.q)
+         )
+         SELECT ne.p, ne.q, ne.cn,
+           round(1e-9 + CAST(ne.cn AS DOUBLE)
+             / CAST(dp.d + dq.d - ne.cn AS DOUBLE), 4) AS jaccard
+         FROM ne JOIN deg dp ON ne.p = dp.v
+                 JOIN deg dq ON ne.q = dq.v""",
     "graph_khop_reach" ->
       s"""WITH $undSql, e2 AS MATERIALIZED (
            SELECT a AS v, b AS nb FROM und

@@ -1151,6 +1151,30 @@ object TimeSeriesQueries {
           (col("day") - col("cohort_day")).as("offset_d"))
         .agg(count(lit(1)).as("n_users"))
     }),
+    "ts_pct_change" -> ((s, dir) => {
+      // Period-over-period growth — the reporting primitive: daily
+      // revenue with absolute and percent change vs the previous
+      // PRESENT day (gaps skip, the lag is positional). One hash agg
+      // + one lag window over the day axis; revenue sums are exact
+      // cent longs so the delta is exact and the ratio is one
+      // identical IEEE division per row in both engines.
+      val o = QueryUtil.t(s, dir, "orders").select(
+        expr("CAST(o_orderdate AS DATE)").as("d"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("pc"))
+      val daily = o.groupBy("d").agg(sum(col("pc")).as("rev_c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      // the day axis is |days|-bounded (~2.5k rows at any sf), so the
+      // single-partition lag window is a bounded-domain sweep, not a
+      // scale hazard (the PlanAudit global_window rule's documented
+      // exception — same argument as GlobalWindow's offsets frame)
+      daily
+        .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+        .select(col("d").cast("string").as("day"), col("rev_c"),
+          (col("rev_c") - col("prev_c")).as("delta_c"),
+          r4(when(col("prev_c") > 0,
+            (col("rev_c") - col("prev_c")).cast("double") /
+              col("prev_c").cast("double") * 100.0)).as("pct_change"))
+    }),
     "ts_autocorr" -> ((s, dir) => {
       // Lag-1 autocorrelation per user — the seasonality/persistence
       // statistic beside ts_seasonal_dow: Pearson corr of (xₜ₋₁, xₜ)
@@ -1580,6 +1604,19 @@ object TimeSeriesQueries {
            count(*) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2""",
+    "ts_pct_change" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1),
+         lagged AS (SELECT d, rev_c,
+           lag(rev_c) OVER (ORDER BY d) AS prev_c FROM daily)
+         SELECT CAST(d AS VARCHAR) AS day, rev_c,
+           rev_c - prev_c AS delta_c,
+           round(1e-9 + CASE WHEN prev_c > 0
+             THEN CAST(rev_c - prev_c AS DOUBLE)
+               / CAST(prev_c AS DOUBLE) * 100.0 END, 4) AS pct_change
+         FROM lagged""",
     "ts_autocorr" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
            CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS y FROM events),
