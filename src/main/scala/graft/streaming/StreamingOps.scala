@@ -425,27 +425,31 @@ object StreamingOps {
           // values for the accumulator, emit-pending carries rows
           // awaiting their own release — a lookahead folds frame
           // members before they emit
-          var pendFold = (prev.pendTs.zip(prev.pendV) ++ fresh)
-            .sortBy(identity)
+          val pendFold = (prev.pendTs.zip(prev.pendV) ++ fresh)
+            .sortBy(identity).toIndexedSeq
           val pendEmit = (prev.emitTs ++ fresh.map(_._1)).sorted
           // a row's frame [start, t + after] closes once the watermark
           // strictly passes t + after; every frame member (ts' <= t +
           // after <= wm - 1) has then arrived or been dropped
           val emitUpTo = st.getCurrentWatermarkMs() - 1 - afterMillis
           val (release, keepEmit) = pendEmit.partition(_ <= emitUpTo)
+          // releases and the fold buffer are BOTH ascending, so one
+          // two-pointer sweep folds each frame's members exactly once —
+          // O(R + P) per batch, not O(R x P) (after = 0 degenerates to
+          // folding exactly the release tie-group)
+          var fi = 0
           val releaseOut = release.groupBy(identity).toSeq.sortBy(_._1)
             .flatMap { case (ts, peers) =>
-              // fold EVERYTHING inside this frame end (<= ts + after);
-              // releases ascend in ts, so folds ascend consistently
-              // (after = 0 folds exactly the release tie-group)
-              val (in, out) = pendFold.partition(_._1 <= ts + afterMillis)
-              in.foreach { case (_, v) => n += 1; s += v }
-              pendFold = out
+              while (fi < pendFold.length &&
+                  pendFold(fi)._1 <= ts + afterMillis) {
+                n += 1; s += pendFold(fi)._2; fi += 1
+              }
               peers.map(_ => RunningAgg(key, ts, n, s))
             }
+          val keepFold = pendFold.drop(fi)
           val emittedThrough = math.max(prev.emittedThrough, emitUpTo)
           st.update(RunningDelayBuf(n, s, emittedThrough,
-            pendFold.map(_._1), pendFold.map(_._2), keepEmit))
+            keepFold.map(_._1), keepFold.map(_._2), keepEmit))
           (stragglerOut ++ releaseOut).iterator
       }
   }
