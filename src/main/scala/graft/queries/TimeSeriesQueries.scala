@@ -1229,10 +1229,15 @@ object TimeSeriesQueries {
         .agg(max(col("sd")).as("e_day"))
       val o = QueryUtil.t(s, dir, "orders").select(col("o_orderkey"),
         col("o_orderdate").cast("date").as("s_day"))
+      // materialize the interval table once (the tradeGraph/cdc_apply
+      // precedent): it feeds both sweep branches AND the final join —
+      // without truncation the orders⋈lineitem derivation re-executes
+      // three times
       val iv = o.join(li, o("o_orderkey") === li("l_orderkey"))
         .select(col("o_orderkey"),
           datediff(col("s_day"), lit("1970-01-01")).as("s"),
           datediff(col("e_day"), lit("1970-01-01")).as("e"))
+        .localCheckpoint()
       val pts = iv.select(col("s").as("day"), lit(1L).as("delta"))
         .unionByName(iv.select((col("e") + 1).as("day"),
           lit(-1L).as("delta")))
