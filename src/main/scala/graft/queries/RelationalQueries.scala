@@ -279,6 +279,40 @@ object RelationalQueries {
           lag(col("o_orderkey"), 1).over(w).as("prev_key"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"))
     }),
+    "agg_gini" -> ((s, dir) => {
+      // Gini coefficient of customer-spend concentration per nation —
+      // the inequality statistic beside entropy (mixture health) and
+      // winsorized/MAD (robust location): how unevenly does a
+      // nation's revenue concentrate across its customers?
+      //   G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx),  xᵢ ascending
+      // One spend hash agg, one per-nation rank window, one hash agg
+      // of EXACT integer sums (Σi·x rides sum_l128 — the rank-weighted
+      // sum tops int64 at scale), and a single double division —
+      // cross-engine identical. Customers with no orders count as
+      // zero-spend rows (real inequality, not sampled inequality).
+      import graft.functions.SumL128.sumL128
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("x"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey"), col("c_custkey"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("x").asc, col("c_custkey").asc)
+      val g = cust.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sumL128(col("x")).as("s0"),
+          sumL128(col("i") * col("x")).as("s1"))
+      val nD = col("n").cast("decimal(12,0)")
+      g.select(col("c_nationkey").as("nationkey"), col("n"),
+        r4(when(col("s0") > 0,
+          (lit(2).cast("decimal(2,0)") * col("s1") -
+            (nD + 1) * col("s0")).cast("double") /
+            (nD * col("s0")).cast("double"))).as("gini"))
+    }),
     "agg_winsorized" -> ((s, dir) => {
       // IQR-winsorized mean per group — the robust-mean member of the
       // MAD/median family: prices clamp to [p25, p75] before
@@ -628,6 +662,27 @@ object RelationalQueries {
            CAST(floor(max(l_quantity)) AS BIGINT) AS q_hi
          FROM lineitem CROSS JOIN q
          GROUP BY 1""",
+    "agg_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         cust AS (SELECT c.c_nationkey, c.c_custkey,
+           COALESCE(s.x, 0) AS x
+           FROM customer c LEFT JOIN spend s
+             ON c.c_custkey = s.o_custkey),
+         rk AS (SELECT c_nationkey, x,
+           row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY x, c_custkey) AS i
+           FROM cust),
+         g AS (SELECT c_nationkey, count(*) AS n,
+           sum(x) AS s0, sum(i * x) AS s1
+           FROM rk GROUP BY 1)
+         SELECT c_nationkey AS nationkey, n,
+           round(1e-9 + CASE WHEN s0 > 0
+             THEN CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+               / CAST(n * s0 AS DOUBLE) END, 4) AS gini
+         FROM g""",
     "agg_winsorized" ->
       """WITH d AS (SELECT l_returnflag,
            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 4 AS pc2
