@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -44,21 +46,60 @@ object PlanAudit {
       val cls = p.getClass.getSimpleName
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case f: FilterExec =>
+          // filter whose OWN subtree scans report zero pushed filters:
+          // the predicate never reached the parquet reader (casts and
+          // UDFs block pushdown). Node-local (not plan-wide string
+          // match) so an unrelated Filter elsewhere in the plan cannot
+          // pair with an unrelated predicate-free scan; runs on the
+          // same AQE-unwrapped walk as the other rules.
+          if (scansUnder(f.child).exists(
+              _.metadata.get("PushedFilters").contains("[]")))
+            all += Finding("unpushed_filter", Info,
+              "a Filter sits above a scan with PushedFilters: [] — " +
+                "check the predicate is expressible on the scan " +
+                "(casts and UDFs block pushdown)", cls)
         case _: CartesianProductExec =>
           all += Finding("cartesian", Error,
             "cartesian product: |L|x|R| pairs materialize; at scale " +
               "this is the whole job — add an equi-condition, a bin " +
               "join (RangeJoin), or a candidate filter (LSH/prefix)", cls)
-        case _: BroadcastNestedLoopJoinExec =>
-          all += Finding("bnl_join", Warn,
-            "broadcast nested-loop join: per-row rescan of the " +
-              "broadcast side; fine for a scalar/1-row side, fatal for " +
-              "a real table — check the broadcast side is O(1) rows", cls)
+        case j: BroadcastNestedLoopJoinExec =>
+          // a broadcast side that is PROVABLY one row — an ungrouped
+          // aggregate anywhere on it (a p75 threshold, a corpus-stats
+          // scalar) — is the acceptable case the Warn message names;
+          // recognize it statically instead of forcing an allow() per
+          // scalar-join key, so the Warn stays reserved for genuinely
+          // unbounded broadcast sides (the declared ANN baselines)
+          val build = if (j.buildSide == BuildLeft) j.left else j.right
+          if (scalarBounded(build))
+            all += Finding("bnl_scalar", Info,
+              "broadcast nested-loop join over a 1-row aggregate " +
+                "side — O(1) broadcast, safe at any scale", cls)
+          else
+            all += Finding("bnl_join", Warn,
+              "broadcast nested-loop join: per-row rescan of the " +
+                "broadcast side; fine for a scalar/1-row side, fatal " +
+                "for a real table — check the broadcast side is O(1) " +
+                "rows", cls)
         case w: WindowExec if w.partitionSpec.isEmpty =>
-          all += Finding("global_window", Warn,
-            "window without partitionBy: the whole dataset sorts " +
-              "into ONE task; use GlobalWindow's two-pass rewrite " +
-              "for global running aggregates", cls)
+          // GlobalWindow's OWN offsets fold — the exclusive prefix walk
+          // over the O(G×P) per-partition partials, recognizable by its
+          // `__gw_pid__` order key — is the rewrite this rule tells you
+          // to use; flagging it as a hazard would force every rewritten
+          // key to carry an allow() that could then mask a regression
+          // back to a genuinely data-sized global window
+          if (w.orderSpec.exists(_.child.references
+              .exists(_.name.contains("__gw_pid__"))))
+            all += Finding("global_window_offsets", Info,
+              "unpartitioned window over GlobalWindow's per-partition " +
+                "offsets frame (O(partitions) rows) — the two-pass " +
+                "rewrite's own bounded fold", cls)
+          else
+            all += Finding("global_window", Warn,
+              "window without partitionBy: the whole dataset sorts " +
+                "into ONE task; use GlobalWindow's two-pass rewrite " +
+                "for global running aggregates", cls)
         case other =>
           val s = other.simpleStringWithNodeId()
           if (s.contains("UDF") && cls.contains("Project"))
@@ -72,18 +113,27 @@ object PlanAudit {
       p.subqueries.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-
-    // filter-above-scan with no pushed filters: the predicate did not
-    // reach the parquet reader (casts and UDFs block pushdown)
-    val planStr = df.queryExecution.executedPlan.toString
-    if (planStr.contains("PushedFilters: []") &&
-        planStr.contains("Filter "))
-      all += Finding("unpushed_filter", Info,
-        "a scan has PushedFilters: [] while the plan filters rows — " +
-          "check the predicate is expressible on the scan (casts and " +
-          "UDFs block pushdown)", "FileSourceScanExec")
-
     all.toSeq.filterNot(f => allow.contains(f.rule))
+  }
+
+  /** True when a broadcast-side subtree is statically guaranteed tiny:
+    * an ungrouped aggregate (exactly 1 output row) sits on the path.
+    * Conservative — anything unrecognized returns false and keeps the
+    * Warn. */
+  private def scalarBounded(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => scalarBounded(a.executedPlan)
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    case o => o.children.exists(scalarBounded)
+  }
+
+  /** All v1 file scans in a subtree, unwrapping AQE the same way the
+    * rule walk does. (The repo's sources are all parquet/csv/orc v1
+    * `FileSourceScanExec`; a v2 `BatchScanExec` would simply report no
+    * scans here and raise no finding — a linter stays conservative.) */
+  private def scansUnder(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scansUnder(a.executedPlan)
+    case s: FileSourceScanExec    => Seq(s)
+    case o => (o.children ++ o.subqueries).flatMap(scansUnder)
   }
 
   /** True when the plan carries no Error-severity finding. */
