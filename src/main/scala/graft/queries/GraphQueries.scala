@@ -124,27 +124,20 @@ object GraphQueries {
       labels.select(col("v").as("nationkey"), col("lbl").as("community"))
     }),
     "graph_khop_reach" -> ((s, dir) => {
-      // Transitive reachability to a FIXED depth — BFS as iterated
-      // distinct join: the (v, reached) pair set extends one hop per
-      // round through the edge list, dedup'd by hash aggregation. The
-      // 100 TB shape note: this materializes the FULL closed set each
-      // round for oracle replayability; the production optimization is
-      // frontier-delta BFS (join only the pairs added last round —
-      // same plan per round, smaller input), plus localCheckpoint per
-      // round to cut lineage. Output: |reachable within 3 hops| per
-      // nation, self included.
+      // Transitive reachability to a FIXED depth — FRONTIER-DELTA BFS
+      // (khopReach): each round expands only the pairs ADDED last
+      // round, anti-joins the closed set, localCheckpoints both to cut
+      // lineage. The full-closure iterated-distinct form remains the
+      // ORACLE (semantically identical — proven by the hash gate);
+      // GraphScaleProbe measures the delta win on a denser synthetic
+      // graph where closed ≫ frontier. Output: |reachable within 3
+      // hops| per nation, self included.
       val und = tradeGraph(s, dir)
       val e2 = und.select(col("a").as("v"), col("b").as("nb"))
         .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
       val nodes = t(s, dir, "nation").select(col("n_nationkey").as("v"))
-      var reach = nodes.select(col("v"), col("v").as("r"))
-      for (_ <- 1 to KhopDepth) {
-        reach = reach.unionByName(
-            reach.join(e2.select(col("v").as("r"), col("nb")), Seq("r"))
-              .select(col("v"), col("nb").as("r")))
-          .distinct()
-      }
-      reach.groupBy(col("v").as("nationkey"))
+      khopReach(nodes, e2, KhopDepth)
+        .groupBy(col("v").as("nationkey"))
         .agg(count(lit(1)).as("n_reach"))
     }),
     "graph_common_neighbors" -> ((s, dir) => {
@@ -155,11 +148,19 @@ object GraphQueries {
       // collapses them, an ANTI join removes existing edges, and the
       // degree join assembles Jaccard = cn / (deg(p) + deg(q) − cn)
       // from exact integers — one IEEE division per pair, identical in
-      // both engines. The wedge join is the triangle key's candidate
-      // generator without the closing edge: same orientation-free
-      // bound per hub at this shape (pairs through u ∝ deg(u)²; at
-      // power-law scale the production move is the degree-ordered
-      // split the triangle key uses).
+      // both engines. SCALE STATUS — bounded-graph only, declared: the
+      // wedge self-join generates Σ deg(u)² candidate pairs, and unlike
+      // triangle counting the degree-ordered orientation does NOT
+      // apply (a triangle is counted once from its min-degree corner,
+      // but common-neighbor scoring needs EVERY wedge — orientation
+      // changes the answer, not just the work). On the 25-node nation
+      // graph the wedge set is trivially small; on a power-law graph
+      // the production shape is neighborhood-set similarity via the
+      // prefix-filter candidate bound (exactly operators/Dedup's
+      // PPJoin on adjacency lists, with cn recovered from the verified
+      // pairs) or hub sampling — this exact-wedge form is the oracle
+      // those would be gated against, same contract as the ANN
+      // brute-force baselines.
       val und = tradeGraph(s, dir)
       val e2 = und.select(col("a").as("v"), col("b").as("nb"))
         .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
@@ -181,6 +182,41 @@ object GraphQueries {
   )
 
   private val KhopDepth = 3
+
+  /** Frontier-delta BFS: the (v, r) pairs reachable within `depth`
+    * hops of each seed in `nodes`, over the undirected adjacency
+    * `e2 = (v, nb)`.
+    *
+    * Per round, only LAST round's newly-discovered pairs join the edge
+    * list (on real graphs the frontier collapses after the first hops
+    * while the closed set keeps growing — the full-closure form
+    * re-joins closed ∪ frontier every round, so its per-round join
+    * input grows toward |V|·|reach| while the delta form's shrinks
+    * toward zero); the anti-join against the closed set keeps rounds
+    * from rediscovering pairs, and the eager `localCheckpoint` on both
+    * frames cuts the otherwise-exponential lineage each round (the
+    * iterative-plan norm — at 100 TB a reliable checkpoint() of the
+    * same frames is the fault-tolerant variant). Fixpoint-aware: an
+    * empty frontier short-circuits remaining rounds, so `depth` may be
+    * an upper bound (diameter-capped graphs converge early). */
+  private[graft] def khopReach(nodes: DataFrame, e2: DataFrame,
+      depth: Int): DataFrame = {
+    var closed = nodes.select(col("v"), col("v").as("r")).localCheckpoint()
+    var frontier = closed
+    var round = 0
+    var done = false
+    while (round < depth && !done) {
+      val expanded = frontier
+        .join(e2.select(col("v").as("r"), col("nb")), Seq("r"))
+        .select(col("v"), col("nb").as("r")).distinct()
+      frontier = expanded.join(closed, Seq("v", "r"), "left_anti")
+        .localCheckpoint()
+      if (frontier.isEmpty) done = true
+      else closed = closed.unionByName(frontier).localCheckpoint()
+      round += 1
+    }
+    closed
+  }
 
   private val LpaRounds = 3
 

@@ -42,22 +42,31 @@ object RelationalQueries {
     val y = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
     li.select(col("l_returnflag"), x.as("x"), y.as("y"))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).cast("decimal(7,0)").as("nD"),
+      .agg(count(lit(1)).cast("decimal(10,0)").as("nD"),
         sumL128(col("x")).as("sx128"),
         sumL128(col("y")).as("sy128"),
         sumL128(col("x") * col("y")).as("sxy128"),
         sumL128(col("x") * col("x")).as("sxx128"),
         sumL128(col("y") * col("y")).as("syy128"))
+      // Precisions sized to N <= 1e9 ROWS PER GROUP (the round-9 sf1
+      // sweep caught the old gate-sized decimal(9,2) overflowing on
+      // sum(qty) at 6M rows): sxD<=5e10, syD<=1.1e14, sxyD<=5.5e15,
+      // sxxD<=2.5e12, syyD<=1.2e19 at that bound, and every downstream
+      // product stays within decimal(38) on BOTH engines — Spark
+      // nD*syyD=(35,4), syD²=(35,4); DuckDB p1+p2 rule max 10+24=34.
+      // Beyond 1e9 rows/group the y² cancellation needs >38 exact
+      // digits — that is the documented envelope of the decimal replay
+      // contract, not a silent wrap (ANSI mode errors, as sf1 proved).
       .select(col("l_returnflag"), col("nD"),
-        (col("sx128") * lit(BigDecimal("0.01"))).cast("decimal(9,2)")
+        (col("sx128") * lit(BigDecimal("0.01"))).cast("decimal(13,2)")
           .as("sxD"),
-        (col("sy128") * lit(BigDecimal("0.01"))).cast("decimal(13,2)")
+        (col("sy128") * lit(BigDecimal("0.01"))).cast("decimal(17,2)")
           .as("syD"),
-        (col("sxy128") * lit(BigDecimal("0.0001"))).cast("decimal(17,4)")
+        (col("sxy128") * lit(BigDecimal("0.0001"))).cast("decimal(20,4)")
           .as("sxyD"),
-        (col("sxx128") * lit(BigDecimal("0.0001"))).cast("decimal(13,4)")
+        (col("sxx128") * lit(BigDecimal("0.0001"))).cast("decimal(17,4)")
           .as("sxxD"),
-        (col("syy128") * lit(BigDecimal("0.0001"))).cast("decimal(20,4)")
+        (col("syy128") * lit(BigDecimal("0.0001"))).cast("decimal(24,4)")
           .as("syyD"))
   }
 
@@ -518,20 +527,20 @@ object RelationalQueries {
            CAST(l_quantity AS DECIMAL(4,2)) AS qd,
            CAST(l_extendedprice AS DECIMAL(9,2)) AS pd FROM lineitem),
          g AS (SELECT l_returnflag,
-           CAST(count(*) AS DECIMAL(7,0)) AS nD,
-           CAST(sum(qd) AS DECIMAL(9,2)) AS sxD,
-           CAST(sum(pd) AS DECIMAL(13,2)) AS syD,
-           CAST(sum(qd * pd) AS DECIMAL(17,4)) AS sxyD,
-           CAST(sum(qd * qd) AS DECIMAL(13,4)) AS sxxD,
-           CAST(sum(pd * pd) AS DECIMAL(20,4)) AS syyD
+           CAST(count(*) AS DECIMAL(10,0)) AS nD,
+           CAST(sum(qd) AS DECIMAL(13,2)) AS sxD,
+           CAST(sum(pd) AS DECIMAL(17,2)) AS syD,
+           CAST(sum(qd * pd) AS DECIMAL(20,4)) AS sxyD,
+           CAST(sum(qd * qd) AS DECIMAL(17,4)) AS sxxD,
+           CAST(sum(pd * pd) AS DECIMAL(24,4)) AS syyD
          FROM d GROUP BY 1),
          m AS (SELECT l_returnflag, nD,
            CAST(nD AS DOUBLE) AS nd,
-           CAST(nD AS DECIMAL(19,0)) * sxxD
+           nD * CAST(sxxD AS DECIMAL(19,4))
              - CAST(sxD AS DECIMAL(19,2)) * sxD AS m2xD,
-           CAST(nD AS DECIMAL(19,0)) * syyD
+           nD * syyD
              - CAST(syD AS DECIMAL(19,2)) * syD AS m2yD,
-           CAST(nD AS DECIMAL(19,0)) * sxyD
+           nD * sxyD
              - CAST(sxD AS DECIMAL(19,2)) * syD AS cxyD
          FROM g)
          SELECT l_returnflag,
@@ -612,20 +621,20 @@ object RelationalQueries {
            CAST(l_quantity AS DECIMAL(4,2)) AS qd,
            CAST(l_extendedprice AS DECIMAL(9,2)) AS pd FROM lineitem),
          g AS (SELECT l_returnflag,
-           CAST(count(*) AS DECIMAL(7,0)) AS nD,
-           CAST(sum(qd) AS DECIMAL(9,2)) AS sxD,
-           CAST(sum(pd) AS DECIMAL(13,2)) AS syD,
-           CAST(sum(qd * pd) AS DECIMAL(17,4)) AS sxyD,
-           CAST(sum(qd * qd) AS DECIMAL(13,4)) AS sxxD,
-           CAST(sum(pd * pd) AS DECIMAL(20,4)) AS syyD
+           CAST(count(*) AS DECIMAL(10,0)) AS nD,
+           CAST(sum(qd) AS DECIMAL(13,2)) AS sxD,
+           CAST(sum(pd) AS DECIMAL(17,2)) AS syD,
+           CAST(sum(qd * pd) AS DECIMAL(20,4)) AS sxyD,
+           CAST(sum(qd * qd) AS DECIMAL(17,4)) AS sxxD,
+           CAST(sum(pd * pd) AS DECIMAL(24,4)) AS syyD
          FROM d GROUP BY 1),
          m AS (SELECT l_returnflag, nD, sxD, syD,
            CAST(nD AS DOUBLE) AS nd,
-           CAST(nD AS DECIMAL(19,0)) * sxxD
+           nD * CAST(sxxD AS DECIMAL(19,4))
              - CAST(sxD AS DECIMAL(19,2)) * sxD AS m2xD,
-           CAST(nD AS DECIMAL(19,0)) * syyD
+           nD * syyD
              - CAST(syD AS DECIMAL(19,2)) * syD AS m2yD,
-           CAST(nD AS DECIMAL(19,0)) * sxyD
+           nD * sxyD
              - CAST(sxD AS DECIMAL(19,2)) * syD AS cxyD
          FROM g)
          SELECT l_returnflag,

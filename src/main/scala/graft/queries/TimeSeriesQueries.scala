@@ -1345,10 +1345,16 @@ object TimeSeriesQueries {
     })
   )
 
+  // Streaming-key oracles scale doubles with floor(value*10000 + 0.5)
+  // — the SAME function Java Math.round computes — not DuckDB round(),
+  // which rounds half AWAY FROM ZERO and so diverges from the Scala
+  // stateful ops (StreamingOps math.round) on a negative value landing
+  // exactly on a .00005 tie; v4 is also the rows-frame SORT tiebreak,
+  // so a tie-grid divergence would shift both the sum and the order.
   val oracleSql: Map[String, String] = Map(
     "window_stream_running" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,
            count(*) OVER w AS cum_n,
            CAST(sum(v4) OVER w AS BIGINT) AS cum_sum_e4
@@ -1359,7 +1365,7 @@ object TimeSeriesQueries {
     // the identical batch semantics under shuffled arrival
     "window_stream_rows_ooo" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,
            count(*) OVER w AS win_n,
            CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
@@ -1368,7 +1374,7 @@ object TimeSeriesQueries {
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     "window_stream_running_lookahead" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,
            count(*) OVER w AS cum_n,
            CAST(sum(v4) OVER w AS BIGINT) AS cum_sum_e4
@@ -1377,7 +1383,7 @@ object TimeSeriesQueries {
            RANGE BETWEEN UNBOUNDED PRECEDING AND 1800000 FOLLOWING)""",
     "window_stream_running_ooo" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,
            count(*) OVER w AS cum_n,
            CAST(sum(v4) OVER w AS BIGINT) AS cum_sum_e4
@@ -1388,7 +1394,7 @@ object TimeSeriesQueries {
     // side must reproduce it exactly under shuffled arrival
     "window_stream_lookahead" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,
            count(*) OVER w AS win_n,
            CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
@@ -1400,7 +1406,7 @@ object TimeSeriesQueries {
     // frame row-for-row
     "window_stream_trailing_ooo" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,
            count(*) OVER w AS win_n,
            CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
@@ -1409,7 +1415,7 @@ object TimeSeriesQueries {
            RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
     "window_stream_rows" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,
            count(*) OVER w AS win_n,
            CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4
@@ -1418,7 +1424,7 @@ object TimeSeriesQueries {
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     "window_stream_trailing" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-           CAST(round(value * 10000) AS BIGINT) AS v4 FROM events)
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
          SELECT user_id, ts_ms,
            count(*) OVER w AS win_n,
            CAST(sum(v4) OVER w AS BIGINT) AS win_sum_e4

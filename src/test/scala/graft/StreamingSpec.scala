@@ -163,11 +163,15 @@ class StreamingSpec extends AnyFunSuite {
     ms.addData(KeyedEvent(1, 2000, 2.0), KeyedEvent(1, 1000, 1.0))
     q.processAllAvailable()
     assert(rows().isEmpty)
-    // batch 2: wm advances to 2000-1000=1000 → releases only ts=1000...
+    // batch 2: wm advances to 2000-1000=1000, but release requires the
+    // watermark to STRICTLY pass the ts (emitUpTo = wm-1 = 999), so
+    // ts=1000 is still pending — nothing emits yet
     ms.addData(KeyedEvent(1, 4000, 4.0))
     q.processAllAvailable()
-    // ...in batch 3 wm=3000 releases ts=2000 with the cumulative THROUGH
-    // it (1.0+2.0), proving the pending buffer preserved ts order
+    assert(rows().isEmpty)
+    // batch 3: wm=3000 releases ts=1000 AND ts=2000 together, the
+    // latter with the cumulative THROUGH it (1.0+2.0), proving the
+    // pending buffer preserved ts order
     ms.addData(KeyedEvent(1, 9000, 8.0))
     q.processAllAvailable()
     assert(rows() == Seq((1000L, 1L, 10000L), (2000L, 2L, 30000L)))

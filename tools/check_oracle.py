@@ -26,7 +26,10 @@ if len(sys.argv) > 3:
 con = duckdb.connect()
 for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(t)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+    # driver fixtures are single files; Spark-built ones (the sf1 scale
+    # fixture) are directories of part files — glob those for DuckDB
+    src = os.path.join(t, "*.parquet") if os.path.isdir(t) else t
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 fails = []
 for name, sql in sorted(oracle.items()):
