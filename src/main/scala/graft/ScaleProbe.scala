@@ -421,7 +421,98 @@ object ScaleProbe {
             .unionByName(log.filter(col("ts") >= cut)),
           Seq("k"), "ts", Seq.empty, Seq("attr")))
       }
+      // refresh vs HISTORY SIZE (round-9 verdict item 7): same key set,
+      // same 5% batch, history 5× shorter — applyBatch's windowed work
+      // is currents ∪ batch, and |currents| = |keys| regardless of how
+      // deep the closed history is, so the two timings should be flat
+      // while FULL recompute above scales with the log
+      val priorShort = graft.operators.Scd2.intervals(
+        log.filter(col("ts") < cut / 5), Seq("k"), "ts", Seq.empty,
+        Seq("attr")).persist()
+      priorShort.count()
+      time("scd2 applyBatch (same batch, history/5)") {
+        sink(graft.operators.Scd2.intervals(
+          priorShort.filter(col("is_current"))
+            .select(col("k"), col("ts"), col("attr"))
+            .unionByName(log.filter(col("ts") >= cut)),
+          Seq("k"), "ts", Seq.empty, Seq("attr")))
+      }
+      priorShort.unpersist()
       prior.unpersist()
+    }
+
+    // Partial-aggregate incremental refresh (agg_incremental_refresh's
+    // claim, probed at scale — round-9 verdict item 7): merge(state,
+    // batch) re-aggregates |groups| + |batch-groups| PARTIAL rows, so
+    // refresh cost must be flat in history depth while the full
+    // recompute pays the whole log every day. 10k groups, 0.5M-row
+    // batch, history 2M vs 10M.
+    {
+      val groups = 10000L
+      def rawLog(rows: Long) = spark.range(rows).select(
+          (col("id") % groups).as("g"),
+          (col("id") % 1000).as("pc"))
+        .repartition(32)
+      def part(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("g").agg(sum("pc").as("sum_pc"), count(lit(1)).as("c"))
+      val batchRaw = rawLog(500000L)
+      val batchPart = part(batchRaw).persist()
+      batchPart.count()
+      for (h <- Seq(n / 5, n)) {
+        val state = part(rawLog(h)).persist()
+        state.count() // the maintained rollup — materialized, not timed
+        time(s"agg refresh MERGE (hist ${h / 1000000}M, batch 0.5M)") {
+          sink(state.unionByName(batchPart).groupBy("g")
+            .agg(sum("sum_pc").as("sum_pc"), sum("c").as("c")))
+        }
+        time(s"agg FULL recompute (hist ${h / 1000000}M + batch)") {
+          sink(part(rawLog(h).unionByName(batchRaw)))
+        }
+        state.unpersist()
+      }
+      batchPart.unpersist()
+    }
+
+    // Frontier-delta BFS vs full-closure (round-9 — graph_khop_reach's
+    // shape, measured where it matters): ring-lattice graph on 200k
+    // vertices (edges to ±1, ±7, ±49 mod n ⇒ degree 6, diameter ≫
+    // depth), 1000 seeds, depth 6. Per-seed reach grows ~linearly per
+    // hop (~100-300 new vertices/round) while the CLOSED set keeps all
+    // prior rounds — the full-closure form re-joins and re-distincts
+    // the whole closed set every round (join input ∝ rounds²·Δ), the
+    // delta form only the last round's additions (∝ Δ). Both
+    // localCheckpoint per round, so the comparison is join-input size,
+    // not lineage. Identical results asserted.
+    {
+      val nV = 200000L
+      val verts = spark.range(nV).select(col("id").as("a"))
+      val e2 = Seq(1L, 7L, 49L).map(k =>
+          verts.select(col("a").as("v"), pmod(col("a") + k, lit(nV)).as("nb")))
+        .reduce(_ unionAll _)
+      val und = e2.unionAll(e2.select(col("nb").as("v"), col("v").as("nb")))
+        .localCheckpoint()
+      val seeds = spark.range(1000).select((col("id") * 199L).as("v"))
+      val depth = 6
+      var full: org.apache.spark.sql.DataFrame = null
+      time(s"khop FULL-closure (200k ring, depth $depth)") {
+        var reach = seeds.select(col("v"), col("v").as("r")).localCheckpoint()
+        for (_ <- 1 to depth)
+          reach = reach.unionByName(
+              reach.join(und.select(col("v").as("r"), col("nb")), Seq("r"))
+                .select(col("v"), col("nb").as("r")))
+            .distinct().localCheckpoint()
+        full = reach
+        sink(reach)
+      }
+      var delta: org.apache.spark.sql.DataFrame = null
+      time(s"khop FRONTIER-delta (200k ring, depth $depth)") {
+        delta = graft.queries.GraphQueries.khopReach(seeds, und, depth)
+        sink(delta)
+      }
+      val n1 = full.count(); val n2 = delta.count()
+      require(n1 == n2 && full.except(delta).isEmpty,
+        s"delta BFS diverged from full closure: $n1 vs $n2 pairs")
+      println(s"[probe]   khop pairs (both forms): $n1")
     }
 
     // Rolling order statistics: percentile inside WindowExec rebuilds

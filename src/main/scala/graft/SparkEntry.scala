@@ -359,17 +359,18 @@ object SparkEntry {
     }),
     "window_range_months_median" -> ((s, dir) => {
       // NON-prefix-decomposable aggregate over a month Period frame:
-      // median has no running form, so mutateW routes the whole set
-      // through CalendarWindow.monthsAggGeneral — the binned expansion
-      // join evaluating ANY Spark aggregate per window (the reference
-      // evaluates any R fn per slice; same O(n·w̄) cost model,
-      // distributed as a hash join + hash agg). Exact interpolated
-      // median matches DuckDB's. The mixed set also carries a count —
-      // proving the marker substitution on the expansion join's padding
-      // rows.
+      // median has no running form, so mutateW routes it to
+      // CalendarWindow's grouped quantile SWEEP (round-9: one hash
+      // repartition of per-day partials, per-group two-pointer window
+      // merge — replacing the raw-row expansion join, 10.2s → 2.3s at
+      // sf1) while the count in the same set rides the prefix+as-of
+      // path. Exact interpolated median matches DuckDB's. NOTE the
+      // Column-API `median(col)` — `expr("median(value)")` parses to a
+      // SqlExpression node the NSE router cannot inspect, silently
+      // falling back to the general expansion path.
       events(s, dir).select(col("event_id"), col("user_id"),
           col("value"), tsDate.as("d"))
-        .mutateW("med_v" -> expr("median(value)"),
+        .mutateW("med_v" -> median(col("value")),
             "n_all" -> count(lit(1)))(
           by = Seq(col("user_id")),
           frame = Some(Frame.months(1, 0)),

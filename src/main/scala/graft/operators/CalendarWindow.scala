@@ -76,6 +76,20 @@ object CalendarWindow {
     case object Var extends MonthsOp
     /** `stddev_samp(value)` over the month window — `sqrt` of [[Var]]. */
     case object Std extends MonthsOp
+    /** EXACT `percentile(value, p)` over the month window (`median` =
+      * `Quantile(0.5)`). Not prefix-decomposable, but MERGEABLE from
+      * day partials, so it rides the [[Min]]/[[Max]] daily-partial
+      * expansion path instead of [[monthsAggGeneral]]'s raw-row
+      * expansion: per-(group, day) value lists are collected once
+      * (shuffling n rows once), the binned interval join fans out on
+      * DISTINCT DAYS — window width in days per window, independent of
+      * row density — and each window sorts its own merged list. Same
+      * linear interpolation as Spark's `Percentile`
+      * (`pos = 1 + (n−1)·p`; `lo·(hi−pos) + hi·(pos−lo)`), so results
+      * are bit-identical to `expr("percentile(v, p)")`. */
+    final case class Quantile(p: Double) extends MonthsOp {
+      require(p >= 0 && p <= 1, s"percentile p must be in [0,1] (got $p)")
+    }
   }
 
   /** One output column of [[monthsAgg]]: `out` = `op(valueCol)` over each
@@ -181,6 +195,8 @@ object CalendarWindow {
     val needAll = specs.exists(_.op == CountAll)
     val minCols = specs.collect { case MonthsAggSpec(_, Min, v) => v }.distinct
     val maxCols = specs.collect { case MonthsAggSpec(_, Max, v) => v }.distinct
+    val quantCols = specs.collect {
+      case MonthsAggSpec(_, Quantile(_), v) => v }.distinct
     val partials: Seq[Column] =
       prefixCols.flatMap(v => Seq(sum(col(v)).as(s"__s_$v"),
         count(col(v)).as(s"__c_$v"))) ++
@@ -188,7 +204,13 @@ object CalendarWindow {
         sum(col(v).cast("double") * col(v).cast("double")).as(s"__q_$v")) ++
       (if (needAll) Seq(count(lit(1)).as("__call")) else Nil) ++
       minCols.map(v => min(col(v)).as(s"__mn_$v")) ++
-      maxCols.map(v => max(col(v)).as(s"__mx_$v"))
+      maxCols.map(v => max(col(v)).as(s"__mx_$v")) ++
+      // day value lists stay UNSORTED here — one array_sort per WINDOW
+      // after the merge beats |days| partial sorts that the merge
+      // cannot exploit anyway (collect_list skips NULLs, like
+      // percentile)
+      quantCols.map(v => collect_list(col(v).cast("double"))
+        .as(s"__ql_$v"))
     val daily = keyed.groupBy((byCols :+ col(DAY)): _*)
       .agg(partials.head, partials.tail: _*)
 
@@ -243,12 +265,28 @@ object CalendarWindow {
       }
     } else bounds
 
-    // ---- 2b. expansion path: daily min/max partials × window day spans ----
-    val win1: DataFrame = if (minCols.nonEmpty || maxCols.nonEmpty) {
+    // Grouped quantiles ride the per-group two-pointer SWEEP (round-9:
+    // the binned expansion join was measured cost-neutral vs
+    // monthsAggGeneral at sf1 — at ~2.5 rows per (group, day) the
+    // day-collapse shrank the join fan-out only 1.3×, and shuffling
+    // per-day ARRAYS through a join + re-collect cost that back). The
+    // sweep shuffles the day partials ONCE (hash on the group keys, no
+    // fan-out), then each group merges its own overlapping windows
+    // locally. Global quantiles (by = Nil) keep the expansion join —
+    // one group would serialize the sweep, while the global day domain
+    // is calendar-bounded so the join stays small.
+    val sweepQuant = quantCols.nonEmpty && by.nonEmpty
+
+    // ---- 2b. expansion path: daily min/max/value-list partials ×
+    // window day spans ----
+    val win1: DataFrame = if (minCols.nonEmpty || maxCols.nonEmpty ||
+        (quantCols.nonEmpty && !sweepQuant)) {
+      val expQuantCols = if (sweepQuant) Nil else quantCols
       val epoch = to_date(lit("1970-01-01"))
       val mmDaily = daily.select((byCols ++ (col(DAY) +:
         (minCols.map(v => col(s"__mn_$v")) ++
-         maxCols.map(v => col(s"__mx_$v"))))): _*)
+         maxCols.map(v => col(s"__mx_$v")) ++
+         expQuantCols.map(v => col(s"__ql_$v"))))): _*)
         .withColumn("__pd", datediff(col(DAY), epoch))
       val spans = bounds
         .withColumn("__lod", datediff(col(LO), epoch))
@@ -273,12 +311,25 @@ object CalendarWindow {
       val joined = p.join(i, cond)
         .filter(col("__pd") >= col("__lod") && col("__pd") <= col("__hid"))
       val mmAggs = minCols.map(v => min(col(s"__mn_$v")).as(s"__wmn_$v")) ++
-        maxCols.map(v => max(col(s"__mx_$v")).as(s"__wmx_$v"))
-      joined.groupBy((iCols.map(col) :+ col("__wday")): _*)
+        maxCols.map(v => max(col(s"__mx_$v")).as(s"__wmx_$v")) ++
+        expQuantCols.map(v => collect_list(col(s"__ql_$v")).as(s"__wql_$v"))
+      val agged = joined.groupBy((iCols.map(col) :+ col("__wday")): _*)
         .agg(mmAggs.head, mmAggs.tail: _*)
+      // ONE sort per window over the merged day lists — the whole
+      // window's multiset, exactly what Percentile's buffer would hold
+      expQuantCols.foldLeft(agged) { (d, v) =>
+          d.withColumn(s"__wql_$v", array_sort(flatten(col(s"__wql_$v"))))
+        }
         .withColumnRenamed("__wday", DAY)
-        .toDF // (group renamed __cw_i_*, DAY, window min/max cols)
+        .toDF // (group renamed __cw_i_*, DAY, window min/max/list cols)
     } else null
+
+    // ---- 2c. grouped-quantile sweep ----
+    val quantSpecs = specs.collect {
+      case s @ MonthsAggSpec(_, Quantile(_), _) => s }
+    val win2: DataFrame =
+      if (sweepQuant) quantileSweep(daily, by, quantSpecs, loOf, hiOf)
+      else null
 
     // ---- 3. assemble per-(group, day) window values ----
     var win = win0
@@ -289,6 +340,16 @@ object CalendarWindow {
         .foldLeft(win(DAY) <=> r("__cw_d1__"))(_ && _)
       win = win.join(r, cond, "left")
         .drop("__cw_d1__").drop(by.map(c => s"__cw_i_$c"): _*)
+    }
+    if (win2 != null) {
+      // same left-join contract as win1: swept windows carry values,
+      // empty/NULL-day windows get NULL quantiles
+      val r = by.foldLeft(win2.withColumnRenamed(DAY, "__cw_d2__")) {
+        (d, c) => d.withColumnRenamed(c, s"__cw_q_$c") }
+      val cond = by.map(c => win(c) <=> r(s"__cw_q_$c"))
+        .foldLeft(win(DAY) <=> r("__cw_d2__"))(_ && _)
+      win = win.join(r, cond, "left")
+        .drop("__cw_d2__").drop(by.map(c => s"__cw_q_$c"): _*)
     }
 
     // `.complete` gate: window value-span inside the group's index span —
@@ -326,6 +387,24 @@ object CalendarWindow {
           when(cnt > 0, raw.cast("double") / cnt)
         case Min => col(s"__wmn_${sp.valueCol}")
         case Max => col(s"__wmx_${sp.valueCol}")
+        case Quantile(_) if sweepQuant => col(s"__wq_${sp.out}")
+        case Quantile(p) =>
+          // global (by = Nil) expansion form — Spark Percentile's own
+          // interpolation, replayed on the sorted merged list:
+          // pos = 1 + (n−1)p (double), result =
+          // a[⌊pos⌋]·(⌈pos⌉−pos) + a[⌈pos⌉]·(pos−⌊pos⌋) — the identical
+          // expression tree means bit-identical doubles (the sweep's
+          // Scala interpolation replays the same IEEE ops)
+          val arr = col(s"__wql_${sp.valueCol}")
+          val n = size(arr)
+          val pos = lit(1.0) + (n.cast("double") - lit(1.0)) * lit(p)
+          val lo = floor(pos)
+          val hi = ceil(pos)
+          val loV = element_at(arr, lo.cast("int"))
+          val hiV = element_at(arr, hi.cast("int"))
+          when(arr.isNotNull && n > 0,
+            when(lo === hi, loV)
+              .otherwise(loV * (hi - pos) + hiV * (pos - lo)))
         case Var | Std =>
           // var_samp = (Σx² − (Σx)²/n) / (n−1): three prefix differences,
           // clamped at 0 against floating cancellation; NULL for n ≤ 1
@@ -356,6 +435,134 @@ object CalendarWindow {
     // silently DROP those rows from the output (GlobalWindow.sweepAndJoin
     // uses <=> for the same reason).
     joinNullSafe(keyed, winVals, by :+ DAY, "__cw_r_").drop(DAY)
+  }
+
+  /** Grouped exact-quantile sweep (round-9, the `window_range_months_
+    * median` scale fix): one hash repartition of the per-(group, day)
+    * value lists on the GROUP keys (no fan-out, no array re-shuffle),
+    * then each group computes every window locally — a two-pointer
+    * walk over its day-sorted partials (both `add_months` boundaries
+    * are monotone in the day, so the window edges only advance), one
+    * merge + sort + interpolation per window. Work is O(Σ_g D_g · w̄
+    * log w̄) — the same exact-quantile cost every other form pays — but
+    * with ZERO join fan-out; state per group is its distinct-day
+    * partial list, calendar-bounded (a group's days, not its rows).
+    * The interpolation replays Spark `Percentile`'s IEEE expression
+    * (pos = 1 + (n−1)p; lo·(hi−pos) + hi·(pos−lo)) bit-for-bit.
+    *
+    * Emits one row per input (group, day): group cols (original
+    * names), [[DAY]], and `__wq_<spec.out>` doubles. NULL-day partials
+    * are excluded (a NULL index joins no window; the caller's
+    * left-join keeps those rows with NULL outputs). */
+  private def quantileSweep(daily: DataFrame, by: Seq[String],
+      quantSpecs: Seq[MonthsAggSpec],
+      loOf: Column => Column, hiOf: Column => Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val byCols = by.map(col)
+    val qCols = quantSpecs.map(_.valueCol).distinct
+    val epoch = to_date(lit("1970-01-01"))
+    val qin = daily.filter(col(DAY).isNotNull)
+      .select((byCols ++ Seq(col(DAY),
+        datediff(col(DAY), epoch).as("__dd"),
+        datediff(loOf(col(DAY)), epoch).as("__lod"),
+        datediff(hiOf(col(DAY)), epoch).as("__hid")) ++
+        qCols.map(v => col(s"__ql_$v"))): _*)
+    val inSchema = qin.schema
+    val nBy = by.size
+    val dayIdx = nBy
+    val colIdx = qCols.zipWithIndex.map { case (v, i) => v -> (nBy + 4 + i) }
+      .toMap
+    // spec → (source-array index, p), resolved once
+    val specPlan = quantSpecs.map(sp => (colIdx(sp.valueCol),
+      sp.op.asInstanceOf[MonthsOp.Quantile].p))
+    val outSchema = StructType(
+      inSchema.fields.take(nBy + 1) ++
+        quantSpecs.map(sp => StructField(s"__wq_${sp.out}", DoubleType)))
+    val enc = Encoders.row(outSchema)
+
+    qin.repartition(byCols: _*)
+      .sortWithinPartitions((byCols :+ col(DAY)): _*)
+      .mapPartitions { it =>
+        // one GROUP buffered at a time (groups are contiguous after the
+        // repartition + sort); each entry = (day value, dd, lod, hid,
+        // per-col value arrays)
+        final case class Entry(day: Any, dd: Int, lod: Int, hid: Int,
+          vals: Array[Array[Double]])
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
+        var curKey: Seq[Any] = null
+
+        def interpolate(a: Array[Double], p: Double): Any =
+          if (a.isEmpty) null
+          else {
+            val pos = 1.0 + (a.length - 1).toDouble * p
+            val lo = math.floor(pos)
+            val hi = math.ceil(pos)
+            if (lo == hi) a(lo.toInt - 1)
+            else a(lo.toInt - 1) * (hi - pos) + a(hi.toInt - 1) * (pos - lo)
+          }
+
+        def flush(): Iterator[Row] = {
+          if (buf.isEmpty) return Iterator.empty
+          val entries = buf.toArray
+          buf.clear()
+          val key = curKey
+          var loIdx = 0
+          var hiIdx = -1
+          entries.iterator.map { e =>
+            // both boundaries are monotone non-decreasing in the day,
+            // so the pointers only ever advance
+            while (loIdx < entries.length && entries(loIdx).dd < e.lod)
+              loIdx += 1
+            if (hiIdx < loIdx - 1) hiIdx = loIdx - 1
+            while (hiIdx + 1 < entries.length &&
+                entries(hiIdx + 1).dd <= e.hid)
+              hiIdx += 1
+            val outs = specPlan.map { case (ci, p) =>
+              val vi = ci - (nBy + 4)
+              var n = 0
+              var j = loIdx
+              while (j <= hiIdx) { n += entries(j).vals(vi).length; j += 1 }
+              val merged = new Array[Double](n)
+              var o = 0
+              j = loIdx
+              while (j <= hiIdx) {
+                val a = entries(j).vals(vi)
+                System.arraycopy(a, 0, merged, o, a.length)
+                o += a.length
+                j += 1
+              }
+              java.util.Arrays.sort(merged)
+              interpolate(merged, p)
+            }
+            Row.fromSeq(key ++ Seq(e.day) ++ outs)
+          }
+        }
+
+        new Iterator[Row] {
+          private var pending: Iterator[Row] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!pending.hasNext && (it.hasNext || buf.nonEmpty)) {
+              if (!it.hasNext) pending = flush()
+              else {
+                val r = it.next()
+                val key = (0 until nBy).map(r.get)
+                if (curKey != null && key != curKey) pending = flush()
+                curKey = key
+                buf += Entry(r.get(dayIdx), r.getInt(nBy + 1),
+                  r.getInt(nBy + 2), r.getInt(nBy + 3),
+                  qCols.indices.map { i =>
+                    val s = r.getSeq[Double](nBy + 4 + i)
+                    if (s == null) Array.empty[Double] else s.toArray
+                  }.toArray)
+              }
+            }
+            pending.hasNext
+          }
+          def next(): Row = pending.next()
+        }
+      }(enc)
+      .toDF()
   }
 
   /** GENERAL month-frame aggregates — ANY Spark aggregate expression per

@@ -143,6 +143,59 @@ object Multimodal {
       channels = (Math.floorMod(salted(bytes, "-c"), 3L) + 1).toInt)
   }
 
+  /** Synthesize a REAL Windows-BMP blob (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, little-endian per the public BMP layout) whose
+    * dimensions are the same md5-derived values as [[FakeDecoder]] —
+    * so the DuckDB oracle can still predict width/height/channels from
+    * the source text, while the Spark side must RECOVER them from the
+    * byte layout ([[BmpDecoder]]). Header-complete, pixel-truncated:
+    * the declared sizes are spec-honest (4-byte-aligned rows) but the
+    * pixel array is the text bytes as a stand-in — metadata decode
+    * never touches pixels, and a full pixel array (w·h·c up to ~2.8 MB
+    * per blob) would be fixture bloat, not fidelity. */
+  def bmpBlob(textBytes: Array[Byte]): Array[Byte] = {
+    val meta = FakeDecoder.decode(textBytes)
+    val rowSize = ((meta.width * meta.channels * 8 + 31) / 32) * 4
+    val imgSize = rowSize.toLong * meta.height
+    val pixels = textBytes
+    val bb = java.nio.ByteBuffer.allocate(54 + pixels.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt((54 + imgSize).toInt)          // declared file size
+      .putInt(0)                             // reserved
+      .putInt(54)                            // pixel-data offset
+      .putInt(40)                            // BITMAPINFOHEADER size
+      .putInt(meta.width)
+      .putInt(meta.height)                   // positive = bottom-up
+      .putShort(1)                           // planes
+      .putShort((meta.channels * 8).toShort) // bits per pixel
+      .putInt(0)                             // BI_RGB (uncompressed)
+      .putInt(imgSize.toInt)
+      .putInt(2835).putInt(2835)             // 72 DPI in px/metre
+      .putInt(0).putInt(0)                   // palette sizes
+      .put(pixels)
+    bb.array()
+  }
+
+  /** The REAL header decoder (round-9, replacing the stub for
+    * `mm_image_meta`/`mm_resize`): parses genuine BMP bytes by the
+    * public layout — magic "BM" at 0, int32 width at 18, int32 height
+    * at 22 (negative = top-down, so |height|), uint16 bit-count at 28.
+    * Rejects non-BMP payloads loudly rather than guessing. */
+  object BmpDecoder extends BlobDecoder {
+    def decode(bytes: Array[Byte]): DecodedMeta = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        s"not a BMP blob (${bytes.length} bytes)")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val width = bb.getInt(18)
+      val height = math.abs(bb.getInt(22))
+      val bits = bb.getShort(28) & 0xffff
+      require(bits % 8 == 0 && bits > 0, s"unsupported bit depth $bits")
+      DecodedMeta(width, height, bits / 8)
+    }
+  }
+
   /** Batch decode via `mapPartitions` — the Scala analog of a Pandas-UDF
     * `mapInPandas` decode stage: one decoder per partition (open/close
     * around the iterator), rows streamed, output typed. Narrow — scales

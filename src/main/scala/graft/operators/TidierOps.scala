@@ -200,9 +200,14 @@ object TidierOps {
           case "max"                            => Max
           case "stddev" | "stddev_samp" | "std" => Std
           case "variance" | "var_samp"          => Var
+          // exact median rides the daily-partial expansion path (one
+          // collect per day, window fan-out on days not raw rows) —
+          // round-9: previously this dragged the WHOLE expr set through
+          // monthsAggGeneral's raw-row expansion
+          case "median"                         => Quantile(0.5)
           case other => throw new UnsupportedOperationException(
             s"month Period frames support sum/count/avg/min/max/" +
-              s"stddev/variance (got: $other)")
+              s"stddev/variance/median (got: $other)")
         }
         (op, args) match {
           case (Count, Seq(None))    => (CountAll, "")

@@ -4,12 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal._
 
-/** Multimodal query inventory: `documents.text` UTF-8 bytes stand in for
-  * media payloads (see [[graft.operators.Multimodal]] — the decode math
-  * is a deterministic md5-derived stub, the binary plumbing is real).
-  * Every query has a full DuckDB oracle: both engines hash
-  * `hex(payload) || tag` and read the first 15 hex digits as a 60-bit
-  * long, so pseudo-decode outputs are bit-identical.
+/** Multimodal query inventory over `documents.text`-derived payloads
+  * (see [[graft.operators.Multimodal]]). `mm_image_meta`/`mm_resize`
+  * decode REAL BMP header bytes ([[graft.operators.Multimodal.bmpBlob]]
+  * synthesis + [[graft.operators.Multimodal.BmpDecoder]] byte-layout
+  * parse through the mapPartitions decode plumbing); the remaining
+  * pseudo-decode outputs (features) hash `hex(payload) || tag` and read
+  * the first 15 hex digits as a 60-bit long in both engines, so they
+  * are bit-identical. Every query has a full DuckDB oracle — for the
+  * BMP keys the oracle predicts the dims from the source text (the
+  * same md5 math the blob generator embeds), so a green hash gate
+  * proves the header writer and parser agree with the public layout.
   */
 object MultimodalQueries {
 
@@ -19,6 +24,23 @@ object MultimodalQueries {
   private def withPayload(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), payload(col("text")).as("p"))
 
+  /** BMP-synthesize + byte-layout decode: (doc_id, width, height,
+    * channels) recovered from real header bytes. Shared by
+    * `mm_image_meta` and `mm_resize`. */
+  private def realImageMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => graft.operators.Multimodal.Blob(id,
+        graft.operators.Multimodal.bmpBlob(t.getBytes("UTF-8"))) }
+    graft.operators.Multimodal
+      .decodeWith(blobs, graft.operators.Multimodal.BmpDecoder)
+      .select(col("id").as("doc_id"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.channels").as("channels"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats" -> ((s, dir) => {
       // Real (non-stub) payload stats: byte length + content address.
@@ -27,19 +49,27 @@ object MultimodalQueries {
         blobMd5(col("p")).as("content_md5"))
     }),
     "mm_image_meta" -> ((s, dir) => {
-      // STUB decode: deterministic pseudo width/height/channels.
-      withPayload(s, dir)
-        .select(col("doc_id"), fakeImageMeta(col("p")).as("m"))
+      // REAL byte-layout decode (round-9, was the declared stub): the
+      // fixture stage synthesizes genuine BMP blobs (bmpBlob — real
+      // BITMAPFILEHEADER/INFOHEADER, dims from the same md5 math the
+      // oracle replays on the source text) and the query recovers
+      // width/height/channels by PARSING THE BYTES (BmpDecoder via the
+      // decodeWith mapPartitions plumbing — one decoder per partition,
+      // the pandas-UDF analog). The hash gate closes the loop: green
+      // iff the header writer and parser agree with the public BMP
+      // layout, byte for byte.
+      realImageMeta(s, dir)
         .select(col("doc_id"),
-          col("m.width").cast("long").as("width"),
-          col("m.height").cast("long").as("height"),
-          col("m.channels").cast("long").as("channels"))
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"))
     }),
     "mm_resize" -> ((s, dir) => {
-      // resize planning over the pseudo-decode: cap the long edge at 256,
-      // keep aspect (floor), report the raw-bitmap output budget
-      withPayload(s, dir)
-        .select(col("doc_id"), fakeImageMeta(col("p")).as("m"))
+      // resize planning over the REAL header decode: cap the long edge
+      // at 256, keep aspect (floor), report the raw-bitmap output budget
+      realImageMeta(s, dir)
+        .select(col("doc_id"),
+          struct(col("width"), col("height"), col("channels")).as("m"))
         .select(col("doc_id"),
           col("m.width").cast("long").as("width"),
           col("m.height").cast("long").as("height"),

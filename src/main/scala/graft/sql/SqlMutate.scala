@@ -23,8 +23,10 @@ import graft.operators.{Frame, FrameEndpoint}
   *     reference (slider semantics) — SQL result sets have no input
   *     order, so that shape is rejected here (the reference's own SQL
   *     branch forces an explicit order for the same reason);
-  *   - month-frame min/max ride the interval-expansion path, which has
-  *     no faithful single-statement rendering — DataFrame API only.
+  *   - months+sub-day compound Periods (the seconds-granularity
+  *     expansion) remain DataFrame-only; month-frame min/max render as
+  *     the daily-partial expansion CTE chain (round-9, closing the one
+  *     documented month-frame SQL delta).
   */
 object SqlMutate {
 
@@ -152,6 +154,7 @@ object SqlMutate {
     case object Sum extends MAgg; case object Count extends MAgg
     case object CountAll extends MAgg; case object Avg extends MAgg
     case object Var extends MAgg; case object Std extends MAgg
+    case object Min extends MAgg; case object Max extends MAgg
   }
   private val AggCall = """(?i)^\s*([a-z_]+)\s*\(\s*(\*|1|[\w.`]+)\s*\)\s*$""".r
 
@@ -175,9 +178,13 @@ object SqlMutate {
     *      null-safely (NULL groups/days are real groups upstream).
     *
     * Same O(n log n) shape as the DataFrame path — no quadratic range
-    * self-join. Month-frame min/max (the interval-expansion path) stay
-    * DataFrame-only: they are not prefix-decomposable and their binned
-    * self-join has no faithful single-statement rendering. */
+    * self-join. Month-frame min/max render the daily-partial EXPANSION
+    * branch instead (g_bins/g_ebins/g_exp): per-day min/max partials,
+    * window day spans exploded to width-sized bins (LATERAL VIEW
+    * explode(sequence(...)), <= 2 bins per window), an equi join on
+    * (group, bin) with the exact range recheck in the join condition,
+    * and a re-aggregate per window — the same plan monthsAgg's 2b
+    * branch builds, never a nested loop. */
   private def monthsSql(table: String, exprs: Seq[(String, String)],
       by: Seq[String], frame: Frame, index: Option[String],
       complete: Boolean): String = {
@@ -208,13 +215,11 @@ object SqlMutate {
             case "avg" | "mean"                   => Avg
             case "stddev" | "stddev_samp" | "std" => Std
             case "variance" | "var_samp"          => Var
-            case "min" | "max" => throw new UnsupportedOperationException(
-              "month-frame min/max ride the interval-expansion path, " +
-                "which has no single-statement SQL rendering — use the " +
-                "DataFrame API (mutateW / CalendarWindow.monthsAgg)")
+            case "min"                            => Min
+            case "max"                            => Max
             case other => throw new UnsupportedOperationException(
-              s"month Period frames support sum/count/avg/stddev/variance" +
-                s" in SQL (got: $other)")
+              s"month Period frames support sum/count/avg/stddev/" +
+                s"variance/min/max in SQL (got: $other)")
           }
           if (op == Count && (arg == "*" || arg == "1")) (n, CountAll, "")
           else if (arg == "*" || arg == "1")
@@ -232,6 +237,15 @@ object SqlMutate {
     val vi = vcols.zipWithIndex.toMap
     val sqcols = parsed.collect { case (_, Var | Std, v) => v }.distinct
     val needAll = parsed.exists(_._2 == CountAll)
+    // min/max ride the daily-partial EXPANSION chain (g_bins/g_exp) —
+    // the same binned interval join CalendarWindow.monthsAgg builds,
+    // rendered via LATERAL VIEW explode(sequence(...))
+    val mncols = parsed.collect { case (_, Min, v) => v }.distinct
+    val mxcols = parsed.collect { case (_, Max, v) => v }.distinct
+    val mmAll = (mncols ++ mxcols).distinct
+    val mi = mmAll.zipWithIndex.toMap
+    val hasPrefix = vcols.nonEmpty || needAll
+    val hasMm = mmAll.nonEmpty
 
     val byL = by.mkString(", ")
     val byPfx = if (by.isEmpty) "" else s"$byL, "
@@ -250,7 +264,9 @@ object SqlMutate {
         (if (sqcols.contains(v))
            Seq(s"sum(CAST($v AS DOUBLE) * CAST($v AS DOUBLE)) AS q_$i")
          else Nil)
-    } ++ (if (needAll) Seq("count(1) AS call") else Nil)
+    } ++ (if (needAll) Seq("count(1) AS call") else Nil) ++
+      mncols.map(v => s"min($v) AS mn_${mi(v)}") ++
+      mxcols.map(v => s"max($v) AS mx_${mi(v)}")
     val runPairs: Seq[(String, String)] = vcols.flatMap { v => val i = vi(v)
       Seq(s"s_$i" -> s"cs_$i", s"c_$i" -> s"cc_$i") ++
         (if (sqcols.contains(v)) Seq(s"q_$i" -> s"cq_$i") else Nil)
@@ -264,12 +280,10 @@ object SqlMutate {
     val pivotCols = runNames.flatMap(c => Seq(
       s"max(CASE WHEN kind = 'h' THEN l_$c END) AS hi_$c",
       s"max(CASE WHEN kind = 'l' THEN l_$c END) AS lo_$c")).mkString(", ")
-    val gateCols = if (complete)
-      s", min(day) OVER (${pb.trim}) AS gmin, max(day) OVER (${pb.trim}) AS gmax"
-    else ""
 
     def outSql(op: MAgg, v: String): String = {
-      val i = if (v.nonEmpty) vi(v) else -1
+      // prefix-family alias index; min/max index into mi instead
+      lazy val i = if (v.nonEmpty) vi(v) else -1
       def cnt = s"(coalesce(hi_cc_$i, 0) - coalesce(lo_cc_$i, 0))"
       def raw = s"(coalesce(hi_cs_$i, 0) - coalesce(lo_cs_$i, 0))"
       op match {
@@ -284,6 +298,8 @@ object SqlMutate {
           val varc = s"CASE WHEN $n > 1 THEN " +
             s"greatest(($s2 - $s1 * $s1 / $n) / ($n - 1), 0D) END"
           if (op == Var) varc else s"sqrt($varc)"
+        case Min => s"w_mn_${mi(v)}"
+        case Max => s"w_mx_${mi(v)}"
       }
     }
     // strict-lubridate NA replay (Frame.strict) — same clamp detector
@@ -315,10 +331,11 @@ object SqlMutate {
     val joinOn = (by.map(c => s"b.$c <=> w.$c") :+
       s"CAST(b.${index.get} AS DATE) <=> w.day").mkString(" AND ")
 
-    s"""WITH g_daily AS (
+    val dailyCte = s"""WITH g_daily AS (
   SELECT $byPfx CAST(${index.get} AS DATE) AS day, ${dailyAggs.mkString(", ")}
   FROM $table GROUP BY $byPfx CAST(${index.get} AS DATE)
-), g_cum AS (
+)"""
+    val prefixCtes = if (!hasPrefix) "" else s""", g_cum AS (
   SELECT $byPfx day, ${cumCols.mkString(", ")}
   FROM g_daily
   WINDOW cw AS (${pb}ORDER BY day
@@ -344,9 +361,67 @@ object SqlMutate {
   SELECT $byPfx pday AS day, $pivotCols
   FROM g_sweep WHERE kind IS NOT NULL
   GROUP BY $byPfx pday
-)
+)"""
+    // the min/max daily-partial expansion as SQL — bins via LATERAL
+    // VIEW explode(sequence(...)), the exact shape of
+    // CalendarWindow.monthsAgg's 2b branch (width guarantees <= 2 bins
+    // per window; the range recheck rides the join condition)
+    val width = math.max(1L, (b + a) * 31L + bd + ad + 1L)
+    val mmDailyCols = (mncols.map(v => s"mn_${mi(v)}") ++
+      mxcols.map(v => s"mx_${mi(v)}")).mkString(", ")
+    val mmSel = (mncols.map(v => s"min(d.mn_${mi(v)}) AS w_mn_${mi(v)}") ++
+      mxcols.map(v => s"max(d.mx_${mi(v)}) AS w_mx_${mi(v)}")).mkString(", ")
+    val mmOutNames = (mncols.map(v => s"w_mn_${mi(v)}") ++
+      mxcols.map(v => s"w_mx_${mi(v)}"))
+    val byIPfx = if (by.isEmpty) "" else by.map(c => s"i.$c").mkString(", ") + ", "
+    val byIAs = if (by.isEmpty) "" else by.map(c => s"i.$c AS $c").mkString(", ") + ", "
+    val mmCtes = if (!hasMm) "" else s""", g_bins AS (
+  SELECT $byPfx day AS wday,
+         datediff(${loSql("day")}, DATE '1970-01-01') AS lod,
+         datediff(${hiSql("day")}, DATE '1970-01-01') AS hid
+  FROM g_daily
+), g_ebins AS (
+  SELECT ${byPfx}wday, lod, hid, bin
+  FROM g_bins
+  LATERAL VIEW explode(sequence(CAST(floor(lod / $width) AS BIGINT),
+    CAST(floor(hid / $width) AS BIGINT))) __gt AS bin
+), g_exp AS (
+  SELECT ${byIAs}i.wday AS day, $mmSel
+  FROM g_ebins i
+  JOIN (SELECT $byPfx day, datediff(day, DATE '1970-01-01') AS pd,
+          $mmDailyCols
+        FROM g_daily) d
+    ON ${(by.map(c => s"i.$c <=> d.$c") :+
+          s"CAST(floor(d.pd / $width) AS BIGINT) = i.bin")
+        .mkString(" AND ")}
+      AND d.pd >= i.lod AND d.pd <= i.hid
+  GROUP BY ${byIPfx}i.wday
+)"""
+    // complete-gate columns, with a qualifier for joined contexts where
+    // bare `day`/group names would be ambiguous
+    def gateColsQ(q: String): String = if (!complete) "" else {
+      val p = if (by.isEmpty) ""
+        else s"PARTITION BY ${by.map(q + _).mkString(", ")} "
+      s", min(${q}day) OVER (${p.trim}) AS gmin, " +
+        s"max(${q}day) OVER (${p.trim}) AS gmax"
+    }
+    val mmJoinOn = (q: String) => (by.map(c => s"$q$c <=> e.$c") :+
+      s"${q}day <=> e.day").mkString(" AND ")
+    val wSub =
+      if (hasPrefix && hasMm)
+        s"SELECT p.*${mmOutNames.map(c => s", e.$c AS $c").mkString}" +
+          s"${gateColsQ("p.")} FROM g_win p LEFT JOIN g_exp e " +
+          s"ON ${mmJoinOn("p.")}"
+      else if (hasPrefix) s"SELECT *${gateColsQ("")} FROM g_win"
+      else
+        s"SELECT ${if (by.isEmpty) "" else by.map(c => s"a.$c").mkString(", ") + ", "}" +
+          s"a.day${mmOutNames.map(c => s", e.$c AS $c").mkString}" +
+          s"${gateColsQ("a.")} FROM (SELECT $byPfx day FROM g_daily) a " +
+          s"LEFT JOIN g_exp e ON ${mmJoinOn("a.")}"
+
+    s"""$dailyCte$prefixCtes$mmCtes
 SELECT b.*, $gated
 FROM $table b
-JOIN (SELECT *$gateCols FROM g_win) w ON $joinOn"""
+JOIN ($wSub) w ON $joinOn"""
   }
 }

@@ -165,13 +165,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val naRows = spark.sql(sql).filter("ms IS NULL AND mc IS NULL").count()
       assert(naRows == 4L, s"expected 4 strict-NA rows, got $naRows")
     }
-    // month-frame min/max (interval-expansion path) stay DataFrame-only
-    intercept[UnsupportedOperationException] {
-      SqlMutate.render("sqlmutate_t", Seq("s" -> "max(v)"),
-        by = Seq("g"), frame = Some(Frame.months(1, 0)), index = Some("d"))
-    }
+    // month-frame min/max: the daily-partial EXPANSION chain renders
+    // (round-9, closing the documented delta) — mixed with prefix ops
+    // in one statement, and alone (no prefix CTEs emitted)
+    same(
+      SqlMutate.render("sqlmutate_t",
+        Seq("mmn" -> "min(v)", "mmx" -> "max(v)", "ms" -> "sum(v)"),
+        by = Seq("g"), frame = Some(Frame.months(1, 0)), index = Some("d")),
+      df.mutateW("mmn" -> min(col("v")), "mmx" -> max(col("v")),
+          "ms" -> sum(col("v")))(
+        by = Seq(col("g")), frame = Some(Frame.months(1, 0)),
+        index = Some(col("d"))))
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("mmx" -> "max(v)"),
+        by = Seq("g"), frame = Some(Frame.months(2, -1)), index = Some("d")),
+      df.mutateW("mmx" -> max(col("v")))(
+        by = Seq(col("g")), frame = Some(Frame.months(2, -1)),
+        index = Some(col("d"))))
+    // ... including global (no-by) and .complete-gated shapes
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("mmn" -> "min(v)"),
+        frame = Some(Frame.months(1, 0)), index = Some("d")),
+      df.mutateW("mmn" -> min(col("v")))(
+        frame = Some(Frame.months(1, 0)), index = Some(col("d"))))
+    same(
+      SqlMutate.render("sqlmutate_t",
+        Seq("mmx" -> "max(v)", "mc" -> "count(v)"),
+        by = Seq("g"), frame = Some(Frame.months(1, 0)), index = Some("d"),
+        complete = true),
+      df.mutateW("mmx" -> max(col("v")), "mc" -> count(col("v")))(
+        by = Seq(col("g")), frame = Some(Frame.months(1, 0)),
+        index = Some(col("d")), complete = true))
     // months+sub-day compound Periods have no SQL rendering (documented
-    // inherent-to-SQL delta, like min/max)
+    // inherent-to-SQL delta)
     intercept[UnsupportedOperationException] {
       SqlMutate.render("sqlmutate_t", Seq("s" -> "sum(v)"),
         by = Seq("g"), frame = Some(Frame.monthsHours(1, 6, 0, -12)),

@@ -60,6 +60,29 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(m("ab"), m("cd"), m("ef"), m("gh")))
   }
 
+  test("bmpBlob/BmpDecoder: real header bytes round-trip the generated " +
+      "dims, independent of the md5 derivation") {
+    val text = "some document payload".getBytes("UTF-8")
+    val blob = bmpBlob(text)
+    // spec anchors: magic, pixel-data offset, INFOHEADER size
+    assert(blob(0) == 'B'.toByte && blob(1) == 'M'.toByte)
+    val bb = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(10) == 54 && bb.getInt(14) == 40)
+    assert(BmpDecoder.decode(blob) == FakeDecoder.decode(text))
+    // hand-built header with KNOWN dims (parser must not consult any
+    // hash): 33 x 7, 24-bit, top-down (negative height)
+    val hand = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hand.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      .putInt(40).putInt(33).putInt(-7).putShort(1).putShort(24)
+    assert(BmpDecoder.decode(hand.array()) == DecodedMeta(33, 7, 3))
+    // non-BMP payloads are rejected loudly, not guessed at
+    intercept[IllegalArgumentException] {
+      BmpDecoder.decode("definitely not a bitmap".getBytes("UTF-8"))
+    }
+  }
+
   test("decodeWith: mapPartitions decode matches the column-level stub") {
     val blobs = docs.limit(20)
       .select($"doc_id".as("id"), payload($"text").as("bytes"))
