@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import graft.operators.{Frame, TidierOps}
+
+/** Property-fuzz of the mutateW surface against DuckDB (round-9 verdict
+  * stretch 9): N seeded random (table, spec) samples over
+  * (by, order, frame-shape, complete) × aggregate, each replayed as an
+  * on-the-fly DuckDB window query through the SAME harness the fixed-key
+  * gate uses:
+  *
+  *   sbt "runMain graft.Fuzz /tmp/fuzz_in /tmp/fuzz_out 200 42"
+  *   python3 tools/check_oracle.py /tmp/fuzz_in /tmp/fuzz_out
+  *
+  * Inputs are integer-valued doubles (exact in both engines: sums exact,
+  * avg one identical IEEE division) with NULL values and a NULL group;
+  * order keys are unique so every sample is deterministic. Shapes:
+  * running (asc/desc), group-constant, rows(b,a) frames incl. negative
+  * offsets and `.complete`, days(b,a) index frames incl. `.complete`,
+  * and trailing months(m,0) (rendered as the interval self-join in the
+  * oracle, like the fixed months keys). */
+object Fuzz {
+  import TidierOps._
+
+  private final case class Sample(name: String, df: DataFrame,
+    result: DataFrame, oracle: String)
+
+  def main(args: Array[String]): Unit = {
+    val inDir = args.headOption.getOrElse("/tmp/fuzz_in")
+    val outDir = args.lift(1).getOrElse("/tmp/fuzz_out")
+    val n = args.lift(2).map(_.toInt).getOrElse(200)
+    val seed = args.lift(3).map(_.toLong).getOrElse(42L)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(inDir).mkdirs()
+    new java.io.File(outDir).mkdirs()
+
+    val oracles = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var fails = 0
+    (0 until n).foreach { i =>
+      val s = sample(spark, i, seed)
+      try {
+        s.df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$inDir/${s.name}.parquet")
+        s.result.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${s.name}")
+        oracles(s.name) = s.oracle
+      } catch { case e: Exception =>
+        System.err.println(s"[fuzz] ${s.name} FAILED to build: $e")
+        fails += 1
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    System.err.println(s"[fuzz] wrote ${oracles.size} samples, $fails failed")
+    spark.stop()
+    if (fails > 0) sys.exit(1)
+  }
+
+  /** One seeded sample: table + spec + Spark result + DuckDB oracle. */
+  private def sample(spark: SparkSession, i: Int, seed: Long): Sample = {
+    val rnd = new java.util.Random(seed * 7919L + i)
+    val name = f"fz$i%03d"
+    val nRows = 40 + rnd.nextInt(120)
+    val nGroups = 2 + rnd.nextInt(3)
+    val nullGroup = rnd.nextBoolean()
+    val rows = (0 until nRows).map { r =>
+      val g = if (nullGroup && rnd.nextInt(8) == 0) null
+        else s"g${rnd.nextInt(nGroups)}"
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(rnd.nextInt(180).toLong))
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Double.valueOf((rnd.nextInt(2001) - 1000).toDouble)
+      (g, r.toLong, d, v)
+    }
+    import spark.implicits._
+    val df = rows.toDF("g", "o", "d", "v")
+
+    val aggs = Seq[(String, Column => Column, String => String)](
+      ("sum", sum, v => s"sum($v)"),
+      ("count", (c: Column) => count(c), v => s"count($v)"),
+      ("min", min, v => s"min($v)"),
+      ("max", max, v => s"max($v)"),
+      ("avg", avg, v => s"avg($v)"))
+    val (_, aggC, aggS) = aggs(rnd.nextInt(aggs.size))
+    val useBy = rnd.nextBoolean()
+    val by = if (useBy) Seq(col("g")) else Nil
+    val pb = if (useBy) "PARTITION BY g " else ""
+    val desc = rnd.nextBoolean()
+    val ord = if (desc) "o DESC" else "o"
+
+    def out(res: DataFrame): DataFrame = res.select(col("o"), col("out"))
+    def w(frame: String): String =
+      s"""SELECT o, $out0 OVER ($pb$frame) AS out FROM $name"""
+    def out0 = aggS("v")
+
+    rnd.nextInt(5) match {
+      case 0 => // running aggregate over o order
+        val res = df.mutateW("out" -> aggC(col("v")))(
+          by = by, orderBy = Seq(if (desc) col("o").desc else col("o")))
+        Sample(name, df, out(res),
+          w(s"ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+            "CURRENT ROW"))
+      case 1 => // group-constant aggregate (.by only)
+        val res = df.mutateW("out" -> aggC(col("v")))(by = Seq(col("g")))
+        Sample(name, df, out(res), s"SELECT o, $out0 OVER " +
+          s"(PARTITION BY g) AS out FROM $name")
+      case 2 => // rows(b, a) frame, possibly negative offsets + complete
+        val b = rnd.nextInt(6) - 1 // -1..4
+        val a = math.max(-b, rnd.nextInt(4) - 1) // frame nonempty
+        val complete = rnd.nextBoolean()
+        val res = df.mutateW("out" -> aggC(col("v")))(
+          by = by, orderBy = Seq(if (desc) col("o").desc else col("o")),
+          frame = Some(Frame.rows(b, a)), complete = complete)
+        def bound(k: Long, before: Boolean): String =
+          if (k == 0) "CURRENT ROW"
+          else if ((k > 0) == before) s"${math.abs(k)} PRECEDING"
+          else s"${math.abs(k)} FOLLOWING"
+        val fr = s"ORDER BY $ord ROWS BETWEEN ${bound(b, before = true)} " +
+          s"AND ${bound(a, before = false)}"
+        val base = w(fr)
+        val o =
+          if (!complete) base
+          else s"""SELECT o, CASE WHEN count(1) OVER ($pb$fr) = ${b + a + 1}
+                   THEN $out0 OVER ($pb$fr) END AS out FROM $name"""
+        Sample(name, df, out(res), o)
+      case 3 => // days(b, a) index range frame + complete
+        val b = rnd.nextInt(45)
+        val a = rnd.nextInt(15)
+        val complete = rnd.nextBoolean()
+        val res = df.mutateW("out" -> aggC(col("v")))(
+          by = by, frame = Some(Frame.days(b, a)), index = Some(col("d")),
+          complete = complete)
+        val idx = s"date_diff('day', DATE '1970-01-01', d)"
+        val fr = s"ORDER BY $idx RANGE BETWEEN $b PRECEDING AND " +
+          s"$a FOLLOWING"
+        val o =
+          if (!complete) w(fr)
+          else s"""SELECT o, CASE WHEN $idx - $b >= min($idx) OVER ($pb)
+                   AND $idx + $a <= max($idx) OVER ($pb)
+                   THEN $out0 OVER ($pb$fr) END AS out FROM $name"""
+        Sample(name, df, out(res), o)
+      case _ => // trailing months(m, 0) — interval self-join oracle
+        val m = 1 + rnd.nextInt(3)
+        val res = df.mutateW("out" -> aggC(col("v")))(
+          by = by, frame = Some(Frame.months(m, 0)), index = Some(col("d")))
+        val onG = if (useBy) "a.g IS NOT DISTINCT FROM b.g AND " else ""
+        Sample(name, df, out(res),
+          s"""SELECT a.o, ${aggS("b.v")} AS out
+              FROM $name a JOIN $name b ON $onG
+                b.d BETWEEN CAST(a.d - INTERVAL $m MONTH AS DATE) AND a.d
+              GROUP BY a.o""")
+    }
+  }
+}

@@ -110,6 +110,82 @@ class MutateWPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("differential fuzz: mutateW equals spark.sql(SqlMutate.render) " +
+      "across random (by, order, frame, complete) x aggregate specs") {
+    // The two surfaces are independent implementations of the same verb
+    // (TidierOps compiles WindowSpecs / CalendarWindow pipelines;
+    // SqlMutate renders SQL text) — random differential replay catches
+    // router/renderer divergence the fixed-shape equivalence suite
+    // cannot. The cross-ENGINE replay (vs DuckDB, incl. NULL values and
+    // NULL groups) is graft.Fuzz + tools/check_oracle.py.
+    import org.apache.spark.sql.Column
+    import graft.sql.SqlMutate
+    val views = new java.util.concurrent.atomic.AtomicLong(0)
+    val aggOf: Int => (Column => Column, String) = Seq[(Column => Column, String)](
+      (sum(_), "sum"), (c => count(c), "count"),
+      (min(_), "min"), (max(_), "max"), (avg(_), "avg"))
+    val specGen = for {
+      shape <- Gen.choose(0, 4)
+      aggI <- Gen.choose(0, 4)
+      useBy <- Gen.oneOf(true, false)
+      desc <- Gen.oneOf(true, false)
+      b <- Gen.choose(0, 5)
+      a <- Gen.choose(0, 3)
+      complete <- Gen.oneOf(true, false)
+    } yield (shape, aggI, useBy, desc, b, a, complete)
+    check(forAll(tableGen, specGen) { (rows, spec) =>
+      rows.isEmpty || {
+        val (shape, aggI, useBy, desc, b, a, complete) = spec
+        val (aggC, aggN) = aggOf(aggI)
+        val base = df(rows).withColumn("d", date_add(
+          lit("2024-01-01").cast("date"),
+          (col("o") * 3 + pmod(col("rid"), lit(7))).cast("int")))
+        val vn = s"fuzz_diff_${views.incrementAndGet()}"
+        base.createOrReplaceTempView(vn)
+        val by = if (useBy) Seq($"g") else Nil
+        val byS = if (useBy) Seq("g") else Nil
+        val ordC = Seq(if (desc) $"o".desc else $"o", $"rid")
+        val ordS = Seq(if (desc) "o DESC" else "o", "rid")
+        val (res, sql) = shape match {
+          case 0 => // running
+            (base.mutateW("out" -> aggC($"v"))(by = by, orderBy = ordC),
+              SqlMutate.render(vn, Seq("out" -> s"$aggN(v)"),
+                by = byS, orderBy = ordS))
+          case 1 => // group-constant
+            (base.mutateW("out" -> aggC($"v"))(by = Seq($"g")),
+              SqlMutate.render(vn, Seq("out" -> s"$aggN(v)"),
+                by = Seq("g")))
+          case 2 => // rows frame (+ complete)
+            (base.mutateW("out" -> aggC($"v"))(by = by, orderBy = ordC,
+              frame = Some(Frame.rows(b, a)), complete = complete),
+              SqlMutate.render(vn, Seq("out" -> s"$aggN(v)"), by = byS,
+                orderBy = ordS, frame = Some(Frame.rows(b, a)),
+                complete = complete))
+          case 3 => // days index frame (+ complete)
+            (base.mutateW("out" -> aggC($"v"))(by = by,
+              frame = Some(Frame.days(b, a)), index = Some($"d"),
+              complete = complete),
+              SqlMutate.render(vn, Seq("out" -> s"$aggN(v)"), by = byS,
+                frame = Some(Frame.days(b, a)), index = Some("d"),
+                complete = complete))
+          case _ => // trailing month frame (incl. min/max expansion SQL)
+            (base.mutateW("out" -> aggC($"v"))(by = by,
+              frame = Some(Frame.months(math.max(b, 1), 0)),
+              index = Some($"d")),
+              SqlMutate.render(vn, Seq("out" -> s"$aggN(v)"), by = byS,
+                frame = Some(Frame.months(math.max(b, 1), 0)),
+                index = Some("d")))
+        }
+        val got = res.select("rid", "out").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+        val want = spark.sql(sql).select("rid", "out").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+        spark.catalog.dropTempView(vn)
+        got == want
+      }
+    })
+  }
+
   test("multi-expression call equals separate single-expression calls") {
     check(forAll(tableGen) { rows =>
       rows.isEmpty || {
