@@ -24,15 +24,47 @@ object MultimodalQueries {
   private def withPayload(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), payload(col("text")).as("p"))
 
-  /** BMP-synthesize + byte-layout decode: (doc_id, width, height,
-    * channels) recovered from real header bytes. Shared by
+  private val cleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Stage the BMP blob fixture once per (session, sf-dir): synthesize
+    * real header bytes columnar-side ([[graft.operators.Multimodal
+    * .bmpBlobCol]] — meta md5s in whole-stage codegen, header write in
+    * a constant-work UDF) and land them as a binary parquet column.
+    * Both BMP keys read this table, so the measured query is what a
+    * production decode stage does: scan stored blobs, parse bytes.
+    * Same scratch lifecycle as FormatQueries/TimeSeriesQueries
+    * (appId-keyed, shutdown-hook removed). */
+  private def stagedBlobsDir(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_blobs/${s.sparkContext.applicationId}"
+    if (cleanupRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }))
+    val path = s"$root/${new java.io.File(dir).getName}/bmp"
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").isFile)
+        docs(s, dir)
+          .select(col("doc_id"),
+            graft.operators.Multimodal.bmpBlobCol(payload(col("text")))
+              .as("bytes"))
+          .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Byte-layout decode over the staged blob table: (doc_id, width,
+    * height, channels) recovered from real BMP header bytes. Shared by
     * `mm_image_meta` and `mm_resize`. */
   private def realImageMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs = docs(s, dir).select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => graft.operators.Multimodal.Blob(id,
-        graft.operators.Multimodal.bmpBlob(t.getBytes("UTF-8"))) }
+    val blobs = s.read.parquet(stagedBlobsDir(s, dir))
+      .select(col("doc_id").as("id"), col("bytes"))
+      .as[graft.operators.Multimodal.Blob]
     graft.operators.Multimodal
       .decodeWith(blobs, graft.operators.Multimodal.BmpDecoder)
       .select(col("id").as("doc_id"),
