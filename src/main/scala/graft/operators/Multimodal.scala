@@ -220,38 +220,148 @@ object Multimodal {
     }
   }
 
+  // --- audio (WAV) codec: second real byte-layout format ----------------
+
+  /** STUB audio-parameter derivation, same md5 contract as
+    * [[fakeImageMeta]]: sample rate 8000-48000 Hz, 1-2 channels,
+    * 8/16/24-bit depth — the values the WAV synthesis embeds and the
+    * DuckDB oracle predicts from the source text. */
+  def fakeAudioMeta(p: Column): Column = struct(
+    (pmod(saltedHash(p, "-sr"), lit(40001)) + 8000).cast("int")
+      .as("sample_rate"),
+    (pmod(saltedHash(p, "-ac"), lit(2)) + 1).cast("int").as("channels"),
+    ((pmod(saltedHash(p, "-bd"), lit(3)) + 1) * 8).cast("int").as("bits"))
+
+  /** Synthesize a REAL RIFF/WAVE blob (canonical 44-byte PCM header,
+    * little-endian per the public WAV layout): RIFF size, "WAVE", a
+    * 16-byte "fmt " chunk (PCM format 1, channels, sample rate, byte
+    * rate, block align, bit depth) and a "data" chunk whose payload is
+    * the text bytes — sample-truncated the same way [[bmpBlobFromMeta]]
+    * is pixel-truncated (header decode never reads samples). */
+  def wavBlobFromMeta(data: Array[Byte], sampleRate: Int, channels: Int,
+                      bits: Int): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii))
+      .putInt(36 + data.length)               // RIFF chunk size
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii))
+      .putInt(16)                             // fmt chunk size (PCM)
+      .putShort(1)                            // audio format 1 = PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * (bits / 8)) // byte rate
+      .putShort((channels * (bits / 8)).toShort)  // block align
+      .putShort(bits.toShort)
+      .put("data".getBytes(ascii))
+      .putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  /** Columnar WAV synthesis — the audio sibling of [[bmpBlobCol]]:
+    * codegen'd md5 parameter derivation, constant-work header UDF. */
+  def wavBlobCol(payloadCol: Column): Column = {
+    val m = fakeAudioMeta(payloadCol)
+    val build = udf((p: Array[Byte], sr: Int, ch: Int, bits: Int) =>
+      wavBlobFromMeta(p, sr, ch, bits))
+    build(payloadCol, m.getField("sample_rate"), m.getField("channels"),
+      m.getField("bits"))
+  }
+
+  // --- heterogeneous decode: magic-byte dispatch -------------------------
+
+  /** Format-tagged metadata for mixed-format blob tables: `kind` is the
+    * sniffed container, (a, b, c) are its primary parameters — bmp:
+    * (width, height, channels); wav: (sample_rate, channels, bits). */
+  case class MediaMeta(kind: String, a: Long, b: Long, c: Long)
+
+  /** Decoded record for the mixed-format path. */
+  case class DecodedMedia(id: Long, meta: MediaMeta)
+
+  /** Decoder for heterogeneous blobs — same lifecycle contract as
+    * [[BlobDecoder]], format-tagged output. */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): MediaMeta
+    def close(): Unit = ()
+  }
+
+  /** Magic-byte dispatch over the real codecs — what a production lake
+    * decode stage does with a mixed media directory: sniff the container
+    * from leading bytes (never from a filename or a side channel), then
+    * route to the format parser. Unknown containers fail loudly. */
+  object SniffDecoder extends MediaDecoder {
+    private val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val m = BmpDecoder.decode(bytes)
+        MediaMeta("bmp", m.width.toLong, m.height.toLong, m.channels.toLong)
+      } else if (bytes.length >= 44 &&
+          new String(bytes, 0, 4, ascii) == "RIFF" &&
+          new String(bytes, 8, 4, ascii) == "WAVE") {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require((bb.getShort(20) & 0xffff) == 1,
+          s"unsupported WAV audio format ${bb.getShort(20)}")
+        val channels = (bb.getShort(22) & 0xffff).toLong
+        val sampleRate = bb.getInt(24).toLong
+        val bits = (bb.getShort(34) & 0xffff).toLong
+        MediaMeta("wav", sampleRate, channels, bits)
+      } else sys.error(
+        s"unrecognized media container (${bytes.length} bytes)")
+    }
+  }
+
+  /** Mixed-format batch decode — [[decodeWith]]'s dispatch sibling. */
+  def decodeMediaWith(blobs: Dataset[Blob],
+                      decoder: MediaDecoder): Dataset[DecodedMedia] = {
+    import blobs.sparkSession.implicits._
+    decodePartitions(blobs, () => decoder.open(), () => decoder.close(),
+      (b: Blob) => DecodedMedia(b.id, decoder.decode(b.bytes)))
+  }
+
   /** Batch decode via `mapPartitions` — the Scala analog of a Pandas-UDF
     * `mapInPandas` decode stage: one decoder per partition (open/close
     * around the iterator), rows streamed, output typed. Narrow — scales
     * by repartitioning the payload table, nothing else. */
   def decodeWith(blobs: Dataset[Blob], decoder: BlobDecoder): Dataset[Decoded] = {
     import blobs.sparkSession.implicits._
+    decodePartitions(blobs, () => decoder.open(), () => decoder.close(),
+      (b: Blob) => Decoded(b.id, decoder.decode(b.bytes)))
+  }
+
+  /** Shared per-partition decode lifecycle (both typed decode paths). */
+  private def decodePartitions[O](blobs: Dataset[Blob], openF: () => Unit,
+      closeF: () => Unit, f: Blob => O)(
+      implicit enc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
     blobs.mapPartitions { it =>
-      decoder.open()
+      openF()
       // Close exactly once per task, at task end — covers partial
       // consumption (e.g. downstream LIMIT) and exceptions thrown by
       // decode(), which a close-inside-hasNext scheme leaks.
       var closed = false
-      def closeOnce(): Unit = if (!closed) { closed = true; decoder.close() }
+      def closeOnce(): Unit = if (!closed) { closed = true; closeF() }
       Option(org.apache.spark.TaskContext.get()) match {
         case Some(ctx) =>
           ctx.addTaskCompletionListener[Unit](_ => closeOnce())
-          it.map(b => Decoded(b.id, decoder.decode(b.bytes)))
+          it.map(f)
         case None =>
           // No task context (plain-iterator callers, some test harnesses):
           // fall back to close-on-exhaustion plus close-on-throw. Partial
           // consumption without a failure can still leak here — that is
           // inherent to the fallback, which is why the listener path is
           // preferred whenever a TaskContext exists.
-          new Iterator[Decoded] {
+          new Iterator[O] {
             def hasNext: Boolean = {
               val h = try it.hasNext
                       catch { case e: Throwable => closeOnce(); throw e }
               if (!h) closeOnce()
               h
             }
-            def next(): Decoded =
-              try { val b = it.next(); Decoded(b.id, decoder.decode(b.bytes)) }
+            def next(): O =
+              try f(it.next())
               catch { case e: Throwable => closeOnce(); throw e }
           }
       }

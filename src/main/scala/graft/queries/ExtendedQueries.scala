@@ -235,6 +235,41 @@ object ExtendedQueries {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+    "join_star_schema" -> ((s, dir) => {
+      // TPC-H Q5-shaped STAR JOIN — the canonical warehouse workload,
+      // end-to-end in one query: fact table joined through orders to
+      // customer and up the geography dims, filtered by region and an
+      // order-date window, revenue by nation. Scale design: the
+      // region→nation chain collapses to ONE pre-filtered ~5-row
+      // broadcast build side (filter BEFORE broadcast, so the pruning
+      // happens once on the driver, not per task); customer and orders
+      // join under AQE, which picks broadcast at fixture scale and
+      // shuffle at 100 TB from runtime sizes — the plan adapts, the
+      // code doesn't. Revenue accumulates exact cents × (100 −
+      // discount-cents) on the SumL128 long path (join_salted's
+      // determinism contract), one rescale per group.
+      import graft.functions.SumL128.sumL128
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val geo = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+      val revc = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), revc.as("revc"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(geo, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          r4((sumL128(col("revc")) * lit(BigDecimal("0.0001")))
+            .cast("double")).as("revenue"))
+    }),
     "window_zscore_anomaly" -> ((s, dir) => {
       // Rolling z-score anomaly detection: each reading scored against
       // its user's trailing-50 mean/stddev (frame EXCLUDES the current
@@ -1201,6 +1236,20 @@ object ExtendedQueries {
          round(1e-9 + sum(l_quantity), 4) AS qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_partkey % 20 = 0
+         GROUP BY 1""",
+    "join_star_schema" ->
+      """SELECT n_name, count(*) AS n_items,
+         round(1e-9 + CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS DOUBLE) / 10000.0, 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY 1""",
     "join_salted" ->
       """SELECT s_nationkey, count(*) AS n,

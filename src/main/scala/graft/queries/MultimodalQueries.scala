@@ -35,7 +35,8 @@ object MultimodalQueries {
     * production decode stage does: scan stored blobs, parse bytes.
     * Same scratch lifecycle as FormatQueries/TimeSeriesQueries
     * (appId-keyed, shutdown-hook removed). */
-  private def stagedBlobsDir(s: SparkSession, dir: String): String = {
+  private def stagedBlobsDir(s: SparkSession, dir: String, fmt: String,
+      blobCol: Column => Column): String = {
     val root = s"/tmp/graft_blobs/${s.sparkContext.applicationId}"
     if (cleanupRegistered.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -45,13 +46,12 @@ object MultimodalQueries {
         }
         rm(new java.io.File(root))
       }))
-    val path = s"$root/${new java.io.File(dir).getName}/bmp"
+    val path = s"$root/${new java.io.File(dir).getName}/$fmt"
     this.synchronized {
       if (!new java.io.File(path, "_SUCCESS").isFile)
         docs(s, dir)
           .select(col("doc_id"),
-            graft.operators.Multimodal.bmpBlobCol(payload(col("text")))
-              .as("bytes"))
+            blobCol(payload(col("text"))).as("bytes"))
           .write.mode("overwrite").parquet(path)
     }
     path
@@ -62,7 +62,8 @@ object MultimodalQueries {
     * `mm_image_meta` and `mm_resize`. */
   private def realImageMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs = s.read.parquet(stagedBlobsDir(s, dir))
+    val blobs = s.read.parquet(stagedBlobsDir(s, dir, "bmp",
+        graft.operators.Multimodal.bmpBlobCol))
       .select(col("doc_id").as("id"), col("bytes"))
       .as[graft.operators.Multimodal.Blob]
     graft.operators.Multimodal
@@ -109,6 +110,51 @@ object MultimodalQueries {
         .select(col("doc_id"), col("width"), col("height"),
           col("r.new_w").as("new_w"), col("r.new_h").as("new_h"),
           col("r.out_bytes").as("out_bytes"))
+    }),
+    "mm_wav_meta" -> ((s, dir) => {
+      // Second REAL codec (round-9): canonical RIFF/WAVE PCM headers
+      // synthesized columnar-side (wavBlobCol), staged once, then
+      // sample rate / channels / bit depth recovered by PARSING THE
+      // BYTES (SniffDecoder's WAV arm — fmt-chunk offsets per the
+      // public layout). Same green-iff-layouts-agree gate as the BMP
+      // keys, proving the decode plumbing is codec-generic, not
+      // BMP-shaped.
+      import s.implicits._
+      val blobs = s.read.parquet(stagedBlobsDir(s, dir, "wav",
+          graft.operators.Multimodal.wavBlobCol))
+        .select(col("doc_id").as("id"), col("bytes"))
+        .as[graft.operators.Multimodal.Blob]
+      graft.operators.Multimodal
+        .decodeMediaWith(blobs, graft.operators.Multimodal.SniffDecoder)
+        .select(col("id").as("doc_id"),
+          col("meta.a").as("sample_rate"),
+          col("meta.b").as("channels"),
+          col("meta.c").as("bits"))
+    }),
+    "mm_codec_dispatch" -> ((s, dir) => {
+      // Heterogeneous-lake decode: a mixed blob table (even doc_ids
+      // BMP, odd WAV — the parity is a FIXTURE choice; the decoder
+      // never sees it) dispatched purely on leading magic bytes.
+      // This is the real shape of a 100 TB media directory: one scan,
+      // one narrow decode stage, per-row container routing — no
+      // per-format job, no filename trust.
+      import s.implicits._
+      val bmp = s.read.parquet(stagedBlobsDir(s, dir, "bmp",
+          graft.operators.Multimodal.bmpBlobCol))
+        .filter(col("doc_id") % 2 === 0)
+      val wav = s.read.parquet(stagedBlobsDir(s, dir, "wav",
+          graft.operators.Multimodal.wavBlobCol))
+        .filter(col("doc_id") % 2 === 1)
+      val blobs = bmp.unionByName(wav)
+        .select(col("doc_id").as("id"), col("bytes"))
+        .as[graft.operators.Multimodal.Blob]
+      graft.operators.Multimodal
+        .decodeMediaWith(blobs, graft.operators.Multimodal.SniffDecoder)
+        .select(col("id").as("doc_id"),
+          col("meta.kind").as("kind"),
+          col("meta.a").as("m1"),
+          col("meta.b").as("m2"),
+          col("meta.c").as("m3"))
     }),
     "mm_features" -> ((s, dir) => {
       // STUB features, real array plumbing. Serialized as integer millis
@@ -170,6 +216,24 @@ object MultimodalQueries {
                   AS BIGINT)) END
             * c) AS out_bytes
          FROM m""",
+    "mm_wav_meta" ->
+      s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents)
+         SELECT doc_id,
+           ${saltedSql("-sr")} % 40001 + 8000 AS sample_rate,
+           ${saltedSql("-ac")} % 2 + 1 AS channels,
+           (${saltedSql("-bd")} % 3 + 1) * 8 AS bits
+         FROM b""",
+    "mm_codec_dispatch" ->
+      s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+           CASE WHEN doc_id % 2 = 0 THEN ${saltedSql("-w")} % 1280 + 64
+                ELSE ${saltedSql("-sr")} % 40001 + 8000 END AS m1,
+           CASE WHEN doc_id % 2 = 0 THEN ${saltedSql("-h")} % 720 + 64
+                ELSE ${saltedSql("-ac")} % 2 + 1 END AS m2,
+           CASE WHEN doc_id % 2 = 0 THEN ${saltedSql("-c")} % 3 + 1
+                ELSE (${saltedSql("-bd")} % 3 + 1) * 8 END AS m3
+         FROM b""",
     "mm_features" ->
       s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents)
          SELECT doc_id,

@@ -83,6 +83,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wavBlobFromMeta/SniffDecoder: RIFF header bytes round-trip known " +
+      "params, and dispatch routes on magic bytes alone") {
+    // hand-built WAV with KNOWN params: 44100 Hz, 2 ch, 16-bit
+    val wav = wavBlobFromMeta("payload".getBytes("UTF-8"), 44100, 2, 16)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    val bb = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // spec anchors: fmt chunk size 16, PCM format 1, derived byte rate
+    // and block align, data chunk size = payload length
+    assert(bb.getInt(16) == 16 && bb.getShort(20) == 1)
+    assert(bb.getInt(28) == 44100 * 2 * 2 && bb.getShort(32) == 4)
+    assert(new String(wav, 36, 4, "US-ASCII") == "data")
+    assert(bb.getInt(40) == 7)
+    assert(SniffDecoder.decode(wav) == MediaMeta("wav", 44100L, 2L, 16L))
+    // dispatch: the same decoder parses a BMP via its magic
+    val text = "another payload".getBytes("UTF-8")
+    val img = FakeDecoder.decode(text)
+    assert(SniffDecoder.decode(bmpBlob(text)) ==
+      MediaMeta("bmp", img.width.toLong, img.height.toLong,
+        img.channels.toLong))
+    // unknown containers fail loudly
+    intercept[RuntimeException] {
+      SniffDecoder.decode("neither format".getBytes("UTF-8"))
+    }
+  }
+
   test("decodeWith: mapPartitions decode matches the column-level stub") {
     val blobs = docs.limit(20)
       .select($"doc_id".as("id"), payload($"text").as("bytes"))
