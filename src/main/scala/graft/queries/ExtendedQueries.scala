@@ -433,6 +433,45 @@ object ExtendedQueries {
         r4(when(n >= 2 && m2xc > 0 && m2yc > 0, corrE)).as("roll_corr"),
         r4(when(n >= 2, covE)).as("roll_cov"))
     }),
+    "window_rolling_slope" -> ((s, dir) => {
+      // Rolling OLS — the regression sibling of window_rolling_corr
+      // (windowed form of agg_regression): trailing-10 slope/intercept
+      // /r² of price on quantity per PART. Same determinism contract:
+      // exact long-cents window sums (largest term n·Σy² ≤ 10·10·
+      // (1.1e7)² ≈ 1.2e16 < 2⁶³), exact integer cancellation, then ONE
+      // shared closed-form double expression tree in both engines —
+      // r² squares AFTER the long→double cast (cxyc² would overflow
+      // int64; the double square is the identical-expression contract,
+      // not a fallback). Cents scale factors cancel in slope and r²;
+      // intercept carries the explicit /100 rescale.
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"))
+        .rowsBetween(-9, 0)
+      val qc = floor(col("l_quantity") * 100 + 0.5).cast("long")
+      val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val sums = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          count(lit(1)).over(w).as("n"),
+          sum(qc).over(w).as("sxc"),
+          sum(pc).over(w).as("syc"),
+          sum(qc * pc).over(w).as("sxyc"),
+          sum(qc * qc).over(w).as("sxxc"),
+          sum(pc * pc).over(w).as("syyc"))
+      val n = col("n"); val nd = col("n").cast("double")
+      val m2xc = n * col("sxxc") - col("sxc") * col("sxc")
+      val m2yc = n * col("syyc") - col("syc") * col("syc")
+      val cxyc = n * col("sxyc") - col("sxc") * col("syc")
+      val slope = cxyc.cast("double") / m2xc.cast("double")
+      val intercept = (col("syc").cast("double") -
+        slope * col("sxc").cast("double")) / (lit(100.0) * nd)
+      val r2 = (cxyc.cast("double") * cxyc.cast("double")) /
+        (m2xc.cast("double") * m2yc.cast("double"))
+      sums.select(col("l_orderkey"), col("l_linenumber"),
+        r4(when(n >= 2 && m2xc > 0, slope)).as("roll_slope"),
+        r4(when(n >= 2 && m2xc > 0, intercept)).as("roll_icept"),
+        r4(when(n >= 2 && m2xc > 0 && m2yc > 0, r2)).as("roll_r2"))
+    }),
     "window_cume_distinct" -> ((s, dir) => {
       // CUMULATIVE distinct count per user over time — the running
       // sibling of the trailing rolling-distinct family: "how many
@@ -1131,6 +1170,44 @@ object ExtendedQueries {
            round(1e-9 + CASE WHEN n >= 2
              THEN CAST(cxyc AS DOUBLE) / (10000.0 * nd * (nd - 1.0))
              END, 4) AS roll_cov
+         FROM c""",
+    "window_rolling_slope" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey,
+           l_shipdate, l_suppkey,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         FROM lineitem),
+         m AS (SELECT l_orderkey, l_linenumber,
+           count(*) OVER w AS n,
+           CAST(sum(qc) OVER w AS BIGINT) AS sxc,
+           CAST(sum(pc) OVER w AS BIGINT) AS syc,
+           CAST(sum(qc * pc) OVER w AS BIGINT) AS sxyc,
+           CAST(sum(qc * qc) OVER w AS BIGINT) AS sxxc,
+           CAST(sum(pc * pc) OVER w AS BIGINT) AS syyc
+         FROM d
+         WINDOW w AS (PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         c AS (SELECT l_orderkey, l_linenumber, n,
+           CAST(n AS DOUBLE) AS nd,
+           n * sxxc - sxc * sxc AS m2xc,
+           n * syyc - syc * syc AS m2yc,
+           n * sxyc - sxc * syc AS cxyc,
+           sxc, syc
+         FROM m)
+         SELECT l_orderkey, l_linenumber,
+           round(1e-9 + CASE WHEN n >= 2 AND m2xc > 0
+             THEN CAST(cxyc AS DOUBLE) / CAST(m2xc AS DOUBLE)
+             END, 4) AS roll_slope,
+           round(1e-9 + CASE WHEN n >= 2 AND m2xc > 0
+             THEN (CAST(syc AS DOUBLE)
+               - (CAST(cxyc AS DOUBLE) / CAST(m2xc AS DOUBLE))
+                 * CAST(sxc AS DOUBLE)) / (100.0 * nd)
+             END, 4) AS roll_icept,
+           round(1e-9 + CASE WHEN n >= 2 AND m2xc > 0 AND m2yc > 0
+             THEN (CAST(cxyc AS DOUBLE) * CAST(cxyc AS DOUBLE))
+               / (CAST(m2xc AS DOUBLE) * CAST(m2yc AS DOUBLE))
+             END, 4) AS roll_r2
          FROM c""",
     "window_cume_distinct" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn,

@@ -65,6 +65,36 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
           col("tfidf"))
     }),
+    "text_inverted_index" -> ((s, dir) => {
+      // INVERTED-INDEX build — the search-engine sibling of tfidf's
+      // stats: term → df, total tf, and a positional posting list
+      // ("doc:p1,p2 …", docs ascending, positions ascending). Plan
+      // shape: one posexplode, two hash-aggs (term×doc then term) —
+      // both map-side-combining, no window, no collect. Output is
+      // ∝ corpus tokens, the inherent size of an index build; at
+      // 100 TB the per-term rows shard naturally by the term-hash
+      // shuffle, and a production variant would df-bucket hub terms
+      // ("the") into posting SEGMENTS — the aggregation shape here is
+      // that variant's map side unchanged. Determinism: positions
+      // sort exactly (ints), posting entries sort by doc_id (unique
+      // within term), so both engines render identical strings.
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      val post = tok.groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"),
+          array_join(transform(array_sort(collect_list(col("pos"))),
+            _.cast("string")), ",").as("poss"))
+      post.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("tf_total"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("poss")))),
+              x => concat(x.getField("doc_id").cast("string"), lit(":"),
+                x.getField("poss"))),
+            " ").as("postings"))
+    }),
     "text_bm25" -> ((s, dir) => {
       // BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
       // fixed 3-term query — the lexical-relevance ranker a curation
@@ -555,6 +585,21 @@ object TextQueries {
            round(1e-9 + avg(ln(cnt.c / tot.t)), 4) AS avg_logprob
          FROM tok JOIN cnt USING (term) CROSS JOIN tot
          GROUP BY 1""",
+    "text_inverted_index" ->
+      s"""$withToks, tok AS (
+           SELECT doc_id, unnest(toks) AS term,
+                  unnest(range(0, n_toks)) AS pos
+           FROM tt WHERE n_toks > 0
+         ), post AS (
+           SELECT term, doc_id, count(*) AS tf,
+             string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS poss
+           FROM tok GROUP BY 1, 2
+         )
+         SELECT term, count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           string_agg(CAST(doc_id AS VARCHAR) || ':' || poss, ' '
+             ORDER BY doc_id) AS postings
+         FROM post GROUP BY 1""",
     "text_tfidf" ->
       s"""$withToks, tok AS (
            SELECT doc_id, unnest(toks) AS term FROM tt WHERE n_toks > 0

@@ -1132,6 +1132,34 @@ object TimeSeriesQueries {
             col("num").cast("double") /
               (col("den").cast("double") * 1e6))).as("twap"))
     }),
+    "ts_resample_ohlc" -> ((s, dir) => {
+      // OHLC bar downsampling per (user, day) — the finance/telemetry
+      // resample a plain groupBy can't express: open/close are the
+      // first/last observation in (ts, event_id) order, high/low the
+      // extrema, volume the bar count. Implementation avoids min_by/
+      // arg_min entirely (their multi-key tie semantics differ across
+      // engines): one window pass flags the bar's first and last rows
+      // on the (user, day) exchange, then ONE map-side-combining hash
+      // agg folds flags and extrema. Values pass through exactly — no
+      // float arithmetic at all, so the only determinism contract is
+      // the unique order key.
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"),
+        col("ts"), col("event_id"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "day")
+      val asc = w.orderBy(col("ts"), col("event_id"))
+      val desc = w.orderBy(col("ts").desc, col("event_id").desc)
+      e.select(col("user_id"), col("day"), col("value"),
+          row_number().over(asc).as("ra"),
+          row_number().over(desc).as("rd"))
+        .groupBy("user_id", "day")
+        .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("volume"))
+    }),
     "cohort_retention" -> ((s, dir) => {
       // Cohort retention matrix: users grouped by first-active day,
       // counted per day-offset of later activity — the standard
@@ -1607,6 +1635,23 @@ object TimeSeriesQueries {
                / (CAST(sum(dur_ms) AS DOUBLE) * 1000000.0) END, 4)
              AS twap
          FROM d GROUP BY 1""",
+    "ts_resample_ohlc" ->
+      """WITH e AS (SELECT user_id,
+           epoch_ns(ts) // 86400000000000 AS day,
+           epoch_ns(ts) AS tsn, event_id, value FROM events),
+         r AS (SELECT user_id, day, value,
+           row_number() OVER (PARTITION BY user_id, day
+             ORDER BY tsn, event_id) AS ra,
+           row_number() OVER (PARTITION BY user_id, day
+             ORDER BY tsn DESC, event_id DESC) AS rd
+           FROM e)
+         SELECT user_id, day,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS volume
+         FROM r GROUP BY 1, 2""",
     "cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
            epoch_ns(ts) // 86400000000000 AS day FROM events),
