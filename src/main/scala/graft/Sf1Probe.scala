@@ -48,7 +48,12 @@ object Sf1Probe {
     // round-8 second-sweep analytics (the new top steady batch keys)
     "graph_triangles", "ts_interval_active", "agg_winsorized",
     "window_rolling_median", "window_rolling_skew", "ts_outlier_mad",
-    "ts_interpolate", "window_cume_distinct")
+    "ts_interpolate", "window_cume_distinct",
+    // round-9 additions: the star-join headline + the new window/
+    // resample/index keys (mm staging keys excluded — their cost is
+    // the fixture write, scoped per-session)
+    "join_star_schema", "window_rolling_slope", "ts_resample_ohlc",
+    "text_inverted_index")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")
