@@ -192,6 +192,57 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("n_chars"))
     }),
+    "sample_balanced" -> ((s, dir) => {
+      // Class-BALANCED downsampling: every source capped at the
+      // smallest class's row count, members chosen by the engine-
+      // stable key hash (sample_hash's convention) so the subset is
+      // identical across runs, engines, and partitionings. Plan: class
+      // counts collapse to a broadcast 1-row min, then ONE rank window
+      // per class ordered by (hash, key). This is the exact-cap form;
+      // the 100 TB approximate sibling thresholds the hash directly
+      // (keep iff h·N_class < cap·M — no sort at all), and this key is
+      // its exact verifier. The per-class window sort is the honest
+      // price of an exact cap and shards across classes.
+      val h = graft.operators.Dedup.baseHash(col("doc_id").cast("string"))
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("h", h)
+      // cap at HALF the smallest class: the fixture classes are near-
+      // balanced, so a min-count cap would degenerate to identity and
+      // the gate would never exercise the hash selection — the /2 makes
+      // every class a strict downsample at any sf
+      val cap = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(greatest(lit(1L), (min(col("n")) / 2).cast("long")).as("cap"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(cap))
+        .filter(col("rk") <= col("cap"))
+        .select("doc_id", "source")
+    }),
+    "text_keyword_topk" -> ((s, dir) => {
+      // Per-document KEYWORD extraction: top-3 terms by TF-IDF — the
+      // retrieval-facing composition of text_tfidf and topk_per_group.
+      // Rank ties are decided on the ROUNDED score (then term asc):
+      // ordering by the raw double would let sub-grid libm ln jitter
+      // flip neighbors between engines, so the r4 grid both engines
+      // agree on IS the sort key. Same plan spine as tfidf (explode,
+      // two hash-aggs, broadcast df join) + one doc-keyed rank window.
+      val d = docs(s, dir)
+      val n = d.count()
+      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), Seq("term"))
+        .withColumn("tfidf", r4(col("tf") *
+          (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("term"), col("tfidf"))
+    }),
     "text_source_kl" -> ((s, dir) => {
       // Per-source distribution drift: KL(source unigram dist ‖ corpus
       // unigram dist) — the mixture-monitoring statistic that flags a
@@ -515,6 +566,36 @@ object TextQueries {
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS n_chars
          FROM h GROUP BY 1, 2""",
+    "sample_balanced" ->
+      """WITH h AS (SELECT doc_id, source,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS h
+           FROM documents),
+         cap AS (SELECT greatest(1, CAST(floor(min(n) / 2.0) AS BIGINT))
+             AS cap FROM (
+           SELECT count(*) AS n FROM h GROUP BY source) t),
+         r AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+           FROM h)
+         SELECT doc_id, source FROM r CROSS JOIN cap WHERE rk <= cap.cap""",
+    "text_keyword_topk" ->
+      s"""$withToks, tok AS (
+           SELECT doc_id, unnest(toks) AS term FROM tt WHERE n_toks > 0
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+         ), df AS (
+           SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+         ), n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             round(1e-9 + tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4)
+               AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS rk
+           FROM scored)
+         SELECT doc_id, rk, term, tfidf FROM r WHERE rk <= 3""",
     "text_ngrams" ->
       s"""$withToks, bg AS (
            SELECT doc_id, unnest(list_distinct(list_transform(
