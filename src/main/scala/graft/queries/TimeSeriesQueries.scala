@@ -316,7 +316,10 @@ object TimeSeriesQueries {
     * shuffle partition per micro-batch (a stream-stream join keeps
     * FOUR stores per partition); at the session's 32 partitions that
     * machinery — not the data — dominated every stateful key's cost
-    * (join_stream_stream_louter measured 19.4s → 6.2s at 8). Scoping
+    * (join_stream_stream_louter measured 19.4s → 6.2s at 8; round-9
+    * re-tune: 8 → 4 shaves another ~0.5s off each stream-stream outer
+    * join while 2 is flat — the remaining floor is per-micro-batch
+    * overhead, not per-partition stores). Scoping
     * `spark.sql.shuffle.partitions` for the duration of the streaming
     * run is the per-stream state-sizing knob a real deployment sets;
     * results are partitioning-independent (the oracle gate re-proves it
@@ -335,7 +338,7 @@ object TimeSeriesQueries {
 
   private def withStreamParts[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try { s.conf.set("spark.sql.shuffle.partitions", "8"); body }
+    try { s.conf.set("spark.sql.shuffle.partitions", "4"); body }
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
