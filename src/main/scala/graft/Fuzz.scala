@@ -106,7 +106,7 @@ object Fuzz {
       s"""SELECT o, $out0 OVER ($pb$frame) AS out FROM $name"""
     def out0 = aggS("v")
 
-    rnd.nextInt(5) match {
+    rnd.nextInt(7) match {
       case 0 => // running aggregate over o order
         val res = df.mutateW("out" -> aggC(col("v")))(
           by = by, orderBy = Seq(if (desc) col("o").desc else col("o")))
@@ -152,7 +152,7 @@ object Fuzz {
                    AND $idx + $a <= max($idx) OVER ($pb)
                    THEN $out0 OVER ($pb$fr) END AS out FROM $name"""
         Sample(name, df, out(res), o)
-      case _ => // trailing months(m, 0) — interval self-join oracle
+      case 4 => // trailing months(m, 0) — interval self-join oracle
         val m = 1 + rnd.nextInt(3)
         val res = df.mutateW("out" -> aggC(col("v")))(
           by = by, frame = Some(Frame.months(m, 0)), index = Some(col("d")))
@@ -160,6 +160,38 @@ object Fuzz {
         Sample(name, df, out(res),
           s"""SELECT a.o, ${aggS("b.v")} AS out
               FROM $name a JOIN $name b ON $onG
+                b.d BETWEEN CAST(a.d - INTERVAL $m MONTH AS DATE) AND a.d
+              GROUP BY a.o""")
+      case 5 => // GENERAL months(b, a) offset frame, incl. negative after
+        // — fuzzes monthsAgg's two-boundary as-of path and (for min/max)
+        // the daily-partial expansion; possibly-empty windows ride the
+        // LEFT JOIN oracle (count → 0, others → NULL) like the fixed
+        // window_range_months_offset key. DuckDB d ± INTERVAL k MONTH
+        // clamps month-ends exactly like Spark add_months.
+        val b = 1 + rnd.nextInt(3)        // 1..3 months back
+        val a = rnd.nextInt(3) - 1        // -1..1 months forward
+        val res = df.mutateW("out" -> aggC(col("v")))(
+          by = by, frame = Some(Frame.months(b, a)), index = Some(col("d")))
+        val onG = if (useBy) "a.g IS NOT DISTINCT FROM b.g AND " else ""
+        def mb(k: Int): String =
+          if (k >= 0) s"a.d + INTERVAL $k MONTH" else s"a.d - INTERVAL ${-k} MONTH"
+        Sample(name, df, out(res),
+          s"""SELECT a.o, ${aggS("b.v")} AS out
+              FROM $name a LEFT JOIN $name b ON $onG
+                b.d BETWEEN CAST(${mb(-b)} AS DATE) AND CAST(${mb(a)} AS DATE)
+              GROUP BY a.o""")
+      case _ => // trailing months MEDIAN — the round-9 grouped quantile
+        // sweep path (monthsQuantileGrouped). Integer-valued doubles make
+        // the even-count interpolation exact in BOTH engines' formulas
+        // (f = 0.5: lo·0.5 + hi·0.5 and lo + (hi−lo)·0.5 are the same
+        // exact double on integer lo/hi), so no rounding is needed.
+        val m = 1 + rnd.nextInt(3)
+        val res = df.mutateW("out" -> median(col("v")))(
+          by = Seq(col("g")), frame = Some(Frame.months(m, 0)),
+          index = Some(col("d")))
+        Sample(name, df, out(res),
+          s"""SELECT a.o, median(b.v) AS out
+              FROM $name a JOIN $name b ON a.g IS NOT DISTINCT FROM b.g AND
                 b.d BETWEEN CAST(a.d - INTERVAL $m MONTH AS DATE) AND a.d
               GROUP BY a.o""")
     }
