@@ -270,6 +270,70 @@ class StreamingSpec extends AnyFunSuite {
       (5000L, 2L, 50000L), (9000L, 1L, 80000L), (9500L, 2L, 240000L)))
   }
 
+  test("trailingWDelayed: randomized batching-invariance — jitter-shuffled " +
+      "arrivals under random batch splits emit the exact batch-computed " +
+      "range-frame multiset") {
+    // The claim every staged _ooo fixture rests on, pinned with
+    // randomness instead of a hand fixture: for ANY bounded-disorder
+    // arrival order and ANY batch split, the emitted (key, ts, n, sum)
+    // set equals the batch range-frame computation. Disorder is kept
+    // under lateness (jitter < 1000ms) so nothing is droppable; values
+    // are integers so the 1e4 scaling is exact.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(97)
+    val lateness = 1000L
+    for (trial <- 0 until 3) {
+      val events = for {
+        k <- 1L to 2L
+        i <- 0 until 25
+      } yield StreamingOps.KeyedEvent(k, 1000L + i * 250 + (k - 1) * 125,
+        rnd.nextInt(11).toDouble)
+      val maxTs = events.map(_.tsMillis).max
+      val expect = events.map { e =>
+        val fr = events.filter(o => o.key == e.key &&
+          o.tsMillis >= e.tsMillis - 1000 && o.tsMillis <= e.tsMillis)
+        (e.key, e.tsMillis, fr.size.toLong,
+          fr.map(o => (o.value * 10000).toLong).sum)
+      }.toSet
+      // bounded-disorder arrival: stable sort on a PRECOMPUTED jittered
+      // key (sortBy with a randomized key function would violate the
+      // comparator contract)
+      val arrival = events
+        .map(e => (e, e.tsMillis + rnd.nextInt(750))).sortBy(_._2).map(_._1)
+      val ms = MemoryStream[StreamingOps.KeyedEvent]
+      val qn = s"trail_inv_$trial"
+      val q = StreamingOps.trailingWDelayed(ms.toDS(), beforeMillis = 1000,
+          latenessMillis = lateness)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      var rest = arrival
+      while (rest.nonEmpty) {
+        val (b, r) = rest.splitAt(1 + rnd.nextInt(7))
+        rest = r
+        ms.addData(b: _*)
+        q.processAllAvailable()
+      }
+      // two per-key sentinel batches (NoTimeout: a key only flushes when
+      // it sees data; wm in effect during the second batch is
+      // s1.ts - lateness = maxTs + 500 > maxTs, releasing every real row
+      // while both sentinels stay pending)
+      ms.addData((1L to 2L).map(k =>
+        StreamingOps.KeyedEvent(k, maxTs + 1500, 0.0)): _*)
+      q.processAllAvailable()
+      ms.addData((1L to 2L).map(k =>
+        StreamingOps.KeyedEvent(k, maxTs + 1500 + lateness, 0.0)): _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql(s"SELECT key, tsMillis, winN, winSumE4 FROM $qn")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.filter(_._2 <= maxTs) == expect, s"trial $trial mismatch")
+      assert(got.forall(t => t._2 <= maxTs || t._2 >= maxTs + 1500),
+        s"trial $trial: unexpected emission between real tail and sentinels")
+    }
+  }
+
   test("runningW (streaming): O(1)-state cumulative aggregate, ties share " +
       "the value, accumulator carries across batches") {
     implicit val sqlCtx = spark.sqlContext
