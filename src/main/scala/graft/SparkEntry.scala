@@ -268,6 +268,28 @@ object SparkEntry {
           tolerance = Some(lit(3L)), matchedTimeCol = "prev_day")
         .select(col("event_id"), col("prev_day"), col("prev_mean"))
     }),
+    "attribution_last_touch" -> ((s, dir) => {
+      // LAST-TOUCH ATTRIBUTION: each purchase credits the user's latest
+      // click STRICTLY before it, within a 24h window — the standard
+      // marketing join, expressed as the as-of operator on raw event
+      // streams (one union-and-sweep shuffle; no per-user sort-merge
+      // reinvention, no range self-join). Right-side ts ties collapse
+      // to a canonical click FIRST (max event_id per (user, ts)) so
+      // the match is well-defined in both engines.
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsofJoin.asofBackward(
+          purchases, clicks,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "click_ts",
+          valueCols = Seq("click_id"), strict = true,
+          tolerance = Some(lit(86400000000000L)), // 24h in nanos
+          matchedTimeCol = "click_at")
+        .select(col("event_id"), col("click_id"), col("click_at"))
+    }),
     "asof_nearest_daily" -> ((s, dir) => {
       // NEAREST as-of (pandas merge_asof direction='nearest' — the third
       // direction, completing backward/forward/tolerance): each event
@@ -671,6 +693,22 @@ object SparkEntry {
          SELECT event_id,
            CASE WHEN day - md <= 3 THEN md END AS prev_day,
            CASE WHEN day - md <= 3 THEN pm END AS prev_mean
+         FROM j""",
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
+           FROM events),
+         p AS (SELECT event_id, user_id, tsn FROM e
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, tsn AS click_tsn, max(event_id) AS click_id
+           FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+         j AS (SELECT p.event_id, p.tsn, c.click_tsn, c.click_id
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND p.tsn > c.click_tsn)
+         SELECT event_id,
+           CASE WHEN tsn - click_tsn <= 86400000000000 THEN click_id END
+             AS click_id,
+           CASE WHEN tsn - click_tsn <= 86400000000000 THEN click_tsn END
+             AS click_at
          FROM j""",
     "window_range_numeric" ->
       """SELECT c_custkey, count(c_acctbal) OVER w AS n_win,
