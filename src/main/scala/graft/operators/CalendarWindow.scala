@@ -491,6 +491,16 @@ object CalendarWindow {
           vals: Array[Array[Double]])
         val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
         var curKey: Seq[Any] = null
+        // group-boundary comparison needs VALUE equality: BinaryType
+        // group columns surface as Array[Byte], whose == is reference
+        // identity — comparing raw key Seqs would fragment every row of
+        // a binary-keyed group into its own flush (round-9 review
+        // finding). Output rows keep the ORIGINAL values (curKey).
+        var curKeyCmp: Seq[Any] = null
+        def cmpForm(k: Seq[Any]): Seq[Any] = k.map {
+          case b: Array[Byte] => b.toSeq
+          case v => v
+        }
 
         def interpolate(a: Array[Double], p: Double): Any =
           if (a.isEmpty) null
@@ -547,8 +557,11 @@ object CalendarWindow {
               else {
                 val r = it.next()
                 val key = (0 until nBy).map(r.get)
-                if (curKey != null && key != curKey) pending = flush()
+                val keyCmp = cmpForm(key)
+                if (curKeyCmp != null && keyCmp != curKeyCmp)
+                  pending = flush()
                 curKey = key
+                curKeyCmp = keyCmp
                 buf += Entry(r.get(dayIdx), r.getInt(nBy + 1),
                   r.getInt(nBy + 2), r.getInt(nBy + 3),
                   qCols.indices.map { i =>

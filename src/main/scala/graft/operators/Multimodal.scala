@@ -168,6 +168,12 @@ object Multimodal {
                       channels: Int): Array[Byte] = {
     val rowSize = ((width * channels * 8 + 31) / 32) * 4
     val imgSize = rowSize.toLong * height
+    // the declared-size fields are int32 in the BMP layout; reject dims
+    // whose raw bitmap would wrap them rather than write a corrupt
+    // header (md5-derived fixture dims are <= 1344x784, far inside)
+    require(imgSize <= Int.MaxValue - 54,
+      s"BMP raw size $imgSize overflows the int32 header fields " +
+        s"($width x $height x $channels)")
     val bb = java.nio.ByteBuffer.allocate(54 + pixels.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put('B'.toByte).put('M'.toByte)

@@ -117,13 +117,31 @@ object PlanAudit {
   }
 
   /** True when a broadcast-side subtree is statically guaranteed tiny:
-    * an ungrouped aggregate (exactly 1 output row) sits on the path.
-    * Conservative — anything unrecognized returns false and keeps the
-    * Warn. */
+    * an ungrouped aggregate (exactly 1 output row) sits on a path of
+    * row-count-preserving nodes. The descent is a WHITELIST — only
+    * single-child operators that cannot multiply their input's row
+    * count pass through (project/filter/sort/limit/exchange/codegen
+    * wrappers). A join, union, or generate above the aggregate can be
+    * data-sized again (bigTable.crossJoin(bigTable.agg(max(v))) is a
+    * data-sized broadcast side containing a scalar agg), so anything
+    * unrecognized returns false and keeps the Warn — the conservative
+    * contract, now actually enforced (round-9 review finding). */
+  private val scalarPassThrough = Set("ProjectExec", "FilterExec",
+    "SortExec", "WholeStageCodegenExec", "InputAdapter",
+    "ColumnarToRowExec", "ShuffleExchangeExec", "BroadcastExchangeExec",
+    "CoalesceExec", "AQEShuffleReadExec", "LocalLimitExec",
+    "GlobalLimitExec")
   private def scalarBounded(p: SparkPlan): Boolean = p match {
     case a: AdaptiveSparkPlanExec => scalarBounded(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scalarBounded(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      scalarBounded(r.child)
     case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
-    case o => o.children.exists(scalarBounded)
+    case o if scalarPassThrough(o.getClass.getSimpleName) &&
+        o.children.size == 1 =>
+      scalarBounded(o.children.head)
+    case _ => false
   }
 
   /** All v1 file scans in a subtree, unwrapping AQE the same way the

@@ -102,11 +102,10 @@ object MultimodalQueries {
       // at 256, keep aspect (floor), report the raw-bitmap output budget
       realImageMeta(s, dir)
         .select(col("doc_id"),
-          struct(col("width"), col("height"), col("channels")).as("m"))
-        .select(col("doc_id"),
-          col("m.width").cast("long").as("width"),
-          col("m.height").cast("long").as("height"),
-          resizeMeta(col("m"), 256).as("r"))
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          resizeMeta(struct(col("width"), col("height"),
+            col("channels")), 256).as("r"))
         .select(col("doc_id"), col("width"), col("height"),
           col("r.new_w").as("new_w"), col("r.new_h").as("new_h"),
           col("r.out_bytes").as("out_bytes"))

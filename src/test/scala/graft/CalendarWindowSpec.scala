@@ -435,6 +435,32 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(got(5L) == ((None, 0L, None)))
   }
 
+  test("grouped quantile sweep: BINARY group keys compare by value, " +
+      "not reference") {
+    import graft.operators.TidierOps._
+    import graft.operators.Frame
+    // BinaryType keys surface as Array[Byte] in the sweep's group-
+    // boundary check; reference equality would fragment every row into
+    // its own group and silently shrink each window to one day
+    // (round-9 review finding — this pins the value-equality fix).
+    val rows = Seq(
+      (1L, d("2023-01-10"), 1.0, "k1"), (2L, d("2023-01-20"), 3.0, "k1"),
+      (3L, d("2023-02-05"), 5.0, "k1"), (4L, d("2023-01-12"), 7.0, "k2"))
+      .toDF("event_id", "dt", "value", "ks")
+      .withColumn("k", col("ks").cast("binary")).drop("ks")
+    val got = rows.mutateW("med" -> expr("median(value)"))(
+        by = Seq(col("k")), frame = Some(Frame.months(1, 0)),
+        index = Some(col("dt")))
+      .select($"event_id", $"med").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k1, Feb 5: [Jan 5, Feb 5] holds {1, 3, 5} → median 3; a
+    // fragmented group would report 5 (its own day only)
+    assert(got(3L) == 3.0)
+    assert(got(2L) == 2.0) // k1, Jan 20: [Dec 20, Jan 20] = {1, 3}
+    assert(got(1L) == 1.0)
+    assert(got(4L) == 7.0)
+  }
+
   test("general expansion path: .complete gate + NULL index day survives") {
     import graft.operators.TidierOps._
     import graft.operators.Frame
