@@ -60,6 +60,43 @@ object CurationQueries {
   // ---- queries ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_dataset_report" -> ((s, dir) => {
+      // DATASET-CARD rollup per source — the one-page corpus health
+      // report a curation run publishes: volume (docs/chars/tokens),
+      // quality (mean score + low-quality count on the shared rounded
+      // grid), exact-dup exposure (docs in >1-member fingerprint
+      // groups), dominant language. Plan: ONE scan computes every
+      // per-doc signal (quality, token count, fingerprint) in a single
+      // codegen'd projection, then three source-keyed hash-aggs + one
+      // tiny rank window, joined on the ~|sources| frame — nothing
+      // downstream of the scan is corpus-sized. Threshold/mean run on
+      // the r4-rounded per-doc quality both engines share (§5.1:
+      // compare/aggregate on the grid, not the raw double).
+      import graft.functions.TextFunctions.{fingerprint, qualityScore,
+        tokenCount}
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+          col("lang"), col("n_chars"),
+          r4(qualityScore(col("text"))).as("q"),
+          tokenCount(col("text")).cast("long").as("tc"),
+          fingerprint(col("text")).as("fp"))
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("tc")).as("tok_total"),
+        r4(avg(col("q"))).as("mean_quality"),
+        count_if(col("q") < 0.5).as("n_low_q"))
+      val dup = d.groupBy("source", "fp").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("n_dup_docs"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c").desc, col("lang"))
+      val top = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      base.join(dup, Seq("source")).join(top, Seq("source"))
+    }),
     "text_pii_redact" -> ((s, dir) => {
       // Counts are taken per-pattern on the pre-redaction string; the
       // replacement tokens contain no digits/@, so the three patterns
@@ -269,6 +306,33 @@ object CurationQueries {
        )"""
 
   val oracleSql: Map[String, String] = Map(
+    "curate_dataset_report" ->
+      s"""${TextQueries.qualityPerDocSql},
+         dd AS (SELECT tt.doc_id, tt.source, tt.lang, tt.n_chars,
+             CAST(tt.n_toks AS BIGINT) AS tc, md5(tt.norm) AS fp,
+             qd.quality
+           FROM tt JOIN qd ON tt.doc_id = qd.doc_id),
+         base AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(tc) AS BIGINT) AS tok_total,
+             round(1e-9 + avg(quality), 4) AS mean_quality,
+             count(*) FILTER (WHERE quality < 0.5) AS n_low_q
+           FROM dd GROUP BY 1),
+         dup AS (SELECT source,
+             CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+               AS n_dup_docs
+           FROM (SELECT source, fp, count(*) AS c FROM dd
+                 GROUP BY 1, 2) g
+           GROUP BY 1),
+         top AS (SELECT source, lang AS top_lang FROM (
+             SELECT source, lang, row_number() OVER (PARTITION BY source
+               ORDER BY count(*) DESC, lang) AS rk
+             FROM dd GROUP BY source, lang) x
+           WHERE rk = 1)
+         SELECT base.source, base.n_docs, base.n_chars, base.tok_total,
+           base.mean_quality, base.n_low_q, dup.n_dup_docs, top.top_lang
+         FROM base JOIN dup ON base.source = dup.source
+           JOIN top ON base.source = top.source""",
     "text_pii_redact" ->
       s"""WITH p AS (SELECT doc_id, $synthPiiSql AS s FROM documents)
           SELECT doc_id,
