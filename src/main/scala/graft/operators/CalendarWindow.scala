@@ -491,16 +491,24 @@ object CalendarWindow {
           vals: Array[Array[Double]])
         val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
         var curKey: Seq[Any] = null
-        // group-boundary comparison needs VALUE equality: BinaryType
-        // group columns surface as Array[Byte], whose == is reference
-        // identity — comparing raw key Seqs would fragment every row of
-        // a binary-keyed group into its own flush (round-9 review
-        // finding). Output rows keep the ORIGINAL values (curKey).
+        // group-boundary comparison needs VALUE equality matching the
+        // repartition's grouping semantics: BinaryType surfaces as
+        // Array[Byte] (reference ==), ±0.0 boxed doubles/floats are
+        // equals-distinct though Spark groups them together, and both
+        // can nest inside array/struct keys — so canonicalize
+        // RECURSIVELY (round-9 review findings). NaN stays NaN
+        // (boxed equals(NaN, NaN) is true, matching groupBy). Output
+        // rows keep the ORIGINAL values (curKey).
         var curKeyCmp: Seq[Any] = null
-        def cmpForm(k: Seq[Any]): Seq[Any] = k.map {
+        def canon(v: Any): Any = v match {
           case b: Array[Byte] => b.toSeq
-          case v => v
+          case d: java.lang.Double if d.doubleValue == 0.0 => 0.0
+          case f: java.lang.Float if f.floatValue == 0.0f => 0.0f
+          case s: Seq[_] => s.map(canon)
+          case r: Row => r.toSeq.map(canon)
+          case other => other
         }
+        def cmpForm(k: Seq[Any]): Seq[Any] = k.map(canon)
 
         def interpolate(a: Array[Double], p: Double): Any =
           if (a.isEmpty) null

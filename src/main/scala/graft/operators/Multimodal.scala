@@ -166,12 +166,15 @@ object Multimodal {
     * columnar meta + this O(len) copy is ~10×  cheaper). */
   def bmpBlobFromMeta(pixels: Array[Byte], width: Int, height: Int,
                       channels: Int): Array[Byte] = {
-    val rowSize = ((width * channels * 8 + 31) / 32) * 4
-    val imgSize = rowSize.toLong * height
+    // Long arithmetic end-to-end: Int rowSize math could itself wrap
+    // (width*channels*8 at width ~2^27) and sneak a negative size past
+    // the guard below (round-9 review finding)
+    val rowSize = ((width.toLong * channels * 8 + 31) / 32) * 4
+    val imgSize = rowSize * height
     // the declared-size fields are int32 in the BMP layout; reject dims
     // whose raw bitmap would wrap them rather than write a corrupt
     // header (md5-derived fixture dims are <= 1344x784, far inside)
-    require(imgSize <= Int.MaxValue - 54,
+    require(imgSize >= 0 && imgSize <= Int.MaxValue - 54,
       s"BMP raw size $imgSize overflows the int32 header fields " +
         s"($width x $height x $channels)")
     val bb = java.nio.ByteBuffer.allocate(54 + pixels.length)

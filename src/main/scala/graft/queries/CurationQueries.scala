@@ -67,10 +67,14 @@ object CurationQueries {
       // grid), exact-dup exposure (docs in >1-member fingerprint
       // groups), dominant language. Plan: ONE scan computes every
       // per-doc signal (quality, token count, fingerprint) in a single
-      // codegen'd projection, then three source-keyed hash-aggs + one
-      // tiny rank window, joined on the ~|sources| frame — nothing
-      // downstream of the scan is corpus-sized. Threshold/mean run on
-      // the r4-rounded per-doc quality both engines share (§5.1:
+      // codegen'd projection, which localCheckpoints (the repo's
+      // reuse-a-frame-referenced-3× rule — Spark re-executes shared
+      // subplans per branch otherwise, and three corpus scans each
+      // re-running the normalize/tokenize pipeline is exactly the
+      // 100 TB cost this comment reasons about); the three aggregation
+      // branches then read the narrow materialized frame, and nothing
+      // downstream is corpus-sized. Threshold/mean run on the
+      // r4-rounded per-doc quality both engines share (§5.1:
       // compare/aggregate on the grid, not the raw double).
       import graft.functions.TextFunctions.{fingerprint, qualityScore,
         tokenCount}
@@ -79,6 +83,7 @@ object CurationQueries {
           r4(qualityScore(col("text"))).as("q"),
           tokenCount(col("text")).cast("long").as("tc"),
           fingerprint(col("text")).as("fp"))
+        .localCheckpoint()
       val base = d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),

@@ -459,6 +459,18 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(got(2L) == 2.0) // k1, Jan 20: [Dec 20, Jan 20] = {1, 3}
     assert(got(1L) == 1.0)
     assert(got(4L) == 7.0)
+    // ±0.0 double keys are ONE group in Spark groupBy semantics, but
+    // boxed Double.equals(-0.0, 0.0) is false — the canonicalizer must
+    // normalize the sign of zero too
+    val zgot = Seq((1L, d("2023-01-10"), 1.0, 0.0),
+        (2L, d("2023-01-20"), 3.0, -0.0))
+      .toDF("event_id", "dt", "value", "k")
+      .mutateW("med" -> expr("median(value)"))(
+        by = Seq(col("k")), frame = Some(Frame.months(1, 0)),
+        index = Some(col("dt")))
+      .select($"event_id", $"med").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(zgot(2L) == 2.0, "±0.0 keys fragmented: " + zgot) // median(1,3)
   }
 
   test("general expansion path: .complete gate + NULL index day survives") {
