@@ -84,9 +84,12 @@ object CalendarWindow {
       * (shuffling n rows once), the binned interval join fans out on
       * DISTINCT DAYS — window width in days per window, independent of
       * row density — and each window sorts its own merged list. Same
-      * linear interpolation as Spark's `Percentile`
-      * (`pos = 1 + (n−1)·p`; `lo·(hi−pos) + hi·(pos−lo)`), so results
-      * are bit-identical to `expr("percentile(v, p)")`. */
+      * linear interpolation as Spark's `Percentile`, replayed with the
+      * SAME 0-based position (`pos = (n−1)·p`; `lo·(hi−pos) +
+      * hi·(pos−lo)`, lower==higher short-circuit), so results are
+      * bit-identical to `expr("percentile(v, p)")` — a 1-based
+      * `1 + (n−1)p` variant ulp-shifts the weights for non-dyadic p
+      * (r9 review, verified empirically). */
     final case class Quantile(p: Double) extends MonthsOp {
       require(p >= 0 && p <= 1, s"percentile p must be in [0,1] (got $p)")
     }
@@ -390,18 +393,19 @@ object CalendarWindow {
         case Quantile(_) if sweepQuant => col(s"__wq_${sp.out}")
         case Quantile(p) =>
           // global (by = Nil) expansion form — Spark Percentile's own
-          // interpolation, replayed on the sorted merged list:
-          // pos = 1 + (n−1)p (double), result =
-          // a[⌊pos⌋]·(⌈pos⌉−pos) + a[⌈pos⌉]·(pos−⌊pos⌋) — the identical
-          // expression tree means bit-identical doubles (the sweep's
-          // Scala interpolation replays the same IEEE ops)
+          // interpolation, replayed on the sorted merged list with the
+          // SAME 0-based position: pos = (n−1)·p, lower==higher
+          // short-circuits, else a[lo]·(hi−pos) + a[hi]·(pos−lo).
+          // (The earlier 1-based 1+(n−1)p form shifted the weights by
+          // an ulp for non-dyadic p — round-9 review finding, ~22% of
+          // random (array, p) cases bitwise-diverged from Percentile.)
           val arr = col(s"__wql_${sp.valueCol}")
           val n = size(arr)
-          val pos = lit(1.0) + (n.cast("double") - lit(1.0)) * lit(p)
+          val pos = (n.cast("double") - lit(1.0)) * lit(p)
           val lo = floor(pos)
           val hi = ceil(pos)
-          val loV = element_at(arr, lo.cast("int"))
-          val hiV = element_at(arr, hi.cast("int"))
+          val loV = element_at(arr, lo.cast("int") + lit(1))
+          val hiV = element_at(arr, hi.cast("int") + lit(1))
           when(arr.isNotNull && n > 0,
             when(lo === hi, loV)
               .otherwise(loV * (hi - pos) + hiV * (pos - lo)))
@@ -448,7 +452,7 @@ object CalendarWindow {
     * with ZERO join fan-out; state per group is its distinct-day
     * partial list, calendar-bounded (a group's days, not its rows).
     * The interpolation replays Spark `Percentile`'s IEEE expression
-    * (pos = 1 + (n−1)p; lo·(hi−pos) + hi·(pos−lo)) bit-for-bit.
+    * (0-based pos = (n−1)·p; lo·(hi−pos) + hi·(pos−lo)) bit-for-bit.
     *
     * Emits one row per input (group, day): group cols (original
     * names), [[DAY]], and `__wq_<spec.out>` doubles. NULL-day partials
@@ -474,6 +478,7 @@ object CalendarWindow {
     val colIdx = qCols.zipWithIndex.map { case (v, i) => v -> (nBy + 4 + i) }
       .toMap
     // spec → (source-array index, p), resolved once
+    val quantCols = quantSpecs.map(sp => colIdx(sp.valueCol)).distinct
     val specPlan = quantSpecs.map(sp => (colIdx(sp.valueCol),
       sp.op.asInstanceOf[MonthsOp.Quantile].p))
     val outSchema = StructType(
@@ -500,10 +505,16 @@ object CalendarWindow {
         // (boxed equals(NaN, NaN) is true, matching groupBy). Output
         // rows keep the ORIGINAL values (curKey).
         var curKeyCmp: Seq[Any] = null
+        // NOTE NaN: Scala Seq == routes boxed numerics through
+        // cooperative numeric equality, so NaN != NaN (unlike
+        // java.lang.Double.equals) — map every NaN to one token, as
+        // Spark's groupBy normalization does (r9 review, verified).
         def canon(v: Any): Any = v match {
           case b: Array[Byte] => b.toSeq
-          case d: java.lang.Double if d.doubleValue == 0.0 => 0.0
-          case f: java.lang.Float if f.floatValue == 0.0f => 0.0f
+          case d: java.lang.Double =>
+            if (d.isNaN) " NaN" else if (d.doubleValue == 0.0) 0.0 else d
+          case f: java.lang.Float =>
+            if (f.isNaN) " NaN" else if (f.floatValue == 0.0f) 0.0f else f
           case s: Seq[_] => s.map(canon)
           case r: Row => r.toSeq.map(canon)
           case other => other
@@ -513,11 +524,13 @@ object CalendarWindow {
         def interpolate(a: Array[Double], p: Double): Any =
           if (a.isEmpty) null
           else {
-            val pos = 1.0 + (a.length - 1).toDouble * p
+            // Spark Percentile's 0-based formula, op for op (the
+            // 1-based variant ulp-diverged on non-dyadic p — r9 review)
+            val pos = (a.length - 1).toDouble * p
             val lo = math.floor(pos)
             val hi = math.ceil(pos)
-            if (lo == hi) a(lo.toInt - 1)
-            else a(lo.toInt - 1) * (hi - pos) + a(hi.toInt - 1) * (pos - lo)
+            if (lo == hi) a(lo.toInt)
+            else a(lo.toInt) * (hi - pos) + a(hi.toInt) * (pos - lo)
           }
 
         def flush(): Iterator[Row] = {
@@ -536,7 +549,11 @@ object CalendarWindow {
             while (hiIdx + 1 < entries.length &&
                 entries(hiIdx + 1).dd <= e.hid)
               hiIdx += 1
-            val outs = specPlan.map { case (ci, p) =>
+            // merge + sort ONCE per distinct value column, then
+            // interpolate every requested p from the shared sorted
+            // array (a p25/p50/p75 trio over one column was paying the
+            // dominant O(w̄ log w̄) cost per spec — r9 review finding)
+            val sortedByCol = quantCols.map { ci =>
               val vi = ci - (nBy + 4)
               var n = 0
               var j = loIdx
@@ -551,7 +568,10 @@ object CalendarWindow {
                 j += 1
               }
               java.util.Arrays.sort(merged)
-              interpolate(merged, p)
+              ci -> merged
+            }.toMap
+            val outs = specPlan.map { case (ci, p) =>
+              interpolate(sortedByCol(ci), p)
             }
             Row.fromSeq(key ++ Seq(e.day) ++ outs)
           }

@@ -204,6 +204,16 @@ object SqlMutate {
     }
     val (b, bd) = monthDay(frame.before)
     val (a, ad) = monthDay(frame.after)
+    // same statically-empty-frame rejection as CalendarWindow.monthsAgg:
+    // without it a frame like months(-24, 0) renders a DESCENDING
+    // sequence() per (group, day) — Spark sequence steps -1 when start >
+    // stop, a silent O(span/width)-bin explode fan-out that then joins
+    // nothing — where the DataFrame path throws (r9 review finding)
+    val monthsSpan = b + a
+    require((if (monthsSpan >= 0) monthsSpan * 31 else monthsSpan * 28) +
+        bd + ad >= 0,
+      s"empty month frame: [d - (${b}mo ${bd}d), d + (${a}mo ${ad}d)] " +
+        "starts after it ends")
 
     import MAgg._
     val parsed: Seq[(String, MAgg, String)] = exprs.map { case (n, e) =>

@@ -473,6 +473,30 @@ class CalendarWindowSpec extends AnyFunSuite {
     assert(zgot(2L) == 2.0, "±0.0 keys fragmented: " + zgot) // median(1,3)
   }
 
+  test("quantile sweep: non-dyadic p is bit-identical to Spark's own " +
+      "percentile (0-based position), multi-p shares one sorted array") {
+    import graft.operators.CalendarWindow.{MonthsAggSpec, MonthsOp}
+    // trailing-month window at the last row holds all four values;
+    // p = 0.3 is NOT dyadic, so the 1-based 1+(n−1)p form would be an
+    // ulp off Spark's percentile() — this pins the 0-based replay
+    val rows = Seq(
+      (1L, d("2023-01-10"), 10.0), (2L, d("2023-01-15"), 1.0),
+      (3L, d("2023-01-20"), 7.0), (4L, d("2023-01-25"), 3.0))
+      .toDF("event_id", "dt", "value").withColumn("user_id", lit(1L))
+    val got = graft.operators.CalendarWindow.monthsAgg(rows,
+        by = Seq("user_id"), index = col("dt"),
+        specs = Seq(MonthsAggSpec("q30", MonthsOp.Quantile(0.3), "value"),
+          MonthsAggSpec("q75", MonthsOp.Quantile(0.75), "value")),
+        before = 1, after = 0)
+      .filter($"event_id" === 4L)
+      .select($"q30", $"q75").head
+    val want = spark.sql(
+      """SELECT percentile(v, 0.3), percentile(v, 0.75)
+         FROM (VALUES (10.0), (1.0), (7.0), (3.0)) AS t(v)""").head
+    assert(got.getDouble(0) == want.getDouble(0), "p=0.3 ulp divergence")
+    assert(got.getDouble(1) == want.getDouble(1), "p=0.75 divergence")
+  }
+
   test("general expansion path: .complete gate + NULL index day survives") {
     import graft.operators.TidierOps._
     import graft.operators.Frame
