@@ -1135,6 +1135,33 @@ object TimeSeriesQueries {
             col("num").cast("double") /
               (col("den").cast("double") * 1e6))).as("twap"))
     }),
+    "ts_burst_detect" -> ((s, dir) => {
+      // RATE-SPIKE detection per user — the scrape-burst/abuse monitor
+      // a data pipeline runs on ingest volumes: each day's event count
+      // against the user's trailing-7-observed-days baseline. The
+      // burst predicate is INTEGER-EXACT by construction: flag iff
+      // n·m > 2·s ∧ m ≥ 3 (n = today's count, m/s = baseline
+      // days/sum) — cross-multiplied so no float ever enters a
+      // comparison; base_mean is reported on the r4 grid but decides
+      // nothing. One hash agg to daily counts, one (user)-keyed
+      // window pass over the day series — both on the same exchange.
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+      daily.select(col("user_id"), col("day"), col("n_events"),
+          count(col("n_events")).over(w).as("base_n"),
+          sum(col("n_events")).over(w).as("base_sum"))
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("base_n"), col("base_sum"),
+          r4(when(col("base_n") > 0,
+            col("base_sum").cast("double") / col("base_n").cast("double")))
+            .as("base_mean"),
+          (col("base_n") >= 3 &&
+            col("n_events") * col("base_n") > col("base_sum") * 2)
+            .as("burst"))
+    }),
     "ts_resample_ohlc" -> ((s, dir) => {
       // OHLC bar downsampling per (user, day) — the finance/telemetry
       // resample a plain groupBy can't express: open/close are the
@@ -1638,6 +1665,23 @@ object TimeSeriesQueries {
                / (CAST(sum(dur_ms) AS DOUBLE) * 1000000.0) END, 4)
              AS twap
          FROM d GROUP BY 1""",
+    "ts_burst_detect" ->
+      """WITH daily AS (SELECT user_id,
+           epoch_ns(ts) // 86400000000000 AS day,
+           count(*) AS n_events
+         FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, day, n_events,
+           count(n_events) OVER w AS base_n,
+           CAST(sum(n_events) OVER w AS BIGINT) AS base_sum
+         FROM daily
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, day, n_events, base_n, base_sum,
+           round(1e-9 + CASE WHEN base_n > 0 THEN
+             CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE) END, 4)
+             AS base_mean,
+           (base_n >= 3 AND n_events * base_n > base_sum * 2) AS burst
+         FROM b""",
     "ts_resample_ohlc" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day,

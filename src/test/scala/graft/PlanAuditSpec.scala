@@ -7,7 +7,7 @@ import graft.plans.{AuditInventory, PlanAudit}
 
 /** PlanAudit fires on the shapes it names, stays quiet on the shapes it
   * can statically prove bounded, and — the regression gate — every one
-  * of the inventory's 190 non-streaming plans audits clean against the
+  * of the inventory's 191 non-streaming plans audits clean against the
   * declared exception list in [[AuditInventory]]. */
 class PlanAuditSpec extends AnyFunSuite {
 
@@ -95,10 +95,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(f.exists(_.rule == "unpushed_filter"), f.toString)
   }
 
-  test("full inventory: all 190 non-streaming plans audit clean of " +
+  test("full inventory: all 191 non-streaming plans audit clean of " +
       "undeclared Warn/Error findings") {
     val keys = AuditInventory.sweepKeys
-    assert(keys.size >= 190, s"inventory shrank? ${keys.size}")
+    assert(keys.size >= 191, s"inventory shrank? ${keys.size}")
     val bad = keys.flatMap { k =>
       val allowed = AuditInventory.declaredAllows.getOrElse(k, Set.empty)
       val gating = PlanAudit.audit(SparkEntry.queries(k)(spark, dir),
