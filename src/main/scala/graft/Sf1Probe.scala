@@ -53,7 +53,8 @@ object Sf1Probe {
     // resample/index keys (mm staging keys excluded — their cost is
     // the fixture write, scoped per-session)
     "join_star_schema", "window_rolling_slope", "ts_resample_ohlc",
-    "text_inverted_index")
+    "text_inverted_index", "attribution_last_touch", "ts_burst_detect",
+    "text_keyword_topk", "sample_balanced", "curate_dataset_report")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")
