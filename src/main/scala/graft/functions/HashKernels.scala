@@ -289,7 +289,47 @@ object ShingleHashesExpr {
   }
 }
 
+/** 16-bin byte-class histogram of a binary payload — a REAL content
+  * feature (byte-range distribution: control / digit / upper / lower /
+  * high-bit classes — the content-type & entropy signal media routers
+  * compute before any decode). Bin = (byte & 0xff) >> 4; counts as
+  * `array<bigint>`. One compiled pass over the payload bytes, same
+  * static-compute codegen shape as [[ShingleHashesExpr]]. */
+case class ByteHistogramExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_histogram expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ByteHistogramExpr.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val cls = ByteHistogramExpr.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($b);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): ByteHistogramExpr =
+    copy(child = c)
+}
+
+object ByteHistogramExpr {
+  def compute(bytes: Array[Byte]): GenericArrayData = {
+    val cnt = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { cnt((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+    new GenericArrayData(cnt)
+  }
+}
+
 object HashKernels {
+  def byteHistogram(p: Column): Column =
+    ColumnShim.column(ByteHistogramExpr(ColumnShim.expression(p)))
   def shingleHashes(text: Column, n: Int): Column =
     ColumnShim.column(ShingleHashesExpr(ColumnShim.expression(text), n))
   def minhashSig(xh: Column, k: Int): Column =

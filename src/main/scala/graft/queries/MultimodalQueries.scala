@@ -156,12 +156,22 @@ object MultimodalQueries {
           col("meta.c").as("m3"))
     }),
     "mm_features" -> ((s, dir) => {
-      // STUB features, real array plumbing. Serialized as integer millis
-      // (round(f*1000) recovers the exact generator integer) — engine-
-      // neutral, unlike double→string formatting.
+      // REAL feature extraction (round-9, upgrading the declared
+      // stub): 16-bin byte-class histogram of the payload as per-mille
+      // fractions — an honest content-type/entropy feature vector (the
+      // signal media routers compute before any decode), produced by a
+      // one-pass codegen kernel (HashKernels.byteHistogram).
+      // DETERMINISM: counts and length are exact integers; floor(c ·
+      // 1000/len + 0.5) is the identical IEEE op chain in both
+      // engines. The ASCII corpus makes DuckDB's per-char \xNN-class
+      // counts equal these per-byte counts.
+      val len = blobLen(col("p")).cast("double")
       withPayload(s, dir).select(col("doc_id"),
-        array_join(transform(fakeFeatures(col("p"), 8),
-          f => round(f * 1000).cast("long").cast("string")), ",").as("feat"))
+        array_join(transform(
+          graft.functions.HashKernels.byteHistogram(col("p")),
+          c => when(len > 0,
+            floor(c.cast("double") * 1000.0 / len + 0.5).cast("long"))
+            .otherwise(0L).cast("string")), ",").as("feat"))
     }),
     "mm_frame_sample" -> ((s, dir) => {
       // Real byte-slice frame sampling; one row per (doc, frame).
@@ -234,11 +244,18 @@ object MultimodalQueries {
                 ELSE (${saltedSql("-bd")} % 3 + 1) * 8 END AS m3
          FROM b""",
     "mm_features" ->
-      s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents)
+      s"""WITH b AS (SELECT doc_id, text,
+           octet_length(encode(text)) AS len FROM documents)
          SELECT doc_id,
-           array_to_string([${(0 until 8).map(i =>
-             s"CAST(round((${saltedSql(s"-f$i")} % 2001 - 1000) / 1000.0 " +
-               "* 1000.0) AS BIGINT)").mkString(", ")}], ',') AS feat
+           array_to_string([${(0 until 16).map { bk =>
+             val bs = "\\"
+             val lo = f"${bk * 16}%02x"
+             val hi = f"${bk * 16 + 15}%02x"
+             s"CASE WHEN len > 0 THEN CAST(floor((length(text) - " +
+               s"length(regexp_replace(text, '[${bs}x$lo-${bs}x$hi]', " +
+               s"'', 'g'))) * 1000.0 / len + 0.5) AS BIGINT) " +
+               "ELSE 0 END"
+           }.mkString(", ")}], ',') AS feat
          FROM b""",
     "mm_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, text,

@@ -36,6 +36,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("byteHistogram kernel: known bytes land in the right bins") {
+    import graft.functions.ByteHistogramExpr
+    // "0Az~" = 0x30, 0x41, 0x7a, 0x7e → bins 3, 4, 7, 7
+    val h = ByteHistogramExpr.compute("0Az~".getBytes("US-ASCII"))
+      .toLongArray()
+    assert(h.length == 16)
+    assert(h(3) == 1 && h(4) == 1 && h(7) == 2 && h.sum == 4)
+    // high-bit bytes reach the top bins (byte & 0xff, not sign-extended)
+    val hb = ByteHistogramExpr.compute(Array(0xff.toByte, 0x80.toByte))
+      .toLongArray()
+    assert(hb(15) == 1 && hb(8) == 1)
+    // empty payload: all-zero histogram, no division anywhere
+    assert(ByteHistogramExpr.compute(Array.emptyByteArray)
+      .toLongArray().forall(_ == 0L))
+  }
+
   test("fakeFeatures feed Similarity.cosine unchanged") {
     val feats = docs.limit(50).select($"doc_id",
       fakeFeatures(payload($"text"), 8).as("embedding"))
