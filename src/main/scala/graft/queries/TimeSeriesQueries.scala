@@ -1404,11 +1404,12 @@ object TimeSeriesQueries {
   )
 
   // Streaming-key oracles scale doubles with floor(value*10000 + 0.5)
-  // — the SAME function Java Math.round computes — not DuckDB round(),
-  // which rounds half AWAY FROM ZERO and so diverges from the Scala
-  // stateful ops (StreamingOps math.round) on a negative value landing
-  // exactly on a .00005 tie; v4 is also the rows-frame SORT tiebreak,
-  // so a tie-grid divergence would shift both the sum and the order.
+  // — the literal IEEE op sequence StreamingOps.scaledE4 now shares
+  // (multiply, +0.5, floor; NOT DuckDB round(), which is half-away-
+  // from-zero, and NOT Math.round, which special-cases near-tie
+  // doubles) — StreamingSpec pins the helper against this exact form;
+  // v4 is also the rows-frame SORT tiebreak, so a tie-grid divergence
+  // would shift both the sum and the order.
   val oracleSql: Map[String, String] = Map(
     "window_stream_running" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,

@@ -142,6 +142,20 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** THE scaled-int convention for streaming values: the exact IEEE
+    * operation sequence the DuckDB oracles spell as
+    * `CAST(floor(value * 10000 + 0.5) AS BIGINT)` — multiply, add 0.5,
+    * floor, each a rounded double op. `math.round` is NOT this function:
+    * the JDK special-cases doubles like 0.49999999999999994 (where the
+    * `+ 0.5` itself rounds up past the true sum) to stay "closest long",
+    * while DuckDB's floor-form lets the addition's rounding decide. One
+    * shared helper so the convention cannot fork across the six
+    * stateful operators again (round-9 verdict item 1); StreamingSpec
+    * pins it against the literal floor form on tie and near-tie values,
+    * negatives included. */
+  def scaledE4(value: Double): Long =
+    math.floor(value * 10000d + 0.5d).toLong
+
   // --- per-row trailing range frame (the StatefulOnly recipe, realized) --
 
   /** One output row per input event: the trailing-frame aggregate at
@@ -197,7 +211,7 @@ object StreamingOps {
           // merged ascending multiset of (ts, scaledValue): retained
           // horizon + this batch (ties included — range-frame peers)
           val merged = (prev.entryTs.zip(prev.entryV) ++ batch.map(e =>
-              e.tsMillis -> math.round(e.value * 10000)))
+              e.tsMillis -> scaledE4(e.value)))
             .sortBy(identity)
           val out = batch.map { e =>
             val lo = e.tsMillis - beforeMillis
@@ -287,7 +301,7 @@ object StreamingOps {
             batch.partition(_.tsMillis <= prev.emittedThrough)
           val merged = (prev.entryTs.zip(prev.entryV) ++
               (fresh ++ stragglers).map(e =>
-                e.tsMillis -> math.round(e.value * 10000)))
+                e.tsMillis -> scaledE4(e.value)))
             .sortBy(identity)
           def aggAt(t: Long): TrailingAgg = {
             val lo = t - beforeMillis
@@ -354,7 +368,7 @@ object StreamingOps {
               // range-peer semantics: fold the whole tie group, then
               // every peer emits the shared post-group value
               n += peers.size
-              s += peers.map(e => math.round(e.value * 10000)).sum
+              s += peers.map(e => scaledE4(e.value)).sum
               peers.map(_ => RunningAgg(key, ts, n, s))
             }
           val maxTs = math.max(prev.maxTs,
@@ -410,7 +424,7 @@ object StreamingOps {
           val prev = st.getOption.getOrElse(
             RunningDelayBuf(0L, 0L, Long.MinValue, Nil, Nil, Nil))
           val batch = it.toSeq
-            .map(e => e.tsMillis -> math.round(e.value * 10000))
+            .map(e => e.tsMillis -> scaledE4(e.value))
           val (stragglers, fresh) =
             batch.partition(_._1 <= prev.emittedThrough)
           var n = prev.n; var s = prev.sumE4
@@ -487,7 +501,7 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[KeyedEvent], st: GroupState[RowsBuf]) =>
           val batch = it.toSeq
-            .map(e => (e.tsMillis, math.round(e.value * 10000)))
+            .map(e => (e.tsMillis, scaledE4(e.value)))
             .sortBy(identity)
           val prev = st.getOption.getOrElse(RowsBuf(Nil, Nil))
           // state entries are strictly older than the batch under the
@@ -540,7 +554,7 @@ object StreamingOps {
           val prev = st.getOption.getOrElse(
             RowsDelayBuf(Nil, Nil, Nil, Nil, Long.MinValue))
           val batch = it.toSeq
-            .map(e => e.tsMillis -> math.round(e.value * 10000))
+            .map(e => e.tsMillis -> scaledE4(e.value))
           val (stragglers, fresh) =
             batch.partition(_._1 <= prev.emittedThrough)
           val stragglerOut = stragglers.sortBy(identity).map {

@@ -502,4 +502,43 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 5000L, 5000L, 1L, 4.0),
       (2L, 100L, 100L, 1L, 16.0)))
   }
+
+  test("scaledE4 IS the oracle's floor(v*10000 + 0.5) — exact negative " +
+      "ties included, and the Math.round near-tie special case excluded") {
+    // the DuckDB side, spelled as the same IEEE op sequence
+    def oracle(v: Double): Long = math.floor(v * 10000d + 0.5d).toLong
+    // -2.00005 * 10000 is EXACTLY -20000.5 in double (the product's
+    // rounding lands on the tie): floor(-20000.5 + 0.5) = -20000 —
+    // half-UP, where DuckDB round() would answer half-away (-20001);
+    // the oracles use the floor form precisely so both engines agree
+    assert((-2.00005 * 10000d) == -20000.5d)
+    assert(StreamingOps.scaledE4(-2.00005) == -20000L)
+    assert((-4.99995 * 10000d) == -49999.5d)
+    assert(StreamingOps.scaledE4(-4.99995) == -49999L)
+    // positive tie: 2.00005 * 10000 == 20000.5 exactly; floor = 20001
+    assert(StreamingOps.scaledE4(2.00005) == 20001L)
+    // Math.round's special case: for the largest double BELOW a tie the
+    // JDK answers "closest long" while the floor form lets `+ 0.5`'s own
+    // IEEE rounding carry the sum over the tie — they genuinely differ
+    val nearTie = math.nextDown(0.5) // 0.49999999999999994
+    assert(math.round(nearTie) == 0L && math.floor(nearTie + 0.5).toLong == 1L)
+    // exhaustive agreement with the oracle form on the fixture grid,
+    // ties, near-ties, negatives, and adversarial magnitudes
+    val probes = Seq(-2.00005, 2.00005, -4.99995, 4.99995, -0.00005,
+      0.00005, -0.00015, 0.00015, -123.45675, 123.45675,
+      nearTie / 10000d, -nearTie / 10000d,
+      0.0, -0.0, 1e-12, -1e-12, 987654.32105, -987654.32105)
+    probes.foreach { v =>
+      assert(StreamingOps.scaledE4(v) == oracle(v), s"diverged at $v")
+    }
+    // end-to-end: a negative tie value flowing through a stateful op
+    // lands on the oracle grid (winSumE4 uses the shared helper)
+    val ev = Seq(KeyedEvent(1, 100, -4.99995), KeyedEvent(1, 150, -2.00005))
+      .toDS()
+    val got = StreamingOps.trailingW(ev, beforeMillis = 60)
+      .collect().map(t => (t.tsMillis, t.winSumE4)).toSeq.sorted
+    assert(got == Seq(
+      (100L, -49999L),
+      (150L, -49999L + -20000L)))
+  }
 }
