@@ -555,6 +555,64 @@ object ScaleProbe {
         sink(graft.queries.GraphQueries.triangleCounts(und))
       }
     }
+
+    // Common-neighbor link scoring (round-10 —
+    // graph_common_neighbors_ppjoin): exact wedge join vs the PPJoin
+    // prefix-filter sibling, measured on the shape that separates
+    // them — a graph with two MEGA-hubs everyone touches plus small
+    // community hubs that carry the real similarity signal. The wedge
+    // join pays Σ deg(u)² and the mega-hubs dominate it (~1e8 wedge
+    // pairs here); in the prefix form a mega-hub neighbor is a
+    // maximally-FREQUENT token, so the rarest-first global order
+    // pushes it out of every prefix and the candidate join only ever
+    // meets on community-hub tokens (~1e7 candidates). Same answer,
+    // asserted; candidate counts printed so the bound is a measured
+    // number, not a claim.
+    {
+      val spokes = 20000L
+      val megas = 2
+      val comms = 200
+      // each spoke: 1 mega-hub + 2 community hubs (ids: megas/comm
+      // pools below 1000, spokes from 1000 up ⇒ a<b normalization is
+      // hub-first)
+      val sp = spark.range(spokes)
+      val edges = sp.select(col("id"),
+          explode(array(
+            pmod(xxhash64(col("id")), lit(megas)),
+            pmod(xxhash64(col("id") + 1327), lit(comms)) + megas,
+            pmod(xxhash64(col("id") + 2654), lit(comms)) + megas))
+            .as("h"))
+        .select(col("h").as("a"), (col("id") + 1000).as("b"))
+        .distinct()
+        .filter(col("a") =!= col("b"))
+        .localCheckpoint()
+      val e2 = edges.select(col("a").as("v"), col("b").as("nb"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("nb")))
+      val wedgeCount = e2.select(col("v").as("u"), col("nb").as("p"))
+        .join(e2.select(col("v").as("u"), col("nb").as("q")), Seq("u"))
+        .filter(col("p") < col("q")).count()
+      var exact: org.apache.spark.sql.DataFrame = null
+      time(s"common-neighbors EXACT wedge (${spokes / 1000}k spokes)") {
+        exact = graft.queries.GraphQueries.commonNeighborsExact(edges)
+          .filter(col("cn") * 3 >= col("dp") + col("dq"))
+          .localCheckpoint()
+      }
+      var pp: org.apache.spark.sql.DataFrame = null
+      time(s"common-neighbors PPJOIN prefix (same graph)") {
+        pp = graft.queries.GraphQueries.commonNeighborsPrefix(edges, 1, 2)
+          .localCheckpoint()
+      }
+      val n1 = exact.count(); val n2 = pp.count()
+      require(n1 == n2 && exact.except(pp).isEmpty,
+        s"ppjoin diverged from exact wedge: $n1 vs $n2 pairs")
+      val posts = edges.select(col("a").as("v"), col("b").cast("long").as("s"))
+        .unionByName(edges.select(col("b").as("v"), col("a").cast("long").as("s")))
+      val candCount = graft.queries.GraphQueries
+        .cnPrefixCandidates(posts, 1, 2).count()
+      println(s"[probe]   wedge pairs enumerated (exact): $wedgeCount")
+      println(s"[probe]   prefix candidates verified (ppjoin): $candCount")
+      println(s"[probe]   surviving scored pairs (both forms): $n1")
+    }
     spark.stop()
   }
 }

@@ -54,7 +54,9 @@ object Sf1Probe {
     // the fixture write, scoped per-session)
     "join_star_schema", "window_rolling_slope", "ts_resample_ohlc",
     "text_inverted_index", "attribution_last_touch", "ts_burst_detect",
-    "text_keyword_topk", "sample_balanced", "curate_dataset_report")
+    "text_keyword_topk", "sample_balanced", "curate_dataset_report",
+    // round-10: the prefix-filter scale sibling of graph_common_neighbors
+    "graph_common_neighbors_ppjoin")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")

@@ -179,8 +179,15 @@ object Multimodal {
         s"($width x $height x $channels)")
     val bb = java.nio.ByteBuffer.allocate(54 + pixels.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // Declared file size = the ACTUAL blob length: the fixture stores a
+    // truncated pixel payload (the gate's blobs carry the md5 payload,
+    // not w*h*c raw bytes), and a header claiming 54+imgSize would make
+    // the file read as corrupt to any external/stricter tool even
+    // though BmpDecoder only reads dims (round-9 ADVICE). The raw
+    // bitmap size field below keeps the LAYOUT-true 54+imgSize
+    // geometry, which is what the decoder's dim parse exercises.
     bb.put('B'.toByte).put('M'.toByte)
-      .putInt((54 + imgSize).toInt)          // declared file size
+      .putInt(54 + pixels.length)            // declared file size
       .putInt(0)                             // reserved
       .putInt(54)                            // pixel-data offset
       .putInt(40)                            // BITMAPINFOHEADER size

@@ -16,9 +16,18 @@ object AuditInventory {
     * full micro-batch pipeline inside the query constructor and return
     * a memory-sink scan — there is no lintable batch plan; their scale
     * story is the scoped `shuffle.partitions` + watermark design
-    * documented at StreamingOps.scala. */
-  def sweepKeys: Seq[String] =
-    graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(_.contains("stream"))
+    * documented at StreamingOps.scala. The exclusion is the EXPLICIT
+    * registry `TimeSeriesQueries.streamingKeys` (not a name-substring
+    * filter), so a future non-streaming key whose name contains
+    * "stream" cannot silently escape the lint gate; the require pins
+    * the registry against key renames. */
+  def sweepKeys: Seq[String] = {
+    val streaming = graft.queries.TimeSeriesQueries.streamingKeys
+    val all = graft.SparkEntry.queries.keySet
+    require(streaming.subsetOf(all),
+      s"streamingKeys not in inventory: ${streaming.diff(all).toSeq.sorted}")
+    all.toSeq.sorted.filterNot(streaming)
+  }
 
   /** Declared-intentional Warn/Error findings, key → allowed rule ids.
     *

@@ -47,13 +47,15 @@ object PlanAudit {
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case f: FilterExec =>
-          // filter whose OWN subtree scans report zero pushed filters:
-          // the predicate never reached the parquet reader (casts and
-          // UDFs block pushdown). Node-local (not plan-wide string
-          // match) so an unrelated Filter elsewhere in the plan cannot
-          // pair with an unrelated predicate-free scan; runs on the
-          // same AQE-unwrapped walk as the other rules.
-          if (scansUnder(f.child).exists(
+          // filter whose OWN UNARY-CHAIN scan reports zero pushed
+          // filters: the predicate never reached the parquet reader
+          // (casts and UDFs block pushdown). The walk stops at any
+          // multi-child node (join/union) and at subqueries — a Filter
+          // sitting above a join is a post-join predicate, and pairing
+          // it with a predicate-free scan on one join side would be a
+          // spurious finding (round-9 ADVICE); runs on the same
+          // AQE-unwrapped walk as the other rules.
+          if (scansUnderLocal(f.child).exists(
               _.metadata.get("PushedFilters").contains("[]")))
             all += Finding("unpushed_filter", Info,
               "a Filter sits above a scan with PushedFilters: [] — " +
@@ -153,6 +155,18 @@ object PlanAudit {
     case s: FileSourceScanExec    => Seq(s)
     case o => (o.children ++ o.subqueries).flatMap(scansUnder)
   }
+
+  /** The scan a Filter actually filters: descend UNARY operators only
+    * (project/exchange/sort/agg chains), never across joins/unions or
+    * into subqueries — crossing a binary node would attribute the
+    * Filter's predicate to a scan it does not constrain. */
+  private def scansUnderLocal(p: SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: AdaptiveSparkPlanExec  => scansUnderLocal(a.executedPlan)
+      case s: FileSourceScanExec     => Seq(s)
+      case o if o.children.size == 1 => scansUnderLocal(o.children.head)
+      case _                         => Seq.empty
+    }
 
   /** True when the plan carries no Error-severity finding. */
   def clean(df: DataFrame, allow: Set[String] = Set.empty): Boolean =

@@ -545,41 +545,59 @@ object ExtendedQueries {
         r4(when(n >= 4 && a2 > 0, kurt)).as("roll_kurt"))
     }),
     "window_rolling_median" -> ((s, dir) => {
-      // Rolling EXACT order statistics as window aggregates: trailing
-      // 7-row median and p75 of the price per supplier — the
-      // order-statistic sibling of window_rolling_corr's moment
-      // family. Spark's percentile (TypedImperativeAggregate) runs
-      // inside the same sort-based WindowExec, re-accumulating the
-      // frame buffer per row — O(w) per row, the right trade at small
-      // w where EXACT quantiles are wanted; for wide frames the
-      // declared alternatives are the moment keys (corr/zscore) or
-      // the sketch families (HLL/CMS). DETERMINISM: inputs are exact
-      // long cents and the quantile ps are 2^-k rationals, so the
-      // interpolation position p·(n-1) and fraction are exact doubles
-      // and BOTH engines' interpolation formulas (Spark lo·(1-f)+hi·f,
-      // DuckDB lo+(hi-lo)·f) evaluate the same exact rational — no
-      // float jitter despite different expression shapes. (p=0.9
-      // would NOT be safe: 0.9 is inexact, the two formulas then
-      // differ in the last ulp.) The /100.0 rescale is one identical
-      // IEEE division on each side.
+      // Rolling EXACT order statistics, trailing 7-row median and p75
+      // of the price per supplier — the order-statistic sibling of
+      // window_rolling_corr's moment family. ROUND-10 REWRITE (the
+      // r9 verdict's steepest Sf1Probe curve): Spark's percentile
+      // aggregate is a TypedImperativeAggregate, so inside a sliding
+      // frame WindowExec cannot retract — it re-grows the aggregation
+      // buffer from scratch per output row, with per-row allocation +
+      // boxing on top of the O(w) scan. For a SMALL FIXED w the frame
+      // *contents* are expressible declaratively instead: w offset
+      // lags (one WindowExec pass, same exchange+sort), array_compact
+      // to drop the partition-head nulls (growing-frame semantics),
+      // one sort of ≤w elements, and the exact interpolation in plain
+      // codegen column math — same O(w log w) per row asymptotically,
+      // but whole-stage-codegen'd with zero per-row buffer churn
+      // (GraphScaleProbe's rolling-median section measures the win;
+      // the lag-array form only applies to rows-frames with compile-
+      // time w — percentile().over stays the general path, and for
+      // wide frames the declared alternatives remain the moment keys
+      // or sketches). DETERMINISM unchanged: long-cent inputs, dyadic
+      // ps, and the interpolation is evaluated in Spark Percentile's
+      // 0-based lo·(1−f)+hi·f form, which on exact dyadic f equals
+      // DuckDB's lo+(hi−lo)·f bit-for-bit (§5.1; p=0.9 would NOT be
+      // safe). The /100.0 rescale is one identical IEEE division on
+      // each side.
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
-        .rowsBetween(-6, 0)
       // floor form: codegen double math, no per-row BigDecimal (the
       // centMoments finding; value-identical on the cent grid).
-      // ARRAY percentile: both quantiles share ONE sorted buffer per
-      // frame (the agg_quantiles finding, inside WindowExec), landed
-      // in a named column first (the buffer-dedup rule).
       val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      // ONE sorted buffer feeds both quantiles, landed in a named
+      // column first (the window-buffer CSE rule)
+      val buf = sort_array(array_compact(array(
+        col("pc") +: (1 to 6).map(k => lag(col("pc"), k).over(w)): _*)))
+      def q(p: Double): Column = {
+        // exact dyadic interpolation at pos = p·(n−1), 0-based
+        val pos = lit(p) * (size(col("buf")) - 1).cast("double")
+        val flo = floor(pos)
+        val f = pos - flo
+        val lo = element_at(col("buf"), flo.cast("int") + 1).cast("double")
+        val hi = element_at(col("buf"),
+          ceil(pos).cast("int") + 1).cast("double")
+        lo * (lit(1.0) - f) + hi * f
+      }
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"),
-          percentile(pc, array(lit(0.5), lit(0.75))).over(w).as("qs"))
+          col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+          pc.as("pc"))
+        .withColumn("buf", buf)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
-          r4(col("qs")(0) / 100.0).as("roll_med"),
-          r4(col("qs")(1) / 100.0).as("roll_p75"))
+          r4(q(0.5) / 100.0).as("roll_med"),
+          r4(q(0.75) / 100.0).as("roll_p75"))
     }),
     "agg_heavyhitters" -> ((s, dir) => {
       // Count-Min-sketch heavy-hitter detection, oracle-gated on the

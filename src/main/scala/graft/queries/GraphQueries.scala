@@ -160,26 +160,150 @@ object GraphQueries {
       // PPJoin on adjacency lists, with cn recovered from the verified
       // pairs) or hub sampling — this exact-wedge form is the oracle
       // those would be gated against, same contract as the ANN
-      // brute-force baselines.
-      val und = tradeGraph(s, dir)
-      val e2 = und.select(col("a").as("v"), col("b").as("nb"))
-        .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
-      val deg = e2.groupBy("v").agg(count(lit(1)).as("d"))
-      val cn = e2.select(col("v").as("u"), col("nb").as("p"))
-        .join(e2.select(col("v").as("u"), col("nb").as("q")), Seq("u"))
-        .filter(col("p") < col("q"))
-        .groupBy("p", "q").agg(count(lit(1)).as("cn"))
-      val nonEdge = cn.join(und,
-        cn("p") === und("a") && cn("q") === und("b"), "left_anti")
-      nonEdge
-        .join(deg.select(col("v").as("p"), col("d").as("dp")), Seq("p"))
-        .join(deg.select(col("v").as("q"), col("d").as("dq")), Seq("q"))
-        .select(col("p"), col("q"), col("cn"),
-          r4(col("cn").cast("double") /
-            (col("dp") + col("dq") - col("cn")).cast("double"))
-            .as("jaccard"))
+      // brute-force baselines. Round 10: that sibling now EXISTS —
+      // `graph_common_neighbors_ppjoin` below — so this key is the
+      // declared exact oracle of a gated scale path, exactly like
+      // ann_cosine_topk vs ann_ivf_topk.
+      cnProject(commonNeighborsExact(tradeGraph(s, dir)))
+    }),
+    "graph_common_neighbors_ppjoin" -> ((s, dir) => {
+      // SCALE SIBLING of graph_common_neighbors: link-prediction pairs
+      // with neighborhood-Jaccard ≥ τ, computed WITHOUT the Σ deg(u)²
+      // wedge join. Candidates come from the PPJoin prefix filter over
+      // adjacency lists (each vertex's neighbor set, globally ordered
+      // rarest-neighbor-first) — only vertices sharing a PREFIX token
+      // ever meet, the positional filter prunes by remaining-suffix
+      // overlap, and a codegen sorted-merge intersect verifies exactly.
+      // τ is carried as the RATIONAL CnNum/CnDen and every threshold
+      // comparison is integer cross-multiplication, so the two engines
+      // can never disagree on a boundary pair. The oracle replays the
+      // exact wedge form with the same integer filter — hash equality
+      // therefore proves the prefix bound is LOSSLESS, the same
+      // contract the ANN baselines pin for IVF/PQ.
+      cnProject(commonNeighborsPrefix(tradeGraph(s, dir), CnNum, CnDen))
     })
   )
+
+  /** τ = CnNum/CnDen — the Jaccard floor of the ppjoin sibling, kept
+    * rational so both engines filter by exact integer arithmetic. */
+  private[graft] val CnNum = 1
+  private[graft] val CnDen = 2
+
+  private def cnProject(scores: DataFrame): DataFrame =
+    scores.select(col("p"), col("q"), col("cn"),
+      r4(col("cn").cast("double") /
+        (col("dp") + col("dq") - col("cn")).cast("double"))
+        .as("jaccard"))
+
+  /** Exact common-neighbor scores of non-adjacent pairs via the wedge
+    * self-join — O(Σ deg(u)²) candidate pairs, the declared-baseline
+    * oracle for [[commonNeighborsPrefix]]. Returns (p, q, cn, dp, dq)
+    * with p < q. */
+  private[graft] def commonNeighborsExact(und: DataFrame): DataFrame = {
+    val e2 = und.select(col("a").as("v"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
+    val deg = e2.groupBy("v").agg(count(lit(1)).as("d"))
+    val cn = e2.select(col("v").as("u"), col("nb").as("p"))
+      .join(e2.select(col("v").as("u"), col("nb").as("q")), Seq("u"))
+      .filter(col("p") < col("q"))
+      .groupBy("p", "q").agg(count(lit(1)).as("cn"))
+    val nonEdge = cn.join(und,
+      cn("p") === und("a") && cn("q") === und("b"), "left_anti")
+    nonEdge
+      .join(deg.select(col("v").as("p"), col("d").as("dp")), Seq("p"))
+      .join(deg.select(col("v").as("q"), col("d").as("dq")), Seq("q"))
+      .select("p", "q", "cn", "dp", "dq")
+  }
+
+  /** Degree-bounded common-neighbor scores: all non-adjacent pairs
+    * with neighborhood Jaccard ≥ num/den, WITHOUT enumerating wedges.
+    *
+    * The adjacency list N(v) is treated as a token set and run through
+    * the PPJoin prefix filter (the same theorem as Dedup.jaccardPairs,
+    * re-derived on integer tokens): order every list by global
+    * neighbor frequency (= degree of the neighbor, rarest first, id
+    * tiebreak), index only the first |N| − ⌈τ|N|⌉ + 1 tokens, and join
+    * postings on the token — any pair with J ≥ τ shares at least one
+    * PREFIX token, so the equi-join is a complete candidate generator.
+    * The PPJoin positional filter then bounds achievable overlap by
+    * min remaining-suffix length, and a sorted-merge intersect
+    * (codegen kernel) verifies candidates exactly. All three threshold
+    * expressions — prefix length ⌈τn⌉, positional need
+    * ⌈τ(za+zb)/(1+τ)⌉, and the final J ≥ τ — are evaluated as integer
+    * `div`/cross-multiplication on the rational τ = num/den, so there
+    * is no FP ceil()/tie hazard anywhere in the pipeline (§5.1
+    * determinism playbook).
+    *
+    * At scale: work is Σ_t posting(t)² over PREFIX postings only —
+    * rare-first ordering makes hot tokens (hub neighbors) fall out of
+    * most prefixes, which is what replaces the wedge join's Σ deg(u)²
+    * blowup; GraphScaleProbe measures the candidate-count collapse on
+    * a hubby synthetic graph. A df-cap (drop tokens with posting lists
+    * above a bound, like jaccardPairs' maxShingleDf) is the remaining
+    * knob if a single neighbor is adjacent to a constant fraction of
+    * the graph — not needed at probe scale, documented here. */
+  private[graft] def commonNeighborsPrefix(und: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val posts = cnPosts(und)
+    val cands = cnPrefixCandidates(posts, num, den)
+    // exact verification on value-sorted adjacency arrays
+    val adj = posts.groupBy("v").agg(
+      sort_array(collect_list(col("s"))).as("xh"),
+      count(lit(1)).as("d"))
+    val verified = cands
+      .join(adj.select(col("v").as("p"), col("xh").as("xa"),
+        col("d").as("dp")), Seq("p"))
+      .join(adj.select(col("v").as("q"), col("xh").as("xb"),
+        col("d").as("dq")), Seq("q"))
+      .withColumn("cn", graft.functions.HashKernels
+        .sortedIntersectCount(col("xa"), col("xb")).cast("long"))
+      .filter(col("cn") * (den + num) >= lit(num) * (col("dp") + col("dq")))
+    verified.join(und,
+        verified("p") === und("a") && verified("q") === und("b"),
+        "left_anti")
+      .select("p", "q", "cn", "dp", "dq")
+  }
+
+  /** (v, token) postings of the undirected adjacency — tokens are the
+    * neighbor ids as longs (the intersect kernel's element type); v
+    * keeps its source type so output ids match the oracle. */
+  private def cnPosts(und: DataFrame): DataFrame =
+    und.select(col("a").as("v"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
+      .select(col("v"), col("nb").cast("long").as("s"))
+
+  /** PPJoin candidate generator over adjacency postings: distinct
+    * (p, q) pairs that share a prefix token under τ = num/den, after
+    * the positional filter. Factored out so GraphScaleProbe can count
+    * candidates directly. */
+  private[graft] def cnPrefixCandidates(posts: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num < den, "need 0 < tau < 1")
+    val dfc = posts.groupBy("s").agg(count(lit(1)).as("df_"))
+    val ordered = posts.join(dfc, Seq("s"))
+      .groupBy("v")
+      .agg(sort_array(collect_list(struct(col("df_"), col("s"))))
+        .as("ord"))
+      .select(col("v"),
+        transform(col("ord"), _.getField("s")).as("ordNb"),
+        size(col("ord")).as("osz"))
+    // prefix length |N| − ⌈τ|N|⌉ + 1, ⌈a/b⌉ as (a + b − 1) div b
+    val prefix = ordered
+      .select(col("v"), col("osz"),
+        posexplode(col("ordNb")).as(Seq("pos", "s")))
+      .filter(col("pos") <
+        col("osz") - expr(s"(osz * $num + ${den - 1}) div $den") + 1)
+    // positional filter: overlap ≥ ⌈num(za+zb)/(den+num)⌉, and the
+    // current-token-plus-suffix bound min(za−pa, zb−pb) must reach it
+    val need = expr(
+      s"($num * (pa.osz + pb.osz) + ${den + num - 1}) div ${den + num}")
+    prefix.as("pa").join(prefix.as("pb"), Seq("s"))
+      .filter(col("pa.v") < col("pb.v") &&
+        least(col("pa.osz") - col("pa.pos"),
+          col("pb.osz") - col("pb.pos")) >= need)
+      .select(col("pa.v").as("p"), col("pb.v").as("q"))
+      .dropDuplicates("p", "q")
+  }
 
   private val KhopDepth = 3
 
@@ -423,6 +547,30 @@ object GraphQueries {
              / CAST(dp.d + dq.d - ne.cn AS DOUBLE), 4) AS jaccard
          FROM ne JOIN deg dp ON ne.p = dp.v
                  JOIN deg dq ON ne.q = dq.v""",
+    // Same exact-wedge replay, filtered by the integer cross-multiplied
+    // J ≥ CnNum/CnDen — hash equality against the prefix-filter plan
+    // proves the candidate bound lossless.
+    "graph_common_neighbors_ppjoin" ->
+      s"""WITH $undSql, e2 AS MATERIALIZED (
+           SELECT a AS v, b AS nb FROM und
+           UNION ALL SELECT b AS v, a AS nb FROM und
+         ), deg AS MATERIALIZED (
+           SELECT v, count(*) AS d FROM e2 GROUP BY 1
+         ), cn AS MATERIALIZED (
+           SELECT e1.nb AS p, e2x.nb AS q, count(*) AS cn
+           FROM e2 e1 JOIN e2 e2x ON e1.v = e2x.v AND e1.nb < e2x.nb
+           GROUP BY 1, 2
+         ), ne AS (
+           SELECT cn.* FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM und
+             WHERE und.a = cn.p AND und.b = cn.q)
+         )
+         SELECT ne.p, ne.q, ne.cn,
+           round(1e-9 + CAST(ne.cn AS DOUBLE)
+             / CAST(dp.d + dq.d - ne.cn AS DOUBLE), 4) AS jaccard
+         FROM ne JOIN deg dp ON ne.p = dp.v
+                 JOIN deg dq ON ne.q = dq.v
+         WHERE ne.cn * ${CnDen + CnNum} >= $CnNum * (dp.d + dq.d)""",
     "graph_khop_reach" ->
       s"""WITH $undSql, e2 AS MATERIALIZED (
            SELECT a AS v, b AS nb FROM und

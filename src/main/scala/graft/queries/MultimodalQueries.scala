@@ -26,6 +26,11 @@ object MultimodalQueries {
 
   private val cleanupRegistered =
     new java.util.concurrent.atomic.AtomicBoolean(false)
+  // every staged root this JVM created — the ONE shutdown hook sweeps
+  // all of them, so a JVM that opens several SparkSessions (several
+  // applicationIds) leaks none of the per-appId dirs (round-9 ADVICE)
+  private val cleanupRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Stage the BMP blob fixture once per (session, sf-dir): synthesize
     * real header bytes columnar-side ([[graft.operators.Multimodal
@@ -38,13 +43,14 @@ object MultimodalQueries {
   private def stagedBlobsDir(s: SparkSession, dir: String, fmt: String,
       blobCol: Column => Column): String = {
     val root = s"/tmp/graft_blobs/${s.sparkContext.applicationId}"
+    cleanupRoots.add(root)
     if (cleanupRegistered.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(): Unit
         }
-        rm(new java.io.File(root))
+        cleanupRoots.forEach(r => rm(new java.io.File(r)))
       }))
     val path = s"$root/${new java.io.File(dir).getName}/$fmt"
     this.synchronized {

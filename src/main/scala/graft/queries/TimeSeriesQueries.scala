@@ -336,6 +336,16 @@ object TimeSeriesQueries {
     "join_stream_stream", "join_stream_stream_louter",
     "join_stream_stream_fouter")
 
+  /** EVERY key whose query constructor executes a micro-batch pipeline
+    * and returns a memory-sink scan (so there is no lintable batch
+    * plan): the stateful set above plus the two stateless stream keys.
+    * This is the authoritative streaming-key registry — the PlanAudit
+    * sweep (plans/AuditInventory.sweepKeys) excludes exactly this set
+    * instead of a name-substring guess, so a future non-streaming key
+    * that happens to contain "stream" still gets linted. */
+  val streamingKeys: Set[String] =
+    StatefulStreamKeys ++ Set("join_stream_static", "stream_sink_idempotent")
+
   private def withStreamParts[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try { s.conf.set("spark.sql.shuffle.partitions", "4"); body }

@@ -45,4 +45,49 @@ class GraphSpec extends AnyFunSuite {
     val got = counts((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  // ---- commonNeighborsPrefix vs the exact wedge oracle ----
+
+  private def scoreSet(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  private def exactThresholded(und: org.apache.spark.sql.DataFrame,
+      num: Int, den: Int) =
+    GraphQueries.commonNeighborsExact(und)
+      .filter(col("cn") * (den + num) >= lit(num) * (col("dp") + col("dq")))
+
+  test("ppjoin link scores: hub fan — prefix bound loses no pair") {
+    // hub 0 over 1..6; spokes 1..6 pairwise non-adjacent, each pair
+    // shares exactly neighbor {0}: J = 1/(1+1-1) = 1 ≥ 1/2 for deg-1
+    // spokes — all 15 spoke pairs must survive the prefix filter.
+    val und = (1L to 6L).map(i => (0L, i)).toDF("a", "b")
+    val pp = scoreSet(GraphQueries.commonNeighborsPrefix(und, 1, 2))
+    assert(pp == scoreSet(exactThresholded(und, 1, 2)))
+    assert(pp.size == 15 && pp.forall { case (_, _, cn, dp, dq) =>
+      cn == 1L && dp == 1L && dq == 1L })
+  }
+
+  test("ppjoin link scores equal the exact wedge form on random graphs") {
+    // Erdős–Rényi graphs at several densities and two thresholds —
+    // the prefix + positional filters must be exactly lossless.
+    val rnd = new scala.util.Random(1042)
+    for (trial <- 1 to 6) {
+      val n = 12 + rnd.nextInt(12)
+      val p = 0.15 + 0.1 * (trial % 3)
+      val edges = for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)
+      if (edges.nonEmpty) {
+        val und = edges.toDF("a", "b").localCheckpoint()
+        for ((num, den) <- Seq((1, 2), (1, 4))) {
+          val got = scoreSet(GraphQueries.commonNeighborsPrefix(und, num, den))
+          val want = scoreSet(exactThresholded(und, num, den))
+          assert(got == want,
+            s"trial=$trial tau=$num/$den: got ${got.size} want ${want.size}")
+        }
+      }
+    }
+  }
 }

@@ -95,6 +95,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(f.exists(_.rule == "unpushed_filter"), f.toString)
   }
 
+  test("unpushed_filter does not cross a join: a post-join predicate " +
+      "cannot pair with a predicate-free scan on one join side") {
+    // LEFT join keeps the preserved-side scan predicate-free (no
+    // IsNotNull is pushed to the outer side), and the null-TOLERANT
+    // post-join predicate on the right column cannot legally move
+    // below the join — so a Filter really does sit above a join whose
+    // left scan reports PushedFilters: []. The round-9 subtree rule
+    // flagged this shape; the unary-chain rule must not.
+    val left = spark.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey").as("k"))
+    val right = spark.range(5).toDF("k2")
+    val j = left.join(right, col("k") === col("k2").cast("int"), "left")
+      .filter(coalesce(col("k2"), lit(0L)) >= 0L)
+    assert(!PlanAudit.audit(j).exists(_.rule == "unpushed_filter"),
+      PlanAudit.audit(j).toString)
+  }
+
   test("full inventory: all 191 non-streaming plans audit clean of " +
       "undeclared Warn/Error findings") {
     val keys = AuditInventory.sweepKeys
