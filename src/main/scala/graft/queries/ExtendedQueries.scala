@@ -559,7 +559,9 @@ object ExtendedQueries {
       // one sort of ≤w elements, and the exact interpolation in plain
       // codegen column math — same O(w log w) per row asymptotically,
       // but whole-stage-codegen'd with zero per-row buffer churn
-      // (GraphScaleProbe's rolling-median section measures the win;
+      // (ScaleProbe's rolling-median section times OLD percentile().over
+      // vs THIS lag-array form on the same 10M-row window and asserts
+      // bit-equality; Sf1Probe carries the key's sf0.1→sf1 ratio;
       // the lag-array form only applies to rows-frames with compile-
       // time w — percentile().over stays the general path, and for
       // wide frames the declared alternatives remain the moment keys

@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.plans.{AuditInventory, PlanAudit}
 
 /** PlanAudit fires on the shapes it names, stays quiet on the shapes it
-  * can statically prove bounded, and — the regression gate — every one
-  * of the inventory's 191 non-streaming plans audits clean against the
+  * can statically prove bounded, and — the regression gate — every
+  * non-streaming plan in the inventory audits clean against the
   * declared exception list in [[AuditInventory]]. */
 class PlanAuditSpec extends AnyFunSuite {
 
@@ -112,10 +112,15 @@ class PlanAuditSpec extends AnyFunSuite {
       PlanAudit.audit(j).toString)
   }
 
-  test("full inventory: all 191 non-streaming plans audit clean of " +
+  test("full inventory: every non-streaming plan audits clean of " +
       "undeclared Warn/Error findings") {
     val keys = AuditInventory.sweepKeys
-    assert(keys.size >= 191, s"inventory shrank? ${keys.size}")
+    // exact identity: sweep = all keys minus the explicit streaming
+    // registry, so count drift (a new key, a registry change) is loud
+    val expected = SparkEntry.queries.size -
+      graft.queries.TimeSeriesQueries.streamingKeys.size
+    assert(keys.size == expected,
+      s"sweep ${keys.size} != queries-minus-streaming $expected")
     val bad = keys.flatMap { k =>
       val allowed = AuditInventory.declaredAllows.getOrElse(k, Set.empty)
       val gating = PlanAudit.audit(SparkEntry.queries(k)(spark, dir),
