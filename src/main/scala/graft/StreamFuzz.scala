@@ -1,0 +1,289 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{KeyedEvent, TrailingAgg, RunningAgg}
+
+/** Streaming property fuzz (round-11, r10 verdict item 3): randomized
+  * ARRIVAL PERMUTATIONS and WATERMARK SCHEDULES against the batch
+  * window semantics, replayed in-JVM through every stateful window
+  * operator the gate keys exercise —
+  * `window_stream_{rows,trailing,running}` (in-order contract) and
+  * their `_ooo`/lookahead watermark-delayed siblings.
+  *
+  * Each seeded sample builds a small random event table (1-4 keys,
+  * 30-100 events, deliberate timestamp ties via grid snapping, values
+  * on the cent grid so [[StreamingOps.scaledE4]] is exact), picks an
+  * operator arm with random parameters (frame span, lookahead, nRows),
+  * then:
+  *
+  *   - DELAYED arms: each row gets an independent uniform jitter in
+  *     [-J, +J] (J random per sample); arrival order is the jittered
+  *     order, lateness = 2J + 1s (the bound that makes the engine drop
+  *     nothing), and the arrival sequence is cut into 2-6 micro-batches
+  *     at RANDOM positions — every cut is a watermark advancement, so
+  *     the (permutation × cut points) pair IS a random watermark
+  *     schedule. Two all-keys sentinel batches flush the tail exactly
+  *     like the staged fixtures (stagedTrailingOooDir): S1 advances the
+  *     watermark, S2 invokes every key under it; the sentinels' own
+  *     release points stay above the final watermark forever, so they
+  *     never emit and need no sink filtering.
+  *   - IN-ORDER arms: arrival is (ts, value) order with random cuts at
+  *     DISTINCT-ts boundaries (the operators' documented contract: a
+  *     range/running tie group must not straddle a micro-batch — the
+  *     staged fixtures split by ts for the same reason; rows-frames
+  *     share the cut points for uniformity).
+  *
+  * The oracle is the batch frame DEFINITION computed directly in Scala
+  * over the same events — `[t-before, t+after]` / `[-inf, t+after]`
+  * time frames with range-peer ties, `rowsBetween(-(n-1), 0)` in the
+  * total (ts, scaledValue) order — independent of both the streaming
+  * machinery AND Spark's WindowExec. Comparison is the sorted multiset
+  * of (key, ts, n, sumE4), exact integer equality (rows-frame tie
+  * order is ambiguous but the output multiset is invariant — the
+  * trailingRowsW scaladoc argument, which this fuzz re-proves under
+  * random permutations).
+  *
+  * Run: `sbt "runMain graft.StreamFuzz [nSamples] [seed]"`; prints one
+  * JSON summary line (FUZZ.json's streaming section quotes it) and
+  * exits 1 on any mismatch. */
+object StreamFuzz {
+
+  private final case class Plan(name: String,
+      events: IndexedSeq[KeyedEvent],          // ts order (the oracle view)
+      batches: Seq[Seq[KeyedEvent]],           // the arrival schedule
+      run: (SparkSession, Seq[Seq[KeyedEvent]]) => Seq[(Long, Long, Long, Long)],
+      oracle: IndexedSeq[KeyedEvent] => Seq[(Long, Long, Long, Long)])
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200)
+    val seed = args.lift(1).map(_.toLong).getOrElse(42L)
+    val spark = SparkSession.builder().master("local[8]")
+      // the stream-scoped state-store sizing the gate keys use; tiny
+      // per-sample data makes 2 the latency-optimal setting here
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var fails = List.empty[String]
+    val armCounts = scala.collection.mutable.Map.empty[String, Int]
+    (0 until n).foreach { i =>
+      val p = sample(i, seed)
+      armCounts(p.name.takeWhile(_ != '#')) =
+        armCounts.getOrElse(p.name.takeWhile(_ != '#'), 0) + 1
+      val got = p.run(spark, p.batches).sorted
+      val want = p.oracle(p.events).sorted
+      if (got != want) {
+        fails ::= p.name
+        val d1 = want.diff(got).take(3)
+        val d2 = got.diff(want).take(3)
+        System.err.println(s"[streamfuzz] ${p.name} MISMATCH: " +
+          s"${want.size} oracle vs ${got.size} emitted; " +
+          s"missing=$d1 extra=$d2")
+      } else if ((i + 1) % 25 == 0) {
+        System.err.println(s"[streamfuzz] ${i + 1}/$n green")
+      }
+    }
+    val armsJson = armCounts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_fuzz","samples":$n,"seed":$seed,""" +
+      s""""failed":${fails.size},"arms":$armsJson}""")
+    spark.stop()
+    if (fails.nonEmpty) {
+      System.err.println(s"[streamfuzz] FAILED: ${fails.reverse.mkString(",")}")
+      sys.exit(1)
+    }
+  }
+
+  /** Random micro-batch cut points over an arrival sequence: 2-6 parts,
+    * cuts restricted to `legal` positions (1..len-1). */
+  private def cut[A](rnd: java.util.Random, arrived: Seq[A],
+      legal: Seq[Int]): Seq[Seq[A]] = {
+    if (legal.isEmpty) return Seq(arrived)
+    val k = 1 + rnd.nextInt(math.min(5, legal.size))
+    val cuts = rnd.shuffle2(legal).take(k).sorted
+    (Seq(0) ++ cuts ++ Seq(arrived.size)).sliding(2).map {
+      case Seq(a, b) => arrived.slice(a, b)
+    }.toSeq.filter(_.nonEmpty)
+  }
+
+  private implicit final class RndOps(private val rnd: java.util.Random)
+      extends AnyVal {
+    /** Fisher-Yates over an immutable Seq (scala.util.Random wraps a
+      * different generator; keep everything on the one seeded
+      * java.util.Random so samples are reproducible). */
+    def shuffle2[A](xs: Seq[A]): Seq[A] = {
+      val a = xs.toBuffer
+      var i = a.length
+      while (i > 1) {
+        val j = rnd.nextInt(i); i -= 1
+        val t = a(i); a(i) = a(j); a(j) = t
+      }
+      a.toSeq
+    }
+  }
+
+  private val qId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drive a stateful op over the batch schedule via MemoryStream: one
+    * addData + processAllAvailable per micro-batch = one watermark
+    * advancement per cut, exactly the file-replay mechanics of the
+    * gate's staged fixtures without the disk. */
+  private def drive[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, batches: Seq[Seq[KeyedEvent]],
+      op: org.apache.spark.sql.Dataset[KeyedEvent] =>
+        org.apache.spark.sql.Dataset[T],
+      row: T => (Long, Long, Long, Long),
+      dropTs: Long => Boolean): Seq[(Long, Long, Long, Long)] = {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[KeyedEvent]
+    val qn = s"graft_streamfuzz_${qId.incrementAndGet()}"
+    val q: StreamingQuery = op(ms.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { ms.addData(b); q.processAllAvailable() }
+      }
+      spark.table(qn).as[T].collect().toSeq
+        .map(row).filterNot(r => dropTs(r._2))
+    } finally {
+      q.stop(); spark.catalog.dropTempView(qn)
+    }
+  }
+
+  /** One seeded sample: events + arrival schedule + run/oracle pair. */
+  private def sample(i: Int, seed: Long): Plan = {
+    val rnd = new java.util.Random(seed * 104729L + i)
+    val nKeys = 1 + rnd.nextInt(4)
+    val nEvents = 30 + rnd.nextInt(71)
+    val t0 = 1700000000000L
+    val spanMs = (1L + rnd.nextInt(6)) * 3600L * 1000L
+    // ~1/3 of samples snap timestamps to a coarse grid — deliberate tie
+    // groups (range-frame peers, rows-frame ambiguity) at every density
+    val grid = if (rnd.nextInt(3) == 0) (60L + rnd.nextInt(600)) * 1000L else 1L
+    val events = IndexedSeq.fill(nEvents) {
+      val ts = t0 + (math.abs(rnd.nextLong()) % spanMs) / grid * grid
+      val v = (rnd.nextInt(20001) - 10000) / 100.0
+      KeyedEvent(rnd.nextInt(nKeys).toLong, ts, v)
+    }.sortBy(e => (e.tsMillis, e.value))
+    val maxTs = events.map(_.tsMillis).max
+
+    def s4(e: KeyedEvent): Long = StreamingOps.scaledE4(e.value)
+
+    // time-frame oracle: [t-before, t+after] (before=Long.MaxValue =>
+    // running / unbounded-preceding), range-peer ties inclusive
+    def timeOracle(before: Long, after: Long)(
+        ev: IndexedSeq[KeyedEvent]): Seq[(Long, Long, Long, Long)] =
+      ev.map { e =>
+        val lo = if (before == Long.MaxValue) Long.MinValue
+          else e.tsMillis - before
+        val hi = e.tsMillis + after
+        val fr = ev.filter(x => x.key == e.key &&
+          x.tsMillis >= lo && x.tsMillis <= hi)
+        (e.key, e.tsMillis, fr.size.toLong, fr.map(s4).sum)
+      }
+
+    // rows-frame oracle: self + the nRows-1 entries before it in the
+    // per-key total (ts, scaledValue) order
+    def rowsOracle(nRows: Int)(
+        ev: IndexedSeq[KeyedEvent]): Seq[(Long, Long, Long, Long)] =
+      ev.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+        val ord = es.map(e => (e.tsMillis, s4(e))).sorted
+        ord.zipWithIndex.map { case ((ts, _), j) =>
+          val fr = ord.slice(math.max(0, j - (nRows - 1)), j + 1)
+          (k, ts, fr.size.toLong, fr.map(_._2).sum)
+        }
+      }
+
+    // in-order arrival: (ts, value) order, cuts only between DISTINCT
+    // timestamps (the operators' sorted-replay contract)
+    def inOrderBatches(): Seq[Seq[KeyedEvent]] = {
+      val legal = (1 until events.size)
+        .filter(p => events(p - 1).tsMillis != events(p).tsMillis)
+      cut(rnd, events, legal)
+    }
+
+    // jittered arrival + random cuts + the two-sentinel flush tail
+    def oooBatches(after: Long): (Seq[Seq[KeyedEvent]], Long, Long) = {
+      val jitter = (1L + rnd.nextInt(3600)) * 1000L
+      val lateness = 2 * jitter + 1000L
+      val arrived = events.map { e =>
+        (e.tsMillis + (math.abs(rnd.nextLong()) % (2 * jitter + 1)) - jitter,
+          e)
+      }.sortBy(a => (a._1, a._2.tsMillis, a._2.value)).map(_._2)
+      val data = cut(rnd, arrived, 1 until arrived.size)
+      val keys = events.map(_.key).distinct
+      val s1 = maxTs + lateness + after + 2000L
+      val sent = (ts: Long) => keys.map(k => KeyedEvent(k, ts, 0.0))
+      (data ++ Seq(sent(s1), sent(s1 + 1000L)), lateness, s1)
+    }
+
+    val armNames = Seq("trailing_inorder", "running_inorder",
+      "rows_inorder", "trailing_ooo", "running_ooo", "rows_ooo")
+    val arm = rnd.nextInt(6)
+    val name = s"${armNames(arm)}#$i"
+    val sparkEnc = org.apache.spark.sql.Encoders
+    arm match {
+      case 0 =>
+        val before = (1L + rnd.nextInt(120)) * 60L * 1000L
+        Plan(name, events, inOrderBatches(),
+          (s, b) => drive[TrailingAgg](s, b,
+            ds => StreamingOps.trailingW(ds, before),
+            t => (t.key, t.tsMillis, t.winN, t.winSumE4), _ => false)(
+            sparkEnc.product[TrailingAgg]),
+          timeOracle(before, 0L))
+      case 1 =>
+        Plan(name, events, inOrderBatches(),
+          (s, b) => drive[RunningAgg](s, b,
+            ds => StreamingOps.runningW(ds),
+            r => (r.key, r.tsMillis, r.cumN, r.cumSumE4), _ => false)(
+            sparkEnc.product[RunningAgg]),
+          timeOracle(Long.MaxValue, 0L))
+      case 2 =>
+        val nRows = 1 + rnd.nextInt(12)
+        Plan(name, events, inOrderBatches(),
+          (s, b) => drive[TrailingAgg](s, b,
+            ds => StreamingOps.trailingRowsW(ds, nRows),
+            t => (t.key, t.tsMillis, t.winN, t.winSumE4), _ => false)(
+            sparkEnc.product[TrailingAgg]),
+          rowsOracle(nRows))
+      case 3 =>
+        val before = (1L + rnd.nextInt(120)) * 60L * 1000L
+        val after = if (rnd.nextBoolean()) (1L + rnd.nextInt(30)) * 60L * 1000L
+          else 0L
+        val (batches, lateness, s1) = oooBatches(after)
+        Plan(name, events, batches,
+          (s, b) => drive[TrailingAgg](s, b,
+            ds => StreamingOps.trailingWDelayed(ds, before, lateness, after),
+            t => (t.key, t.tsMillis, t.winN, t.winSumE4), _ >= s1)(
+            sparkEnc.product[TrailingAgg]),
+          timeOracle(before, after))
+      case 4 =>
+        val after = if (rnd.nextBoolean()) (1L + rnd.nextInt(30)) * 60L * 1000L
+          else 0L
+        val (batches, lateness, s1) = oooBatches(after)
+        Plan(name, events, batches,
+          (s, b) => drive[RunningAgg](s, b,
+            ds => StreamingOps.runningWDelayed(ds, lateness, after),
+            r => (r.key, r.tsMillis, r.cumN, r.cumSumE4), _ >= s1)(
+            sparkEnc.product[RunningAgg]),
+          timeOracle(Long.MaxValue, after))
+      case _ =>
+        val nRows = 1 + rnd.nextInt(12)
+        val (batches, lateness, s1) = oooBatches(0L)
+        Plan(name, events, batches,
+          (s, b) => drive[TrailingAgg](s, b,
+            ds => StreamingOps.trailingRowsWDelayed(ds, nRows, lateness),
+            t => (t.key, t.tsMillis, t.winN, t.winSumE4), _ >= s1)(
+            sparkEnc.product[TrailingAgg]),
+          rowsOracle(nRows))
+    }
+  }
+}
