@@ -22,11 +22,15 @@ import graft.operators.{Frame, FrameEndpoint}
   *   - a frame without `.order_by` slides over INPUT ROW ORDER in the
   *     reference (slider semantics) — SQL result sets have no input
   *     order, so that shape is rejected here (the reference's own SQL
-  *     branch forces an explicit order for the same reason);
-  *   - months+sub-day compound Periods (the seconds-granularity
-  *     expansion) remain DataFrame-only; month-frame min/max render as
-  *     the daily-partial expansion CTE chain (round-9, closing the one
-  *     documented month-frame SQL delta).
+  *     branch forces an explicit order for the same reason).
+  *
+  * Month-frame min/max render as the daily-partial expansion CTE chain
+  * (round-9); months+SUB-DAY compound Periods render as the
+  * seconds-granularity expansion chain ([[monthsSecondsSql]], round-11
+  * — closing the last documented SQL-surface delta): the same binned
+  * interval join [[graft.operators.CalendarWindow.monthsSecondsAgg]]
+  * builds, as `LATERAL VIEW explode(sequence(...))` over micros bins +
+  * a LEFT JOIN with the exact range recheck in the join condition.
   */
 object SqlMutate {
 
@@ -52,6 +56,8 @@ object SqlMutate {
       return s"SELECT *, ${exprs.map { case (n, e) => s"$e AS $n" }
         .mkString(", ")} FROM $table"
 
+    if (frame.exists(_.isMonthsSeconds))
+      return monthsSecondsSql(table, exprs, by, frame.get, index, complete)
     if (frame.exists(_.isMonths))
       return monthsSql(table, exprs, by, frame.get, index, complete)
     val isRange = frame.exists(_.isRange)
@@ -433,5 +439,168 @@ object SqlMutate {
 SELECT b.*, $gated
 FROM $table b
 JOIN ($wSub) w ON $joinOn"""
+  }
+
+  /** Render a months+SUB-DAY compound Period frame
+    * (`c(months(m) + hours/seconds(s), ...)`) as pure SQL — the
+    * seconds-granularity expansion chain of
+    * [[graft.operators.CalendarWindow.monthsSecondsAgg]], statement
+    * form (round-11, closing the last documented SQL-surface delta):
+    *
+    *   1. `ms_spans`: one row per distinct (group, index timestamp)
+    *      with the frame's micros boundaries (`ts ∓ m MONTH ∓ s SECOND`
+    *      — months first, then the exact second shift, the lubridate
+    *      composition order);
+    *   2. `ms_bins`: each span exploded to its covering micros bins —
+    *      the bin width exceeds the maximum frame span, so `sequence()`
+    *      emits ≤ 2 bins per window (`coalesce(..., array(0))` keeps
+    *      one padding bin for NULL-index rows, the survival contract);
+    *   3. `ms_win`: bins LEFT JOIN the binned raw rows — the exact
+    *      range recheck rides the join condition so empty windows keep
+    *      their padding row — grouped back to per-window aggregates.
+    *      Every aggregate evaluates DIRECTLY over the joined rows (no
+    *      prefix decomposition exists on a timestamp axis), so the full
+    *      monthsSql family is supported uniformly;
+    *   4. join back to the input by (group, timestamp).
+    *
+    * Distributed shape: two shuffles (the expansion join + the
+    * join-back), O(n·w̄) joined rows as a hash join — the DataFrame
+    * path's exact cost model. */
+  private def monthsSecondsSql(table: String, exprs: Seq[(String, String)],
+      by: Seq[String], frame: Frame, index: Option[String],
+      complete: Boolean): String = {
+    require(index.isDefined,
+      "a Months (Period) frame requires an index (.index)")
+    def monthSec(e: FrameEndpoint): (Long, Long) = e match {
+      case FrameEndpoint.Months(x)           => (x, 0L)
+      case FrameEndpoint.MonthsDays(m, d)    => (m, d * 86400L)
+      case FrameEndpoint.MonthsSeconds(m, s) => (m, s)
+      case _ => throw new IllegalArgumentException(
+        "month frames cannot mix units: both endpoints must be " +
+          "month-family Periods (Months / MonthsDays / MonthsSeconds)")
+    }
+    val (bm, bs) = monthSec(frame.before)
+    val (am, asec) = monthSec(frame.after)
+    // statically-empty rejection, the monthsSecondsAgg contract
+    val monthsSpan = bm + am
+    require((if (monthsSpan >= 0) monthsSpan * 31 else monthsSpan * 28) *
+        86400L + bs + asec >= 0,
+      s"empty month frame: [ts - (${bm}mo ${bs}s), ts + (${am}mo " +
+        s"${asec}s)] starts after it ends")
+
+    // the same aggregate-call surface as monthsSql; here every fn
+    // evaluates directly over the joined rows, count(*) via the
+    // LEFT-JOIN-safe constant column
+    val parsed: Seq[(String, String, String)] = exprs.map { case (n, e) =>
+      e match {
+        case AggCall(fn, arg) =>
+          val f = fn.toLowerCase match {
+            case "mean"               => "avg"
+            case "std" | "stddev"     => "stddev_samp"
+            case "variance"           => "var_samp"
+            case x @ ("sum" | "count" | "avg" | "min" | "max" |
+                "stddev_samp" | "var_samp") => x
+            case other => throw new UnsupportedOperationException(
+              s"month Period frames support sum/count/avg/stddev/" +
+                s"variance/min/max in SQL (got: $other)")
+          }
+          if (arg == "*" || arg == "1") {
+            if (f != "count") throw new UnsupportedOperationException(
+              s"$fn(*) is not an aggregate over a column (got: $e)")
+            (n, "count", "__ms_one__")
+          } else (n, f, arg)
+        case _ => throw new UnsupportedOperationException(
+          "month Period frames support simple aggregate calls over one " +
+            s"column in SQL (got: $e)")
+      }
+    }
+    val aggCols = parsed.zipWithIndex
+      .map { case ((_, f, v), i) => s"$f($v) AS __mo_$i" }.mkString(", ")
+
+    val byL = by.mkString(", ")
+    val byPfx = if (by.isEmpty) "" else s"$byL, "
+    val iBy = by.map(c => s"__ms_i_$c")
+    val iByPfx = if (by.isEmpty) "" else iBy.mkString(", ") + ", "
+    val iByAs = if (by.isEmpty) ""
+      else by.zip(iBy).map { case (c, i) => s"$c AS $i" }.mkString(", ") + ", "
+    def shiftSql(t: String, months: Long, secs: Long): String = {
+      val m =
+        if (months == 0) t
+        else if (months > 0) s"($t + INTERVAL '$months' MONTH)"
+        else s"($t - INTERVAL '${-months}' MONTH)"
+      if (secs == 0) m
+      else if (secs > 0) s"($m + INTERVAL '$secs' SECOND)"
+      else s"($m - INTERVAL '${-secs}' SECOND)"
+    }
+    def loSql(t: String) = shiftSql(t, -bm, -bs)
+    def hiSql(t: String) = shiftSql(t, am, asec)
+    val width = (math.max(1L,
+      (math.abs(bm) + math.abs(am)) * 31L * 86400L +
+        math.abs(bs) + math.abs(asec) + 1L)) * 1000000L
+
+    // strict-lubridate clamp detector on the timestamp axis (the
+    // strictNaCond replay; the sub-day shift lands AFTER the month
+    // shift so it can never clamp)
+    val strictCond: Option[String] = if (!frame.strict) None else {
+      val checks =
+        (if (bm != 0)
+           Seq(s"day(add_months(w.__wts, ${-bm})) <> day(w.__wts)")
+         else Nil) ++
+        (if (am != 0)
+           Seq(s"day(add_months(w.__wts, $am)) <> day(w.__wts)")
+         else Nil)
+      checks.reduceOption(_ + " OR " + _)
+    }
+    val gated = parsed.zipWithIndex.map { case ((n, _, _), i) =>
+      val o = if (complete)
+        s"CASE WHEN unix_micros(${loSql("w.__wts")}) >= w.__gmin AND " +
+          s"unix_micros(${hiSql("w.__wts")}) <= w.__gmax " +
+          s"THEN w.__mo_$i END"
+      else s"w.__mo_$i"
+      val sg = strictCond.fold(o)(c =>
+        s"CASE WHEN ($c) OR w.__wts IS NULL THEN NULL ELSE $o END")
+      s"$sg AS $n"
+    }.mkString(", ")
+    // complete gate bounds live on the per-window frame (one row per
+    // distinct (group, ts)), matching the DataFrame path's window over
+    // win — compared in micros so the ms_win projection stays columnar
+    val gateCols = if (!complete) "" else {
+      val p = if (by.isEmpty) "" else s"PARTITION BY ${iBy.mkString(", ")}"
+      s", min(unix_micros(__wts)) OVER ($p) AS __gmin" +
+        s", max(unix_micros(__wts)) OVER ($p) AS __gmax"
+    }
+
+    val joinOn = (by.zip(iBy).map { case (c, i) => s"b.$c <=> w.$i" } :+
+      s"CAST(b.${index.get} AS TIMESTAMP) <=> w.__wts").mkString(" AND ")
+
+    s"""WITH ms_spans AS (
+  SELECT ${iByAs}__wts,
+         unix_micros(${loSql("__wts")}) AS __lous,
+         unix_micros(${hiSql("__wts")}) AS __hius
+  FROM (SELECT DISTINCT $byPfx CAST(${index.get} AS TIMESTAMP) AS __wts
+        FROM $table)
+), ms_bins AS (
+  SELECT ${iByPfx}__wts, __lous, __hius, __bin
+  FROM ms_spans
+  LATERAL VIEW explode(coalesce(sequence(
+    least(CAST(floor(__lous / $width) AS BIGINT),
+          CAST(floor(__hius / $width) AS BIGINT)),
+    CAST(floor(__hius / $width) AS BIGINT)),
+    array(CAST(0 AS BIGINT)))) __gt AS __bin
+), ms_win AS (
+  SELECT ${iByPfx}__wts, $aggCols$gateCols
+  FROM ms_bins
+  LEFT JOIN (SELECT *, 1 AS __ms_one__,
+               unix_micros(CAST(${index.get} AS TIMESTAMP)) AS __pus
+             FROM $table) __msr
+    ON ${(by.zip(iBy).map { case (c, i) => s"$i <=> __msr.$c" } :+
+          s"CAST(floor(__msr.__pus / $width) AS BIGINT) = __bin")
+        .mkString(" AND ")}
+      AND __msr.__pus >= __lous AND __msr.__pus <= __hius
+  GROUP BY ${iByPfx}__wts, __lous, __hius
+)
+SELECT b.*, $gated
+FROM $table b
+JOIN ms_win w ON $joinOn"""
   }
 }

@@ -41,7 +41,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // the reference's tbl_lazy audience: same verb spec, SQL backend.
     // Every supported shape must be VALUE-equivalent to the DataFrame path.
     import org.apache.spark.sql.functions._
-    import graft.operators.{Frame, TidierOps}
+    import graft.operators.{Frame, FrameEndpoint, TidierOps}
     import TidierOps._
     import graft.sql.SqlMutate
     import spark.implicits._
@@ -196,13 +196,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
       df.mutateW("mmx" -> max(col("v")), "mc" -> count(col("v")))(
         by = Seq(col("g")), frame = Some(Frame.months(1, 0)),
         index = Some(col("d")), complete = true))
-    // months+sub-day compound Periods have no SQL rendering (documented
-    // inherent-to-SQL delta)
-    intercept[UnsupportedOperationException] {
-      SqlMutate.render("sqlmutate_t", Seq("s" -> "sum(v)"),
+    // months+SUB-DAY compound Periods render as the seconds-granularity
+    // expansion chain (round-11, closing the last documented SQL delta)
+    // — the full aggregate family in one statement
+    same(
+      SqlMutate.render("sqlmutate_t",
+        Seq("ms" -> "sum(v)", "mc" -> "count(v)", "mall" -> "count(*)",
+          "ma" -> "avg(v)", "mmn" -> "min(v)", "mmx" -> "max(v)",
+          "mv" -> "variance(v)"),
         by = Seq("g"), frame = Some(Frame.monthsHours(1, 6, 0, -12)),
-        index = Some("d"))
-    }
+        index = Some("d")),
+      df.mutateW("ms" -> sum(col("v")), "mc" -> count(col("v")),
+          "mall" -> count(lit(1)), "ma" -> avg(col("v")),
+          "mmn" -> min(col("v")), "mmx" -> max(col("v")),
+          "mv" -> variance(col("v")))(
+        by = Seq(col("g")), frame = Some(Frame.monthsHours(1, 6, 0, -12)),
+        index = Some(col("d"))))
+    // ... negative-after offset + .complete gating, and global (no-by)
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("ms" -> "sum(v)"),
+        by = Seq("g"), frame = Some(Frame.monthsSeconds(2, 3600, -1, 7200)),
+        index = Some("d"), complete = true),
+      df.mutateW("ms" -> sum(col("v")))(
+        by = Seq(col("g")),
+        frame = Some(Frame.monthsSeconds(2, 3600, -1, 7200)),
+        index = Some(col("d")), complete = true))
+    same(
+      SqlMutate.render("sqlmutate_t", Seq("mc" -> "count(v)"),
+        frame = Some(Frame.monthsHours(1, -6, 0, 6)), index = Some("d")),
+      df.mutateW("mc" -> count(col("v")))(
+        frame = Some(Frame.monthsHours(1, -6, 0, 6)),
+        index = Some(col("d"))))
+    // ... strict-lubridate mode on the timestamp axis (clamp rows +
+    // the NULL-index row NULL on both paths)
+    same(
+      SqlMutate.render("sqlmutate_strict_t",
+        Seq("ms" -> "sum(v)", "mc" -> "count(v)"),
+        by = Seq("g"),
+        frame = Some(Frame(FrameEndpoint.MonthsSeconds(1, 3600),
+          FrameEndpoint.MonthsSeconds(0, 0), strict = true)),
+        index = Some("d")),
+      dfStrict.mutateW("ms" -> sum(col("v")), "mc" -> count(col("v")))(
+        by = Seq(col("g")),
+        frame = Some(Frame(FrameEndpoint.MonthsSeconds(1, 3600),
+          FrameEndpoint.MonthsSeconds(0, 0), strict = true)),
+        index = Some(col("d"))))
     // rows frame without an order is rejected (SQL has no input order)
     intercept[IllegalArgumentException] {
       SqlMutate.render("sqlmutate_t", Seq("s" -> "sum(v)"),
