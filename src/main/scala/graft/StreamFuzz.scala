@@ -73,20 +73,15 @@ object StreamFuzz {
     var fails = List.empty[String]
     val armCounts = scala.collection.mutable.Map.empty[String, Int]
     (0 until n).foreach { i =>
-      val p = sample(i, seed)
-      armCounts(p.name.takeWhile(_ != '#')) =
-        armCounts.getOrElse(p.name.takeWhile(_ != '#'), 0) + 1
-      val got = p.run(spark, p.batches).sorted
-      val want = p.oracle(p.events).sorted
-      if (got != want) {
-        fails ::= p.name
-        val d1 = want.diff(got).take(3)
-        val d2 = got.diff(want).take(3)
-        System.err.println(s"[streamfuzz] ${p.name} MISMATCH: " +
-          s"${want.size} oracle vs ${got.size} emitted; " +
-          s"missing=$d1 extra=$d2")
-      } else if ((i + 1) % 25 == 0) {
-        System.err.println(s"[streamfuzz] ${i + 1}/$n green")
+      check(spark, i, seed) match {
+        case Left((arm, msg)) =>
+          fails ::= s"$arm#$i"
+          armCounts(arm) = armCounts.getOrElse(arm, 0) + 1
+          System.err.println(s"[streamfuzz] $arm#$i MISMATCH: $msg")
+        case Right(arm) =>
+          armCounts(arm) = armCounts.getOrElse(arm, 0) + 1
+          if ((i + 1) % 25 == 0)
+            System.err.println(s"[streamfuzz] ${i + 1}/$n green")
       }
     }
     val armsJson = armCounts.toSeq.sortBy(_._1)
@@ -98,6 +93,21 @@ object StreamFuzz {
       System.err.println(s"[streamfuzz] FAILED: ${fails.reverse.mkString(",")}")
       sys.exit(1)
     }
+  }
+
+  /** Run ONE seeded sample end-to-end: Left((arm, diff)) on mismatch,
+    * Right(arm) when the streaming replay equals the batch oracle.
+    * StreamFuzzSpec runs a deterministic prefix in-suite; the main is
+    * the 200-sample evidence generator. */
+  def check(spark: SparkSession, i: Int,
+      seed: Long): Either[(String, String), String] = {
+    val p = sample(i, seed)
+    val arm = p.name.takeWhile(_ != '#')
+    val got = p.run(spark, p.batches).sorted
+    val want = p.oracle(p.events).sorted
+    if (got == want) Right(arm)
+    else Left(arm -> (s"${want.size} oracle vs ${got.size} emitted; " +
+      s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}"))
   }
 
   /** Random micro-batch cut points over an arrival sequence: 2-6 parts,
