@@ -386,6 +386,55 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           explode(sequence(lit(1L), col("k"))).as("epoch"))
     }),
+    "sample_temperature" -> ((s, dir) => {
+      // TEMPERATURE-scaled source rebalancing (α = 1/2 — the
+      // multilingual/multi-source data-mixing move: sampling weights
+      // ∝ n_dom^α flatten the source distribution, upsampling tails and
+      // downsampling heads, size-preserving in expectation). The mixing
+      // domain is deliberately SKEWED (sources 0-9 stand alone, 10+
+      // pool into one 'web' head ~10× any tail) so the rebalance is
+      // non-trivial at every sf. Per-doc expected copies
+      // w = (n_dom^α / Σ n^α) · N_total / n_dom decompose into
+      // k = ⌊w⌋ whole copies + one extra at rate frac(w), decided by
+      // the engine-stable unit hash (sample_mixture's contract).
+      //
+      // DETERMINISM: sqrt is the ONLY float op and IEEE requires it
+      // correctly rounded in every engine (unlike pow/ln/exp — α other
+      // than 2^-k would NOT be safe); it lands on the 1e-4 integer grid
+      // immediately (w_int = floor(sqrt(n)·10⁴ + 0.5), the scaledE4
+      // form), and everything downstream — the Σ w_int normalizer, the
+      // k/remainder split, the extra-copy test — is exact int64
+      // RATIONAL arithmetic with cross-multiplied comparisons (the
+      // ppjoin τ discipline), so no summation order, long cast, or ulp
+      // can diverge. int64 headroom at sf1 is > 10³ on every product
+      // (r·10⁴ ≤ ~10¹⁶); a 100 TB corpus lifts w_int to DECIMAL.
+      // SCALE: two tiny aggregates (|dom|- and 1-row, both broadcast)
+      // + one narrow explode — no wide shuffle, no driver loop.
+      val srcNum = substring(col("source"), 4, 8).cast("int")
+      val d = docs(s, dir).select(col("doc_id"),
+        when(srcNum < 10, col("source")).otherwise(lit("web"))
+          .as("mix_source"))
+      val counts = d.groupBy("mix_source").agg(count(lit(1)).as("n"))
+        .withColumn("w_int",
+          floor(sqrt(col("n").cast("double")) * 10000 + 0.5).cast("long"))
+      val tot = counts.agg(sum(col("n")).as("t"),
+        sum(col("w_int")).as("s_tot"))
+      val par = counts.crossJoin(broadcast(tot))
+        .withColumn("num", col("w_int") * col("t"))
+        .withColumn("den", col("s_tot") * col("n"))
+        .withColumn("k", expr("num div den"))
+        .withColumn("r", col("num") - col("k") * col("den"))
+        .select("mix_source", "k", "r", "den")
+      val unit = pmod(graft.operators.Dedup.baseHash(
+        concat(lit("temp|"), col("doc_id").cast("string"))), lit(10000L))
+      d.join(broadcast(par), "mix_source")
+        .withColumn("copies", col("k") +
+          when(unit * col("den") < col("r") * lit(10000L), 1L)
+            .otherwise(0L))
+        .filter(col("copies") > 0)
+        .select(col("doc_id"), col("mix_source"),
+          explode(sequence(lit(1L), col("copies"))).as("epoch"))
+    }),
     "length_buckets" -> ((s, dir) => {
       // Quantile length-bucketing (padding-efficient batching prep):
       // assign each doc the count of exact token-count quartile
@@ -517,6 +566,40 @@ object TextQueries {
            FROM m)
          SELECT doc_id, source, unnest(range(1, k + 1)) AS epoch
          FROM k WHERE k > 0""",
+    "sample_temperature" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN source
+                  ELSE 'web' END AS mix_source
+           FROM documents),
+         c AS (
+           SELECT mix_source, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 10000 + 0.5)
+               AS BIGINT) AS w_int
+           FROM d GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS t,
+                  CAST(sum(w_int) AS BIGINT) AS s_tot
+           FROM c),
+         par AS (
+           SELECT mix_source,
+             (w_int * t) // (s_tot * n) AS k,
+             w_int * t - ((w_int * t) // (s_tot * n)) * (s_tot * n) AS r,
+             s_tot * n AS den
+           FROM c, tot),
+         u AS (
+           SELECT d.doc_id, d.mix_source, p.k, p.r, p.den,
+             CAST(concat('0x', substr(md5(concat('temp|',
+               CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000
+               AS unit
+           FROM d JOIN par p USING (mix_source)),
+         cp AS (
+           SELECT doc_id, mix_source,
+             k + (CASE WHEN unit * den < r * 10000 THEN 1 ELSE 0 END)
+               AS copies
+           FROM u)
+         SELECT doc_id, mix_source, unnest(range(1, copies + 1)) AS epoch
+         FROM cp WHERE copies > 0""",
     "shuffle_shards" ->
       """WITH h AS (
            SELECT doc_id,
