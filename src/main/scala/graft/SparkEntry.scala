@@ -124,14 +124,26 @@ object SparkEntry {
     }),
     "window_rows_unbounded" -> ((s, dir) => {
       // `.frame = c(Inf, 0)` cumulative mean (tests_tidier.R:76-97).
+      // ROUND-11 DETERMINISM FIX (caught by the 158-key sf1 sweep, the
+      // only red): avg(double) over a cumulative frame diverged at sf1 —
+      // DuckDB evaluates windowed sums on a SEGMENT TREE, Spark
+      // sequentially, and at ~1.5M-row partitions the summation-order
+      // ulp drift crossed the r4 grid on 143 rows (53112.9141 vs
+      // 53112.914). The cents discipline makes the value order-
+      // independent: exact long-cent running sum (< 2^53, so the
+      // double cast is exact in both engines) and ONE correctly-rounded
+      // division by (n · 100) — bit-equal at every partition length.
       t(s, dir, "lineitem")
-        .mutateW("run_avg" -> avg(col("l_extendedprice")))(
+        .withColumn("pc",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .mutateW("cs" -> sum(col("pc")), "cn" -> count(lit(1)))(
           by = Seq(col("l_returnflag")),
           orderBy = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey")),
           frame = Some(Frame.cumulative))
         .select(col("l_orderkey"), col("l_linenumber"),
-          r4(col("run_avg")).as("run_avg"))
+          r4(col("cs").cast("double") / (col("cn") * lit(100.0)))
+            .as("run_avg"))
     }),
     "window_rows_sym" -> ((s, dir) => {
       // Finite symmetric rows frame + `.by` — the reference's one real
@@ -585,10 +597,13 @@ object SparkEntry {
          FROM orders""",
     "window_rows_unbounded" ->
       """SELECT l_orderkey, l_linenumber,
-         round(1e-9 + avg(l_extendedprice) OVER (PARTITION BY l_returnflag
+         round(1e-9 + CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+             AS BIGINT)) OVER w AS DOUBLE) / (count(*) OVER w * 100.0), 4)
+           AS run_avg
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_avg
-         FROM lineitem""",
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "window_rows_sym" ->
       """SELECT event_id,
          round(1e-9 + avg(value) OVER (PARTITION BY user_id
