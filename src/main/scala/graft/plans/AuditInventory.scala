@@ -53,6 +53,10 @@ object AuditInventory {
     "ann_cosine_topk" -> Set("bnl_join"),
     "ann_knn_join" -> Set("bnl_join"),
     "ann_pq_topk" -> Set("bnl_join"),
+    // recall@k audit: the exact arm is the brute-force scan BY DESIGN —
+    // recall estimation needs ground truth on a bounded query sample,
+    // O(|sample| · corpus) regardless of corpus size (r11)
+    "ann_ivf_recall" -> Set("bnl_join"),
     "embedding_dup_pairs" -> Set("bnl_join"),
     "ts_pct_change" -> Set("global_window"),
     "window_rolling_distinct_approx" -> Set("global_window"),

@@ -147,6 +147,37 @@ object SimilarityQueries {
       ivfTopK(all, all.filter(col("vec_id") < 10), cents, k = 3, nProbe = 2)
         .select(col("query_id"), col("nbr_id"),
           r4(col("cosine")).as("cosine"), col("rank"))
+    }),
+    "ann_ivf_recall" -> ((s, dir) => {
+      // ANN index QUALITY EVALUATION as a first-class operator (r11):
+      // recall@k of the IVF path against the exact top-k on the same
+      // query set — the accept/reject measurement a pipeline runs
+      // before swapping exact kNN for an approximate index. Reuses the
+      // two gated paths verbatim (identical determinism contracts:
+      // left-fold cosine, (score desc, nbr_id) rank order), joins on
+      // neighbor identity and scores hits/k per query — integers plus
+      // ONE correctly-rounded division, so the value is bit-stable.
+      // SCALE: recall estimation costs O(|query sample| · corpus) exact
+      // work REGARDLESS of corpus size — it is a sampled audit by
+      // design, never a full sweep; the exact side's bounded-query
+      // contract is what makes the brute-force arm legitimate here.
+      val all = emb(s, dir)
+      val qs = all.filter(col("vec_id") < 10)
+      val exact = cosineTopK(all, qs, k = 3)
+        .select(col("query_id"), col("nbr_id"))
+      val cents = all.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1)
+      val approx = ivfTopK(all, qs, cents, k = 3, nProbe = 2)
+        .select(col("query_id").as("qid2"), col("nbr_id").as("nbr2"))
+      exact.join(approx,
+          col("query_id") === col("qid2") && col("nbr_id") === col("nbr2"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(col("nbr2")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          r4(col("n_hits") / lit(3.0)).as("recall"))
     })
   )
 
@@ -334,6 +365,17 @@ object SimilarityQueries {
     // tie-break (cosine DESC, cid ASC = array_sort on (-cos, cid)),
     // same final ranking.
     "ann_ivf_topk" -> ivfSql("WHERE vec_id < 10", k = 3, nProbe = 2),
+    "ann_ivf_recall" ->
+      // recall@3 per query: the exact and IVF oracles verbatim as
+      // subqueries, joined on neighbor identity — 3 exact rows per
+      // query, count(matched) = hits, one division
+      s"""WITH ex AS (${topkSql("WHERE vec_id < 10", 3)}),
+           iv AS (${ivfSql("WHERE vec_id < 10", k = 3, nProbe = 2)})
+         SELECT ex.query_id, CAST(count(iv.nbr_id) AS BIGINT) AS n_hits,
+           round(1e-9 + count(iv.nbr_id) / 3.0, 4) AS recall
+         FROM ex LEFT JOIN iv
+           ON ex.query_id = iv.query_id AND ex.nbr_id = iv.nbr_id
+         GROUP BY ex.query_id""",
     // same replay with EVERY vector as a query — the kNN-graph form
     "ann_knn_join_ivf" -> ivfSql("", k = 3, nProbe = 2)
   )
