@@ -93,6 +93,28 @@ object Dedup {
   def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Canonical form of a URL for exact-dedup grouping — the web-crawl
+    * normalizer: lowercase the `scheme://host[:port]` prefix, drop
+    * default ports (:80/:443), drop the fragment, strip `utm_*`
+    * tracking parameters (cleaning any dangling `?`/`&`), and drop
+    * trailing slashes. Pure codegen string/regex ops — a narrow map at
+    * any scale, no shuffle. The DuckDB oracle mirrors each step
+    * token-for-token (with 'g' flags where Spark's regexp_replace is
+    * replace-all by default). */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val prefix =
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val canonPrefix = regexp_replace(lower(prefix), ":(443|80)$", "")
+    val restClean = regexp_replace(
+      regexp_replace(
+        regexp_replace(rest, "utm_[A-Za-z0-9_]*=[^&#]*&?", ""),
+        "[?&]+$", ""),
+      "/+$", "")
+    concat(canonPrefix, restClean)
+  }
+
   /** Distinct n-gram shingles pre-hashed to 60-bit longs in ONE compiled
     * pass (normalize → tokenize → gram → md5), replacing the interpreted
     * shingles→transform(baseHash) chain whose lambda re-evaluated the

@@ -58,6 +58,10 @@ object AuditInventory {
     // O(|sample| · corpus) regardless of corpus size (r11)
     "ann_ivf_recall" -> Set("bnl_join"),
     "embedding_dup_pairs" -> Set("bnl_join"),
+    // hybrid fusion's vector arm is the gated exact baseline
+    // (cosineTopK on a 10-query broadcast side); the fusion itself is
+    // rank-only, so the IVF arm drops in unchanged at corpus scale
+    "ann_hybrid_rrf" -> Set("bnl_join"),
     "ts_pct_change" -> Set("global_window"),
     "window_rolling_distinct_approx" -> Set("global_window"),
     "window_noby_frame" -> Set("global_window"))

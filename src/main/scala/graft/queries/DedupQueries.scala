@@ -129,6 +129,39 @@ object DedupQueries {
           coalesce(col("ex"), lit(false)).as("dup_exact"),
           coalesce(col("nr"), lit(false)).as("near_dup"))
         .withColumn("keep", !col("dup_exact") && !col("near_dup"))
+    }),
+    "dedup_url" -> ((s, dir) => {
+      // URL-canonicalization dedup — the crawl-frontier staple: the
+      // same page arrives as scheme/host case variants, default-port
+      // forms, utm-tagged share links, and fragment/trailing-slash
+      // variants; canonicalize (Dedup.canonicalizeUrl — one codegen
+      // regex chain, narrow map) then keep the first doc per canonical
+      // URL. The fixture has no URL column, so URLs are SYNTHESIZED
+      // deterministically in both engines (the planted-twin
+      // convention): each quad of doc_ids yields one logical page in
+      // all four disguises, so every canonical group is a real
+      // collapse the gate must reproduce. keep = min doc_id per canon
+      // group — one shuffle on the canonical key, the exact-dedup
+      // shape (at 100 TB: hash-partition by canon, keep arg-min; same
+      // plan as dedup_exact).
+      val g = expr("doc_id div 4")
+      val hostid = expr("(doc_id div 4) % 7").cast("string")
+      val gs = g.cast("string")
+      val url = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("https://host"), hostid, lit(".example.com/docs/"), gs))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("HTTPS://HOST"), hostid, lit(".EXAMPLE.COM:443/docs/"), gs))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://host"), hostid, lit(".example.com/docs/"), gs,
+            lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(
+          concat(lit("https://host"), hostid, lit(".example.com/docs/"), gs,
+            lit("/#frag")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .withColumn("canon", Dedup.canonicalizeUrl(col("url")))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+        .select("doc_id", "url", "canon", "keep")
     })
   )
 
@@ -189,6 +222,45 @@ object DedupQueries {
        )"""
 
   val oracleSql: Map[String, String] = Map(
+    // same synthesized URLs (doc_id // 4 == Spark's div on non-negative
+    // ids), same canonicalization chain — 'g' on the utm strip where
+    // Spark's regexp_replace is replace-all by default; the anchored
+    // patterns ($-suffix) match at most once so no 'g' needed there
+    "dedup_url" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'https://host' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+               WHEN 1 THEN 'HTTPS://HOST' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                 || '.EXAMPLE.COM:443/docs/' || CAST(doc_id // 4 AS VARCHAR)
+               WHEN 2 THEN 'https://host' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?utm_source=feed&utm_campaign=x'
+               ELSE 'https://host' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+                 || '/#frag'
+             END AS url
+           FROM documents
+         ), st AS (
+           SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nofrag,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix
+           FROM u
+         ), cn AS (
+           SELECT doc_id, url,
+             regexp_replace(lower(prefix), ':(443|80)$', '')
+             || regexp_replace(regexp_replace(regexp_replace(
+                  substr(nofrag, length(prefix) + 1),
+                  'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g'),
+                  '[?&]+$', ''),
+                  '/+$', '') AS canon
+           FROM st
+         )
+         SELECT doc_id, url, canon,
+           doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
+         FROM cn""",
     "dedup_jaccard" -> exactPairsSql,
     "dedup_minhash" -> exactPairsSql,
     "dedup_minhash_sig" ->

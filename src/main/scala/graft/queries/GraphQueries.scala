@@ -181,6 +181,41 @@ object GraphQueries {
       // therefore proves the prefix bound is LOSSLESS, the same
       // contract the ANN baselines pin for IVF/PQ.
       cnProject(commonNeighborsPrefix(tradeGraph(s, dir), CnNum, CnDen))
+    }),
+    "graph_resource_alloc" -> ((s, dir) => {
+      // WEIGHTED link prediction — the Resource-Allocation index
+      // RA(p,q) = Σ_{u ∈ CN(p,q)} 1/deg(u): common neighbors count
+      // INVERSELY to their degree, so a promiscuous hub contributes
+      // almost nothing while a rare shared partner is strong evidence
+      // (Zhou/Lü/Zhang 2009 — the degree-weighted sibling of
+      // graph_common_neighbors' raw count; Adamic-Adar's 1/ln(deg) is
+      // the same shape but ln is libm-varying, 1/deg is exactly
+      // representable). DETERMINISM: each wedge's term is the INTEGER
+      // `1e9 div deg(u)` — truncating integer division in both engines
+      // (Spark `div`, DuckDB `//` on positive longs) — summed as exact
+      // longs (≤ 1e9 per term, int64-safe to ~9e9 common neighbors per
+      // pair), ONE double division at the end. SCALE: same wedge
+      // self-join as the exact common-neighbor baseline — Σ deg(u)²
+      // candidates, declared; at power-law scale candidates come from
+      // the PPJoin prefix filter (graph_common_neighbors_ppjoin) and
+      // the per-u degree weights join back onto the verified pairs'
+      // exploded common-neighbor lists.
+      val und = tradeGraph(s, dir)
+      val e2 = und.select(col("a").as("v"), col("b").as("nb"))
+        .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
+      val deg = e2.groupBy("v").agg(count(lit(1)).as("d"))
+      val wedges = e2.select(col("v").as("u"), col("nb").as("p"))
+        .join(e2.select(col("v").as("u"), col("nb").as("q")), Seq("u"))
+        .filter(col("p") < col("q"))
+      val scores = wedges
+        .join(deg.select(col("v").as("u"), col("d")), Seq("u"))
+        .withColumn("term", expr("cast(1000000000 as bigint) div d"))
+        .groupBy("p", "q")
+        .agg(count(lit(1)).as("cn"), sum(col("term")).as("ra_scaled"))
+      val nonEdge = scores.join(und,
+        scores("p") === und("a") && scores("q") === und("b"), "left_anti")
+      nonEdge.select(col("p"), col("q"), col("cn"), col("ra_scaled"),
+        r4(col("ra_scaled").cast("double") / lit(1e9)).as("ra"))
     })
   )
 
@@ -571,6 +606,31 @@ object GraphQueries {
          FROM ne JOIN deg dp ON ne.p = dp.v
                  JOIN deg dq ON ne.q = dq.v
          WHERE ne.cn * ${CnDen + CnNum} >= $CnNum * (dp.d + dq.d)""",
+    // Same wedge replay keeping the hub vertex u; the per-wedge term is
+    // the identical truncating integer division (DuckDB `//` == Spark
+    // `div` on positive longs), so ra_scaled is an exact-int sum in
+    // both engines and `ra` one shared IEEE division.
+    "graph_resource_alloc" ->
+      s"""WITH $undSql, e2 AS MATERIALIZED (
+           SELECT a AS v, b AS nb FROM und
+           UNION ALL SELECT b AS v, a AS nb FROM und
+         ), deg AS MATERIALIZED (
+           SELECT v, count(*) AS d FROM e2 GROUP BY 1
+         ), sc AS MATERIALIZED (
+           SELECT e1.nb AS p, e2x.nb AS q, count(*) AS cn,
+             CAST(sum(1000000000 // deg.d) AS BIGINT) AS ra_scaled
+           FROM e2 e1
+           JOIN e2 e2x ON e1.v = e2x.v AND e1.nb < e2x.nb
+           JOIN deg ON deg.v = e1.v
+           GROUP BY 1, 2
+         ), ne AS (
+           SELECT sc.* FROM sc
+           WHERE NOT EXISTS (SELECT 1 FROM und
+             WHERE und.a = sc.p AND und.b = sc.q)
+         )
+         SELECT p, q, cn, ra_scaled,
+           round(1e-9 + CAST(ra_scaled AS DOUBLE) / 1e9, 4) AS ra
+         FROM ne""",
     "graph_khop_reach" ->
       s"""WITH $undSql, e2 AS MATERIALIZED (
            SELECT a AS v, b AS nb FROM und

@@ -15,7 +15,21 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
   private def r4(c: Column): Column = QueryUtil.r4(c)
+
+  /** The planted-twin corpus shared by the near-dup keys: vec_id < 500
+    * plus an exact-double twin per vector (see embedding_dup_pairs_lsh's
+    * determinism argument — doubling is an IEEE exponent bump, so twin
+    * cosines and SRP signs replicate bit-for-bit in both engines). */
+  private def twinCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"))
+    base.unionByName(base.select((col("vec_id") + 10000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, dir) => {
@@ -178,6 +192,98 @@ object SimilarityQueries {
         .agg(count(col("nbr2")).as("n_hits"))
         .select(col("query_id"), col("n_hits"),
           r4(col("n_hits") / lit(3.0)).as("recall"))
+    }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023):
+      // cluster the embedding space coarsely, then prune near-
+      // duplicates ONLY within each cluster — the move that turns the
+      // O(n²) embedding-pair scan into Σ|cluster|² work, with k chosen
+      // ∝ n at real scale so per-cluster candidate lists stay bounded
+      // (and banding inside a hot cluster as the next knob). Spherical
+      // assignment (argmax cosine against deterministic centroids —
+      // the ivf convention, scale-invariant so each planted twin
+      // PROVABLY lands with its base vector), one shuffle equi-join on
+      // the cluster id for pairs, exact cosine verification at ≥ 0.95,
+      // keep = lowest id per near-dup neighborhood (no lower-id
+      // neighbor above threshold — a join-based decision, no
+      // union-find needed). Corpus is the planted-twin set, so the
+      // prune set is structurally nonempty and exactly replayable.
+      val corpus = twinCorpus(s, dir)
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1)
+      val parallelism = s.sparkContext.defaultParallelism
+      val assigned = ivfAssign(corpus.repartition(parallelism), cents)
+        .select(col("vec_id"), col("embedding"), col("cluster"),
+          dot(col("embedding"), col("embedding")).as("nrm"))
+      val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb2"))
+      val denom = sqrt(col("na") * col("nb2"))
+      val dups = a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          when(denom > 0, dot(col("va"), col("vb")) / denom))
+        .filter(col("cos") >= 0.95)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      assigned.select("vec_id", "cluster")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(!col("dup"), lit(true)).as("keep"))
+    }),
+    "ann_hybrid_rrf" -> ((s, dir) => {
+      // HYBRID retrieval — reciprocal-rank fusion of a vector arm and
+      // a lexical arm, the standard two-tower serving shape: dense
+      // top-10 by cosine (the gated exact path; at corpus scale the
+      // IVF sibling drops in — the fusion is rank-only, so swapping
+      // arms never changes this operator) fused with term-overlap
+      // top-10 (query terms = the doc's 3 longest distinct tokens —
+      // an exact-integer keyword choice; scores are exact tf sums).
+      // RRF keeps NO scores across arms — only ranks — which is why
+      // it composes arbitrary retrievers; each rank contributes the
+      // INTEGER 1e12 div (60 + rank) (truncating division in both
+      // engines), so the fused ordering is pure int64 arithmetic with
+      // doc_id tie-break — no FP anywhere past the per-arm gates.
+      // Plan: both arms end in per-query top-k, fusion is a full outer
+      // join on (query, doc) of two ≤10-row-per-query frames.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.tokens
+      val all = emb(s, dir)
+      val vrank = cosineTopK(all, all.filter(col("vec_id") < 10), k = 10)
+        .select(col("query_id"), col("nbr_id").as("id"),
+          col("rank").as("rv"))
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      val wq = Window.partitionBy("doc_id")
+        .orderBy(length(col("term")).desc, col("term"))
+      val qterms = toks.filter(col("doc_id") < 10).distinct()
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id").as("query_id"), col("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val ts = tf.join(broadcast(qterms), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(sum(col("tf")).as("ts"))
+      val wt = Window.partitionBy("query_id")
+        .orderBy(col("ts").desc, col("doc_id"))
+      val trank = ts.withColumn("rt", row_number().over(wt))
+        .filter(col("rt") <= 10)
+        .select(col("query_id"), col("doc_id").as("id"), col("rt"))
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("rrf_scaled").desc, col("id"))
+      vrank.join(trank, Seq("query_id", "id"), "full_outer")
+        .withColumn("rrf_scaled",
+          coalesce(expr("cast(1000000000000 as bigint) div (60 + rv)"),
+            lit(0L)) +
+          coalesce(expr("cast(1000000000000 as bigint) div (60 + rt)"),
+            lit(0L)))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("rrf_scaled"), col("rank").cast("long").as("rank"))
     })
   )
 
@@ -377,7 +483,79 @@ object SimilarityQueries {
            ON ex.query_id = iv.query_id AND ex.nbr_id = iv.nbr_id
          GROUP BY ex.query_id""",
     // same replay with EVERY vector as a query — the kNN-graph form
-    "ann_knn_join_ivf" -> ivfSql("", k = 3, nProbe = 2)
+    "ann_knn_join_ivf" -> ivfSql("", k = 3, nProbe = 2),
+    // spherical assignment replay (cosine DESC, cid DESC = ivfAssign's
+    // greatest-struct, the ivfSql asg convention), intra-cluster pair
+    // scan at the same ≥ 0.95 cosine, keep = no lower-id neighbor
+    "dedup_semantic" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 500),
+           corpus AS (
+             SELECT vec_id, embedding FROM base
+             UNION ALL
+             SELECT vec_id + 10000000,
+                    list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+             FROM base),
+           cent AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+           v AS (SELECT vec_id, embedding AS ev,
+                 ${dotSql("embedding", "embedding")} AS nrm FROM corpus),
+           vc AS (SELECT v.vec_id, v.nrm, v.ev, cent.cid,
+                  ${cosineSql("v.ev", "cent.cv")} AS s
+                  FROM v CROSS JOIN cent),
+           asg AS (SELECT vec_id, nrm, ev, cid AS cluster FROM (
+                    SELECT vc.*, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY s DESC, cid DESC) AS rn FROM vc)
+                   WHERE rn = 1),
+           dup AS (
+             SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             WHERE sqrt(a.nrm * b.nrm) > 0
+               AND ${dotSql("a.ev", "b.ev")} / sqrt(a.nrm * b.nrm) >= 0.95)
+         SELECT asg.vec_id, asg.cluster, dup.vec_id IS NULL AS keep
+         FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""",
+    // both arms replayed exactly (the vector arm is topkSql at k=10,
+    // the lexical arm exact-integer tf ranking); fusion is the same
+    // truncating 1e12 // (60 + rank) int arithmetic
+    "ann_hybrid_rrf" ->
+      s"""WITH vr AS (${topkSql("WHERE vec_id < 10", 10)}),
+           nrm AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+             FROM documents),
+           tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+                  FROM nrm WHERE length(norm) > 0),
+           qt AS (SELECT doc_id AS query_id, term FROM (
+                    SELECT doc_id, term, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY length(term) DESC, term) AS rk
+                    FROM (SELECT DISTINCT doc_id, term FROM tk
+                          WHERE doc_id < 10))
+                  WHERE rk <= 3),
+           tf AS (SELECT doc_id, term, count(*) AS tf
+                  FROM tk GROUP BY 1, 2),
+           ts AS (SELECT qt.query_id, tf.doc_id AS id,
+                    CAST(sum(tf.tf) AS BIGINT) AS ts
+                  FROM tf JOIN qt ON tf.term = qt.term
+                    AND tf.doc_id <> qt.query_id
+                  GROUP BY 1, 2),
+           tr AS (SELECT query_id, id, rt FROM (
+                    SELECT query_id, id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY ts DESC, id) AS rt
+                    FROM ts)
+                  WHERE rt <= 10),
+           vr2 AS (SELECT query_id, nbr_id AS id, rank AS rv FROM vr),
+           fu AS (SELECT COALESCE(vr2.query_id, tr.query_id) AS query_id,
+                    COALESCE(vr2.id, tr.id) AS id,
+                    COALESCE(1000000000000 // (60 + vr2.rv), 0)
+                      + COALESCE(1000000000000 // (60 + tr.rt), 0)
+                      AS rrf_scaled
+                  FROM vr2 FULL OUTER JOIN tr
+                    ON vr2.query_id = tr.query_id AND vr2.id = tr.id)
+         SELECT query_id, id AS doc_id,
+           CAST(rrf_scaled AS BIGINT) AS rrf_scaled, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_scaled DESC, id) AS rank FROM fu)
+         WHERE rank <= 5"""
   )
 
   /** IVF probe-pipeline replay, parameterized over the query-side filter

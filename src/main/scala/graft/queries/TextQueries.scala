@@ -497,6 +497,59 @@ object TextQueries {
           x => x("tok")), " ").as("pruned"))
       d.select("doc_id").join(pruned, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("pruned"), lit("")).as("pruned"))
+    }),
+    "text_hash_classifier" -> ((s, dir) => {
+      // Hashing-trick LINEAR classifier scoring (the fastText serving
+      // shape): each token hashes into one of 4096 weight buckets via
+      // the engine-stable md5 base hash — no vocabulary table, no OOV
+      // path, the property that lets the same scorer run unchanged on
+      // any shard of a 100 TB corpus. Weights here are a deterministic
+      // function of the bucket id (an integer millis grid in [-1000,
+      // 1000] — a REAL deployment broadcasts a trained weight array;
+      // the plumbing, hashing, and aggregation are identical), so the
+      // doc margin Σ w[h(t) mod D] is an exact long sum in both
+      // engines; `score` is the mean token weight (two shared IEEE
+      // divisions) and `keep` the sign test on the exact integer.
+      // Plan: one explode + one doc-keyed hash agg with map-side
+      // partials — no shuffle wider than (doc_id, partial sum).
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      val bucket = pmod(graft.operators.Dedup.baseHash(col("term")),
+        lit(4096L))
+      val sc = tok
+        .withColumn("w", pmod(bucket, lit(2001L)) - lit(1000L))
+        .groupBy("doc_id")
+        .agg(sum(col("w")).as("score_scaled"), count(lit(1)).as("n"))
+      val sRaw = coalesce(col("score_scaled"), lit(0L))
+      docs(s, dir).select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), sRaw.as("score_scaled"),
+          r4(sRaw.cast("double") /
+            greatest(coalesce(col("n"), lit(0L)), lit(1L)).cast("double") /
+            lit(1000.0)).as("score"),
+          (sRaw > 0).as("keep"))
+    }),
+    "text_bpe_pair_counts" -> ((s, dir) => {
+      // One BPE merge-learning round — the kernel a distributed
+      // tokenizer trainer iterates: corpus word frequencies (one
+      // vocabulary-bounded hash agg), then adjacent symbol-pair counts
+      // weighted by word frequency (explode each DISTINCT word's
+      // bigrams once — corpus token volume never re-explodes), top-20
+      // merge candidates by (count desc, pair asc). Full BPE training
+      // loops this with the chosen merge applied to the symbol arrays
+      // (a driver-scalar broadcast per round, like kmeans' centroid
+      // republish); every quantity is an exact integer so the ranking
+      // has no FP anywhere. Top-k is sort+limit (TakeOrdered), not a
+      // global window.
+      val words = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words.select(col("freq"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
     })
   )
 
@@ -523,6 +576,42 @@ object TextQueries {
            FROM q)"""
 
   val oracleSql: Map[String, String] = Map(
+    // identical md5 base hash (sample_hash's convention), identical
+    // integer bucket/weight arithmetic; score = two shared IEEE
+    // divisions on exact ints
+    "text_hash_classifier" ->
+      s"""$withToks, tok AS (
+           SELECT doc_id, unnest(toks) AS term FROM tt WHERE n_toks > 0
+         ), sc AS (
+           SELECT doc_id,
+             CAST(sum((CAST(concat('0x', substr(md5(term), 1, 15))
+               AS BIGINT) % 4096) % 2001 - 1000) AS BIGINT) AS score_scaled,
+             count(*) AS n
+           FROM tok GROUP BY 1
+         )
+         SELECT d.doc_id,
+           COALESCE(sc.score_scaled, 0) AS score_scaled,
+           round(1e-9 + CAST(COALESCE(sc.score_scaled, 0) AS DOUBLE)
+             / CAST(greatest(COALESCE(sc.n, 0), 1) AS DOUBLE)
+             / 1000.0, 4) AS score,
+           COALESCE(sc.score_scaled, 0) > 0 AS keep
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+    // DuckDB range(1, n) is exclusive = Spark sequence(1, n-1)
+    // inclusive; substr is 1-based in both
+    "text_bpe_pair_counts" ->
+      s"""$withToks, tok AS (
+           SELECT unnest(toks) AS w FROM tt WHERE n_toks > 0
+         ), wf AS (
+           SELECT w, count(*) AS freq FROM tok
+           WHERE length(w) >= 2 GROUP BY 1
+         ), pr AS (
+           SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+           FROM wf, unnest(range(1, length(w))) AS t(i)
+         ), pc AS (
+           SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM pr GROUP BY 1
+         )
+         SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
     "pack_sequences" ->
       s"""$withToks
          SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
