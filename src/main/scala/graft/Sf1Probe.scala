@@ -129,8 +129,14 @@ object Sf1Probe {
     System.err.println("[sf1probe] building sf1 fixture (10x sf0.1)...")
     buildSf1(spark, sf01, sf1)
 
+    // single-key refresh after a rewrite: probe only the listed keys and
+    // MERGE into the existing SF1PROBE.json (other keys' code unchanged)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val probeKeys = only.fold(Keys)(o => Keys.filter(o))
+
     // warmup (codegen/JIT) at the smallest sf, like Bench
-    Keys.foreach { k =>
+    probeKeys.foreach { k =>
       try SparkEntry.queries(k)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -150,7 +156,7 @@ object Sf1Probe {
     }
     def r3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val rows = Keys.map { k =>
+    val rows = probeKeys.map { k =>
       val t01 = best(k, sf01)
       val t1 = best(k, sf1)
       System.err.println(
@@ -160,12 +166,19 @@ object Sf1Probe {
     }
     val qs = rows.map { case (k, (a, b)) =>
       s"""\"$k\":{\"sf01\":${r3(a)},\"sf1\":${r3(b)},\"ratio\":${r3(b / a)}}"""
-    }.mkString("{", ",", "}")
-    val line = s"""{"metric":"sf1probe","unit":"sec","keys":$qs}"""
-    println(line)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SF1PROBE.json"), line + "\n")
-    catch { case _: Throwable => () }
+    }.mkString(",")
+    if (only.isEmpty) {
+      val line = s"""{"metric":"sf1probe","unit":"sec","keys":{$qs}}"""
+      println(line)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SF1PROBE.json"), line + "\n")
+      catch { case _: Throwable => () }
+    } else {
+      // partial run: print the fragment; the caller merges it into
+      // SF1PROBE.json (tools or a one-line python) so the artifact stays
+      // complete while each key's numbers reflect shipped code
+      println(s"""{"metric":"sf1probe_partial","keys":{$qs}}""")
+    }
     spark.stop()
   }
 }

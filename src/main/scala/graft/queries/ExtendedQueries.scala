@@ -511,26 +511,56 @@ object ExtendedQueries {
       // (A2³ ≤ 1e18 stays exact in int64), so both engines assemble
       // identical doubles from bit-identical integers — the
       // literal-replay contract at the third and fourth moment.
+      // SLIDING-FRAME RETRACTION (round 11, the steepest remaining
+      // Sf1Probe curve at 3.65×): Spark's SlidingWindowFunctionFrame
+      // has NO inverse/retract — a bounded rows-frame re-aggregates
+      // the whole w-row frame per output row (~w·5 buffer updates
+      // here). Because the sums are EXACT INTEGERS, the trailing sum
+      // decomposes as a running-sum difference instead:
+      //   s_k(i) = r_k(i) − r_k(i−w)   (r_k = running Σ, lag default 0)
+      // Running frames use UnboundedPrecedingWindowFunctionFrame
+      // (incremental, O(1)/row) and lag is an O(1) offset frame, so
+      // the plan is two chained WindowExecs on ONE exchange+sort (the
+      // second requires the same ordering the first preserves) at
+      // O(1)/row total — vs O(w)/row for the sliding form. Integer
+      // subtraction is exact, so s1..s4 are bit-identical to the
+      // direct frame sums and the oracle hash is unchanged. Overflow
+      // bound: the PER-PARTITION running Σq⁴ ≤ rows/key · 6.25e6 —
+      // int64-safe to ~1.5e12 rows per supplier (the sliding form's
+      // bound is w-local; this trick trades that for the partition
+      // bound, fine here and loudly documented for cents²-scale
+      // inputs where it would NOT be: rolling_corr/slope keep the
+      // sliding form because their running Σcents² caps at ~76k
+      // rows/key).
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
-        .rowsBetween(-19, 0)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // quantity is integer-valued and positive: floor(q + 0.5) == round
       // exactly, without Round's per-row BigDecimal on doubles
       val q = floor(col("l_quantity") + 0.5).cast("long")
-      // TWO-STEP select: window sums land in named columns FIRST, the
-      // assembly reads the columns. Catalyst does NOT common-subexpr
-      // window aggregates inside one projection — inlining n/s1..s4
-      // into the a2/a3/a4 formulas instantiated 16 buffers (6×count,
-      // 10×sum) in one WindowExec where 5 suffice (measured 2× cost).
-      val sums = t(s, dir, "lineitem")
+      // THREE-STEP select: running sums land in named columns, then
+      // the lag differences land in named columns, then the assembly
+      // reads the columns. Catalyst does NOT common-subexpr window
+      // aggregates inside one projection — inlining n/s1..s4 into the
+      // a2/a3/a4 formulas instantiated 16 buffers (6×count, 10×sum)
+      // in one WindowExec where 5 suffice (measured 2× cost); the
+      // same rule means each lag must be referenced exactly once.
+      val run = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"),
-          count(lit(1)).over(w).as("n"),
-          sum(q).over(w).as("s1"),
-          sum(q * q).over(w).as("s2"),
-          sum(q * q * q).over(w).as("s3"),
-          sum(q * q * q * q).over(w).as("s4"))
+          col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+          count(lit(1)).over(wRun).as("rn"),
+          sum(q).over(wRun).as("r1"),
+          sum(q * q).over(wRun).as("r2"),
+          sum(q * q * q).over(wRun).as("r3"),
+          sum(q * q * q * q).over(wRun).as("r4"))
+      val sums = run.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        (col("rn") - lag(col("rn"), 20, 0L).over(w)).as("n"),
+        (col("r1") - lag(col("r1"), 20, 0L).over(w)).as("s1"),
+        (col("r2") - lag(col("r2"), 20, 0L).over(w)).as("s2"),
+        (col("r3") - lag(col("r3"), 20, 0L).over(w)).as("s3"),
+        (col("r4") - lag(col("r4"), 20, 0L).over(w)).as("s4"))
       val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
       val s3 = col("s3"); val s4 = col("s4")
       val a2 = n * s2 - s1 * s1

@@ -200,10 +200,12 @@ object SqlMutate {
       case FrameEndpoint.Months(m)        => (m, 0L)
       case FrameEndpoint.MonthsDays(m, d) => (m, d)
       case FrameEndpoint.MonthsSeconds(_, _) =>
-        throw new UnsupportedOperationException(
-          "months+sub-day compound Periods have no single-statement SQL " +
-            "rendering (the seconds-granularity expansion join) — use " +
-            "the DataFrame API (mutateW / CalendarWindow.monthsSecondsAgg)")
+        // unreachable from render(): isMonthsSeconds frames dispatch to
+        // monthsSecondsSql first. Kept as a defensive guard for direct
+        // callers of this private path.
+        throw new IllegalStateException(
+          "months+sub-day compound Periods render via monthsSecondsSql " +
+            "(the seconds-granularity expansion chain), not monthsSql")
       case _ => throw new IllegalArgumentException(
         "month frames cannot mix units: both endpoints must be Months " +
           "or MonthsDays")
