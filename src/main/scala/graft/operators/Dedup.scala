@@ -87,6 +87,21 @@ object Dedup {
     array_distinct(filter(grams, g => g.isNotNull))
   }
 
+  /** Positional shingles: element i (0-based) is the n-gram STARTING at
+    * token position i, tail positions null (posexplode + isNotNull gives
+    * every occurrence with its start offset). Same zip_with construction
+    * as [[shingles]] — no per-element re-tokenization — but WITHOUT the
+    * distinct/filter, because occurrence identity (doc_id, pos) is the
+    * point: passage-removal needs to know WHERE each duplicated span
+    * sits, not just that the doc contains it. */
+  def shinglesAt(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    (1 until n).foldLeft(t) { (acc, k) =>
+      zip_with(acc, slice(t, lit(k + 1), greatest(size(t) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
   /** 60-bit base hash shared with the DuckDB oracle:
     * Spark `conv(substr(md5(s),1,15),16,10)` ==
     * DuckDB `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`. */

@@ -550,6 +550,84 @@ object TextQueries {
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
+    }),
+    "text_dedup_passages" -> ((s, dir) => {
+      // Duplicated-passage REMOVAL — the apply step of text_dup_spans
+      // (that key reports which 8-token spans repeat; this one rewrites
+      // each document with every non-canonical occurrence excised, the
+      // exact-substring training-data dedup move). Semantics, exact and
+      // engine-neutral: an occurrence is (doc_id, start_pos) of an
+      // 8-token span; a span with >= 2 occurrences corpus-wide keeps
+      // only its FIRST occurrence (min (doc_id, pos)); tokens covered
+      // by any removed occurrence are dropped and the survivors are
+      // rejoined in order. Three shuffles: the span window (count +
+      // row_number share ONE exchange on span), the covered-position
+      // anti-join on (doc_id, pos), and the per-doc reassembly — all
+      // key-partitioned, nothing quadratic, nothing driver-side. The
+      // hash prefilter of text_dup_spans (phase-1 on 8-byte shingle
+      // hashes, strings only for duplicate-bearing docs) applies
+      // unchanged at 100 TB; at fixture scale the string pass IS the
+      // measured path, so this key runs it directly — the span shuffle
+      // already carries only (span, doc_id, pos).
+      val W = 8
+      val d = docs(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+      val occ = d.select(col("doc_id"),
+          posexplode(graft.operators.Dedup.shinglesAt(col("text"), W)))
+        .filter(col("col").isNotNull)
+        .select(col("doc_id"), col("pos"), col("col").as("span"))
+      val marked = occ.select(col("doc_id"), col("pos"),
+        count(lit(1)).over(w.partitionBy(col("span"))).as("occ_n"),
+        row_number().over(w.partitionBy(col("span"))
+          .orderBy(col("doc_id"), col("pos"))).as("rk"))
+      val covered = marked.filter(col("occ_n") >= 2 && col("rk") > 1)
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("pos"))
+        .distinct()
+      val toks = d.select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+      val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("term")))),
+            x => x.getField("term"))).as("text_clean"))
+      d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+    }),
+    "text_bigram_logprob" -> ((s, dir) => {
+      // Bigram-LM document scoring with add-one smoothing — the
+      // conditional sibling of text_unigram_logprob and the honest core
+      // of the CCNet-style LM-perplexity quality filter: mean
+      // log P(tᵢ | tᵢ₋₁) = ln((c(tᵢ₋₁tᵢ)+1) / (c(tᵢ₋₁)+V)) over each
+      // doc's transitions, plus the perplexity exp(−mean). Every ln
+      // argument is a ratio of exact integers, so both engines feed
+      // libm identical doubles; r4 absorbs the last-ulp ln/avg jitter
+      // (the unigram key's contract). Shuffle shape: the bigram-count
+      // join stays a SHUFFLE join — the bigram table scales with the
+      // corpus (vocab², corpus-bounded) and must not be broadcast at
+      // 100 TB; the prefix counts (vocab-bounded) and the 1-row vocab
+      // size ARE broadcast. Docs with < 2 tokens have no transitions
+      // and are omitted by both engines.
+      val d = docs(s, dir)
+      val bi = d.select(col("doc_id"), explode(filter(
+          graft.operators.Dedup.shinglesAt(col("text"), 2),
+          g => g.isNotNull)).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val cb = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val v = d.select(explode(tokens(col("text"))).as("t"))
+        .agg(count_distinct(col("t")).as("v"))
+      val sc = bi.join(cb, Seq("bg"))
+        .join(broadcast(cu), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+          r4(avg(log((col("cb") + 1).cast("double") /
+            (col("cu") + col("v")).cast("double")))).as("avg_logprob"))
+      sc.select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+        r4(exp(-col("avg_logprob"))).as("ppl"))
     })
   )
 
@@ -908,6 +986,57 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents)
          SELECT md5(norm) AS fp, min(doc_id) AS keep_id,
                 count(*) AS n_dups
-         FROM t GROUP BY 1"""
+         FROM t GROUP BY 1""",
+    // 0-based pos on both sides; toks[i:i+7] is 1-based inclusive = 8
+    // tokens; removed occurrences cover pos..pos+7; ANTI JOIN drops the
+    // covered tokens; string_agg(ORDER BY pos) == concat_ws(sorted)
+    "text_dedup_passages" ->
+      s"""$withToks, occ AS (
+           SELECT doc_id, i - 1 AS pos,
+                  array_to_string(toks[i:i+7], ' ') AS span
+           FROM (SELECT doc_id, toks, unnest(range(1, n_toks - 6)) AS i
+                 FROM tt WHERE n_toks >= 8)
+         ), marked AS (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY span) AS occ_n,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, pos) AS rk
+           FROM occ
+         ), cov AS (
+           SELECT DISTINCT doc_id, pos + sh.u AS pos
+           FROM marked CROSS JOIN (SELECT unnest(range(0, 8)) AS u) sh
+           WHERE occ_n >= 2 AND rk > 1
+         ), tok AS (
+           SELECT doc_id, unnest(toks) AS term,
+                  unnest(range(0, n_toks)) AS pos
+           FROM tt WHERE n_toks > 0
+         ), reb AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(term, ' ' ORDER BY pos) AS text_clean
+           FROM (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos))
+           GROUP BY 1
+         )
+         SELECT tt.doc_id, CAST(tt.n_toks AS BIGINT) AS n_toks,
+                coalesce(reb.n_kept, 0) AS n_kept,
+                coalesce(reb.text_clean, '') AS text_clean
+         FROM tt LEFT JOIN reb USING (doc_id)""",
+    "text_bigram_logprob" ->
+      s"""$withToks, bi AS (
+           SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+           FROM (SELECT doc_id, toks, unnest(range(1, n_toks)) AS i
+                 FROM tt WHERE n_toks >= 2)
+         ), cb AS (SELECT bg, count(*) AS cb FROM bi GROUP BY 1),
+         cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v
+               FROM (SELECT unnest(toks) AS term FROM tt WHERE n_toks > 0)),
+         sc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             round(1e-9 + avg(ln((cb.cb + 1)::DOUBLE
+                                 / (cu.cu + v.v)::DOUBLE)), 4) AS avg_logprob
+           FROM bi JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN v
+           GROUP BY 1)
+         SELECT doc_id, n_bigrams, avg_logprob,
+                round(1e-9 + exp(-avg_logprob), 4) AS ppl
+         FROM sc"""
   )
 }

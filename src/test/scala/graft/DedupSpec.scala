@@ -219,4 +219,47 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((7L, 8L))) // the size-3 bucket is skipped entirely
   }
+
+  test("shinglesAt: element i is the n-gram at 0-based pos i, null tail") {
+    val r = Seq("a b c d", "a b", "").toDF("text")
+      .select(shinglesAt($"text", 3).as("sh")).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b c", "b c d", null, null))
+    assert(r(1).getSeq[String](0) == Seq(null, null)) // below n: all null
+    assert(r(2).getSeq[String](0).isEmpty)
+  }
+
+  test("text_dedup_passages: non-canonical occurrences excised, first kept") {
+    // two docs share the 8-token passage p1..p8; doc 1 holds the
+    // canonical (min doc_id, pos) occurrence and must keep it; doc 2's
+    // copy is removed while its unique suffix survives in order
+    val dir = java.nio.file.Files.createTempDirectory("graft_pass").toString
+    Seq(
+      (1L, "p1 p2 p3 p4 p5 p6 p7 p8 u1 u2", "en", "a", 0L),
+      (2L, "p1 p2 p3 p4 p5 p6 p7 p8 v1 v2", "en", "a", 0L),
+      (3L, "w1 w2 w3", "en", "a", 0L) // < 8 tokens: untouched
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_dedup_passages")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 10L, "p1 p2 p3 p4 p5 p6 p7 p8 u1 u2")))
+    assert(out(2L) == ((10L, 2L, "v1 v2")))
+    assert(out(3L) == ((3L, 3L, "w1 w2 w3")))
+  }
+
+  test("text_bigram_logprob: add-one smoothed mean matches hand computation") {
+    // corpus: "a b" ×2 and "a c" — vocab {a,b,c} V=3; prefix count
+    // c(a)=3; bigram counts c(a b)=2, c(a c)=1. Doc "a b" scores
+    // ln((2+1)/(3+3)) = ln(1/2); doc "a c" scores ln((1+1)/(3+3)) = ln(1/3).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bg").toString
+    Seq((1L, "a b", "en", "a", 0L), (2L, "a b", "en", "a", 0L),
+        (3L, "a c", "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_bigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r4(d: Double) = math.rint((d + 1e-9) * 1e4) / 1e4
+    assert(out(1L) == r4(math.log(0.5)) && out(2L) == out(1L))
+    assert(out(3L) == r4(math.log(1.0 / 3)))
+  }
 }
