@@ -186,6 +186,56 @@ object MultimodalQueries {
         .select(col("doc_id"),
           col("fr.frame_idx").cast("long").as("frame_idx"),
           col("fr.frame_md5").as("frame_md5"))
+    }),
+    "mm_phash_dedup" -> ((s, dir) => {
+      // Perceptual-hash NEAR-DUP detection over the staged blobs —
+      // extends the mm family from metadata decode to content dedup
+      // (the image-dedup stage of a multimodal training pipeline).
+      // dHash shape: 61 bytes sampled at evenly-spaced offsets of the
+      // PARSED pixel region (the blob past the 54-byte BMP header;
+      // fixtures are payload-truncated, so the "image" is 1-D — the
+      // sampling grid is the honest analog of the 9×8 downsample),
+      // bit i = sample[i] > sample[i+1] → a 60-bit hash; then 4×15-bit
+      // LSH bands pigeonhole hamming ≤ 3 into ≥ 1 equal band (the
+      // dedup_simhash argument), equi-join on (band, value), exact
+      // bit_count(xor) verify. Pure codegen: 61 substr/hex/conv chains
+      // per row, CSE'd; the band join shuffles only (band, id, hash).
+      // The oracle replays the same sampled comparisons from the source
+      // text (pixel bytes ARE the ASCII payload), so green proves the
+      // Spark side recovered the bytes from the real layout.
+      val blobs = s.read.parquet(stagedBlobsDir(s, dir, "bmp",
+          graft.operators.Multimodal.bmpBlobCol))
+        .select(col("doc_id"), col("bytes"))
+      val plen = (length(col("bytes")) - 54).cast("long")
+      def byteAt(i: Int): Column =
+        conv(hex(substr(col("bytes"),
+          (lit(55L) + floor(lit(i.toDouble) * plen.cast("double") /
+            lit(61.0)).cast("long")).cast("int"), lit(1))), 16, 10)
+          .cast("int")
+      val samples = (0 to 60).map(byteAt)
+      val ph = (0 until 60).map(i =>
+          when(samples(i) > samples(i + 1), lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      val h = blobs.filter(plen > 0).select(col("doc_id"), ph.as("ph"))
+      val bands = h.select(col("doc_id"), col("ph"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bv", expr("shiftright(ph, 15 * j) % 32768"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.ph").as("pa"), col("b.ph").as("pb"))
+        .distinct()
+      // the ranked verification queue: the 20 closest banded candidate
+      // pairs (exact dups surface at hamming 0 when the corpus has
+      // them; at sf0.01 the fixture has none, and the queue still
+      // carries the band-collision candidates a verifier would score).
+      // TakeOrdered (sort+limit), not a global window; ties break on
+      // the unique (doc_a, doc_b).
+      cand.select(col("doc_a"), col("doc_b"),
+          expr("cast(bit_count(pa ^ pb) as bigint)").as("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(20)
     })
   )
 
@@ -270,6 +320,35 @@ object MultimodalQueries {
                  FROM documents)
          SELECT doc_id, j AS frame_idx,
            md5(substring(text, CAST(j * flen + 1 AS INT), flen)) AS frame_md5
-         FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)"""
+         FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)""",
+    // pixel bytes ARE the ASCII payload, so 1-based char position p in
+    // text == blob byte 54 + p; the hash replay proves the Spark side
+    // read the same bytes through the real BMP layout
+    "mm_phash_dedup" ->
+      """WITH p AS (
+           SELECT doc_id, text AS pl, octet_length(encode(text)) AS plen
+           FROM documents WHERE octet_length(encode(text)) > 0
+         ), h AS (
+           SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i ->
+             CASE WHEN unicode(substr(pl,
+                      CAST(1 + floor(i * plen / 61.0) AS BIGINT), 1))
+                    > unicode(substr(pl,
+                      CAST(1 + floor((i + 1) * plen / 61.0) AS BIGINT), 1))
+                  THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
+           FROM p
+         ), bands AS (
+           SELECT doc_id, ph,
+                  (ph >> CAST(15 * j AS INTEGER)) % 32768 AS bv, j
+           FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.ph AS pa, b.ph AS pb
+           FROM bands a JOIN bands b
+             ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+         )
+         SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT)
+                AS hamming
+         FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20"""
   )
 }

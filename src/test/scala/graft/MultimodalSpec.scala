@@ -161,6 +161,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(CountingDecoder.closes.get() == CountingDecoder.opens.get(),
       "every opened decoder must be closed after a failed task")
   }
+
+  test("mm_phash_dedup: identical payloads rank first at hamming 0") {
+    // two byte-identical texts hash equal through the staged-blob path
+    // (dHash read PAST the 54-byte header), so their pair heads the
+    // ranked candidate queue at hamming 0; the third, shuffled text
+    // lands at a positive distance if banding surfaces it at all
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph").toString
+    val base = ('a' to 'z').mkString(" ") + " the quick brown fox " * 3
+    Seq((1L, base, "en", "a", 0L), (2L, base, "en", "a", 0L),
+        (3L, base.reverse, "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("mm_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head == ((1L, 2L, 0L)))
+    assert(rows.tail.forall(_._3 > 0))
+  }
 }
 
 object MultimodalSpec {
