@@ -398,15 +398,18 @@ object ExtendedQueries {
       // window_ewma literal-replay contract extended to moments.
       //
       // WHY THIS KEEPS THE SLIDING FRAME while rolling_skew retracts
-      // (round-11 measured negative result): the cents² terms (≈1.2e14)
-      // wrap an int64 RUNNING sum at ~7.6e4 rows/supplier, so the
-      // running-sum-difference form needs sum_l128 → DECIMAL(38,0)
-      // lags/subtraction. Measured on the 6M-row sf1 fixture: decimal
-      // retraction 2.90s vs sliding-long 1.46s — six 20-row codegen
-      // long re-aggregations (~120 long adds/row) beat two window
-      // passes over non-primitive decimals. Retraction pays only at
-      // much larger w or with an all-long two-limb (hi,lo) carrier;
-      // at w=20 the sliding form IS the fast path.
+      // (round-11 measured negative results, BOTH carriers): the cents²
+      // terms (≈1.2e14) wrap an int64 RUNNING sum at ~7.6e4 rows per
+      // supplier, so the running-sum-difference form needs a 128-bit
+      // carrier. Measured on the 6M-row sf1 fixture: sum_l128's
+      // DECIMAL(38,0) retraction 2.90s and the all-long two-limb
+      // sumL128Parts/partsDiff retraction 1.63s, vs sliding-long
+      // 1.46s — at w=20 six codegen long re-aggregations (~120 long
+      // adds/row) still beat the second WindowExec pass either carrier
+      // needs. ScaleProbe's retraction-crossover section measures the
+      // same six sums at w = 20/100/500 (bit-equality asserted) and
+      // pins where the two-limb form starts winning; see README for
+      // the recorded crossover.
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
