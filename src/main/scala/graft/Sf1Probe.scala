@@ -56,7 +56,9 @@ object Sf1Probe {
     "text_inverted_index", "attribution_last_touch", "ts_burst_detect",
     "text_keyword_topk", "sample_balanced", "curate_dataset_report",
     // round-10: the prefix-filter scale sibling of graph_common_neighbors
-    "graph_common_neighbors_ppjoin")
+    "graph_common_neighbors_ppjoin",
+    // round-11: the wide-w retraction key and the CUSUM window identity
+    "window_rolling_std_wide", "ts_changepoint_cusum")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")

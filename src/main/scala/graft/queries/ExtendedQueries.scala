@@ -588,6 +588,62 @@ object ExtendedQueries {
         r4(when(n >= 3 && a2 > 0, skew)).as("roll_skew"),
         r4(when(n >= 4 && a2 > 0, kurt)).as("roll_kurt"))
     }),
+    "window_rolling_std_wide" -> ((s, dir) => {
+      // WIDE trailing statistics — trailing 200-row mean/variance of
+      // price per supplier, the production use of the two-limb
+      // retraction carrier. At w=200 the sliding frame is 10× past the
+      // measured crossover (ScaleProbe: w=100 sliding 4.5s vs
+      // retraction 1.7s, w=500 21.0s vs 2.0s), so this key MUST
+      // retract — and unlike rolling_skew's quantity sums, the cents²
+      // terms (≤1.2e14) wrap a plain int64 RUNNING sum at ~7.6e4 rows
+      // per supplier, a bound a 100-TB supplier history exceeds. The
+      // sumL128Parts running sums are exact to 2^123 (unbounded for
+      // physical data) in primitive longs, the struct lag is one
+      // offset read, and partsDiff reconstructs the exact frame sum in
+      // int64 (frame bound 200·1.2e14 ≈ 2.4e16; see SumL128PartsExpr
+      // for the wrap-freedom proof). Assembly is the corr contract:
+      // exact integer cancellation n·Σv²−(Σv)² (≤ 4.8e18, fits), ONE
+      // closed-form double expression shared with the oracle. The
+      // fixture slides genuinely: ~600 rows per supplier at sf0.1/sf1.
+      import graft.functions.SumL128.{sumL128Parts, partsDiff}
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      // named-column discipline at each WindowExec (the buffer-CSE rule)
+      val run = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+          count(lit(1)).over(wRun).as("rn"),
+          sumL128Parts(pc).over(wRun).as("rv"),
+          sumL128Parts(pc * pc).over(wRun).as("rvv"))
+      val lagged = run.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        col("rn"), col("rv"), col("rvv"),
+        lag(col("rn"), 200, 0L).over(w).as("ln"),
+        lag(col("rv"), 200).over(w).as("lv"),
+        lag(col("rvv"), 200).over(w).as("lvv"))
+      val sums = lagged.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        (col("rn") - col("ln")).as("n"),
+        partsDiff(col("rv"), col("lv")).as("sv"),
+        partsDiff(col("rvv"), col("lvv")).as("svv"))
+      val n = col("n"); val nd = col("n").cast("double")
+      val m2c = n * col("svv") - col("sv") * col("sv")
+      // stddev, not variance: the variance's magnitude (~8.5e8 for
+      // dollar prices) puts an ulp (1.2e-7) ABOVE the 1e-9 rounding
+      // bias, so the engines' round-to-4dp can disagree at grid
+      // boundaries (measured: 16/60k rows). sqrt is correctly rounded
+      // IEEE, and at stddev magnitude (~3e4) the bias dominates the
+      // ulp again — the r4 contract holds.
+      sums.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        r4(col("sv").cast("double") / (nd * lit(100.0))).as("roll_mean"),
+        r4(when(n >= 2, sqrt(
+          m2c.cast("double") / (lit(10000.0) * nd * (nd - lit(1.0))))))
+          .as("roll_std"))
+    }),
     "window_rolling_median" -> ((s, dir) => {
       // Rolling EXACT order statistics, trailing 7-row median and p75
       // of the price per supplier — the order-statistic sibling of
@@ -1235,6 +1291,27 @@ object ExtendedQueries {
              THEN CAST(cxyc AS DOUBLE) / (10000.0 * nd * (nd - 1.0))
              END, 4) AS roll_cov
          FROM c""",
+    "window_rolling_std_wide" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey,
+           l_suppkey, l_shipdate,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         FROM lineitem),
+         m AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           count(*) OVER w AS n,
+           CAST(sum(pc) OVER w AS BIGINT) AS sv,
+           CAST(sum(pc * pc) OVER w AS BIGINT) AS svv
+         FROM d
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+           ROWS BETWEEN 199 PRECEDING AND CURRENT ROW))
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           round(1e-9 + CAST(sv AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100.0), 4) AS roll_mean,
+           round(1e-9 + CASE WHEN n >= 2
+             THEN sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+               / (10000.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             END, 4) AS roll_std
+         FROM m""",
     "window_rolling_slope" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey,
            l_shipdate, l_suppkey,

@@ -1172,6 +1172,38 @@ object TimeSeriesQueries {
             col("n_events") * col("base_n") > col("base_sum") * 2)
             .as("burst"))
     }),
+    "ts_changepoint_cusum" -> ((s, dir) => {
+      // CUSUM upward-drift detection per user — the change-point
+      // monitor behind data-quality/abuse alerting. The textbook
+      // recursion s_i = max(0, s_{i−1} + xᵢ − a) is not windowable,
+      // but the max-subarray-ending-here identity makes it
+      // declarative:  s_i = r_i − least(0, min_{j≤i} r_j)  where
+      // r = running Σ(x − a). Two O(1)/row running window passes
+      // (sum, then min over the sum) on ONE (user) exchange — no
+      // recursion, no mapPartitions, no state. INTEGER-EXACT end to
+      // end: x in cents via the floor(v·100+0.5) replay form, the
+      // allowance a = corpus mean + 1 cent by exact integer division
+      // (1-row broadcast, the unigram-tot pattern), cusum is an exact
+      // long and the drift flag a pure integer comparison — no float
+      // anywhere, so the hash gate needs no rounding contract at all.
+      // Overflow: |r| grows ≤ ~5.6e6/row — int64-safe to ~1.6e12
+      // rows per user.
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"), floor(col("value") * 100 + 0.5).cast("long").as("xc"))
+      val g = e.agg((expr("sum(xc) div count(1)") + 1L).as("a"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val r = e.crossJoin(broadcast(g))
+        .select(col("event_id"), col("user_id"), col("ts"), col("a"),
+          sum(col("xc") - col("a")).over(w).as("r"))
+      val c = r.select(col("event_id"), col("a"),
+        (col("r") - least(lit(0L), min(col("r")).over(w))).as("cusum"))
+      c.select(col("event_id"), col("cusum"),
+        (col("cusum") > col("a") * 20).as("is_drift"))
+    }),
     "ts_resample_ohlc" -> ((s, dir) => {
       // OHLC bar downsampling per (user, day) — the finance/telemetry
       // resample a plain groupBy can't express: open/close are the
@@ -1693,6 +1725,26 @@ object TimeSeriesQueries {
              AS base_mean,
            (base_n >= 3 AND n_events * base_n > base_sum * 2) AS burst
          FROM b""",
+    // s_i = r_i − least(0, min_{j≤i} r_j): the same two running
+    // windows; every quantity an exact integer (sum()'s HUGEINT is
+    // cast back — the sums fit BIGINT by the corpus bound)
+    "ts_changepoint_cusum" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc FROM events),
+         g AS (SELECT CAST(sum(xc) // count(*) AS BIGINT) + 1 AS a FROM e),
+         r AS (SELECT event_id, user_id, tsn, a,
+           CAST(sum(xc - a) OVER w AS BIGINT) AS r
+         FROM e CROSS JOIN g
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         m AS (SELECT event_id, a, r,
+           least(CAST(0 AS BIGINT), min(r) OVER w2) AS mn
+         FROM r
+         WINDOW w2 AS (PARTITION BY user_id ORDER BY tsn, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, r - mn AS cusum,
+                (r - mn) > a * 20 AS is_drift
+         FROM m""",
     "ts_resample_ohlc" ->
       """WITH e AS (SELECT user_id,
            epoch_ns(ts) // 86400000000000 AS day,

@@ -258,4 +258,32 @@ class OperatorPropertySpec extends AnyFunSuite {
         got == want
     })
   }
+
+  // --- CUSUM running-min identity vs the textbook recursion --------------
+
+  test("CUSUM window identity equals the max(0, s+d) recursion") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // s_i = max(0, s_{i−1} + d_i)  ==  r_i − least(0, min_{j≤i} r_j)
+    // — the decomposition ts_changepoint_cusum ships. Random signed
+    // deltas, multiple keys, adversarial long runs of one sign.
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      ds <- Gen.listOfN(n, Gen.choose(-9L, 6L)) // negative-biased drifts
+    } yield ds
+    check(forAll(gen) { ds =>
+      val rows = ds.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      val df = rows.toDF("i", "d")
+      val w = Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.select(col("i"), sum(col("d")).over(w).as("r"))
+        .select(col("i"),
+          (col("r") - least(lit(0L), min(col("r")).over(
+            Window.orderBy(col("i")).rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))).as("s"))
+        .orderBy("i").collect().map(_.getLong(1)).toList
+      val want = ds.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+      got == want
+    })
+  }
 }
