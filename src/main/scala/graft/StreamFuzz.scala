@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.StreamingOps
-import graft.streaming.StreamingOps.{KeyedEvent, TrailingAgg, RunningAgg}
+import graft.streaming.StreamingOps.{CusumAgg, KeyedEvent, TrailingAgg, RunningAgg}
 
 /** Streaming property fuzz (round-11, r10 verdict item 3): randomized
   * ARRIVAL PERMUTATIONS and WATERMARK SCHEDULES against the batch
@@ -235,9 +235,24 @@ object StreamFuzz {
       (data ++ Seq(sent(s1), sent(s1 + 1000L)), lateness, s1)
     }
 
+    // CUSUM oracle: the TEXTBOOK recursion s = max(0, s + Σgroup(v−a))
+    // over per-key event-time tie-groups — an independent derivation
+    // from the running-min window identity the batch/stream operators
+    // ship, so agreement cross-checks the identity itself
+    def cusumOracle(aE4: Long, hE4: Long)(
+        ev: IndexedSeq[KeyedEvent]): Seq[(Long, Long, Long, Long)] =
+      ev.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+        var s = 0L
+        es.groupBy(_.tsMillis).toSeq.sortBy(_._1).flatMap { case (ts, g) =>
+          s = math.max(0L, s + g.map(e => s4(e) - aE4).sum)
+          g.map(_ => (k, ts, s, if (s > hE4) 1L else 0L))
+        }
+      }
+
     val armNames = Seq("trailing_inorder", "running_inorder",
-      "rows_inorder", "trailing_ooo", "running_ooo", "rows_ooo")
-    val arm = rnd.nextInt(6)
+      "rows_inorder", "trailing_ooo", "running_ooo", "rows_ooo",
+      "cusum_ooo")
+    val arm = rnd.nextInt(7)
     val name = s"${armNames(arm)}#$i"
     val sparkEnc = org.apache.spark.sql.Encoders
     arm match {
@@ -285,7 +300,7 @@ object StreamFuzz {
             r => (r.key, r.tsMillis, r.cumN, r.cumSumE4), _ >= s1)(
             sparkEnc.product[RunningAgg]),
           timeOracle(Long.MaxValue, after))
-      case _ =>
+      case 5 =>
         val nRows = 1 + rnd.nextInt(12)
         val (batches, lateness, s1) = oooBatches(0L)
         Plan(name, events, batches,
@@ -294,6 +309,21 @@ object StreamFuzz {
             t => (t.key, t.tsMillis, t.winN, t.winSumE4), _ >= s1)(
             sparkEnc.product[TrailingAgg]),
           rowsOracle(nRows))
+      case _ =>
+        // order-DEPENDENT recursion under random arrival order: the
+        // sharpest test in the family — any row released before its
+        // prefix settles, or folded out of event-time order, skews
+        // every subsequent CUSUM value
+        val aE4 = (rnd.nextInt(400001) - 200000).toLong // ±20.0
+        val hE4 = (100000 + rnd.nextInt(1900001)).toLong // 10.0..200.0
+        val (batches, lateness, s1) = oooBatches(0L)
+        Plan(name, events, batches,
+          (s, b) => drive[CusumAgg](s, b,
+            ds => StreamingOps.cusumWDelayed(ds, aE4, hE4, lateness),
+            c => (c.key, c.tsMillis, c.cusumE4,
+              if (c.isDrift) 1L else 0L), _ >= s1)(
+            sparkEnc.product[CusumAgg]),
+          cusumOracle(aE4, hE4))
     }
   }
 }

@@ -333,6 +333,7 @@ object TimeSeriesQueries {
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
     "dedup_stream_exact", "sessionize_stream_stateful",
+    "stream_cusum_stateful",
     "join_stream_stream", "join_stream_stream_louter",
     "join_stream_stream_fouter")
 
@@ -562,6 +563,43 @@ object TimeSeriesQueries {
       val sink = s.table(qn).select(col("key").as("user_id"),
         col("tsMillis").as("ts_ms"), col("cumN").as("cum_n"),
         col("cumSumE4").as("cum_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "stream_cusum_stateful" -> ((s, dir) => {
+      // CUSUM drift detection on the OOO stream — the streaming twin
+      // of ts_changepoint_cusum and the first ORDER-DEPENDENT stateful
+      // recipe in the family (a running sum folds in any order; the
+      // max(0, s+v−a) recursion cannot). cusumWDelayed releases
+      // tie-groups in event-time order once the watermark strictly
+      // passes them, so under the fixture's 2×2h shuffle the emitted
+      // CUSUM sequence is EXACT — gated against the batch running-min
+      // identity in DuckDB on the same rows. Exact integers end to
+      // end: scaledE4 values, integer allowance a=75.0 / threshold
+      // h=200.0 (E4 units), integer drift predicate.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.cusumWDelayed(src,
+        allowanceE4 = 750000L, thresholdE4 = 2000000L,
+        latenessMillis = lateness)
+      val qn = s"graft_stream_cusum_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("cusumE4").as("cusum_e4"),
+        col("isDrift").as("is_drift"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -1491,6 +1529,25 @@ object TimeSeriesQueries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // the batch running-min CUSUM identity (ts_changepoint_cusum's,
+    // at E4 scale with fixed allowance/threshold) — the stream's
+    // watermark-ordered release must reproduce it exactly
+    "stream_cusum_stateful" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events),
+         r AS (SELECT user_id, ts_ms,
+           CAST(sum(v4 - 750000) OVER w AS BIGINT) AS r
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         m AS (SELECT user_id, ts_ms, r,
+           least(CAST(0 AS BIGINT), min(r) OVER w2) AS mn
+         FROM r
+         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, ts_ms, r - mn AS cusum_e4,
+                (r - mn) > 2000000 AS is_drift
+         FROM m""",
     // the batch range frame WITH a following endpoint — the streaming
     // side must reproduce it exactly under shuffled arrival
     "window_stream_lookahead" ->

@@ -468,6 +468,91 @@ object StreamingOps {
       }
   }
 
+  /** [[cusumWDelayed]] output: the CUSUM value AT each event
+    * (range-peer semantics: ties share it) plus the drift flag. */
+  case class CusumAgg(key: Long, tsMillis: Long, cusumE4: Long,
+      isDrift: Boolean)
+
+  /** [[cusumWDelayed]] per-key state: the running Σ(v−a) and its
+    * running minimum over released tie-groups (both O(1) longs — the
+    * max-subarray identity s = r − min(0, min r) needs nothing else),
+    * the emission high-water mark, and the lateness-sliver pending
+    * buffer. */
+  case class CusumDelayBuf(r: Long, mn: Long, emittedThrough: Long,
+      pendTs: Seq[Long], pendV: Seq[Long])
+
+  /** CUSUM upward-drift detection on a stream — the ORDER-DEPENDENT
+    * stateful recipe the degradation matrix's running aggregates don't
+    * cover: s = max(0, s + v − a) is a recursion over the EVENT-TIME
+    * order, so unlike a running sum (order-independent folds) it can
+    * only be exact once arrival order is settled. The watermark-delayed
+    * form holds each row in the lateness-sliver pending buffer and
+    * releases tie-groups in event-time order when the watermark
+    * strictly passes their timestamp — at that point the prefix is
+    * complete, and the max-subarray identity
+    *   s(t) = r(t) − min(0, min_{t'≤t} r(t'))
+    * (r = running Σ(v−a), ts-tie groups fold as one — range-peer
+    * semantics like [[runningWDelayed]]) gives the exact CUSUM with
+    * O(1) accumulator state: two longs, no window buffer. This is the
+    * streaming twin of the batch `ts_changepoint_cusum` key, same
+    * identity, same exact-integer contract (scaledE4 values, integer
+    * allowance/threshold, pure integer drift predicate).
+    *
+    * A beyond-lateness straggler folds into (r, mn) at its ARRIVAL
+    * point and emits best-effort — the accumulator remains a valid
+    * CUSUM of the as-arrived sequence, but event-time exactness for
+    * later rows is degraded (documented; unlike sums, an
+    * order-dependent recursion cannot absorb stragglers exactly). */
+  def cusumWDelayed(events: Dataset[KeyedEvent], allowanceE4: Long,
+      thresholdE4: Long, latenessMillis: Long): Dataset[CusumAgg] = {
+    require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
+      .as[KeyedEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumDelayBuf, CusumAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEventT],
+         st: GroupState[CusumDelayBuf]) =>
+          val prev = st.getOption.getOrElse(
+            CusumDelayBuf(0L, 0L, Long.MinValue, Nil, Nil))
+          val batch = it.toSeq
+            .map(e => e.tsMillis -> (scaledE4(e.value) - allowanceE4))
+          val (stragglers, fresh) =
+            batch.partition(_._1 <= prev.emittedThrough)
+          var r = prev.r; var mn = prev.mn
+          def emit(ts: Long, n: Int): Seq[CusumAgg] = {
+            val s = r - math.min(0L, mn)
+            Seq.fill(n)(CusumAgg(key, ts, s, s > thresholdE4))
+          }
+          // beyond-lateness stragglers: fold at arrival, best-effort
+          val stragglerOut = stragglers.sortBy(identity).flatMap {
+            case (ts, d) => r += d; mn = math.min(mn, r); emit(ts, 1)
+          }
+          val pend = (prev.pendTs.zip(prev.pendV) ++ fresh)
+            .sortBy(identity).toIndexedSeq
+          val emitUpTo = st.getCurrentWatermarkMs() - 1
+          val fi = pend.indexWhere(_._1 > emitUpTo) match {
+            case -1 => pend.length
+            case i  => i
+          }
+          // release in ts order, folding tie-groups as one delta
+          val releaseOut = pend.take(fi).groupBy(_._1).toSeq.sortBy(_._1)
+            .flatMap { case (ts, grp) =>
+              r += grp.map(_._2).sum
+              mn = math.min(mn, r)
+              emit(ts, grp.size)
+            }
+          val keep = pend.drop(fi)
+          st.update(CusumDelayBuf(r, mn,
+            math.max(prev.emittedThrough, emitUpTo),
+            keep.map(_._1), keep.map(_._2)))
+          (stragglerOut ++ releaseOut).iterator
+      }
+  }
+
   /** [[trailingRowsW]] per-key state: the trailing nRows−1 entries as an
     * ascending (ts, scaledValue) list. */
   case class RowsBuf(entryTs: Seq[Long], entryV: Seq[Long])
