@@ -57,8 +57,10 @@ object Sf1Probe {
     "text_keyword_topk", "sample_balanced", "curate_dataset_report",
     // round-10: the prefix-filter scale sibling of graph_common_neighbors
     "graph_common_neighbors_ppjoin",
-    // round-11: the wide-w retraction key and the CUSUM window identity
-    "window_rolling_std_wide", "ts_changepoint_cusum")
+    // round-11: the wide-w retraction key, the CUSUM window identity,
+    // and the heavy text/mm additions
+    "window_rolling_std_wide", "ts_changepoint_cusum",
+    "text_dedup_passages", "text_bigram_logprob", "mm_phash_dedup")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")

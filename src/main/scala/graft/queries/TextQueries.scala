@@ -560,19 +560,43 @@ object TextQueries {
       // 8-token span; a span with >= 2 occurrences corpus-wide keeps
       // only its FIRST occurrence (min (doc_id, pos)); tokens covered
       // by any removed occurrence are dropped and the survivors are
-      // rejoined in order. Three shuffles: the span window (count +
-      // row_number share ONE exchange on span), the covered-position
-      // anti-join on (doc_id, pos), and the per-doc reassembly — all
-      // key-partitioned, nothing quadratic, nothing driver-side. The
-      // hash prefilter of text_dup_spans (phase-1 on 8-byte shingle
-      // hashes, strings only for duplicate-bearing docs) applies
-      // unchanged at 100 TB; at fixture scale the string pass IS the
-      // measured path, so this key runs it directly — the span shuffle
-      // already carries only (span, doc_id, pos).
+      // rejoined in order. Shuffle shape: an 8-byte hash prefilter
+      // narrows everything downstream to candidate docs, the span
+      // window (count + row_number share ONE exchange on span) runs on
+      // candidates only, the covered-position anti-join on (doc_id,
+      // pos) and the per-doc reassembly touch only docs that actually
+      // lose a token — all key-partitioned, nothing quadratic, nothing
+      // driver-side. At 100 TB the win scales with the non-duplicated
+      // corpus fraction, exactly like text_dup_spans.
       val W = 8
       val d = docs(s, dir)
       val w = org.apache.spark.sql.expressions.Window
-      val occ = d.select(col("doc_id"),
+      // PHASE 1 (round-11 measured: 3.19s → the prefilter path): find
+      // the docs that can possibly own a duplicated occurrence, on
+      // 8-byte hash keys. Cross-doc dups: any distinct-per-doc shingle
+      // hash held by ≥ 2 docs flags all its holders. Intra-doc dups: a
+      // doc repeating a span internally has fewer DISTINCT positional
+      // hashes than positions — a row-local size compare, no shuffle.
+      // Every occurrence of a truly-duplicated span lives in a flagged
+      // doc (two docs → both cross-flagged; one doc twice →
+      // intra-flagged), so phase-2 counts within the candidate subset
+      // equal the global counts for dup spans; hash collisions only ADD
+      // candidates and the exact string grouping discards them — the
+      // text_dup_spans argument, extended to occurrence identity.
+      val hexpr = graft.operators.Dedup.shingleHashes(col("text"), W)
+      val hashed = d.select(col("doc_id"), hexpr.as("hs"),
+        (size(hexpr) < greatest(size(tokens(col("text"))) - (W - 1),
+          lit(0))).as("intra"))
+      val crossDocs = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+        .withColumn("n", count(lit(1)).over(w.partitionBy(col("h"))))
+        .filter(col("n") >= 2).select("doc_id").distinct()
+      val candDocs = crossDocs
+        .unionByName(hashed.filter(col("intra")).select("doc_id"))
+        .distinct()
+      // PHASE 2, candidates only: exact string occurrences, global
+      // canonical rank, covered positions
+      val occ = d.join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
           posexplode(graft.operators.Dedup.shinglesAt(col("text"), W)))
         .filter(col("col").isNotNull)
         .select(col("doc_id"), col("pos"), col("col").as("span"))
@@ -584,18 +608,34 @@ object TextQueries {
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("pos"))
         .distinct()
-      val toks = d.select(col("doc_id"), posexplode(tokens(col("text"))))
+      // PHASE 3: explode + rebuild ONLY the docs that actually lose a
+      // token; an untouched doc's rebuilt text IS its normText (tokens
+      // joined by single spaces), so the heavy collect_list regroup
+      // never sees the non-duplicated bulk of the corpus
+      val removalDocs = covered.select("doc_id").distinct()
+      val toks = d.join(removalDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
         .select(col("doc_id"), col("pos"), col("col").as("term"))
-      val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
+      val regrouped = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("k"),
           concat_ws(" ", transform(
             array_sort(collect_list(struct(col("pos"), col("term")))),
-            x => x.getField("term"))).as("text_clean"))
-      d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+            x => x.getField("term"))).as("tc"))
+      // fully-excised docs vanish from the regroup: rebuild from the
+      // removal list so they surface as (0, "")
+      val rebuilt = removalDocs.join(regrouped, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("k"), lit(0L)).as("n_kept"),
+          coalesce(col("tc"), lit("")).as("text_clean"),
+          lit(true).as("touched"))
+      d.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          normText(col("text")).as("norm"))
         .join(rebuilt, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_toks"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("text_clean"), lit("")).as("text_clean"))
+          when(col("touched"), col("n_kept")).otherwise(col("n_toks"))
+            .as("n_kept"),
+          when(col("touched"), col("text_clean")).otherwise(col("norm"))
+            .as("text_clean"))
     }),
     "text_bigram_logprob" -> ((s, dir) => {
       // Bigram-LM document scoring with add-one smoothing — the
