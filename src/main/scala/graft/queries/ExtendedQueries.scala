@@ -644,6 +644,33 @@ object ExtendedQueries {
           m2c.cast("double") / (lit(10000.0) * nd * (nd - lit(1.0))))))
           .as("roll_std"))
     }),
+    "window_rolling_minmax" -> ((s, dir) => {
+      // Trailing extrema — rolling min/max/range of price per supplier
+      // (w=20), completing the rolling family's order-statistic end.
+      // The sliding frame is the RIGHT plan at this w: min/max buffer
+      // updates are single codegen long compares (~40 ops/row for all
+      // three outputs), far below the second-WindowExec cost of any
+      // retraction (min has no inverse anyway — the wide-w declarative
+      // alternative is the van Herk/block prefix+suffix decomposition:
+      // two running passes over (key, block) with block = w, answer =
+      // min(sufmin at i−w+1, premin at i); documented, not needed at
+      // w=20). Values pass through as exact long cents — no float, no
+      // rounding contract.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+        .rowsBetween(-19, 0)
+      val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val sums = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          min(pc).over(w).as("roll_min_c"),
+          max(pc).over(w).as("roll_max_c"))
+      sums.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        col("roll_min_c"), col("roll_max_c"),
+        (col("roll_max_c") - col("roll_min_c")).as("roll_range_c"))
+    }),
     "window_rolling_median" -> ((s, dir) => {
       // Rolling EXACT order statistics, trailing 7-row median and p75
       // of the price per supplier — the order-statistic sibling of
@@ -1291,6 +1318,19 @@ object ExtendedQueries {
              THEN CAST(cxyc AS DOUBLE) / (10000.0 * nd * (nd - 1.0))
              END, 4) AS roll_cov
          FROM c""",
+    "window_rolling_minmax" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey,
+           l_suppkey, l_shipdate,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           min(pc) OVER w AS roll_min_c,
+           max(pc) OVER w AS roll_max_c,
+           max(pc) OVER w - min(pc) OVER w AS roll_range_c
+         FROM d
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
     "window_rolling_std_wide" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey,
            l_suppkey, l_shipdate,
