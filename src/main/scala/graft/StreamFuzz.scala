@@ -249,10 +249,26 @@ object StreamFuzz {
         }
       }
 
+    // as-of oracle: per left row, the LATEST quote ts at or before it,
+    // per-ts MAX among its ties — the operator's quote-book rule
+    // (None → Long.MinValue sentinel for the 4-tuple gate)
+    def asofOracle(tag: IndexedSeq[Boolean])(
+        ev: IndexedSeq[KeyedEvent]): Seq[(Long, Long, Long, Long)] = {
+      val z = ev.zip(tag)
+      z.filterNot(_._2).map { case (e, _) =>
+        val qs = z.collect { case (q, true)
+          if q.key == e.key && q.tsMillis <= e.tsMillis => q }
+        val best = qs.map(_.tsMillis).maxOption.map { lt =>
+          qs.filter(_.tsMillis == lt).map(s4).max
+        }
+        (e.key, e.tsMillis, s4(e), best.getOrElse(Long.MinValue))
+      }
+    }
+
     val armNames = Seq("trailing_inorder", "running_inorder",
       "rows_inorder", "trailing_ooo", "running_ooo", "rows_ooo",
-      "cusum_ooo")
-    val arm = rnd.nextInt(7)
+      "cusum_ooo", "asof_ooo")
+    val arm = rnd.nextInt(8)
     val name = s"${armNames(arm)}#$i"
     val sparkEnc = org.apache.spark.sql.Encoders
     arm match {
@@ -309,7 +325,7 @@ object StreamFuzz {
             t => (t.key, t.tsMillis, t.winN, t.winSumE4), _ >= s1)(
             sparkEnc.product[TrailingAgg]),
           rowsOracle(nRows))
-      case _ =>
+      case 6 =>
         // order-DEPENDENT recursion under random arrival order: the
         // sharpest test in the family — any row released before its
         // prefix settles, or folded out of event-time order, skews
@@ -324,6 +340,41 @@ object StreamFuzz {
               if (c.isDrift) 1L else 0L), _ >= s1)(
             sparkEnc.product[CusumAgg]),
           cusumOracle(aE4, hE4))
+      case _ =>
+        // stream-stream AS-OF: content-derived side tags (a pure
+        // function of the event, so duplicates tag consistently on
+        // both the arrival shuffle and the oracle; unlike the gate
+        // key's (key, ts) hash split, two values at one (key, ts) CAN
+        // land on different sides here, pinning the per-ts-max book
+        // rule), random arrival, quotes landing before/after the
+        // lefts they should win
+        val salt = rnd.nextInt(97)
+        def isQ(e: KeyedEvent): Boolean =
+          ((e.key * 31 + e.tsMillis) * 31 + s4(e) + salt) % 3 == 0
+        val tag = events.map(isQ)
+        val (batches, lateness, s1) = oooBatches(0L)
+        val tagged = batches.map(_.map(e =>
+          StreamingOps.TaggedEvent(e.key, e.tsMillis, e.value, isQ(e))))
+        Plan(name, events, Nil,
+          (s, _) => {
+            implicit val sq = s.sqlContext
+            import s.implicits._
+            val ms = MemoryStream[StreamingOps.TaggedEvent]
+            val qn = s"graft_streamfuzz_asof_${qId.incrementAndGet()}"
+            val q = StreamingOps.asofJoinWDelayed(ms.toDS(), lateness)
+              .toDF().writeStream.outputMode("append")
+              .format("memory").queryName(qn).start()
+            try {
+              tagged.foreach { b =>
+                if (b.nonEmpty) { ms.addData(b); q.processAllAvailable() }
+              }
+              s.table(qn).as[StreamingOps.AsofJoined].collect().toSeq
+                .map(a => (a.key, a.tsMillis, a.valueE4,
+                  a.quoteE4.getOrElse(Long.MinValue)))
+                .filterNot(_._2 >= s1)
+            } finally { q.stop(); s.catalog.dropTempView(qn) }
+          },
+          asofOracle(tag))
     }
   }
 }

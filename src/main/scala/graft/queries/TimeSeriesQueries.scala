@@ -333,7 +333,7 @@ object TimeSeriesQueries {
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
     "dedup_stream_exact", "sessionize_stream_stateful",
-    "stream_cusum_stateful",
+    "stream_cusum_stateful", "join_stream_asof",
     "join_stream_stream", "join_stream_stream_louter",
     "join_stream_stream_fouter")
 
@@ -563,6 +563,44 @@ object TimeSeriesQueries {
       val sink = s.table(qn).select(col("key").as("user_id"),
         col("tsMillis").as("ts_ms"), col("cumN").as("cum_n"),
         col("cumSumE4").as("cum_sum_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "join_stream_asof" -> ((s, dir) => {
+      // Stream-stream AS-OF join — the temporal-join shape Structured
+      // Streaming's equality/range stream-stream joins cannot express
+      // (StreamingOps.asofJoinWDelayed: union-tag + per-key quote
+      // book). The side split is the engine-stable 60-bit hash of
+      // (key, ts) — replayable in DuckDB, and rows sharing (key, ts)
+      // land on ONE side, so the as-of has no cross-side tie. Gated
+      // against DuckDB's native ASOF LEFT JOIN over the same rows
+      // (right side pre-aggregated to per-ts max, the operator's tie
+      // rule) under the fixture's 2×2h shuffled arrival.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .withColumn("isQuote",
+          conv(substring(md5(concat(col("key").cast("string"), lit(":"),
+            col("tsMillis").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 4 === 0)
+        .as[graft.streaming.StreamingOps.TaggedEvent]
+      val agg = graft.streaming.StreamingOps.asofJoinWDelayed(src, lateness)
+      val qn = s"graft_stream_asof_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("valueE4").as("value_e4"),
+        col("quoteE4").as("quote_e4"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -1529,6 +1567,23 @@ object TimeSeriesQueries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // DuckDB's NATIVE ASOF LEFT JOIN is the oracle; the right side is
+    // pre-aggregated to per-(key, ts) max (the operator's quote tie
+    // rule), and the side split replays the engine-stable 60-bit
+    // md5 hash of 'key:ts'
+    "join_stream_asof" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events),
+         t AS (SELECT user_id, ts_ms, v4,
+           (CAST(concat('0x', substr(md5(concat(user_id, ':', ts_ms)),
+              1, 15)) AS BIGINT) % 4 = 0) AS is_quote
+         FROM e),
+         q AS (SELECT user_id, ts_ms, max(v4) AS q4
+               FROM t WHERE is_quote GROUP BY 1, 2),
+         l AS (SELECT user_id, ts_ms, v4 FROM t WHERE NOT is_quote)
+         SELECT l.user_id, l.ts_ms, l.v4 AS value_e4, q.q4 AS quote_e4
+         FROM l ASOF LEFT JOIN q
+           ON l.user_id = q.user_id AND l.ts_ms >= q.ts_ms""",
     // the batch running-min CUSUM identity (ts_changepoint_cusum's,
     // at E4 scale with fixed allowance/threshold) — the stream's
     // watermark-ordered release must reproduce it exactly

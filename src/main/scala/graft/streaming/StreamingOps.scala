@@ -553,6 +553,107 @@ object StreamingOps {
       }
   }
 
+  /** [[asofJoinWDelayed]] input: one UNION-TAGGED stream — Spark has no
+    * stream-stream as-of join, so both sides ride one keyed stream with
+    * a side tag and meet in per-key state (the Flink-temporal-join
+    * pattern, re-expressed on flatMapGroupsWithState). */
+  case class TaggedEvent(key: Long, tsMillis: Long, value: Double,
+      isQuote: Boolean)
+  private[graft] case class TaggedEventT(key: Long, tsMillis: Long,
+      value: Double, isQuote: Boolean, eventTime: java.sql.Timestamp)
+
+  /** [[asofJoinWDelayed]] output: each LEFT event joined to the latest
+    * quote at or before its timestamp (None = no quote yet). */
+  case class AsofJoined(key: Long, tsMillis: Long, valueE4: Long,
+      quoteE4: Option[Long])
+
+  /** [[asofJoinWDelayed]] per-key state: the quote book as ascending
+    * (ts → per-ts MAX value) entries — pruned to the single latest
+    * entry at or below the emission mark plus everything after it —
+    * and the pending left rows in the lateness sliver. */
+  case class AsofBuf(emittedThrough: Long, quoteTs: Seq[Long],
+      quoteV: Seq[Long], pendTs: Seq[Long], pendV: Seq[Long])
+
+  /** Stream-stream AS-OF join (temporal join): every left event emits
+    * with the most recent right-side quote at or before its event
+    * time. Structured Streaming's stream-stream joins are equality +
+    * bounded-range only — the as-of shape ("latest value so far") is
+    * exactly what they cannot express, and the standard rewrite is the
+    * one here: tag both sides, union into ONE keyed stream, and keep a
+    * per-key QUOTE BOOK in state. Watermark-delayed exactness: a left
+    * row releases when the watermark strictly passes its timestamp —
+    * every quote with ts ≤ that row's ts (the only ones that can win
+    * the as-of) has then arrived or been dropped — so emission is
+    * EXACT under any arrival order within the lateness, both sides
+    * shuffled together. Ties: rows sharing (key, ts) are one side by
+    * construction here, and concurrent quotes at one ts fold to their
+    * MAX (the deterministic tie rule the batch oracle mirrors with a
+    * per-(key, ts) max pre-aggregate before DuckDB's native ASOF).
+    * State is O(lateness × rate) pending lefts + the pruned quote
+    * book: one entry at or below the emission mark (the reigning
+    * quote) plus the lateness sliver — NOT the stream's history.
+    * Stragglers: a beyond-lateness left answers from the current book
+    * best-effort; a beyond-lateness quote folds into the book and can
+    * only affect FUTURE answers (already-emitted rows are immutable,
+    * the Append-mode contract). */
+  def asofJoinWDelayed(events: Dataset[TaggedEvent],
+      latenessMillis: Long): Dataset[AsofJoined] = {
+    require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
+      .as[TaggedEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBuf, AsofJoined](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[TaggedEventT], st: GroupState[AsofBuf]) =>
+          val prev = st.getOption.getOrElse(
+            AsofBuf(Long.MinValue, Nil, Nil, Nil, Nil))
+          val batch = it.toSeq
+          val (quotes, lefts) = batch.partition(_.isQuote)
+          // quote book: merge fresh quotes (any order, any lateness —
+          // a quote only ever improves future answers) at per-ts MAX
+          val book = scala.collection.mutable.TreeMap.empty[Long, Long]
+          prev.quoteTs.zip(prev.quoteV).foreach { case (t, v) =>
+            book(t) = v
+          }
+          quotes.foreach { q =>
+            val v = scaledE4(q.value)
+            book(q.tsMillis) = book.get(q.tsMillis).fold(v)(math.max(_, v))
+          }
+          def answer(ts: Long): Option[Long] =
+            book.rangeTo(ts).lastOption.map(_._2)
+          val (stragglers, fresh) = lefts.map(e =>
+              e.tsMillis -> scaledE4(e.value))
+            .partition(_._1 <= prev.emittedThrough)
+          val stragglerOut = stragglers.sortBy(identity).map {
+            case (ts, v) => AsofJoined(key, ts, v, answer(ts))
+          }
+          val pend = (prev.pendTs.zip(prev.pendV) ++ fresh)
+            .sortBy(identity).toIndexedSeq
+          val emitUpTo = st.getCurrentWatermarkMs() - 1
+          val fi = pend.indexWhere(_._1 > emitUpTo) match {
+            case -1 => pend.length
+            case i  => i
+          }
+          val releaseOut = pend.take(fi).map { case (ts, v) =>
+            AsofJoined(key, ts, v, answer(ts))
+          }
+          val keep = pend.drop(fi)
+          val emittedThrough = math.max(prev.emittedThrough, emitUpTo)
+          // prune: the reigning quote (latest ≤ mark) + the open tail
+          val reign = book.rangeTo(emittedThrough).lastOption.map(_._1)
+          val kept = book.iterator.filter { case (t, _) =>
+            t > emittedThrough || reign.contains(t)
+          }.toIndexedSeq
+          st.update(AsofBuf(emittedThrough,
+            kept.map(_._1), kept.map(_._2),
+            keep.map(_._1), keep.map(_._2)))
+          (stragglerOut ++ releaseOut).iterator
+      }
+  }
+
   /** [[trailingRowsW]] per-key state: the trailing nRows−1 entries as an
     * ascending (ts, scaledValue) list. */
   case class RowsBuf(entryTs: Seq[Long], entryV: Seq[Long])
