@@ -82,6 +82,28 @@ object FormatQueries {
       supplierAgg(s.read.schema(sup.schema)
         .option("header", "true").csv(path))
     }),
+    "source_text_lines" -> ((s, dir) => {
+      // LINE-ORIENTED text source round-trip — the rawest lake format
+      // (one record per line, schema applied at read): documents
+      // export as "doc_id<TAB>text" lines via the text sink, read back
+      // with spark.read.text, parsed by first-tab split. The corpus is
+      // tab/newline-free ASCII (verified), so the framing is lossless;
+      // a production pipeline would escape or length-prefix. Output is
+      // a per-doc digest (id, byte length, token count) proving the
+      // parse, not the write.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = scratch(s, dir, "documents_txt")
+      d.select(concat(col("doc_id").cast("string"), lit("\t"),
+          col("text")).as("value"))
+        .write.mode("overwrite").text(path)
+      val back = s.read.text(path).select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+      back.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_toks"))
+    }),
     "source_json_roundtrip" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
       val path = scratch(s, dir, "supplier_json")
@@ -305,6 +327,15 @@ object FormatQueries {
 
   val oracleSql: Map[String, String] = Map(
     "source_csv_roundtrip" -> supplierAggSql,
+    // the identity digest straight off the parquet table: a green hash
+    // proves the tab-framed text round-trip lost nothing
+    "source_text_lines" ->
+      """SELECT doc_id, length(text) AS n_chars,
+           CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ',
+             'g'))) = 0 THEN 0
+           ELSE length(string_split(trim(regexp_replace(lower(text),
+             '\s+', ' ', 'g')), ' ')) END AS n_toks
+         FROM documents""",
     "source_json_roundtrip" -> supplierAggSql,
     "source_orc_roundtrip" -> supplierAggSql,
     "source_binaryfile" ->
