@@ -3,10 +3,11 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** In-suite smoke of the streaming property fuzz: the first 8 seeded
-  * samples of the evidence run (seed 42 — FUZZ.json records 200/200 at
-  * seeds 42 AND 43 via `graft.StreamFuzz`) replayed on the shared test
-  * session, so CI exercises random arrival permutations + watermark
-  * schedules on every stateful window operator without the full
+  * samples at seed 42 (FUZZ.json records the full evidence runs —
+  * 1000 samples across seeds 42/43/45/46/47 via `graft.StreamFuzz`,
+  * later seeds adding the cusum_ooo and asof_ooo arms) replayed on the
+  * shared test session, so CI exercises random arrival permutations +
+  * watermark schedules on every stateful operator without the full
   * 200-sample cost. */
 class StreamFuzzSpec extends AnyFunSuite {
 
