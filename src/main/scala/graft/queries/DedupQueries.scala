@@ -86,6 +86,33 @@ object DedupQueries {
               FROM $vn)
         WHERE size(hs) > 0""")
     }),
+    "text_jaccard_knn" -> ((s, dir) => {
+      // Per-document NEAREST NEIGHBORS by exact Jaccard — the retrieval
+      // form of dedup_jaccard (pairs answer "what is duplicated";
+      // this answers "what is each doc's closest neighborhood", the
+      // doc-level signal behind near-dup cluster browsing and hard-
+      // negative mining). Same PPJoin prefix-filtered candidate
+      // generation at a LOWER τ=0.25 (prefix length grows with 1−τ,
+      // still never all-pairs), symmetrized, then a per-doc top-3 rank.
+      // ORDER determinism: jaccard = inter/union on exact small ints is
+      // one correctly-rounded division — identical doubles in both
+      // engines — and ties break on the neighbor id, so the rank (and
+      // the rank-3 cut) is engine-stable without the r4-reorder trick
+      // the libm-scored keys need.
+      val pairs = jaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
+        minJaccard = 0.25)
+      val sym = pairs
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"),
+          col("jaccard"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"),
+          col("doc_a").as("nbr"), col("jaccard")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("jaccard").desc, col("nbr"))
+      sym.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("nbr"), r4(col("jaccard")).as("jaccard"))
+    }),
     "dedup_containment" -> ((s, dir) => {
       // directed containment pairs at C >= 0.6 (Dedup.containmentPairs):
       // the asymmetric near-dup gate — catches a document whose gram set
@@ -262,6 +289,31 @@ object DedupQueries {
            doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
          FROM cn""",
     "dedup_jaccard" -> exactPairsSql,
+    "text_jaccard_knn" ->
+      s"""$shView, e AS (
+           SELECT doc_id, length(sh) AS sz, unnest(sh) AS s
+           FROM d WHERE length(sh) > 0
+         ), i AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sz AS za, b.sz AS zb, count(*) AS inter
+           FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4
+         ), p AS (
+           SELECT doc_a, doc_b,
+                  inter::DOUBLE / (za + zb - inter) AS j
+           FROM i WHERE inter::DOUBLE / (za + zb - inter) >= 0.25
+         ), sym AS (
+           SELECT doc_a AS doc_id, doc_b AS nbr, j FROM p
+           UNION ALL
+           SELECT doc_b AS doc_id, doc_a AS nbr, j FROM p
+         ), r AS (
+           SELECT doc_id, nbr, j, row_number() OVER (
+             PARTITION BY doc_id ORDER BY j DESC, nbr) AS rk
+           FROM sym
+         )
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, nbr,
+                round(1e-9 + j, 4) AS jaccard
+         FROM r WHERE rk <= 3""",
     "dedup_minhash" -> exactPairsSql,
     "dedup_minhash_sig" ->
       s"""$shView

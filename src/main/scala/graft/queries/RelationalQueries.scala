@@ -164,6 +164,56 @@ object RelationalQueries {
         r4(when(m2xD > 0 && m2yD > 0, cxy / sqrt(m2x * m2y)))
           .as("corr_qp"))
     }),
+    "agg_covar_matrix" -> ((s, dir) => {
+      // FULL correlation matrix over a numeric feature vector
+      // (quantity, price, discount, tax) per return flag — the
+      // feature-stats pass a training pipeline runs before whitening /
+      // feature selection, generalizing agg_moments' bivariate pair to
+      // k features in ONE hash-agg pass (15 sum_l128 aggregates = 45
+      // codegen long ops/row, map-side partials; output is |groups|
+      // rows). Same exactness contract: integer-scaled features, exact
+      // 124-bit sums, cancellations n·Σxy−ΣxΣy in DECIMAL(38,0)
+      // (max term n·Σp² ≈ 5e26 at 1e9 rows/group — inside decimal(38)
+      // on both engines; DuckDB's HUGEINT mirrors it), and only the
+      // well-conditioned results cast to double for the shared
+      // closed-form sqrt/divide. Correlations are unitless and
+      // stddevs land at feature magnitude, so every r4 output sits
+      // where the 1e-9 bias dominates the ulp (the std_wide lesson).
+      import graft.functions.SumL128.sumL128
+      val feats: Seq[(String, Column, Double)] = Seq(
+        ("q", floor(col("l_quantity") + 0.5).cast("long"), 1.0),
+        ("p", floor(col("l_extendedprice") * 100 + 0.5).cast("long"), 100.0),
+        ("d", floor(col("l_discount") * 100 + 0.5).cast("long"), 100.0),
+        ("t", floor(col("l_tax") * 100 + 0.5).cast("long"), 100.0))
+      val base = t(s, dir, "lineitem").select(
+        col("l_returnflag") +: feats.map { case (n, c, _) => c.as(n) }: _*)
+      val pairs = for { i <- 0 until 4; j <- i until 4 } yield (i, j)
+      val aggs = Seq(count(lit(1)).cast("decimal(19,0)").as("nD")) ++
+        feats.map { case (n, _, _) => sumL128(col(n)).as(s"s_$n") } ++
+        pairs.map { case (i, j) =>
+          val (a, b) = (feats(i)._1, feats(j)._1)
+          sumL128(col(a) * col(b)).as(s"s_$a$b")
+        }
+      val g = base.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+      def cc(i: Int, j: Int): Column = {
+        val (a, b) = (feats(i)._1, feats(j)._1)
+        col("nD") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")
+      }
+      val nd = col("nD").cast("double")
+      val den = nd * (nd - lit(1.0))
+      val stds = feats.zipWithIndex.map { case ((n, _, u), i) =>
+        r4(when(col("nD") >= 2, sqrt(cc(i, i).cast("double") / den) /
+          lit(u))).as(s"std_$n")
+      }
+      val corrs = pairs.filter(p => p._1 < p._2).map { case (i, j) =>
+        val (a, b) = (feats(i)._1, feats(j)._1)
+        r4(when(cc(i, i) > 0 && cc(j, j) > 0, cc(i, j).cast("double") /
+          sqrt(cc(i, i).cast("double") * cc(j, j).cast("double"))))
+          .as(s"corr_$a$b")
+      }
+      g.select(col("l_returnflag") +:
+        (Seq(col("nD").cast("long").as("n")) ++ stds ++ corrs): _*)
+    }),
     "scalar_funcs" -> ((s, dir) => {
       // scalar-function breadth (date/string/math/array families), all
       // codegen builtins with exact DuckDB equivalents
@@ -522,6 +572,44 @@ object RelationalQueries {
       """SELECT p_partkey FROM part
          WHERE NOT EXISTS (SELECT 1 FROM lineitem
            WHERE l_partkey = p_partkey AND l_quantity > 45)""",
+    // HUGEINT mirrors the Spark side's sum_l128 → decimal(38,0)
+    // cancellations exactly; every double is assembled by the same
+    // closed-form expression tree
+    "agg_covar_matrix" -> {
+      val feats = Seq("q" -> "CAST(floor(l_quantity + 0.5) AS BIGINT)",
+        "p" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        "d" -> "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+        "t" -> "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)")
+      val units = Map("q" -> "1.0", "p" -> "100.0", "d" -> "100.0",
+        "t" -> "100.0")
+      val pairs = for { i <- 0 until 4; j <- i until 4 } yield
+        (feats(i)._1, feats(j)._1)
+      def c(a: String, b: String) = s"(n * s_$a$b - s_$a * s_$b)"
+      val stds = feats.map { case (a, _) =>
+        s"""round(1e-9 + CASE WHEN n >= 2 THEN
+            sqrt(${c(a, a)}::DOUBLE /
+              (n::DOUBLE * (n::DOUBLE - 1.0))) / ${units(a)} END, 4)
+            AS std_$a"""
+      }
+      val corrs = pairs.filter(p => p._1 != p._2).map { case (a, b) =>
+        s"""round(1e-9 + CASE WHEN ${c(a, a)} > 0 AND ${c(b, b)} > 0 THEN
+            ${c(a, b)}::DOUBLE /
+              sqrt(${c(a, a)}::DOUBLE * ${c(b, b)}::DOUBLE) END, 4)
+            AS corr_$a$b"""
+      }
+      s"""WITH b AS (SELECT l_returnflag,
+            ${feats.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+          FROM lineitem),
+          g AS (SELECT l_returnflag, count(*) AS n,
+            ${feats.map { case (n, _) => s"sum($n) AS s_$n" }
+              .mkString(", ")},
+            ${pairs.map { case (a, b) => s"sum($a * $b) AS s_$a$b" }
+              .mkString(", ")}
+          FROM b GROUP BY 1)
+          SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+            ${(stds ++ corrs).mkString(",\n            ")}
+          FROM g"""
+    },
     "agg_moments" ->
       """WITH d AS (SELECT l_returnflag,
            CAST(l_quantity AS DECIMAL(4,2)) AS qd,
