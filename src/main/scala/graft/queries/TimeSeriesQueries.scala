@@ -1118,6 +1118,53 @@ object TimeSeriesQueries {
         .select(col("user_id"), col("day"),
           coalesce(col("day_sum"), lit(0.0)).as("day_sum"))
     }),
+    "ts_seasonal_decompose" -> ((s, dir) => {
+      // STL-lite seasonal DECOMPOSITION per user: daily revenue →
+      // centered 7-day moving-average trend, day-of-week seasonal
+      // index over the detrended series, residual — the structure a
+      // forecasting/anomaly pipeline strips before modeling
+      // (ts_seasonal_dow reports the raw weekly profile; this key
+      // separates it from trend). EXACT-RATIONAL design: the trend is
+      // carried as the 7-day SUM t7 (exact long — never the /7 mean),
+      // the detrended value as d7 = 7·x − t7 (exact), the seasonal
+      // numerator as Σd7 per (user, dow) (exact), and the residual
+      // numerator as d7·cnt − Σd7 (exact) — each output is then ONE
+      // correctly-rounded division onto the r4 grid at dollar
+      // magnitude, so no float ever feeds another float. Edge days
+      // without a full centered window are NULL (n7 = 7 guard);
+      // silent days are zero-filled on the per-user calendar grid
+      // (the resample_gapfill construction).
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      val daily = e.groupBy("user_id", "day").agg(sum(col("vc")).as("xc"))
+      val cal = daily.groupBy("user_id")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val grid = cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("xc"), lit(0L)).as("xc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+      val tr = grid.select(col("user_id"), col("day"), col("xc"),
+        count(lit(1)).over(w).as("n7"), sum(col("xc")).over(w).as("t7"))
+      val det = tr.select(col("user_id"), col("day"), col("xc"),
+        when(col("n7") === 7, col("xc") * 7 - col("t7")).as("d7"),
+        when(col("n7") === 7, col("t7")).as("t7v"),
+        pmod(col("day"), lit(7)).as("dow"))
+      val seas = det.filter(col("d7").isNotNull)
+        .groupBy("user_id", "dow")
+        .agg(sum(col("d7")).as("sd"), count(lit(1)).as("cd"))
+      det.join(seas, Seq("user_id", "dow"), "left")
+        .select(col("user_id"), col("day"), col("xc").as("day_cents"),
+          r4(col("t7v").cast("double") / lit(700.0)).as("trend"),
+          r4(when(col("d7").isNotNull, col("sd").cast("double") /
+            (col("cd").cast("double") * lit(700.0)))).as("seasonal"),
+          r4(when(col("d7").isNotNull,
+            (col("d7") * col("cd") - col("sd")).cast("double") /
+              (col("cd").cast("double") * lit(700.0)))).as("residual"))
+    }),
     "window_rolling_distinct" -> ((s, dir) => {
       // Trailing 7-day DISTINCT user count at every day — the rolling
       // "unique actives" metric. count(DISTINCT) is not windowable in
@@ -1762,6 +1809,41 @@ object TimeSeriesQueries {
            coalesce(d.day_sum, 0.0) AS day_sum
          FROM cal LEFT JOIN d ON cal.user_id = d.user_id
            AND cal.day = d.day""",
+    // every output is one correctly-rounded division of exact-long
+    // rationals (t7 sum, d7 = 7x − t7, Σd7, d7·cnt − Σd7)
+    "ts_seasonal_decompose" ->
+      """WITH e AS (SELECT user_id,
+           epoch_ns(ts) // 86400000000000 AS day,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         d AS (SELECT user_id, day, CAST(sum(vc) AS BIGINT) AS xc
+           FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+           FROM d GROUP BY 1),
+         cal AS (SELECT user_id,
+           unnest(generate_series(lo, hi)) AS day FROM span),
+         grid AS (SELECT cal.user_id, cal.day,
+           coalesce(d.xc, CAST(0 AS BIGINT)) AS xc
+           FROM cal LEFT JOIN d ON cal.user_id = d.user_id
+             AND cal.day = d.day),
+         tr AS (SELECT user_id, day, xc,
+           count(*) OVER w AS n7, CAST(sum(xc) OVER w AS BIGINT) AS t7
+           FROM grid WINDOW w AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         det AS (SELECT user_id, day, xc,
+           CASE WHEN n7 = 7 THEN xc * 7 - t7 END AS d7,
+           CASE WHEN n7 = 7 THEN t7 END AS t7v,
+           day % 7 AS dow FROM tr),
+         seas AS (SELECT user_id, dow, CAST(sum(d7) AS BIGINT) AS sd,
+           count(d7) AS cd FROM det WHERE d7 IS NOT NULL GROUP BY 1, 2)
+         SELECT det.user_id, det.day, det.xc AS day_cents,
+           round(1e-9 + t7v::DOUBLE / 700.0, 4) AS trend,
+           round(1e-9 + CASE WHEN d7 IS NOT NULL THEN
+             sd::DOUBLE / (cd::DOUBLE * 700.0) END, 4) AS seasonal,
+           round(1e-9 + CASE WHEN d7 IS NOT NULL THEN
+             (d7 * cd - sd)::DOUBLE / (cd::DOUBLE * 700.0) END, 4)
+             AS residual
+         FROM det LEFT JOIN seas ON det.user_id = seas.user_id
+           AND det.dow = seas.dow""",
     "window_rolling_distinct" ->
       """WITH e AS (SELECT DISTINCT user_id,
            epoch_ns(ts) // 86400000000000 AS day FROM events),

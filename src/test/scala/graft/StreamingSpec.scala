@@ -541,4 +541,65 @@ class StreamingSpec extends AnyFunSuite {
       (100L, -49999L),
       (150L, -49999L + -20000L)))
   }
+
+  test("asofJoinWDelayed: quoteless lefts emit None; quote-only streams " +
+      "emit nothing; a late-but-in-lateness quote wins its left") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.TaggedEvent
+    def run(batches: Seq[Seq[TaggedEvent]]): Seq[(Long, Long, Option[Long])] = {
+      val ms = MemoryStream[TaggedEvent]
+      val qn = s"asof_edge_${System.nanoTime()}"
+      val q = StreamingOps.asofJoinWDelayed(ms.toDS(), latenessMillis = 1000)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(qn).collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq.sortBy(x => (x._1, x._2))
+      } finally { q.stop(); spark.catalog.dropTempView(qn) }
+    }
+    val flushA = Seq(TaggedEvent(1, 99000, 0.0, true))
+    val flushB = Seq(TaggedEvent(1, 100000, 0.0, true))
+    // no quotes at all: every released left emits quoteE4 = None
+    assert(run(Seq(Seq(TaggedEvent(1, 1000, 1.0, false),
+        TaggedEvent(1, 2000, 2.0, false)), flushA, flushB)) ==
+      Seq((1L, 1000L, None), (1L, 2000L, None)))
+    // quote-only stream: quotes never emit rows
+    assert(run(Seq(Seq(TaggedEvent(1, 1000, 5.0, true)), flushA, flushB))
+      .isEmpty)
+    // OOO: the quote ARRIVES after the left it must win (same batch
+    // window via lateness), and the left's emission still carries it
+    assert(run(Seq(Seq(TaggedEvent(1, 3000, 7.0, false)),
+        Seq(TaggedEvent(1, 2500, 4.0, true)), flushA, flushB)) ==
+      Seq((1L, 3000L, Some(40000L))))
+  }
+
+  test("cusumWDelayed: all-negative drifts pin cusum at 0; a positive " +
+      "burst raises and the max(0,·) floor resets") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.KeyedEvent
+    val ms = MemoryStream[KeyedEvent]
+    val qn = "cusum_edge"
+    // allowance 2.0 (E4 20000), threshold 5.0 (E4 50000)
+    val q = StreamingOps.cusumWDelayed(ms.toDS(), allowanceE4 = 20000L,
+        thresholdE4 = 50000L, latenessMillis = 1000)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    // values: 1, 1 (below allowance → cusum 0), 10 (burst → +8),
+    // 1 (decay → 7), 30 (→ 35 > threshold)
+    ms.addData(KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 2000, 1.0),
+      KeyedEvent(1, 3000, 10.0), KeyedEvent(1, 4000, 1.0),
+      KeyedEvent(1, 5000, 30.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 99000, 0.0)); q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 100000, 0.0)); q.processAllAvailable()
+    val got = spark.table(qn).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq.sortBy(_._1)
+    q.stop(); spark.catalog.dropTempView(qn)
+    assert(got == Seq(
+      (1000L, 0L, false), (2000L, 0L, false),
+      (3000L, 80000L, true), (4000L, 70000L, true),
+      (5000L, 350000L, true)))
+  }
 }
