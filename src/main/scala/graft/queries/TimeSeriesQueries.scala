@@ -1165,6 +1165,48 @@ object TimeSeriesQueries {
             (col("d7") * col("cd") - col("sd")).cast("double") /
               (col("cd").cast("double") * lit(700.0)))).as("residual"))
     }),
+    "ts_anomaly_stl" -> ((s, dir) => {
+      // STL-style anomaly detection: MAD thresholding on the DETRENDED
+      // daily series — the anomaly ts_outlier_mad's raw-value MAD
+      // cannot see under trend (a spike on a rising baseline). Shares
+      // ts_seasonal_decompose's exact construction through d7 = 7x−t7,
+      // then an ALL-INTEGER predicate: D = 2·d7 keeps the per-user
+      // median of an EVEN count integral ((a+b)/2 of even ints), and
+      // dev2 = 2·|D − med| keeps the MAD integral the same way — so
+      // the flag dev2 > 3·mad4 compares exact integer-valued doubles
+      // (< 2^53) and no interpolation ever lands off-grid (the §5.1
+      // dyadic-median rule, applied twice). Two grouped percentile
+      // passes on the one user exchange, the ts_outlier_mad shape.
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      val daily = e.groupBy("user_id", "day").agg(sum(col("vc")).as("xc"))
+      val cal = daily.groupBy("user_id")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val grid = cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("xc"), lit(0L)).as("xc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+      val tr = grid.select(col("user_id"), col("day"), col("xc"),
+        count(lit(1)).over(w).as("n7"), sum(col("xc")).over(w).as("t7"))
+      val det = tr.filter(col("n7") === 7)
+        .select(col("user_id"), col("day"), col("xc"),
+          ((col("xc") * 7 - col("t7")) * 2).as("dd"))
+      val med = det.groupBy("user_id")
+        .agg(percentile(col("dd"), lit(0.5)).as("med2"))
+      val dev = det.join(med, Seq("user_id"))
+        .withColumn("dev2", abs(col("dd") - col("med2")) * 2)
+      val mad = dev.groupBy("user_id")
+        .agg(percentile(col("dev2"), lit(0.5)).as("mad4"))
+      dev.join(mad, Seq("user_id"))
+        .select(col("user_id"), col("day"), col("xc").as("day_cents"),
+          col("dd").as("detrended_scaled"),
+          (col("dev2") > col("mad4") * 3 && col("mad4") > 0)
+            .as("is_anomaly"))
+    }),
     "window_rolling_distinct" -> ((s, dir) => {
       // Trailing 7-day DISTINCT user count at every day — the rolling
       // "unique actives" metric. count(DISTINCT) is not windowable in
@@ -1809,6 +1851,39 @@ object TimeSeriesQueries {
            coalesce(d.day_sum, 0.0) AS day_sum
          FROM cal LEFT JOIN d ON cal.user_id = d.user_id
            AND cal.day = d.day""",
+    // the dyadic-median rule applied twice: D = 2·d7 and dev2 =
+    // 2·|D − med| keep every even-count midpoint integral, so the
+    // anomaly predicate compares exact integer-valued doubles
+    "ts_anomaly_stl" ->
+      """WITH e AS (SELECT user_id,
+           epoch_ns(ts) // 86400000000000 AS day,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         d AS (SELECT user_id, day, CAST(sum(vc) AS BIGINT) AS xc
+           FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+           FROM d GROUP BY 1),
+         cal AS (SELECT user_id,
+           unnest(generate_series(lo, hi)) AS day FROM span),
+         grid AS (SELECT cal.user_id, cal.day,
+           coalesce(d.xc, CAST(0 AS BIGINT)) AS xc
+           FROM cal LEFT JOIN d ON cal.user_id = d.user_id
+             AND cal.day = d.day),
+         tr AS (SELECT user_id, day, xc,
+           count(*) OVER w AS n7, CAST(sum(xc) OVER w AS BIGINT) AS t7
+           FROM grid WINDOW w AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         det AS (SELECT user_id, day, xc, (xc * 7 - t7) * 2 AS dd
+           FROM tr WHERE n7 = 7),
+         med AS (SELECT user_id, quantile_cont(dd, 0.5) AS med2
+           FROM det GROUP BY 1),
+         dev AS (SELECT det.*, abs(det.dd - med.med2) * 2 AS dev2
+           FROM det JOIN med USING (user_id)),
+         mad AS (SELECT user_id, quantile_cont(dev2, 0.5) AS mad4
+           FROM dev GROUP BY 1)
+         SELECT dev.user_id, dev.day, dev.xc AS day_cents,
+           dev.dd AS detrended_scaled,
+           (dev.dev2 > mad.mad4 * 3 AND mad.mad4 > 0) AS is_anomaly
+         FROM dev JOIN mad USING (user_id)""",
     // every output is one correctly-rounded division of exact-long
     // rationals (t7 sum, d7 = 7x − t7, Σd7, d7·cnt − Σd7)
     "ts_seasonal_decompose" ->
