@@ -107,9 +107,16 @@ case class SumL128Expr(child: Expression)
   * struct (one offset read), and the difference
   *   s = (hi − hi_lag)·2^62 + (lo − lo_lag)
   * is exact AND overflow-free in int64 whenever the true frame sum
-  * fits a long: dLo ∈ (−2^62, 2^62) so s − dLo ∈ (−2^63, 2^63), and
-  * (hi − hi_lag)·2^62 EQUALS s − dLo — representable, so the multiply
-  * cannot wrap (ANSI-safe). */
+  * satisfies |s| ≤ 2^63 − 2^62 (i.e. |s| ≤ 2^62): then dLo ∈ (−2^62,
+  * 2^62) forces hi − hi_lag ∈ [−2, 1] with (hi − hi_lag)·2^62 ∈
+  * [−2^63, 2^62] — every intermediate representable, so the multiply
+  * cannot wrap (ANSI-safe). In the last margin 2^62 < |s| < 2^63 the
+  * reconstruction is still VALUE-correct but only via two's-complement
+  * wraparound (hi − hi_lag = ±2 makes the multiply hit ±2^63): non-ANSI
+  * arithmetic — under spark.sql.ansi.enabled=true that multiply throws.
+  * Callers must stay within |frame sum| ≤ 2^62 ≈ 4.6e18 for the
+  * ANSI-safe contract; current call sites (cents²-scale frame sums ≤
+  * ~2.4e16) are ~190× inside it. */
 case class SumL128PartsExpr(child: Expression)
     extends DeclarativeAggregate
     with UnaryLike[Expression] {

@@ -109,22 +109,31 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Canonical form of a URL for exact-dedup grouping — the web-crawl
-    * normalizer: lowercase the `scheme://host[:port]` prefix, drop
-    * default ports (:80/:443), drop the fragment, strip `utm_*`
-    * tracking parameters (cleaning any dangling `?`/`&`), and drop
+    * normalizer: lowercase the `scheme://host[:port]` prefix, drop the
+    * scheme's OWN default port (`:80` only under http, `:443` only
+    * under https — `http://h:443` is a distinct origin from
+    * `http://h` and must not collapse), drop the fragment, strip
+    * `utm_*` tracking parameters anchored at a `?`/`&` parameter
+    * boundary (so a non-utm parameter merely containing `utm_`, e.g.
+    * `xutm_a=1`, survives), then collapse the separator runs the strip
+    * leaves behind (`?&&` → `?`) and drop dangling `?`/`&` and
     * trailing slashes. Pure codegen string/regex ops — a narrow map at
     * any scale, no shuffle. The DuckDB oracle mirrors each step
-    * token-for-token (with 'g' flags where Spark's regexp_replace is
-    * replace-all by default). */
+    * token-for-token ('g' flags where Spark's regexp_replace is
+    * replace-all by default; `\1` group refs where Java uses `$1`). */
   def canonicalizeUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
     val prefix =
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
-    val canonPrefix = regexp_replace(lower(prefix), ":(443|80)$", "")
+    val canonPrefix = regexp_replace(
+      regexp_replace(lower(prefix), "^(http://[^/?#]*):80$", "$1"),
+      "^(https://[^/?#]*):443$", "$1")
     val restClean = regexp_replace(
       regexp_replace(
-        regexp_replace(rest, "utm_[A-Za-z0-9_]*=[^&#]*&?", ""),
+        regexp_replace(
+          regexp_replace(rest, "([?&])utm_[A-Za-z0-9_]*=[^&#]*", "$1"),
+          "([?&])&+", "$1"),
         "[?&]+$", ""),
       "/+$", "")
     concat(canonPrefix, restClean)

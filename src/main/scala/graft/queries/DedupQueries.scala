@@ -165,25 +165,33 @@ object DedupQueries {
       // regex chain, narrow map) then keep the first doc per canonical
       // URL. The fixture has no URL column, so URLs are SYNTHESIZED
       // deterministically in both engines (the planted-twin
-      // convention): each quad of doc_ids yields one logical page in
-      // all four disguises, so every canonical group is a real
-      // collapse the gate must reproduce. keep = min doc_id per canon
-      // group — one shuffle on the canonical key, the exact-dedup
-      // shape (at 100 TB: hash-partition by canon, keep arg-min; same
-      // plan as dedup_exact).
-      val g = expr("doc_id div 4")
-      val hostid = expr("(doc_id div 4) % 7").cast("string")
+      // convention): each sextet of doc_ids yields one logical page in
+      // four disguises that MUST collapse plus two adversarial
+      // variants that MUST NOT — `http://…:443` (non-default port for
+      // the scheme, a distinct origin) and `?xutm_a=1&utm_source=…`
+      // (a non-utm parameter containing 'utm_' that the anchored strip
+      // must leave intact). keep = min doc_id per canon group — one
+      // shuffle on the canonical key, the exact-dedup shape (at
+      // 100 TB: hash-partition by canon, keep arg-min; same plan as
+      // dedup_exact).
+      val g = expr("doc_id div 6")
+      val hostid = expr("(doc_id div 6) % 7").cast("string")
       val gs = g.cast("string")
-      val url = when(pmod(col("doc_id"), lit(4)) === 0,
+      val url = when(pmod(col("doc_id"), lit(6)) === 0,
           concat(lit("https://host"), hostid, lit(".example.com/docs/"), gs))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
+        .when(pmod(col("doc_id"), lit(6)) === 1,
           concat(lit("HTTPS://HOST"), hostid, lit(".EXAMPLE.COM:443/docs/"), gs))
-        .when(pmod(col("doc_id"), lit(4)) === 2,
+        .when(pmod(col("doc_id"), lit(6)) === 2,
           concat(lit("https://host"), hostid, lit(".example.com/docs/"), gs,
             lit("?utm_source=feed&utm_campaign=x")))
-        .otherwise(
+        .when(pmod(col("doc_id"), lit(6)) === 3,
           concat(lit("https://host"), hostid, lit(".example.com/docs/"), gs,
             lit("/#frag")))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          concat(lit("http://host"), hostid, lit(".example.com:443/docs/"), gs))
+        .otherwise(
+          concat(lit("https://host"), hostid, lit(".example.com/docs/"), gs,
+            lit("?xutm_a=1&utm_source=feed")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
       docs(s, dir).select(col("doc_id"), url.as("url"))
         .withColumn("canon", Dedup.canonicalizeUrl(col("url")))
@@ -249,24 +257,30 @@ object DedupQueries {
        )"""
 
   val oracleSql: Map[String, String] = Map(
-    // same synthesized URLs (doc_id // 4 == Spark's div on non-negative
-    // ids), same canonicalization chain — 'g' on the utm strip where
-    // Spark's regexp_replace is replace-all by default; the anchored
-    // patterns ($-suffix) match at most once so no 'g' needed there
+    // same synthesized URLs (doc_id // 6 == Spark's div on non-negative
+    // ids), same canonicalization chain — 'g' on the boundary-anchored
+    // utm strip and separator collapse where Spark's regexp_replace is
+    // replace-all by default; `\1` group refs where Java uses `$1`;
+    // the $-anchored port patterns match at most once so no 'g' there
     "dedup_url" ->
       """WITH u AS (
            SELECT doc_id,
-             CASE CAST(doc_id % 4 AS INT)
-               WHEN 0 THEN 'https://host' || CAST((doc_id // 4) % 7 AS VARCHAR)
-                 || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
-               WHEN 1 THEN 'HTTPS://HOST' || CAST((doc_id // 4) % 7 AS VARCHAR)
-                 || '.EXAMPLE.COM:443/docs/' || CAST(doc_id // 4 AS VARCHAR)
-               WHEN 2 THEN 'https://host' || CAST((doc_id // 4) % 7 AS VARCHAR)
-                 || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'https://host' || CAST((doc_id // 6) % 7 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 6 AS VARCHAR)
+               WHEN 1 THEN 'HTTPS://HOST' || CAST((doc_id // 6) % 7 AS VARCHAR)
+                 || '.EXAMPLE.COM:443/docs/' || CAST(doc_id // 6 AS VARCHAR)
+               WHEN 2 THEN 'https://host' || CAST((doc_id // 6) % 7 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 6 AS VARCHAR)
                  || '?utm_source=feed&utm_campaign=x'
-               ELSE 'https://host' || CAST((doc_id // 4) % 7 AS VARCHAR)
-                 || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+               WHEN 3 THEN 'https://host' || CAST((doc_id // 6) % 7 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 6 AS VARCHAR)
                  || '/#frag'
+               WHEN 4 THEN 'http://host' || CAST((doc_id // 6) % 7 AS VARCHAR)
+                 || '.example.com:443/docs/' || CAST(doc_id // 6 AS VARCHAR)
+               ELSE 'https://host' || CAST((doc_id // 6) % 7 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 6 AS VARCHAR)
+                 || '?xutm_a=1&utm_source=feed'
              END AS url
            FROM documents
          ), st AS (
@@ -277,10 +291,13 @@ object DedupQueries {
            FROM u
          ), cn AS (
            SELECT doc_id, url,
-             regexp_replace(lower(prefix), ':(443|80)$', '')
-             || regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(lower(prefix),
+                  '^(http://[^/?#]*):80$', '\1'),
+                  '^(https://[^/?#]*):443$', '\1')
+             || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                   substr(nofrag, length(prefix) + 1),
-                  'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g'),
+                  '([?&])utm_[A-Za-z0-9_]*=[^&#]*', '\1', 'g'),
+                  '([?&])&+', '\1', 'g'),
                   '[?&]+$', ''),
                   '/+$', '') AS canon
            FROM st

@@ -262,4 +262,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == r4(math.log(0.5)) && out(2L) == out(1L))
     assert(out(3L) == r4(math.log(1.0 / 3)))
   }
+
+  test("canonicalizeUrl: boundary-anchored utm strip, scheme-aware ports") {
+    val cases = Seq(
+      // default port stripped only under its own scheme
+      "https://Host.Example.com:443/a" -> "https://host.example.com/a",
+      "http://h.example.com:80/a" -> "http://h.example.com/a",
+      "http://h.example.com:443/a" -> "http://h.example.com:443/a",
+      "https://h.example.com:80/a" -> "https://h.example.com:80/a",
+      "https://h.example.com:8443/a" -> "https://h.example.com:8443/a",
+      // utm strip anchored at ?/& — xutm_a is NOT a utm parameter
+      "https://h/a?xutm_a=1&b=2" -> "https://h/a?xutm_a=1&b=2",
+      "https://h/a?utm_s=f&utm_c=x" -> "https://h/a",
+      "https://h/a?utm_s=f&b=2" -> "https://h/a?b=2",
+      "https://h/a?b=2&utm_s=f" -> "https://h/a?b=2",
+      "https://h/a?a=1&utm_s=f&c=3" -> "https://h/a?a=1&c=3",
+      "https://h/a?xutm_a=1&utm_s=f" -> "https://h/a?xutm_a=1",
+      // fragment + trailing slash
+      "https://h/a/#frag" -> "https://h/a",
+      "https://h/a/?utm_s=f#frag" -> "https://h/a")
+    val got = cases.map(_._1).toDF("url")
+      .select(canonicalizeUrl($"url")).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"expected $want got $g")
+    }
+  }
 }
