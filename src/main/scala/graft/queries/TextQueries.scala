@@ -587,9 +587,26 @@ object TextQueries {
       val hashed = d.select(col("doc_id"), hexpr.as("hs"),
         (size(hexpr) < greatest(size(tokens(col("text"))) - (W - 1),
           lit(0))).as("intra"))
-      val crossDocs = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
-        .withColumn("n", count(lit(1)).over(w.partitionBy(col("h"))))
-        .filter(col("n") >= 2).select("doc_id").distinct()
+      // groupBy(h) ≥ 2 + left-semi instead of count().over(h): the
+      // aggregate exchange carries only (h, partial count) with
+      // map-side combining, and — with the build side PINNED to a
+      // shuffle-hash join — the semi-join's probe-side Exchange(h) is
+      // IDENTICAL to the aggregate's input exchange, so Spark reuses
+      // it: ONE shingle-hash pass, no per-h sort. (Unhinted, AQE
+      // broadcasts dupHashes, the probe loses its exchange, and the
+      // shingle Generate runs twice — measured 2.79→3.27s, SLOWER than
+      // the window it replaced.) Round-12 measured at sf0.1: wall-time
+      // PARITY (2.79→2.77s) — at 5000 docs the key is stage-count
+      // bound, not data bound; the win is the plan shape (map-side
+      // combined counts, no sort on the widest exchange), which is
+      // what scales.
+      val exploded = hashed
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      val dupHashes = exploded.groupBy("h")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
+      val crossDocs = exploded
+        .join(dupHashes.hint("shuffle_hash"), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
       val candDocs = crossDocs
         .unionByName(hashed.filter(col("intra")).select("doc_id"))
         .distinct()
@@ -604,10 +621,19 @@ object TextQueries {
         count(lit(1)).over(w.partitionBy(col("span"))).as("occ_n"),
         row_number().over(w.partitionBy(col("span"))
           .orderBy(col("doc_id"), col("pos"))).as("rk"))
+      // localCheckpoint: `covered` (small — only dup-covered positions)
+      // is consumed by THREE downstream branches (the anti-join, the
+      // removal-doc list, and through it the rebuild); uncheckpointed,
+      // Spark replays the whole phase-1/2 shingle+window chain per
+      // reference (the final plan carried the chain 3×; after, it is
+      // three ExistingRDD scans of one MapPartitionsRDD). sf0.1 wall
+      // time is unchanged (stage-overhead bound at 5000 docs), but at
+      // scale this turns 3 corpus-wide shingle passes into 1.
       val covered = marked.filter(col("occ_n") >= 2 && col("rk") > 1)
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("pos"))
         .distinct()
+        .localCheckpoint(eager = false)
       // PHASE 3: explode + rebuild ONLY the docs that actually lose a
       // token; an untouched doc's rebuilt text IS its normText (tokens
       // joined by single spaces), so the heavy collect_list regroup
