@@ -19,7 +19,7 @@ object PlanFingerprints {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val entries = Plans.headline.sorted.map { name =>
+    val entries = Plans.fingerprinted.map { name =>
       val fp = graft.plans.PlanFingerprint.of(
         SparkEntry.queries(name)(spark, sfDir))
       s"""  "$name": "$fp""""

@@ -58,11 +58,30 @@ object Plans {
       "text_dedup_passages", "text_bigram_logprob", "mm_phash_dedup",
       "window_rolling_std_wide", "ts_changepoint_cusum",
       "window_rolling_minmax", "agg_covar_matrix", "text_jaccard_knn",
-      "ts_seasonal_decompose", "ts_anomaly_stl")
+      "ts_seasonal_decompose", "ts_anomaly_stl",
+      // round-12
+      "window_rolling_minmax_wide")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is
     // the require() on their own execution, not a dumpable plan
+
+  /** Keys whose `queries()` CONSTRUCTION executes jobs (the
+    * collect-inside-conf-scope feature gates) — their returned frame
+    * is a LocalTableScan snapshot, so there is no plan to pin. */
+  val nonDumpable: Set[String] =
+    Set("join_runtime_bloom", "join_dpp_prune", "join_aqe_skew")
+
+  /** The fingerprint gate's domain (round-12: widened from the
+    * curated `headline` ledger to EVERY non-streaming key) — the
+    * committed PLAN_FINGERPRINTS.json pins the normalized plan shape
+    * of each, so no batch key can change shape silently; `headline`
+    * remains the human-readable PLANS.md subset. */
+  def fingerprinted: Seq[String] =
+    SparkEntry.queries.keys.toSeq
+      .filterNot(graft.queries.TimeSeriesQueries.streamingKeys)
+      .filterNot(nonDumpable)
+      .sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

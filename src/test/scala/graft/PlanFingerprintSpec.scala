@@ -21,15 +21,16 @@ class PlanFingerprintSpec extends AnyFunSuite {
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
-  test("ledger covers exactly the headline keys") {
-    assert(ledger.keySet == Plans.headline.toSet,
-      s"missing=${Plans.headline.toSet.diff(ledger.keySet).toSeq.sorted} " +
-        s"stale=${ledger.keySet.diff(Plans.headline.toSet).toSeq.sorted} " +
+  test("ledger covers exactly the fingerprinted keys (all non-streaming)") {
+    val want = Plans.fingerprinted.toSet
+    assert(ledger.keySet == want,
+      s"missing=${want.diff(ledger.keySet).toSeq.sorted} " +
+        s"stale=${ledger.keySet.diff(want).toSeq.sorted} " +
         "— regenerate: sbt \"runMain graft.PlanFingerprints\"")
   }
 
-  test("every headline plan shape matches the committed fingerprint") {
-    val drift = Plans.headline.flatMap { name =>
+  test("every fingerprinted plan shape matches the committed ledger") {
+    val drift = Plans.fingerprinted.flatMap { name =>
       val got = PlanFingerprint.of(SparkEntry.queries(name)(spark, dir))
       val want = ledger.getOrElse(name, "<absent>")
       if (got == want) Nil else Seq(s"$name:\n  want $want\n  got  $got")
