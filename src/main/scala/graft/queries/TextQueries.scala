@@ -551,6 +551,62 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
     }),
+    "text_bpe_merge_rounds" -> ((s, dir) => {
+      // ITERATED BPE training — k=3 unrolled merge rounds (the loop
+      // text_bpe_pair_counts is one iteration of): count adjacent
+      // symbol pairs weighted by word frequency, adopt the top pair
+      // (count desc, pair asc), apply it greedily left-to-right to
+      // every word's symbol sequence, re-count, repeat. Representation
+      // is the whole trick: a word's symbols live in ONE string —
+      // double-space-joined with single sentinel spaces (" a  b  c ")
+      // — so applying a merge (l, r) is a single literal
+      // replace(" l  r " → " lr "), plain strstr left-to-right
+      // non-overlapping in BOTH engines, which IS greedy BPE merge
+      // order ("aaa" → [aa, a]); symbols never contain spaces, so the
+      // encoding is unambiguous at any merge depth. Scale shape: the
+      // word table is vocabulary-bounded (aggregated once, then
+      // localCheckpointed so the per-round replays stay flat); each
+      // round is one pair-count hash agg + a 1-ROW broadcast cross
+      // join carrying the adopted merge — no driver collect, the
+      // kmeans centroid-republish pattern at its smallest. Every
+      // quantity is an exact integer; ties break on pair asc.
+      val mkSyms = concat(lit(" "), array_join(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), "  "), lit(" "))
+      val words0 = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(mkSyms.as("sy_s"), col("freq"))
+        .localCheckpoint(eager = false)
+      // sy landed as a NAMED column before the pair transform (HOF
+      // lambdas re-evaluate non-trivial subtrees per element)
+      def pairCounts(wordsDf: DataFrame): DataFrame =
+        wordsDf.select(col("freq"),
+            split(trim(col("sy_s")), "  ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(sy) - 1), i -> " +
+              "concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      def top1(pc: DataFrame, r: Int): DataFrame =
+        pc.orderBy(col("cnt").desc, col("pair")).limit(1)
+          .select(lit(r).as("merge_round"), col("pair"), col("cnt"))
+      def applyMerge(wordsDf: DataFrame, t: DataFrame): DataFrame =
+        wordsDf.crossJoin(broadcast(t.select(col("pair"))))
+          .select(expr(
+            "replace(sy_s, ' ' || replace(pair, ' ', '  ') || ' ', " +
+              "' ' || replace(pair, ' ', '') || ' ')").as("sy_s"),
+            col("freq"))
+          .localCheckpoint(eager = false)
+      val t1 = top1(pairCounts(words0), 1).localCheckpoint(eager = false)
+      val w1 = applyMerge(words0, t1)
+      val t2 = top1(pairCounts(w1), 2).localCheckpoint(eager = false)
+      val w2 = applyMerge(w1, t2)
+      val t3 = top1(pairCounts(w2), 3)
+      t1.unionByName(t2).unionByName(t3)
+    }),
     "text_dedup_passages" -> ((s, dir) => {
       // Duplicated-passage REMOVAL — the apply step of text_dup_spans
       // (that key reports which 8-token spans repeat; this one rewrites
@@ -756,6 +812,64 @@ object TextQueries {
            FROM pr GROUP BY 1
          )
          SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
+    // unrolled-CTE replay of the 3 merge rounds (the pagerank
+    // pattern); MATERIALIZED everywhere a frame is referenced twice
+    // (DuckDB inlines CTEs). Same symbol-string encoding and the same
+    // literal left-to-right replace() as the Spark side.
+    "text_bpe_merge_rounds" ->
+      s"""$withToks, tok AS (
+           SELECT unnest(toks) AS w FROM tt WHERE n_toks > 0
+         ), wf AS (
+           SELECT w, count(*) AS freq FROM tok
+           WHERE length(w) >= 2 GROUP BY 1
+         ), w0 AS MATERIALIZED (
+           SELECT ' ' || array_to_string(list_transform(
+               range(1, length(w) + 1),
+               i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS sy_s,
+             freq
+           FROM wf
+         ), p1 AS (
+           SELECT concat(sy[CAST(i AS INT)], ' ',
+                    sy[CAST(i AS INT) + 1]) AS pair,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(sy_s), '  ') AS sy, freq
+                 FROM w0) q,
+                unnest(range(1, length(sy))) AS t(i)
+           GROUP BY 1
+         ), t1 AS MATERIALIZED (
+           SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+         ), w1 AS MATERIALIZED (
+           SELECT replace(sy_s, ' ' || replace(pair, ' ', '  ') || ' ',
+                    ' ' || replace(pair, ' ', '') || ' ') AS sy_s, freq
+           FROM w0, t1
+         ), p2 AS (
+           SELECT concat(sy[CAST(i AS INT)], ' ',
+                    sy[CAST(i AS INT) + 1]) AS pair,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(sy_s), '  ') AS sy, freq
+                 FROM w1) q,
+                unnest(range(1, length(sy))) AS t(i)
+           GROUP BY 1
+         ), t2 AS MATERIALIZED (
+           SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+         ), w2 AS MATERIALIZED (
+           SELECT replace(sy_s, ' ' || replace(pair, ' ', '  ') || ' ',
+                    ' ' || replace(pair, ' ', '') || ' ') AS sy_s, freq
+           FROM w1, t2
+         ), p3 AS (
+           SELECT concat(sy[CAST(i AS INT)], ' ',
+                    sy[CAST(i AS INT) + 1]) AS pair,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(sy_s), '  ') AS sy, freq
+                 FROM w2) q,
+                unnest(range(1, length(sy))) AS t(i)
+           GROUP BY 1
+         ), t3 AS (
+           SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1
+         )
+         SELECT 1 AS merge_round, pair, cnt FROM t1
+         UNION ALL SELECT 2 AS merge_round, pair, cnt FROM t2
+         UNION ALL SELECT 3 AS merge_round, pair, cnt FROM t3""",
     "pack_sequences" ->
       s"""$withToks
          SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,

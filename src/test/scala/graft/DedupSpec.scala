@@ -263,6 +263,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == r4(math.log(1.0 / 3)))
   }
 
+  test("text_bpe_merge_rounds: greedy left-to-right merge, iterated") {
+    // corpus: "aaa" ×2, "ab" ×1. Round 1: (a,a) counted twice per
+    // "aaa" → cnt 4, beats (a,b)=1. GREEDY apply: "aaa" → [aa, a]
+    // (not [aa, aa]). Round 2: (aa,a)=2 wins; "aaa" → [aaa]. Round 3:
+    // only (a,b)=1 remains.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "aaa", "en", "a", 0L), (2L, "aaa", "en", "a", 0L),
+        (3L, "ab", "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_bpe_merge_rounds")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1, "a a", 4L), (2, "aa a", 2L), (3, "a b", 1L)))
+  }
+
   test("canonicalizeUrl: boundary-anchored utm strip, scheme-aware ports") {
     val cases = Seq(
       // default port stripped only under its own scheme
