@@ -1555,6 +1555,13 @@ object TimeSeriesQueries {
       // oracle, so identical inputs → identical doubles. Grid
       // endpoints are observed by construction (lo/hi = min/max
       // observed day), so every gap row has both neighbors.
+      // Round-12 sf1 decomposition (the 3.6× SF1PROBE ratio): every
+      // stage scales linearly (daily agg / grid / join / windows each
+      // ≤ 10× at 10× data); the ratio is fixed overhead over a tiny
+      // sf0.1 base (~0.25 s constants / ~0.1 s data work). `daily` is
+      // referenced twice, but the agg exchange is REUSED across the
+      // branches — a checkpoint variant measured slower at sf1
+      // (README §scaling table).
       val e = events(s, dir).select(col("user_id"),
         expr("ts div 86400000000000").as("day"),
         floor(col("value") * 1e6 + 0.5).cast("long").as("vmu"))
