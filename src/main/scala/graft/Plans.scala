@@ -60,8 +60,7 @@ object Plans {
       "window_rolling_minmax", "agg_covar_matrix", "text_jaccard_knn",
       "ts_seasonal_decompose", "ts_anomaly_stl",
       // round-12
-      "window_rolling_minmax_wide", "text_bpe_merge_rounds",
-      "text_pii_scrub", "text_repetition_filter")
+      "window_rolling_minmax_wide", "text_bpe_merge_rounds")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

@@ -607,107 +607,6 @@ object TextQueries {
       val t3 = top1(pairCounts(w2), 3)
       t1.unionByName(t2).unionByName(t3)
     }),
-    "text_pii_scrub" -> ((s, dir) => {
-      // PII detection + redaction — the pre-training compliance pass
-      // (emails / IPv4s / phone numbers → typed placeholders, with
-      // per-category counts for the curation report). One codegen
-      // regex chain per row, a narrow map at any scale — no shuffle,
-      // no UDF. The fixture corpus is synthetic word salad with no
-      // PII, so PII is PLANTED deterministically from doc_id in both
-      // engines (the dedup_url convention): 3 of every 4 docs get one
-      // planted item of a rotating category, so every regex arm is
-      // exercised and counts are verifiable. Regexes stay on the
-      // RE2 ∩ java.util.regex common subset (char classes + bounded
-      // quantifiers + \b, no lookaround, no ambiguous backtracking)
-      // so both engines match identical spans.
-      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val phoneRe = "\\b555-\\d{4}\\b"
-      val pii = when(pmod(col("doc_id"), lit(4)) === 0,
-          concat(lit(" contact bob"), pmod(col("doc_id"), lit(97)),
-            lit("@mail"), pmod(col("doc_id"), lit(7)),
-            lit(".example.com now")))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
-          concat(lit(" server 10."), pmod(col("doc_id"), lit(256)),
-            lit(".0."), pmod(col("doc_id"), lit(100)), lit(" up")))
-        .when(pmod(col("doc_id"), lit(4)) === 2,
-          concat(lit(" call 555-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-            lit(" today")))
-        .otherwise(lit(""))
-      docs(s, dir)
-        .select(col("doc_id"), concat(col("text"), pii).as("txt"))
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
-            .cast("long").as("n_email"),
-          size(regexp_extract_all(col("txt"), lit(ipRe), lit(0)))
-            .cast("long").as("n_ip"),
-          size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
-            .cast("long").as("n_phone"),
-          regexp_replace(regexp_replace(regexp_replace(col("txt"),
-            emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
-            .as("text_clean"))
-    }),
-    "text_repetition_filter" -> ((s, dir) => {
-      // Repetition-based quality filter (the Gopher/MassiveText family
-      // of signals): per doc, the duplicate-trigram fraction
-      // (1 − distinct/total 3-grams), the top-bigram concentration
-      // (max bigram multiplicity / total bigrams), and the type-token
-      // ratio — the three cheap signals that flag boilerplate and
-      // degenerate repetition before any model-based scoring. All
-      // three are ratios of exact integers (one identical IEEE
-      // division per signal, r4 contract); the KEEP decision tests
-      // the dyadic thresholds in cross-multiplied exact int64
-      // (2·dup3 ≤ total3, 4·top2 ≤ total2 — no float compare at the
-      // boundary). Shuffle shape: distinct-trigram and type counts
-      // are row-local array ops; only the top-bigram pass shuffles,
-      // key-partitioned on (doc_id, gram) then (doc_id) — at 100 TB
-      // both aggs map-side combine and nothing is corpus-global.
-      // The fixture corpus is uniform word salad that never trips the
-      // filter, so every 10th doc gets PLANTED boilerplate (a phrase
-      // repeated 30×, the dedup_url convention) — the keep flag is
-      // exercised in both directions and the gate can see it break.
-      val planted = when(pmod(col("doc_id"), lit(10)) === 0,
-          concat(col("text"), repeat(lit(" click here now"), 30)))
-        .otherwise(col("text"))
-      val base = docs(s, dir).select(col("doc_id"), planted.as("ptxt"))
-        .select(col("doc_id"),
-          tokens(col("ptxt")).as("toks"),
-          size(graft.operators.Dedup.shingles(col("ptxt"), 3)).cast("long")
-            .as("distinct3"))
-        .select(col("doc_id"), col("toks"), col("distinct3"),
-          size(col("toks")).cast("long").as("n_toks"),
-          size(array_distinct(col("toks"))).cast("long").as("n_types"))
-      val bi = base.filter(col("n_toks") >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> " +
-            "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .as("g"))
-      val top = bi.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top2"))
-      base.join(top, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_toks"),
-          greatest(col("n_toks") - 2, lit(0L)).as("total3"),
-          col("distinct3"), coalesce(col("top2"), lit(0L)).as("top2"),
-          col("n_types"))
-        .select(col("doc_id"), col("n_toks"),
-          (col("total3") - col("distinct3")).as("dup3"),
-          col("top2"), col("n_types"),
-          r4(when(col("total3") > 0,
-            (col("total3") - col("distinct3")).cast("double") /
-              col("total3").cast("double")).otherwise(lit(0.0)))
-            .as("dup3_frac"),
-          r4(when(col("n_toks") >= 2,
-            col("top2").cast("double") /
-              (col("n_toks") - 1).cast("double")).otherwise(lit(0.0)))
-            .as("top2_frac"),
-          r4(when(col("n_toks") > 0,
-            col("n_types").cast("double") / col("n_toks").cast("double"))
-            .otherwise(lit(0.0))).as("ttr"),
-          ((col("total3") - col("distinct3")) * 2 <= col("total3") &&
-            col("top2") * 4 <= greatest(col("n_toks") - 1, lit(0L)))
-            .as("keep"))
-    }),
     "text_dedup_passages" -> ((s, dir) => {
       // Duplicated-passage REMOVAL — the apply step of text_dup_spans
       // (that key reports which 8-token spans repeat; this one rewrites
@@ -913,92 +812,6 @@ object TextQueries {
            FROM pr GROUP BY 1
          )
          SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
-    // same planted PII (doc_id arithmetic), same RE2∩Java regex subset;
-    // 'g' flags on the replaces (Spark regexp_replace is replace-all)
-    "text_pii_scrub" ->
-      """WITH u AS (
-           SELECT doc_id,
-             text || CASE CAST(doc_id % 4 AS INT)
-               WHEN 0 THEN ' contact bob' || CAST(doc_id % 97 AS VARCHAR)
-                 || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-                 || '.example.com now'
-               WHEN 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
-                 || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
-               WHEN 2 THEN ' call 555-'
-                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                 || ' today'
-               ELSE ''
-             END AS txt
-           FROM documents
-         )
-         SELECT doc_id,
-           CAST(length(regexp_extract_all(txt,
-             '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(length(regexp_extract_all(txt,
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
-           CAST(length(regexp_extract_all(txt,
-             '\b555-\d{4}\b')) AS BIGINT) AS n_phone,
-           regexp_replace(regexp_replace(regexp_replace(txt,
-             '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\b555-\d{4}\b', '<PHONE>', 'g') AS text_clean
-         FROM u""",
-    // same exact-integer signals; the trigram distinct set mirrors the
-    // dedup shView construction, the bigram mode is a two-level agg;
-    // same planted boilerplate on every 10th doc. withToks is rebuilt
-    // inline here over the planted text (the shared fragment reads
-    // documents.text directly).
-    "text_repetition_filter" ->
-      s"""WITH pd AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 10 = 0
-               THEN text || repeat(' click here now', 30)
-               ELSE text END AS text
-           FROM documents
-         ), t AS (
-           SELECT doc_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-           FROM pd
-         ), tt AS (
-           SELECT doc_id, CASE WHEN length(norm) = 0 THEN 0
-                    ELSE length(string_split(norm, ' ')) END AS n_toks,
-                  string_split(norm, ' ') AS toks
-           FROM t
-         ), bc AS (
-           SELECT doc_id, concat(toks[CAST(i AS INT)], ' ',
-                    toks[CAST(i AS INT) + 1]) AS g, count(*) AS c
-           FROM tt, unnest(range(1, n_toks)) AS t(i)
-           WHERE n_toks >= 2
-           GROUP BY 1, 2
-         ), tp AS (
-           SELECT doc_id, max(c) AS top2 FROM bc GROUP BY 1
-         ), d3 AS (
-           SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
-             greatest(CAST(n_toks AS BIGINT) - 2, 0) AS total3,
-             CASE WHEN n_toks >= 3 THEN
-               CAST(length(list_distinct(list_transform(
-                 range(1, n_toks - 1),
-                 i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))
-                 AS BIGINT)
-             ELSE 0 END AS distinct3,
-             CAST(length(list_distinct(toks)) AS BIGINT) AS n_types
-           FROM tt
-         )
-         SELECT d3.doc_id, n_toks,
-           total3 - distinct3 AS dup3,
-           CAST(coalesce(top2, 0) AS BIGINT) AS top2,
-           n_types,
-           round(1e-9 + CASE WHEN total3 > 0 THEN
-             (total3 - distinct3)::DOUBLE / total3::DOUBLE
-             ELSE 0.0 END, 4) AS dup3_frac,
-           round(1e-9 + CASE WHEN n_toks >= 2 THEN
-             coalesce(top2, 0)::DOUBLE / (n_toks - 1)::DOUBLE
-             ELSE 0.0 END, 4) AS top2_frac,
-           round(1e-9 + CASE WHEN n_toks > 0 THEN
-             n_types::DOUBLE / n_toks::DOUBLE ELSE 0.0 END, 4) AS ttr,
-           (total3 - distinct3) * 2 <= total3
-             AND coalesce(top2, 0) * 4 <= greatest(n_toks - 1, 0) AS keep
-         FROM d3 LEFT JOIN tp ON d3.doc_id = tp.doc_id""",
     // unrolled-CTE replay of the 3 merge rounds (the pagerank
     // pattern); MATERIALIZED everywhere a frame is referenced twice
     // (DuckDB inlines CTEs). Same symbol-string encoding and the same
