@@ -265,10 +265,24 @@ object StreamFuzz {
       }
     }
 
+    // top-k oracle: per (key, tumbling window) value-count bag, ranked
+    // (cnt desc, value asc), top k — rank itself is OMITTED from the
+    // 4-tuple (it is derivable: the rank order is total, so multiset
+    // equality of the top-k (key, win, value, cnt) rows implies rank
+    // equality)
+    def topkOracle(w: Long, k: Int)(
+        ev: IndexedSeq[KeyedEvent]): Seq[(Long, Long, Long, Long)] =
+      ev.groupBy(e => (e.key, Math.floorDiv(e.tsMillis, w) * w)).toSeq
+        .flatMap { case ((key, ws), es) =>
+          es.groupBy(s4).toSeq.map { case (v, g) => (v, g.size.toLong) }
+            .sortBy { case (v, c) => (-c, v) }.take(k)
+            .map { case (v, c) => (key, ws, v, c) }
+        }
+
     val armNames = Seq("trailing_inorder", "running_inorder",
       "rows_inorder", "trailing_ooo", "running_ooo", "rows_ooo",
-      "cusum_ooo", "asof_ooo")
-    val arm = rnd.nextInt(8)
+      "cusum_ooo", "topk_ooo", "asof_ooo")
+    val arm = rnd.nextInt(9)
     val name = s"${armNames(arm)}#$i"
     val sparkEnc = org.apache.spark.sql.Encoders
     arm match {
@@ -340,6 +354,26 @@ object StreamFuzz {
               if (c.isDrift) 1L else 0L), _ >= s1)(
             sparkEnc.product[CusumAgg]),
           cusumOracle(aE4, hE4))
+      case 7 =>
+        // windowed TOP-K under random arrival: counting is
+        // order-independent, so this arm exercises the watermark
+        // machinery (window close timing, cross-batch bag merge,
+        // sentinel non-emission) rather than fold order; sentinel
+        // windows are disjoint from real ones (s1 − maxTs > W) and
+        // never close (their release point stays above the final
+        // watermark), so no sink filtering is needed — the dropTs
+        // guard is belt-and-braces
+        val w = (5L + rnd.nextInt(120)) * 60L * 1000L
+        val k = 1 + rnd.nextInt(4)
+        val (batches, lateness, s1) = oooBatches(w)
+        val sentWin = Math.floorDiv(s1, w) * w
+        Plan(name, events, batches,
+          (s, b) => drive[StreamingOps.TopkAgg](s, b,
+            ds => StreamingOps.topkWDelayed(ds, w, k, lateness),
+            t => (t.key, t.winStartMillis, t.valueE4, t.cnt),
+            _ >= sentWin)(
+            sparkEnc.product[StreamingOps.TopkAgg]),
+          topkOracle(w, k))
       case _ =>
         // stream-stream AS-OF: content-derived side tags (a pure
         // function of the event, so duplicates tag consistently on

@@ -37,7 +37,8 @@ import graft.streaming.StreamingOps.{KeyedEvent, TaggedEvent}
   * longer real deployment at fixed trigger volume). Trailing span
   * 60 s → ~600 live entries/key + ~110 of lateness backlog;
   * rows-frame n=500; the asof arm tags ~1/3 of events as quotes by
-  * a content hash.
+  * a content hash; the topk arm ranks 60 s tumbling windows (k=3),
+  * its state bounded by open-windows × distinct values.
   *
   * Run: `sbt "runMain graft.StreamProbe [perKeyX1] [mult]"` — writes
   * STREAMPROBE.json (quoted from README §scale-evidence). */
@@ -163,6 +164,10 @@ object StreamProbe {
       "cusum_delayed" -> ((ev, sd) =>
         run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
           StreamingOps.cusumWDelayed(ds, 50000L, 1000000L, lateness).toDF())),
+      "topk_delayed" -> ((ev, sd) =>
+        run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
+          StreamingOps.topkWDelayed(ds, windowMillis = 60000L, k = 3,
+            latenessMillis = lateness).toDF())),
       "asof_delayed" -> ((ev, sd) =>
         run(ooo(ev, sd).map(tag), (ds: Dataset[TaggedEvent]) =>
           StreamingOps.asofJoinWDelayed(ds, lateness).toDF())))

@@ -64,6 +64,23 @@ object DedupQueries {
       duplicateClusters(pairs)
         .select(col("doc_id"), col("cluster_id"))
     }),
+    "dedup_clusters_distributed" -> ((s, dir) => {
+      // the SCALE path of duplicateClusters, oracle-gated (round 12):
+      // at the fixture's edge count the adaptive strategy always takes
+      // the bounded driver union-find, so the distributed hash-min
+      // label propagation — the ONLY path that runs when the pair
+      // graph exceeds the driver cap at 100 TB — had unit agreement
+      // tests (DedupSpec, driverEdgeLimit=0) but no differential gate.
+      // driverEdgeLimit=0 forces the propagation loop (each round two
+      // key-partitioned shuffles: adopt the smallest reachable id,
+      // min-agg; converges in O(component diameter) ≤ maxIters rounds)
+      // against the SAME recursive-CTE oracle as dedup_clusters — the
+      // two strategies must be indistinguishable through the gate.
+      val pairs = jaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      duplicateClusters(pairs, driverEdgeLimit = 0)
+        .select(col("doc_id"), col("cluster_id"))
+    }),
     "sql_kernel_pipeline" -> ((s, dir) => {
       // The SQL-ONLY user path, driver-gated end-to-end: register the
       // custom kernels (GraftExtensions — the reference's tbl_lazy
@@ -347,6 +364,9 @@ object DedupQueries {
          FROM sm a JOIN sm b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
     "dedup_clusters" ->
+      s"""$clusterCteSql SELECT doc_id, cluster_id FROM cl""",
+    // identical oracle — the strategy split must be invisible
+    "dedup_clusters_distributed" ->
       s"""$clusterCteSql SELECT doc_id, cluster_id FROM cl""",
     "sql_kernel_pipeline" ->
       s"""$simhashPerDocSql, zb AS (

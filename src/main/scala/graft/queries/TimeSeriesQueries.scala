@@ -333,7 +333,7 @@ object TimeSeriesQueries {
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
     "dedup_stream_exact", "sessionize_stream_stateful",
-    "stream_cusum_stateful", "join_stream_asof",
+    "stream_cusum_stateful", "stream_topk_stateful", "join_stream_asof",
     "join_stream_stream", "join_stream_stream_louter",
     "join_stream_stream_fouter")
 
@@ -638,6 +638,49 @@ object TimeSeriesQueries {
       val sink = s.table(qn).select(col("key").as("user_id"),
         col("tsMillis").as("ts_ms"), col("cusumE4").as("cusum_e4"),
         col("isDrift").as("is_drift"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "stream_topk_stateful" -> ((s, dir) => {
+      // TOP-K heavy values per (user, 4h tumbling window) on the OOO
+      // stream — the op Structured Streaming CANNOT express natively:
+      // windowed counts are one streaming aggregation and ranking them
+      // per window is a second, but chained streaming aggregations are
+      // unsupported in append mode; StreamingOps.topkWDelayed does
+      // both in one flatMapGroupsWithState (count bags per open
+      // window, ranked emission on window close). Counting is
+      // order-independent, so unlike the cusum key there is no
+      // tie-release contract to honor — the fixture's 2×2h shuffle
+      // exercises pure cross-batch bag merging, and the tailMs margin
+      // (> window span) guarantees the final watermark closes every
+      // REAL window while the sentinels' own windows stay open forever
+      // (never emitted, so no sink filtering). Oracle = the batch
+      // GROUP BY (user, window, value) + row_number ranking — exact
+      // integers end to end (scaledE4 values, counts, ranks).
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val winMs = 4L * 3600L * 1000L
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness,
+        tailMs = winMs + 1000L, tag = "topk")
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.topkWDelayed(src,
+        windowMillis = winMs, k = 3, latenessMillis = lateness)
+      val qn = s"graft_stream_topk_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("winStartMillis").as("win_start_ms"), col("rank"),
+        col("valueE4").as("value_e4"), col("cnt"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -1731,6 +1774,21 @@ object TimeSeriesQueries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, v4
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    // every real (user, window) group closes under the topk fixture's
+    // tailMs margin, so the oracle is the plain batch ranking; ties
+    // break on (cnt desc, value asc) — a total order
+    "stream_topk_stateful" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events),
+         w AS (SELECT user_id,
+           (ts_ms // 14400000) * 14400000 AS win_start_ms,
+           v4, count(*) AS cnt
+           FROM e GROUP BY 1, 2, 3),
+         r AS (SELECT user_id, win_start_ms, v4, cnt,
+           row_number() OVER (PARTITION BY user_id, win_start_ms
+             ORDER BY cnt DESC, v4) AS rank FROM w)
+         SELECT user_id, win_start_ms, rank, v4 AS value_e4, cnt
+         FROM r WHERE rank <= 3""",
     "window_stream_trailing" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
            CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)

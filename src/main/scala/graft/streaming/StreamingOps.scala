@@ -553,6 +553,96 @@ object StreamingOps {
       }
   }
 
+  /** [[topkWDelayed]] output: one row per (key, closed window, rank). */
+  case class TopkAgg(key: Long, winStartMillis: Long, rank: Long,
+      valueE4: Long, cnt: Long)
+
+  /** One open window's value→count bag, Seq-encoded as parallel
+    * (vs, cs) arrays sorted by value (a stable state layout — the
+    * encoder round-trip must not reorder what the fold rebuilds). */
+  case class WinCounts(winStart: Long, vs: Seq[Long], cs: Seq[Long])
+
+  /** [[topkWDelayed]] per-key state: the open windows' count bags and
+    * the largest already-closed window start (every window at or
+    * below it has been emitted). */
+  case class TopkDelayBuf(wins: Seq[WinCounts], emittedThrough: Long)
+
+  /** Per-key TOP-K heavy values over TUMBLING event-time windows,
+    * exact under out-of-order arrival — an op Structured Streaming
+    * cannot express natively: the windowed value counts are one
+    * streaming aggregation, but ranking them per window is a SECOND
+    * aggregation over streaming results, and chained streaming
+    * aggregations are unsupported in append mode. One
+    * flatMapGroupsWithState does both: per key it keeps a count bag
+    * per OPEN window (state O(open windows × distinct values) — open
+    * windows are bounded by lateness/window, distinct values by the
+    * domain, both INDEPENDENT of stream length: the StreamProbe
+    * contract), folds arrivals in any order (counting is
+    * order-independent — unlike [[cusumWDelayed]] no tie-order
+    * contract is needed; determinism comes from the total
+    * (cnt desc, value asc) rank order alone), and emits a window's
+    * ranked top k once the watermark strictly passes its last member
+    * timestamp (winStart + W − 1 ≤ wm − 1): at that point every member
+    * has either arrived or been dropped by the engine's late filter,
+    * so the ranking is final. Rows for an already-emitted window
+    * (beyond-lateness stragglers the engine let through) are DROPPED —
+    * append mode cannot retract a published ranking; a
+    * correctly-configured stream (lateness ≥ disorder bound) never
+    * produces them, mirroring the engine's own windowed-aggregate
+    * semantics. */
+  def topkWDelayed(events: Dataset[KeyedEvent], windowMillis: Long,
+      k: Int, latenessMillis: Long): Dataset[TopkAgg] = {
+    require(windowMillis > 0, "windowMillis must be > 0")
+    require(k >= 1, "k must be >= 1")
+    require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
+      .as[KeyedEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopkDelayBuf, TopkAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEventT],
+         st: GroupState[TopkDelayBuf]) =>
+          val prev = st.getOption.getOrElse(TopkDelayBuf(Nil, Long.MinValue))
+          val bags = scala.collection.mutable.Map.empty[Long,
+            scala.collection.mutable.Map[Long, Long]]
+          prev.wins.foreach { w =>
+            bags(w.winStart) =
+              scala.collection.mutable.Map(w.vs.zip(w.cs): _*)
+          }
+          it.foreach { e =>
+            val w = Math.floorDiv(e.tsMillis, windowMillis) * windowMillis
+            if (w > prev.emittedThrough) {
+              val bag = bags.getOrElseUpdate(w,
+                scala.collection.mutable.Map.empty)
+              val v = scaledE4(e.value)
+              bag(v) = bag.getOrElse(v, 0L) + 1L
+            }
+          }
+          // winStart + W − 1 ≤ wm − 1  ⇔  winStart ≤ wm − W
+          val emitUpTo = st.getCurrentWatermarkMs() - windowMillis
+          val (close, keep) = bags.partition(_._1 <= emitUpTo)
+          val out = close.toSeq.sortBy(_._1).flatMap { case (w, bag) =>
+            bag.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+              .zipWithIndex.map { case ((v, c), i) =>
+                TopkAgg(key, w, i + 1L, v, c)
+              }
+          }
+          val emittedThrough =
+            if (close.nonEmpty) math.max(prev.emittedThrough, close.keys.max)
+            else prev.emittedThrough
+          st.update(TopkDelayBuf(
+            keep.toSeq.sortBy(_._1).map { case (w, bag) =>
+              val sorted = bag.toSeq.sortBy(_._1)
+              WinCounts(w, sorted.map(_._1), sorted.map(_._2))
+            },
+            emittedThrough))
+          out.iterator
+      }
+  }
+
   /** [[asofJoinWDelayed]] input: one UNION-TAGGED stream — Spark has no
     * stream-stream as-of join, so both sides ride one keyed stream with
     * a side tag and meet in per-key state (the Flink-temporal-join

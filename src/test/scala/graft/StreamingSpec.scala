@@ -602,4 +602,37 @@ class StreamingSpec extends AnyFunSuite {
       (3000L, 80000L, true), (4000L, 70000L, true),
       (5000L, 350000L, true)))
   }
+
+  test("topkWDelayed: OOO cross-batch bag merge, tie-break on value, " +
+      "windows close only past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.KeyedEvent
+    val ms = MemoryStream[KeyedEvent]
+    val qn = "topk_edge"
+    // W = 10 s windows, k = 2, lateness 5 s
+    val q = StreamingOps.topkWDelayed(ms.toDS(), windowMillis = 10000L,
+        k = 2, latenessMillis = 5000L)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    // window [0,10s): value 2.0 ×2, 1.0 ×2 (TIE on cnt → 1.0 ranks
+    // first on value asc), 3.0 ×1 (excluded by k=2); arrivals split
+    // across batches and out of ts order
+    ms.addData(KeyedEvent(1, 9000, 2.0), KeyedEvent(1, 1000, 1.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 3000, 2.0), KeyedEvent(1, 2000, 1.0),
+      KeyedEvent(1, 5000, 3.0))
+    q.processAllAvailable()
+    // nothing can have emitted yet: wm ≈ 9000 − 5000 < window end
+    assert(spark.table(qn).count() == 0)
+    // advance the watermark past the window end (wm = 30000 − 5000)
+    ms.addData(KeyedEvent(1, 30000, 0.0)); q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 31000, 0.0)); q.processAllAvailable()
+    val got = spark.table(qn).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    q.stop(); spark.catalog.dropTempView(qn)
+    // (winStart, rank, valueE4, cnt): the cnt tie (2 vs 2) breaks on
+    // value asc — 1.0 at rank 1, 2.0 at rank 2; 3.0 (cnt 1) is cut
+    assert(got == Seq((0L, 1L, 10000L, 2L), (0L, 2L, 20000L, 2L)))
+  }
 }
