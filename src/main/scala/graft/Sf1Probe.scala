@@ -60,7 +60,11 @@ object Sf1Probe {
     // round-11: the wide-w retraction key, the CUSUM window identity,
     // and the heavy text/mm additions
     "window_rolling_std_wide", "ts_changepoint_cusum",
-    "text_dedup_passages", "text_bigram_logprob", "mm_phash_dedup")
+    "text_dedup_passages", "text_bigram_logprob", "mm_phash_dedup",
+    // round-12: the van Herk extrema key, the iterated BPE trainer,
+    // and the forced distributed-CC scale path
+    "window_rolling_minmax_wide", "text_bpe_merge_rounds",
+    "dedup_clusters_distributed")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")
