@@ -61,7 +61,8 @@ object Plans {
       "ts_seasonal_decompose", "ts_anomaly_stl",
       // round-12
       "window_rolling_minmax_wide", "text_bpe_merge_rounds",
-      "dedup_clusters_distributed")
+      "dedup_clusters_distributed", "graph_shortest_path_k",
+      "ts_xcorr_lagged")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

@@ -140,6 +140,61 @@ object GraphQueries {
         .groupBy(col("v").as("nationkey"))
         .agg(count(lit(1)).as("n_reach"))
     }),
+    "graph_shortest_path_k" -> ((s, dir) => {
+      // WEIGHTED single-source shortest distances within K=3 hops —
+      // Bellman–Ford with the iteration count fixed and unrolled (the
+      // pagerank shape): per round, relax every edge out of the
+      // current distance vector (one equi-join) and keep the per-
+      // vertex min (one hash agg), both partitioned by vertex — a
+      // cluster pays E/P per task per round, no driver frontier. Edge
+      // cost is inverse trade volume in exact integers
+      // (1000000 div wu + 1 — heavier trade = cheaper route), so every
+      // distance is an exact long and the oracle compare has no float
+      // dimension. K bounds the plan depth like khopReach's frontier
+      // BFS bounds its rounds; at unknown diameter the production form
+      // iterates with a convergence check + per-round localCheckpoint
+      // (duplicateClusters' loop contract). Source: nation 0. Output:
+      // (nationkey, dist_cost) for every nation reachable in ≤ 3 hops.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val dirEdges = li
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          li("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val undAll = dirEdges.filter(col("src") =!= col("dst"))
+        .groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(sum(col("w")).as("wu"))
+      // same mean-threshold graph as tradeGraph, weight KEPT
+      val avgW = undAll.agg(
+        (sum(col("wu")).cast("double") / count(lit(1))).as("m"))
+        .head.getDouble(0)
+      val undw = undAll.filter(col("wu") > avgW)
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"),
+          (expr("1000000 div wu") + 1L).as("cost"))
+        .localCheckpoint()
+      val e2 = undw.select(col("a").as("eu"), col("b").as("ev"),
+          col("cost"))
+        .unionByName(undw.select(col("b").as("eu"), col("a").as("ev"),
+          col("cost")))
+      var dist = t(s, dir, "nation")
+        .filter(col("n_nationkey") === 0)
+        .select(col("n_nationkey").cast("long").as("v"),
+          lit(0L).as("d"))
+      for (_ <- 1 to KhopDepth) {
+        val relaxed = dist.join(e2, col("v") === col("eu"))
+          .select(col("ev").as("v"), (col("d") + col("cost")).as("d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("v").agg(min(col("d")).as("d"))
+      }
+      dist.select(col("v").as("nationkey"), col("d").as("dist_cost"))
+    }),
     "graph_common_neighbors" -> ((s, dir) => {
       // LINK PREDICTION scores for non-adjacent pairs: common-neighbor
       // count and neighborhood Jaccard — the classic "who should be
@@ -639,6 +694,47 @@ object GraphQueries {
            SELECT n_nationkey AS v, n_nationkey AS r FROM nation
          ), $khopCtes
          SELECT v AS nationkey, count(*) AS n_reach
-         FROM p$KhopDepth GROUP BY 1"""
+         FROM p$KhopDepth GROUP BY 1""",
+    // Bellman–Ford unrolled: d0 = {source 0}; each round relaxes every
+    // edge and keeps the per-vertex min — same undall threshold graph,
+    // weight kept as cost = 1000000 // wu + 1 (// is floor in DuckDB,
+    // div truncation in Spark — identical on these positive ints)
+    "graph_shortest_path_k" ->
+      s"""WITH $undSql, undw AS MATERIALIZED (
+           SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             CAST((1000000 // wu) + 1 AS BIGINT) AS cost
+           FROM undall
+           WHERE wu > (SELECT CAST(sum(wu) AS DOUBLE) / count(*)
+                       FROM undall)
+         ), e2 AS MATERIALIZED (
+           SELECT a AS eu, b AS ev, cost FROM undw
+           UNION ALL SELECT b AS eu, a AS ev, cost FROM undw
+         ), d0 AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS v,
+             CAST(0 AS BIGINT) AS d
+           FROM nation WHERE n_nationkey = 0
+         ), d1 AS MATERIALIZED (
+           SELECT v, min(d) AS d FROM (
+             SELECT v, d FROM d0
+             UNION ALL
+             SELECT e2.ev AS v, d0.d + e2.cost AS d
+             FROM d0 JOIN e2 ON d0.v = e2.eu
+           ) GROUP BY 1
+         ), d2 AS MATERIALIZED (
+           SELECT v, min(d) AS d FROM (
+             SELECT v, d FROM d1
+             UNION ALL
+             SELECT e2.ev AS v, d1.d + e2.cost AS d
+             FROM d1 JOIN e2 ON d1.v = e2.eu
+           ) GROUP BY 1
+         ), d3 AS (
+           SELECT v, min(d) AS d FROM (
+             SELECT v, d FROM d2
+             UNION ALL
+             SELECT e2.ev AS v, d2.d + e2.cost AS d
+             FROM d2 JOIN e2 ON d2.v = e2.eu
+           ) GROUP BY 1
+         )
+         SELECT v AS nationkey, d AS dist_cost FROM d3"""
   )
 }

@@ -1483,6 +1483,65 @@ object TimeSeriesQueries {
             (col("rev_c") - col("prev_c")).cast("double") /
               col("prev_c").cast("double") * 100.0)).as("pct_change"))
     }),
+    "ts_xcorr_lagged" -> ((s, dir) => {
+      // Lagged CROSS-correlation between two event streams — "do
+      // clicks follow views, and by how many days?": Pearson corr of
+      // (view count on day t, click count on day t+lag) for lag in
+      // −3..+3, the lead-lag diagnostic beside ts_autocorr's self
+      // version. Shape: one (day, type)-partitioned hash agg builds
+      // the two DAILY series, the calendar grid (min..max day, zeros
+      // filled) makes every lag well-defined, and the lag alignment is
+      // an EQUI-JOIN on day+lag — never a global unpartitioned window:
+      // the 7-lag expansion is a ROW-LOCAL explode of a literal
+      // sequence (no join, no broadcast — the audit-clean form), and
+      // the per-lag moment sums are one more hash agg keyed by lag.
+      // The series length is calendar-bounded, the raw scan is the
+      // only corpus-sized stage. EXACTNESS: counts are exact longs;
+      // sum_l128 accumulators (Σxy over day counts can top int64 at
+      // deployment rates), the n·Σxy−ΣxΣy cancellation in exact
+      // decimal (mirrors DuckDB's HUGEINT sums), one closed-form
+      // double assembly — ts_autocorr's recipe at the series level.
+      import graft.functions.SumL128.sumL128
+      val day = expr("ts div 86400000000000").as("day")
+      val daily = events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(day, col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+      val xs = daily.filter(col("event_type") === "view")
+        .select(col("day"), col("c").as("x"))
+      val ys = daily.filter(col("event_type") === "click")
+        .select(col("day").as("yday"), col("c").as("y"))
+      val span = events(s, dir)
+        .select(expr("ts div 86400000000000").as("d"))
+        .agg(min("d").as("lo"), max("d").as("hi"))
+      val grid = span.select(
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+      val gx = grid.join(xs, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      val gy = grid.select(col("day").as("yday")).join(ys, Seq("yday"), "left")
+        .select(col("yday"), coalesce(col("y"), lit(0L)).as("y"))
+      val pairs = gx
+        .select(col("day"), col("x"),
+          explode(sequence(lit(-3L), lit(3L))).as("lag"))
+        .select(col("lag"), col("x"), (col("day") + col("lag")).as("yday"))
+        .join(gy, Seq("yday"))
+      val g = pairs.groupBy("lag").agg(
+        count(lit(1)).as("n"),
+        sumL128(col("x")).as("sx"),
+        sumL128(col("y")).as("sy"),
+        sumL128(col("x") * col("y")).as("sxy"),
+        sumL128(col("x") * col("x")).as("sxx"),
+        sumL128(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("decimal(10,0)")
+      val cxy = nD * col("sxy") - col("sx") * col("sy")
+      val m2x = nD * col("sxx") - col("sx") * col("sx")
+      val m2y = nD * col("syy") - col("sy") * col("sy")
+      g.select(col("lag"), col("n"),
+        r4(when(col("n") >= 2 && m2x > 0 && m2y > 0,
+          cxy.cast("double") /
+            sqrt(m2x.cast("double") * m2y.cast("double"))))
+          .as("xcorr"))
+    }),
     "ts_autocorr" -> ((s, dir) => {
       // Lag-1 autocorrelation per user — the seasonality/persistence
       // statistic beside ts_seasonal_dow: Pearson corr of (xₜ₋₁, xₜ)
@@ -2117,6 +2176,42 @@ object TimeSeriesQueries {
              THEN CAST(rev_c - prev_c AS DOUBLE)
                / CAST(prev_c AS DOUBLE) * 100.0 END, 4) AS pct_change
          FROM lagged""",
+    // same calendar grid + equi-join lag alignment; HUGEINT sums
+    // mirror sum_l128's exactness, identical closed-form assembly
+    "ts_xcorr_lagged" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+           event_type FROM events),
+         daily AS (SELECT day, event_type, count(*) AS c FROM e
+           WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+         span AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         grid AS MATERIALIZED (
+           SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+         gx AS MATERIALIZED (
+           SELECT g.day, coalesce(d.c, 0) AS x FROM grid g
+           LEFT JOIN daily d ON d.day = g.day AND d.event_type = 'view'),
+         gy AS MATERIALIZED (
+           SELECT g.day AS yday, coalesce(d.c, 0) AS y FROM grid g
+           LEFT JOIN daily d ON d.day = g.day AND d.event_type = 'click'),
+         lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+         pairs AS (
+           SELECT l.lag, gx.x, gy.y
+           FROM gx CROSS JOIN lags l
+           JOIN gy ON gy.yday = gx.day + l.lag),
+         g AS (SELECT lag, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM pairs GROUP BY 1),
+         c AS (SELECT lag, n,
+           n * sxy - sx * sy AS cxy,
+           n * sxx - sx * sx AS m2x,
+           n * syy - sy * sy AS m2y
+           FROM g)
+         SELECT CAST(lag AS BIGINT) AS lag, n,
+           round(1e-9 + CASE WHEN n >= 2 AND m2x > 0 AND m2y > 0
+             THEN CAST(cxy AS DOUBLE)
+               / sqrt(CAST(m2x AS DOUBLE) * CAST(m2y AS DOUBLE))
+             END, 4) AS xcorr
+         FROM c""",
     "ts_autocorr" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
            CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS y FROM events),
