@@ -104,6 +104,47 @@ object FormatQueries {
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
           .as("n_toks"))
     }),
+    "source_json_corrupt" -> ((s, dir) => {
+      // PERMISSIVE JSON ingest with corrupt-record capture — the lake
+      // reality at 100 TB: some fraction of JSONL lines are truncated
+      // or mangled, and the pipeline must quarantine them WITHOUT
+      // failing the scan or silently dropping rows. Every 5th doc's
+      // line is PLANTED truncated (the dedup_url convention); the read
+      // uses mode=PERMISSIVE + columnNameOfCorruptRecord, so corrupt
+      // rows surface with null fields and the raw line captured. The
+      // quarantine id is RECOVERED from the corrupt text by regex —
+      // the triage a real ingest does before replay. Scan-shaped: one
+      // pass, schema applied at read, row-local parse + regex; the
+      // gate proves no line was lost or misclassified (every doc_id
+      // surfaces exactly once with the right is_corrupt flag).
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      val path = scratch(s, dir, "documents_jsonl")
+      val line = when(pmod(col("doc_id"), lit(5)) === 4,
+          concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+            lit(", \"n\": ")))                  // truncated mid-object
+        .otherwise(concat(lit("{\"doc_id\": "),
+          col("doc_id").cast("string"),
+          lit(", \"n\": "), col("n").cast("string"), lit("}")))
+      d.select(line.as("value")).write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      val back = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+      back.select(
+        coalesce(col("doc_id"),
+          regexp_extract(col("_corrupt"), "\"doc_id\": (\\d+)", 1)
+            .cast("long")).as("doc_id"),
+        col("n"),
+        col("_corrupt").isNotNull.as("is_corrupt"))
+    }),
     "source_json_roundtrip" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
       val path = scratch(s, dir, "supplier_json")
@@ -327,6 +368,14 @@ object FormatQueries {
 
   val oracleSql: Map[String, String] = Map(
     "source_csv_roundtrip" -> supplierAggSql,
+    // identity digest + the planted corruption rule: a green hash
+    // proves the PERMISSIVE read lost no line and misclassified none
+    "source_json_corrupt" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE CAST(length(text) AS BIGINT) END AS n,
+           doc_id % 5 = 4 AS is_corrupt
+         FROM documents""",
     // the identity digest straight off the parquet table: a green hash
     // proves the tab-framed text round-trip lost nothing
     "source_text_lines" ->

@@ -299,6 +299,39 @@ object RelationalQueries {
           struct(col("cnt"), -col("l_linenumber"))).cast("long").as("mode_ln"))
       med.join(mode, Seq("l_returnflag"))
     }),
+    "agg_weighted_median" -> ((s, dir) => {
+      // WEIGHTED median — the per-group price point where half the
+      // QUANTITY (not half the rows) sits at or below: the inventory-
+      // weighted "typical price" no unweighted quantile computes.
+      // Lower weighted median semantics, exact: sort by price within
+      // group, running quantity sum, answer = smallest price whose
+      // cumulative weight reaches half the total (2·cumw ≥ totw in
+      // cross-multiplied int64 — no halving division, no float). One
+      // exchange per group (window + agg share it), all long cents /
+      // long quantities, deterministic under price ties (any row of
+      // the crossing price run yields the same price; the explicit
+      // rows-frame over the unique 4-column order makes the per-row
+      // cumw identical in both engines anyway).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"),
+        floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      li.select(col("l_returnflag"), col("pc"), col("q"),
+          sum(col("q")).over(w).as("cumw"),
+          sum(col("q")).over(wAll).as("totw"))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("pc")).as("wmedian_c"),
+          max(col("totw")).as("tot_qty"))
+    }),
     "agg_regression" -> ((s, dir) => {
       // linear-regression aggregate family (regr_* semantics):
       // slope/intercept/R² of extendedprice over quantity per group —
@@ -704,6 +737,24 @@ object RelationalQueries {
                  FROM c) WHERE rn = 1)
          SELECT med.l_returnflag, med.med_qty, m.mode_ln
          FROM med JOIN m ON med.l_returnflag = m.l_returnflag""",
+    // same explicit rows-frame over the unique 4-column order; the
+    // 2*cumw >= totw crossing test stays in exact integers
+    "agg_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+           CAST(round(l_quantity) AS BIGINT) AS q,
+           l_orderkey, l_linenumber, l_partkey, l_suppkey
+           FROM lineitem),
+         r AS (SELECT l_returnflag, pc, q,
+           sum(q) OVER (PARTITION BY l_returnflag
+             ORDER BY pc, l_orderkey, l_linenumber, l_partkey, l_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           sum(q) OVER (PARTITION BY l_returnflag) AS totw
+           FROM li)
+         SELECT l_returnflag,
+           min(pc) AS wmedian_c,
+           CAST(max(totw) AS BIGINT) AS tot_qty
+         FROM r WHERE cumw * 2 >= totw GROUP BY 1""",
     "agg_regression" ->
       """WITH d AS (SELECT l_returnflag,
            CAST(l_quantity AS DECIMAL(4,2)) AS qd,
