@@ -150,10 +150,13 @@ object GraphQueries {
       // cost is inverse trade volume in exact integers
       // (1000000 div wu + 1 — heavier trade = cheaper route), so every
       // distance is an exact long and the oracle compare has no float
-      // dimension. K bounds the plan depth like khopReach's frontier
-      // BFS bounds its rounds; at unknown diameter the production form
-      // iterates with a convergence check + per-round localCheckpoint
-      // (duplicateClusters' loop contract). Source: nation 0. Output:
+      // dimension. The distance vector is localCheckpointed per round
+      // (duplicateClusters' loop contract): each round references the
+      // previous vector TWICE (carry + relax), so the un-checkpointed
+      // plan replays its lineage 2^K times — 28 exchanges at K=3,
+      // down to a flat per-round plan with the checkpoint. K bounds
+      // the rounds like khopReach; at unknown diameter the production
+      // form adds a convergence check. Source: nation 0. Output:
       // (nationkey, dist_cost) for every nation reachable in ≤ 3 hops.
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val dirEdges = li
@@ -192,6 +195,7 @@ object GraphQueries {
           .select(col("ev").as("v"), (col("d") + col("cost")).as("d"))
         dist = dist.unionByName(relaxed)
           .groupBy("v").agg(min(col("d")).as("d"))
+          .localCheckpoint(eager = false)
       }
       dist.select(col("v").as("nationkey"), col("d").as("dist_cost"))
     }),
