@@ -64,7 +64,8 @@ object Sf1Probe {
     // round-12: the van Herk extrema key, the iterated BPE trainer,
     // and the forced distributed-CC scale path
     "window_rolling_minmax_wide", "text_bpe_merge_rounds",
-    "dedup_clusters_distributed")
+    "dedup_clusters_distributed", "graph_shortest_path_k",
+    "agg_weighted_median")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")

@@ -303,30 +303,34 @@ object RelationalQueries {
       // WEIGHTED median — the per-group price point where half the
       // QUANTITY (not half the rows) sits at or below: the inventory-
       // weighted "typical price" no unweighted quantile computes.
-      // Lower weighted median semantics, exact: sort by price within
-      // group, running quantity sum, answer = smallest price whose
-      // cumulative weight reaches half the total (2·cumw ≥ totw in
-      // cross-multiplied int64 — no halving division, no float). One
-      // exchange per group (window + agg share it), all long cents /
-      // long quantities, deterministic under price ties (any row of
-      // the crossing price run yields the same price; the explicit
-      // rows-frame over the unique 4-column order makes the per-row
-      // cumw identical in both engines anyway).
+      // Lower weighted median semantics, exact: the crossing test
+      // 2·cumw ≥ totw stays in cross-multiplied int64 — no halving
+      // division, no float. SCALE SHAPE (round-12 Sf1Probe finding):
+      // the naive per-ROW running sum windows over |groups| = 3
+      // partitions, so one task sorts the whole group — measured 6.8×
+      // at 10× data, catastrophic at 100 TB. The shipped form
+      // collapses to per-(group, price) weights FIRST — a map-side-
+      // combined hash agg on a HIGH-cardinality key — and runs the
+      // running sum over the collapsed table, whose size is bounded by
+      // the PRICE DOMAIN per group, not the corpus (the bucket-domain
+      // argument of window_rolling_distinct's cumsum); measured
+      // 6.8× → 0.95× at 10× data (the distinct-price table barely
+      // grows), identical answers. Collapsing also
+      // makes pc unique per group, so the window order is total with
+      // no tiebreak columns.
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"),
+        floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      val byPrice = li.groupBy("l_returnflag", "pc")
+        .agg(sum(col("q")).as("pw"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag")
-        .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"))
+        .partitionBy("l_returnflag").orderBy(col("pc"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy("l_returnflag")
-      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"),
-        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"),
-        floor(col("l_quantity") + 0.5).cast("long").as("q"))
-      li.select(col("l_returnflag"), col("pc"), col("q"),
-          sum(col("q")).over(w).as("cumw"),
-          sum(col("q")).over(wAll).as("totw"))
+      byPrice.select(col("l_returnflag"), col("pc"),
+          sum(col("pw")).over(w).as("cumw"),
+          sum(col("pw")).over(wAll).as("totw"))
         .filter(col("cumw") * 2 >= col("totw"))
         .groupBy("l_returnflag")
         .agg(min(col("pc")).as("wmedian_c"),
@@ -737,20 +741,21 @@ object RelationalQueries {
                  FROM c) WHERE rn = 1)
          SELECT med.l_returnflag, med.med_qty, m.mode_ln
          FROM med JOIN m ON med.l_returnflag = m.l_returnflag""",
-    // same explicit rows-frame over the unique 4-column order; the
-    // 2*cumw >= totw crossing test stays in exact integers
+    // same collapse-then-scan: per-(group, price) weights first, then
+    // the running sum over the collapsed table; the 2*cumw >= totw
+    // crossing test stays in exact integers
     "agg_weighted_median" ->
       """WITH li AS (SELECT l_returnflag,
            CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
-           CAST(round(l_quantity) AS BIGINT) AS q,
-           l_orderkey, l_linenumber, l_partkey, l_suppkey
+           CAST(round(l_quantity) AS BIGINT) AS q
            FROM lineitem),
-         r AS (SELECT l_returnflag, pc, q,
-           sum(q) OVER (PARTITION BY l_returnflag
-             ORDER BY pc, l_orderkey, l_linenumber, l_partkey, l_suppkey
+         bp AS (SELECT l_returnflag, pc, sum(q) AS pw
+           FROM li GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, pc,
+           sum(pw) OVER (PARTITION BY l_returnflag ORDER BY pc
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
-           sum(q) OVER (PARTITION BY l_returnflag) AS totw
-           FROM li)
+           sum(pw) OVER (PARTITION BY l_returnflag) AS totw
+           FROM bp)
          SELECT l_returnflag,
            min(pc) AS wmedian_c,
            CAST(max(totw) AS BIGINT) AS tot_qty
