@@ -345,7 +345,8 @@ object TimeSeriesQueries {
     * instead of a name-substring guess, so a future non-streaming key
     * that happens to contain "stream" still gets linted. */
   val streamingKeys: Set[String] =
-    StatefulStreamKeys ++ Set("join_stream_static", "stream_sink_idempotent")
+    StatefulStreamKeys ++ Set("join_stream_static", "join_stream_scd2",
+      "stream_sink_idempotent")
 
   private def withStreamParts[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -938,6 +939,52 @@ object TimeSeriesQueries {
         .select(col("event_id"), col("user_id"), col("user_mean"),
           r4(col("value") - col("user_mean")).as("delta"))
       val qn = s"graft_stream_static_${streamRuns.incrementAndGet()}"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn)
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "join_stream_scd2" -> ((s, dir) => {
+      // SCD2-VERSIONED stream enrichment — the temporal dimension
+      // lookup a lakehouse pipeline runs: each event joins the dim
+      // VERSION valid AT its event time (valid_from ≤ d < valid_to,
+      // current row open-ended), not the latest row — join_stream
+      // _static's equi-lookup cannot express this. Stream-static LEFT
+      // join with the range condition: STATELESS (no watermark, no
+      // state store) — the versioned history is broadcast into every
+      // micro-batch and the stream never shuffles; at 100 TB/day this
+      // is the standard as-at lookup against an SCD2 customer
+      // dimension (at a dim too big to broadcast, the same join runs
+      // shuffle-side per batch — still stateless). Dim =
+      // Scd2.intervals over orders (scd2_intervals' history); events
+      // map onto the dim's key/date domain deterministically (pmod
+      // into custkeys, day offset into the 1992–1998 order-date span —
+      // the planted-twin convention; keys without history surface
+      // NULL status through the LEFT join). Oracle = the identical
+      // batch LEFT join over the recomputed history.
+      import org.apache.spark.sql.streaming.Trigger
+      val log = QueryUtil.t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      val dim = graft.operators.Scd2.intervals(log,
+          keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+          tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"))
+        .select(col("o_custkey").cast("long").as("dck"),
+          col("o_orderstatus").as("status"),
+          col("valid_from").cast("date").as("vf"),
+          col("valid_to").cast("date").as("vt"))
+      val ev = eventsStream(s, dir).select(col("event_id"),
+        (pmod(col("user_id"), lit(1500L)) + 1L).as("ck"),
+        expr("date_add(date'1992-01-01', " +
+          "cast(pmod(ts div 86400000000000, 2500) as int))").as("d"))
+      val joined = ev.join(broadcast(dim),
+          col("ck") === col("dck") && col("d") >= col("vf") &&
+            (col("vt").isNull || col("d") < col("vt")), "left")
+        .select(col("event_id"), col("ck"),
+          col("d").cast("string").as("event_day"), col("status"))
+      val qn = s"graft_stream_scd2_${streamRuns.incrementAndGet()}"
       val q = joined.writeStream.outputMode("append").format("memory")
         .queryName(qn).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1928,6 +1975,32 @@ object TimeSeriesQueries {
          SELECT e.event_id, e.user_id, dim.user_mean,
            round(1e-9 + (e.value - dim.user_mean), 4) AS delta
          FROM events e JOIN dim USING (user_id)""",
+    // same recomputed SCD2 history (the scd2_intervals CTE), same
+    // deterministic key/date mapping, same as-at range LEFT join
+    "join_stream_scd2" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             o_orderstatus,
+           lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+           FROM w WHERE prev IS NULL OR prev <> o_orderstatus),
+         dim AS MATERIALIZED (SELECT
+           CAST(o_custkey AS BIGINT) AS dck,
+           o_orderstatus AS status,
+           CAST(o_orderdate AS DATE) AS vf,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS DATE) AS vt
+           FROM c),
+         ev AS (SELECT event_id,
+           CAST(user_id % 1500 + 1 AS BIGINT) AS ck,
+           DATE '1992-01-01'
+             + CAST((epoch_ns(ts) // 86400000000000) % 2500 AS INT) AS d
+           FROM events)
+         SELECT ev.event_id, ev.ck, CAST(ev.d AS VARCHAR) AS event_day,
+           dim.status
+         FROM ev LEFT JOIN dim ON dim.dck = ev.ck AND ev.d >= dim.vf
+           AND (dim.vt IS NULL OR ev.d < dim.vt)""",
     "join_stream_stream" ->
       """WITH e AS (SELECT event_id, user_id,
            epoch_ns(ts) // 1000 AS tus FROM events)
