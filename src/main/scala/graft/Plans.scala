@@ -62,7 +62,8 @@ object Plans {
       // round-12
       "window_rolling_minmax_wide", "text_bpe_merge_rounds",
       "dedup_clusters_distributed", "graph_shortest_path_k",
-      "ts_xcorr_lagged", "source_json_corrupt", "agg_weighted_median")
+      "ts_xcorr_lagged", "source_json_corrupt", "agg_weighted_median",
+      "window_linear_decay")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

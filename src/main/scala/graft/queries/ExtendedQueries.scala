@@ -678,6 +678,39 @@ object ExtendedQueries {
         col("roll_min_c"), col("roll_max_c"),
         (col("roll_max_c") - col("roll_min_c")).as("roll_range_c"))
     }),
+    "window_linear_decay" -> ((s, dir) => {
+      // LINEARLY time-decayed trailing sum — the recency-weighted
+      // feature a ranking pipeline computes (weight 7 − age over a
+      // 7-day window, yesterday counts 6/7 of today): per (supplier,
+      // ship-day), Σ_{d ∈ [t−6, t]} (7 − (t − d)) · cents_d. The
+      // weight references the CURRENT row's t inside the aggregate, so
+      // no engine's window aggregate can express it directly; the
+      // declarative identity Σ(7−t+d)·v = (7−t)·Σv + Σ(d·v) turns it
+      // into TWO plain range-frame sums sharing one WindowExec plus a
+      // row-local assembly — O(1)/row, exact int64 end to end
+      // (d·v ≤ ~10^11, frame sums ≤ ~10^13; exponential decay has no
+      // such decomposition, which is why window_ewma truncates
+      // instead). The ORACLE is an independent derivation: the direct
+      // Σ(7−(t−d))·v via a banded self-join on the daily table — the
+      // gate proves the identity, not just the arithmetic. Daily
+      // collapse first (map-side combined), so both the window input
+      // and the oracle join are day-domain-bounded per supplier.
+      val day = expr("datediff(cast(l_shipdate as date), date'1970-01-01')")
+        .cast("long").as("day")
+      val daily = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), day,
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"))
+        .groupBy("l_suppkey", "day").agg(sum(col("pc")).as("dv"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily.select(col("l_suppkey"), col("day"),
+          sum(col("dv")).over(w).as("s0"),
+          sum(col("dv") * col("day")).over(w).as("s1"))
+        .select(col("l_suppkey"), col("day"),
+          ((lit(7L) - col("day")) * col("s0") + col("s1"))
+            .as("decayed_c"),
+          col("s0").as("win_sum_c"))
+    }),
     "window_rolling_minmax_wide" -> ((s, dir) => {
       // WIDE trailing extrema (w=200) — the van Herk / Gil–Werman
       // block decomposition, the declared scale path from
@@ -1401,6 +1434,24 @@ object ExtendedQueries {
          WINDOW w AS (PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    // oracle = the DIRECT weighted definition via a banded self-join
+    // (an independent derivation — the gate proves the (7−t)·Σv + Σdv
+    // decomposition identity, not just the arithmetic)
+    "window_linear_decay" ->
+      """WITH daily AS (
+           SELECT l_suppkey,
+             date_diff('day', DATE '1970-01-01',
+               CAST(l_shipdate AS DATE)) AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS dv
+           FROM lineitem GROUP BY 1, 2)
+         SELECT a.l_suppkey, CAST(a.day AS BIGINT) AS day,
+           CAST(sum((7 - (a.day - b.day)) * b.dv) AS BIGINT)
+             AS decayed_c,
+           CAST(sum(b.dv) AS BIGINT) AS win_sum_c
+         FROM daily a JOIN daily b ON a.l_suppkey = b.l_suppkey
+           AND b.day BETWEEN a.day - 6 AND a.day
+         GROUP BY 1, 2""",
     // oracle states the SEMANTICS directly (a plain 200-row trailing
     // frame — DuckDB's windowed min/max runs on a segment tree, no
     // O(w) concern there); the Spark side is the van Herk block
