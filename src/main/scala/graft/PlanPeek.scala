@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * partitions) so shapes match the committed ledger. */
 object PlanPeek {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.PlanPeek <key> [sfDir]")
+      sys.exit(2)
+    }
+    if (!SparkEntry.queries.contains(args(0))) {
+      val near = SparkEntry.queries.keys.filter(_.contains(
+        args(0).take(6))).take(5).mkString(", ")
+      System.err.println(s"unknown key '${args(0)}'" +
+        (if (near.nonEmpty) s"; nearest: $near" else ""))
+      sys.exit(2)
+    }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -133,8 +133,19 @@ object StreamProbe {
           scan()
         }
         // progress events post from the stream thread after the commit
-        // processAllAvailable waits on — give the tail one beat
-        Thread.sleep(300)
+        // processAllAvailable waits on — poll (bounded, ≤5 s) until the
+        // engine's own lastProgress batch is in the scanned set AND the
+        // batch id has been stable across 3 consecutive polls (a no-data
+        // watermark batch can still trail), instead of hoping one fixed
+        // sleep is long enough (round-12 ADVICE)
+        var stable = 0; var lastSeen = -1L; var tries = 0
+        while (tries < 50 && stable < 3) {
+          scan()
+          val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (b >= 0 && b == lastSeen && seen.contains(b)) stable += 1
+          else { stable = 0; lastSeen = b }
+          Thread.sleep(100); tries += 1
+        }
         scan()
       } finally q.stop()
       Metrics(batches.iterator.map(_.size.toLong).sum, out,

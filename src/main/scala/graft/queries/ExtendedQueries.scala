@@ -37,10 +37,20 @@ object ExtendedQueries {
   private val GapNs = 1800L * 1000000000L
 
   /** join_interval_overlap's data-derived bin width, memoized per
-    * fixture dir (the fixture is immutable; production computes
-    * distribution stats once per dataset, not once per query run). */
+    * (fixture dir, lineitem mtime) — the mtime key (round-12 ADVICE)
+    * makes a fixture regenerated at the same path mid-session recompute
+    * instead of silently reusing a stale width; production computes
+    * distribution stats once per dataset VERSION, which is exactly this
+    * key. */
   private val binWidthCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  /** Cache key for [[binWidthCache]]: dir + the lineitem parquet dir's
+    * last-modified time (any rewrite touches the directory). */
+  private def binWidthKey(dir: String): (String, Long) = {
+    val f = new java.io.File(dir, "lineitem.parquet")
+    (dir, f.lastModified)
+  }
 
   /** Driver-collect row cap for the join_aqe_skew plan-feature gate
     * (the one key that must materialize its own execution on the
@@ -1195,7 +1205,7 @@ object ExtendedQueries {
       // the join alone, 3×, one session, width pinned; production
       // computes distribution stats once per dataset, so the memo is
       // the honest shape, not a bench trick).
-      val binW = binWidthCache.computeIfAbsent(dir, _ =>
+      val binW = binWidthCache.computeIfAbsent(binWidthKey(dir), _ =>
         graft.operators.RangeJoin.autoBinWidth(li, "lo", "hi")).longValue
       val pairs = graft.operators.RangeJoin.intervalOverlapJoin(
         li, li, keys = Seq("l_suppkey"), "lo", "hi", "lo", "hi",

@@ -128,4 +128,39 @@ class SumL128Spec extends AnyFunSuite {
         partsDiff(col("r"), lag(col("r"), 20).over(wl)).as("diff"))
     assert(both.filter(col("frame") =!= col("diff")).count() == 0)
   }
+
+  test("partsDiffChecked: exact at ±2^62, raises one past it and on dHi overflow") {
+    import graft.functions.SumL128.partsDiffChecked
+    def diffOf(curHi: Long, curLo: Long, prevHi: Long, prevLo: Long): Long =
+      Seq((curHi, curLo, prevHi, prevLo)).toDF("ch", "cl", "ph", "pl")
+        .select(partsDiffChecked(
+          struct(col("ch").as("hi"), col("cl").as("lo")),
+          struct(col("ph").as("hi"), col("pl").as("lo"))).as("d"))
+        .head.getLong(0)
+    // boundary: |s| == 2^62 is still inside the ANSI-safe contract
+    assert(diffOf(1L, 0L, 0L, 0L) == (1L << 62))
+    assert(diffOf(0L, 0L, 1L, 0L) == -(1L << 62))
+    // one past the bound: |s| = 2^62 + 1 must raise, not wrap
+    val over = intercept[Exception] { diffOf(1L, 1L, 0L, 0L) }
+    assert(over.getMessage.contains("partsDiff contract"))
+    // dHi outside [-1, 1]: raises BEFORE the multiply could wrap
+    val hiOver = intercept[Exception] { diffOf(2L, 0L, 0L, 0L) }
+    assert(hiOver.getMessage.contains("partsDiff contract"))
+  }
+
+  test("partsDiff: debug property routes through the checked form") {
+    import graft.functions.SumL128
+    System.setProperty("graft.suml128.check", "true")
+    try {
+      assert(SumL128.checkEnabled)
+      val e = intercept[Exception] {
+        Seq((1L, 1L)).toDF("ch", "cl")
+          .select(SumL128.partsDiff(
+            struct(col("ch").as("hi"), col("cl").as("lo")),
+            struct(lit(0L).as("hi"), lit(0L).as("lo"))).as("d"))
+          .collect()
+      }
+      assert(e.getMessage.contains("partsDiff contract"))
+    } finally System.clearProperty("graft.suml128.check")
+  }
 }
