@@ -63,7 +63,9 @@ object Plans {
       "window_rolling_minmax_wide", "text_bpe_merge_rounds",
       "dedup_clusters_distributed", "graph_shortest_path_k",
       "ts_xcorr_lagged", "source_json_corrupt", "agg_weighted_median",
-      "window_linear_decay")
+      "window_linear_decay",
+      // round-13
+      "ann_ivfpq_topk", "ann_ivfpq_recall")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

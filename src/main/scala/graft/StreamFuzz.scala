@@ -279,10 +279,26 @@ object StreamFuzz {
             .map { case (v, c) => (key, ws, v, c) }
         }
 
+    // quantile oracle: per (key, tumbling window) sorted bag, exact
+    // integer ceil-rank p50/p95; the two quantiles ride ONE 4-tuple
+    // slot via an injective base-B pack (values are e4-scaled in
+    // [−10^6, 10^6], B = 4·10^6 + 1 > 2·max|p95|, so pack equality ⇔
+    // pair equality) — n keeps its own slot
+    val QPackB = 4000001L
+    def quantOracle(w: Long)(
+        ev: IndexedSeq[KeyedEvent]): Seq[(Long, Long, Long, Long)] =
+      ev.groupBy(e => (e.key, Math.floorDiv(e.tsMillis, w) * w)).toSeq
+        .map { case ((key, ws), es) =>
+          val sorted = es.map(s4).sorted
+          val n = sorted.size.toLong
+          def at(rank: Long): Long = sorted((rank - 1).toInt)
+          (key, ws, n, at((n + 1) / 2) * QPackB + at((95 * n + 99) / 100))
+        }
+
     val armNames = Seq("trailing_inorder", "running_inorder",
       "rows_inorder", "trailing_ooo", "running_ooo", "rows_ooo",
-      "cusum_ooo", "topk_ooo", "asof_ooo")
-    val arm = rnd.nextInt(9)
+      "cusum_ooo", "topk_ooo", "asof_ooo", "quantile_ooo")
+    val arm = rnd.nextInt(10)
     val name = s"${armNames(arm)}#$i"
     val sparkEnc = org.apache.spark.sql.Encoders
     arm match {
@@ -374,6 +390,23 @@ object StreamFuzz {
             _ >= sentWin)(
             sparkEnc.product[StreamingOps.TopkAgg]),
           topkOracle(w, k))
+      case 9 =>
+        // windowed P50/P95 under random arrival: same order-independent
+        // bag machinery as topk (window close timing, cross-batch
+        // merge), but the emission is a rank WALK over the sorted bag —
+        // this arm pins the integer ceil-rank indices (p50=(n+1)/2,
+        // p95=(95n+99)/100) against a direct sorted-seq lookup
+        val w = (5L + rnd.nextInt(120)) * 60L * 1000L
+        val (batches, lateness, s1) = oooBatches(w)
+        val sentWin = Math.floorDiv(s1, w) * w
+        Plan(name, events, batches,
+          (s, b) => drive[StreamingOps.QuantileAgg](s, b,
+            ds => StreamingOps.quantileWDelayed(ds, w, lateness),
+            t => (t.key, t.winStartMillis, t.n,
+              t.p50E4 * QPackB + t.p95E4),
+            _ >= sentWin)(
+            sparkEnc.product[StreamingOps.QuantileAgg]),
+          quantOracle(w))
       case _ =>
         // stream-stream AS-OF: content-derived side tags (a pure
         // function of the event, so duplicates tag consistently on

@@ -179,6 +179,10 @@ object StreamProbe {
         run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
           StreamingOps.topkWDelayed(ds, windowMillis = 60000L, k = 3,
             latenessMillis = lateness).toDF())),
+      "quantile_delayed" -> ((ev, sd) =>
+        run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
+          StreamingOps.quantileWDelayed(ds, windowMillis = 60000L,
+            latenessMillis = lateness).toDF())),
       "asof_delayed" -> ((ev, sd) =>
         run(ooo(ev, sd).map(tag), (ds: Dataset[TaggedEvent]) =>
           StreamingOps.asofJoinWDelayed(ds, lateness).toDF())))

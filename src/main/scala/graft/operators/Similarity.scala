@@ -411,6 +411,66 @@ object Similarity {
     * scale C is thousands of centroids, so per-cluster candidate lists
     * stay bounded; a hot cluster is AQE's skew-split case, not a plan
     * rewrite. Probe/rank tie-breaks match [[ivfTopK]] exactly. */
+  /** IVF-PQ: coarse IVF probe + per-cluster ADC over PQ codes — the
+    * composition behind every billion-vector index (FAISS IVFADC,
+    * Jégou et al. 2011): the inverted lists bound WHICH rows are
+    * scored (nProbe/C of the corpus) and the product codes bound WHAT
+    * is read per row (m ints, no raw-vector FLOPs at query time).
+    * Both halves are the already-gated operators verbatim —
+    * [[ivfAssign]] buckets the corpus, [[pqEncode]] compresses it, the
+    * query side carries [[ivfTopK]]'s probe list and [[pqTopK]]'s ADC
+    * tables — so the composition stays deterministic and fully
+    * replayable (fixed centroids/codebooks, index tie-breaks). Scale
+    * shape: the encoded corpus (cluster, codes) is ~16× smaller than
+    * raw embeddings and shuffles/broadcast-joins on the cluster id
+    * only; at 100 TB the clusters are physical partitions and the scan
+    * reads nProbe of them. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Array[(Long, Seq[Double])], books: PqCodebooks,
+      k: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val enc = pqEncode(
+        ivfAssign(corpus.repartition(parallelism), centroids, vecCol),
+        books, vecCol)
+      .select(col(idCol).as("nbr_id"), col("cluster"), col("codes"))
+    // query side: the m ADC tables (pqTopK's construction) ...
+    val qBase = (0 until books.m).foldLeft(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))) {
+      (df, s) =>
+        val sub = slice(col("__qv"), s * books.subDim + 1, books.subDim)
+        df.withColumn(s"__qsub_$s", sub)
+          .withColumn(s"__qn_$s", dot(col(s"__qsub_$s"), col(s"__qsub_$s")))
+          .withColumn(s"__tab_$s", array(books.books(s).map(cent =>
+            adcDist(col(s"__qn_$s"), col(s"__qsub_$s"), cent)): _*))
+    }
+    // ... plus ivfTopK's probe list (cosine DESC, cid ASC tie order)
+    val qProbes = qBase.withColumn("probes", {
+        val scored = centroids.map { case (cid, cvec) =>
+          struct(coalesce(-cosine(col("__qv"), typedLit(cvec)),
+            lit(Double.PositiveInfinity)).as("neg"), lit(cid).as("cid"))
+        }
+        slice(array_sort(array(scored: _*)), 1, nProbe)
+      })
+      .withColumn("cluster",
+        explode(transform(col("probes"), _.getField("cid"))))
+      .select(col("query_id") +: col("cluster") +:
+        (0 until books.m).map(s => col(s"__tab_$s")): _*)
+    val adist = (0 until books.m).map(s =>
+        element_at(col(s"__tab_$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _) // left-to-right, mirroring the oracle's list_reduce
+    val cands = broadcast(qProbes).join(enc, Seq("cluster"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("adist", adist)
+    cands.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(-col("adist"), col("nbr_id"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("query_id"), col("t.id").as("nbr_id"),
+        (-col("t.score")).as("adist"),
+        (col("r0") + 1).cast("long").as("rank"))
+  }
+
   def ivfKnnJoin(corpus: DataFrame, centroids: Array[(Long, Seq[Double])],
       k: Int, nProbe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

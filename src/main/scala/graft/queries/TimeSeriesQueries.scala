@@ -333,7 +333,8 @@ object TimeSeriesQueries {
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
     "dedup_stream_exact", "sessionize_stream_stateful",
-    "stream_cusum_stateful", "stream_topk_stateful", "join_stream_asof",
+    "stream_cusum_stateful", "stream_topk_stateful",
+    "stream_quantile_stateful", "join_stream_asof",
     "join_stream_stream", "join_stream_stream_louter",
     "join_stream_stream_fouter")
 
@@ -682,6 +683,46 @@ object TimeSeriesQueries {
       val sink = s.table(qn).select(col("key").as("user_id"),
         col("winStartMillis").as("win_start_ms"), col("rank"),
         col("valueE4").as("value_e4"), col("cnt"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "stream_quantile_stateful" -> ((s, dir) => {
+      // P50/P95 per (user, 4h tumbling window) on the OOO stream — the
+      // latency-monitoring staple (round-12 verdict item 7) and the
+      // second ORDER-INDEPENDENT state shape beside topk: the per-open-
+      // window value→count bag is an exact mergeable sketch in the
+      // e4-scaled domain, folded under the fixture's 2×2h shuffle and
+      // finalized on window close (StreamingOps.quantileWDelayed).
+      // Quantile ranks are 1-based ceil indices computed in INTEGER
+      // arithmetic on both engines — p50=(n+1)//2, p95=(95n+99)//100 —
+      // so the compare has no float dimension. Reuses the topk staged
+      // fixture verbatim (same jitter/lateness/tailMs → same dir): the
+      // tail margin closes every real window while the sentinels' own
+      // windows stay open forever.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val winMs = 4L * 3600L * 1000L
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness,
+        tailMs = winMs + 1000L, tag = "topk")
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.quantileWDelayed(src,
+        windowMillis = winMs, latenessMillis = lateness)
+      val qn = s"graft_stream_quant_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("winStartMillis").as("win_start_ms"), col("n"),
+        col("p50E4").as("p50_e4"), col("p95E4").as("p95_e4"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -1883,6 +1924,23 @@ object TimeSeriesQueries {
     // every real (user, window) group closes under the topk fixture's
     // tailMs margin, so the oracle is the plain batch ranking; ties
     // break on (cnt desc, value asc) — a total order
+    // every real (user, window) group closes under the topk fixture's
+    // tailMs margin; integer ceil-rank indices on both engines — the
+    // discrete-quantile definition shared with quantileWDelayed
+    "stream_quantile_stateful" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events),
+         w AS (SELECT user_id,
+           (ts_ms // 14400000) * 14400000 AS win_start_ms, v4 FROM e),
+         r AS (SELECT user_id, win_start_ms, v4,
+           row_number() OVER (PARTITION BY user_id, win_start_ms
+             ORDER BY v4) AS rn,
+           count(*) OVER (PARTITION BY user_id, win_start_ms) AS n
+           FROM w)
+         SELECT user_id, win_start_ms, max(n) AS n,
+           max(CASE WHEN rn = (n + 1) // 2 THEN v4 END) AS p50_e4,
+           max(CASE WHEN rn = (95 * n + 99) // 100 THEN v4 END) AS p95_e4
+         FROM r GROUP BY 1, 2""",
     "stream_topk_stateful" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
            CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events),

@@ -643,6 +643,94 @@ object StreamingOps {
       }
   }
 
+  /** [[quantileWDelayed]] output: exact discrete quantiles of one
+    * closed (key, tumbling window) group. Indices are 1-based ceil
+    * ranks computed in INTEGER arithmetic — `p50 = (n+1)/2`,
+    * `p95 = (95n+99)/100` — so the cross-engine compare has no float
+    * dimension at all (the oracle uses the same `//` forms). */
+  case class QuantileAgg(key: Long, winStartMillis: Long, n: Long,
+      p50E4: Long, p95E4: Long)
+
+  /** Per-key P50/P95 over TUMBLING event-time windows, exact under
+    * out-of-order arrival — the latency-monitoring staple (round-12
+    * verdict item 7) and, like [[topkWDelayed]], an op Structured
+    * Streaming cannot express natively (a windowed percentile of
+    * streaming aggregates would chain two streaming aggregations —
+    * unsupported in append mode). State is the same
+    * order-independent value→count bag per OPEN window the topk op
+    * keeps ([[WinCounts]]/[[TopkDelayBuf]] reused verbatim — the bag
+    * IS the mergeable sketch: in the e4-scaled value domain it is an
+    * EXACT equi-width histogram, O(open windows × distinct values),
+    * independent of stream length — the StreamProbe contract). Folds
+    * arrivals in any order; emits a window once the watermark strictly
+    * passes its last member (winStart ≤ wm − W), at which point the
+    * bag is final and the quantiles are computed by one cumulative
+    * walk of the value-sorted bag (no expansion to n rows).
+    * Beyond-lateness stragglers for an already-emitted window are
+    * dropped — append mode cannot retract, mirroring the engine's own
+    * windowed-aggregate semantics. */
+  def quantileWDelayed(events: Dataset[KeyedEvent], windowMillis: Long,
+      latenessMillis: Long): Dataset[QuantileAgg] = {
+    require(windowMillis > 0, "windowMillis must be > 0")
+    require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
+      .as[KeyedEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopkDelayBuf, QuantileAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEventT],
+         st: GroupState[TopkDelayBuf]) =>
+          val prev = st.getOption.getOrElse(TopkDelayBuf(Nil, Long.MinValue))
+          val bags = scala.collection.mutable.Map.empty[Long,
+            scala.collection.mutable.Map[Long, Long]]
+          prev.wins.foreach { w =>
+            bags(w.winStart) =
+              scala.collection.mutable.Map(w.vs.zip(w.cs): _*)
+          }
+          it.foreach { e =>
+            val w = Math.floorDiv(e.tsMillis, windowMillis) * windowMillis
+            if (w > prev.emittedThrough) {
+              val bag = bags.getOrElseUpdate(w,
+                scala.collection.mutable.Map.empty)
+              val v = scaledE4(e.value)
+              bag(v) = bag.getOrElse(v, 0L) + 1L
+            }
+          }
+          val emitUpTo = st.getCurrentWatermarkMs() - windowMillis
+          val (close, keep) = bags.partition(_._1 <= emitUpTo)
+          val out = close.toSeq.sortBy(_._1).map { case (w, bag) =>
+            val sorted = bag.toSeq.sortBy(_._1)
+            val n = sorted.iterator.map(_._2).sum
+            // 1-based ceil ranks in integer arithmetic (see QuantileAgg)
+            def at(rank: Long): Long = {
+              var cum = 0L
+              var res = sorted.head._1
+              val iter = sorted.iterator
+              var found = false
+              while (!found && iter.hasNext) {
+                val (v, c) = iter.next(); cum += c
+                if (cum >= rank) { res = v; found = true }
+              }
+              res
+            }
+            QuantileAgg(key, w, n, at((n + 1) / 2), at((95 * n + 99) / 100))
+          }
+          val emittedThrough =
+            if (close.nonEmpty) math.max(prev.emittedThrough, close.keys.max)
+            else prev.emittedThrough
+          st.update(TopkDelayBuf(
+            keep.toSeq.sortBy(_._1).map { case (w, bag) =>
+              val sorted = bag.toSeq.sortBy(_._1)
+              WinCounts(w, sorted.map(_._1), sorted.map(_._2))
+            },
+            emittedThrough))
+          out.iterator
+      }
+  }
+
   /** [[asofJoinWDelayed]] input: one UNION-TAGGED stream — Spark has no
     * stream-stream as-of join, so both sides ride one keyed stream with
     * a side tag and meet in per-key state (the Flink-temporal-join

@@ -635,4 +635,49 @@ class StreamingSpec extends AnyFunSuite {
     // value asc — 1.0 at rank 1, 2.0 at rank 2; 3.0 (cnt 1) is cut
     assert(got == Seq((0L, 1L, 10000L, 2L), (0L, 2L, 20000L, 2L)))
   }
+
+  test("quantileWDelayed: integer ceil-rank edges — n=1, even-n lower " +
+      "median, duplicate-heavy bag, OOO cross-batch merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.KeyedEvent
+    val ms = MemoryStream[KeyedEvent]
+    val qn = "quant_edge"
+    val q = StreamingOps.quantileWDelayed(ms.toDS(), windowMillis = 10000L,
+        latenessMillis = 5000L)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    // key 1, window [0,10s): values 4,1,3,2 (n=4, even → p50 = rank
+    // ceil(5/2)=2 → 2.0; p95 = rank ceil(95·4/100)=4 → 4.0), arrivals
+    // shuffled across two batches
+    ms.addData(KeyedEvent(1, 9000, 4.0), KeyedEvent(1, 1000, 1.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 3000, 3.0), KeyedEvent(1, 2000, 2.0),
+      // key 2 same window: single element (n=1 → both ranks hit it);
+      // key 3: duplicate-heavy bag 7×5.0 + 1×9.0 (n=8 → p50 rank 4 in
+      // the 5.0 run; p95 rank ceil(7.6)=8 → 9.0)
+      KeyedEvent(2, 4000, -1.5))
+    q.processAllAvailable()
+    ms.addData((1 to 7).map(i => KeyedEvent(3, 1000L * i, 5.0)) :+
+      KeyedEvent(3, 8000, 9.0))
+    q.processAllAvailable()
+    assert(spark.table(qn).count() == 0) // wm still below window end
+    ms.addData(KeyedEvent(1, 30000, 0.0), KeyedEvent(2, 30000, 0.0),
+      KeyedEvent(3, 30000, 0.0))
+    q.processAllAvailable()
+    // second sentinel batch must carry EVERY key: the state fn only
+    // runs for keys present in a batch, and the watermark advanced by
+    // batch N is only visible in batch N+1
+    ms.addData(KeyedEvent(1, 31000, 0.0), KeyedEvent(2, 31000, 0.0),
+      KeyedEvent(3, 31000, 0.0))
+    q.processAllAvailable()
+    val got = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq.sorted
+    q.stop(); spark.catalog.dropTempView(qn)
+    assert(got == Seq(
+      (1L, 0L, 4L, 20000L, 40000L),
+      (2L, 0L, 1L, -15000L, -15000L),
+      (3L, 0L, 8L, 50000L, 90000L)))
+  }
 }
