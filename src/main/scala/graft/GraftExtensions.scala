@@ -22,10 +22,19 @@ import graft.functions._
   *   - runtime: `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // COUNT(DISTINCT) OVER (... RANGE n PRECEDING) → the
+    // RollingDistinct difference-array plan. A RESOLUTION rule, not an
+    // optimizer rule: Spark's DISTINCT_WINDOW_FUNCTION_UNSUPPORTED
+    // rejection fires in CheckAnalysis (after the resolution batch),
+    // so this is the only injection point that can claim the
+    // expression before stock Spark rejects it.
+    ext.injectResolutionRule(session =>
+      graft.plans.RollingDistinctRewrite(session))
+  }
 }
 
 object GraftExtensions {

@@ -13,6 +13,7 @@ object PlanFingerprints {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("PLAN_FINGERPRINTS.json")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -21,6 +21,7 @@ object PlanPeek {
       sys.exit(2)
     }
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

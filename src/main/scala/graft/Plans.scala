@@ -65,7 +65,7 @@ object Plans {
       "ts_xcorr_lagged", "source_json_corrupt", "agg_weighted_median",
       "window_linear_decay",
       // round-13
-      "ann_ivfpq_topk", "ann_ivfpq_recall")
+      "ann_ivfpq_topk", "ann_ivfpq_recall", "window_rolling_distinct_rule")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is
@@ -92,6 +92,7 @@ object Plans {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("PLANS.md")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

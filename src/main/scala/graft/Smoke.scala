@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -55,7 +55,8 @@ object RollingDistinct {
     * groups get G×P parallelism instead of a G-task window cap. */
   def groupedTrailingDistinct(df: DataFrame, by: Seq[String], idCol: String,
       bucketCol: String, w: Int,
-      outCol: String = "distinct_cnt"): DataFrame = {
+      outCol: String = "distinct_cnt",
+      spineFrom: Option[DataFrame] = None): DataFrame = {
     require(w >= 1, "window width must be >= 1 bucket")
     import org.apache.spark.sql.expressions.Window
 
@@ -82,8 +83,13 @@ object RollingDistinct {
       .agg(sum(col("__delta")).as("__delta"))
 
     // dense bucket spine over each group's observed span (one row per
-    // group → sequence; size = group's bucket-domain, not data)
-    val spine = df.groupBy(byCols: _*)
+    // group → sequence; size = group's bucket-domain, not data).
+    // `spineFrom` widens the span beyond df's own buckets when the
+    // caller must evaluate trailing windows at buckets df doesn't
+    // carry (RollingDistinctRewrite: rows whose id is null still have
+    // a frame); deltas falling past the spine are dropped by the left
+    // join and can only affect buckets past it — never one inside.
+    val spine = spineFrom.getOrElse(df).groupBy(byCols: _*)
       .agg(min(col(bucketCol).cast("long")).as("__lo"),
         max(col(bucketCol).cast("long")).as("__hi"))
       .select(byCols :+ explode(sequence(col("__lo"), col("__hi")))

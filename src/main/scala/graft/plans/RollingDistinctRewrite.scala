@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Analyzer rule: `COUNT(DISTINCT x) OVER (PARTITION BY k ORDER BY b
+  * RANGE BETWEEN n PRECEDING AND CURRENT ROW)` → the difference-array
+  * plan of [[graft.operators.RollingDistinct]] (round-12 verdict
+  * item 4 — the manual rewrite promoted to a Catalyst rule).
+  *
+  * Spark REJECTS distinct window aggregates outright
+  * (`DISTINCT_WINDOW_FUNCTION_UNSUPPORTED`, raised from CheckAnalysis
+  * via `WindowResolution.validateResolvedWindowExpression`) — and even
+  * if it didn't, the naive evaluation would hold per-frame distinct
+  * state proportional to window contents. Because the rejection fires
+  * AFTER the resolution batch, an injected resolution rule can claim
+  * the expression first: this rule rewrites the resolved Window node
+  * into
+  *
+  *   child LEFT JOIN (difference-array rolling-distinct frame,
+  *                    one row per (partition, bucket))
+  *         ON partition keys (null-safe) AND bucket
+  *
+  * which preserves the naive semantics row for row:
+  *   - non-null order keys: distinct non-null `x` over buckets in
+  *     [b−n, b] (null order keys sort outside every finite range
+  *     frame, so the frame pipeline filters them);
+  *   - null order keys: Spark makes all null-key rows one peer frame
+  *     (measured — see the null arm below), reproduced by a dedicated
+  *     per-partition aggregate over the null-bucket rows;
+  *   - empty frames: COUNT is 0, never null (the final coalesce).
+  *
+  * Output attributes keep the ORIGINAL exprIds (the final Project
+  * aliases carry them over), so parent operators resolve unchanged.
+  *
+  * Eligibility is deliberately narrow — count of ONE attribute, no
+  * FILTER clause, attribute partition keys, a single ascending
+  * integral order attribute, foldable finite negative lower bound,
+  * CURRENT ROW upper — anything else is left for CheckAnalysis to
+  * reject exactly as stock Spark would. Installed via
+  * `spark.sql.extensions=graft.GraftExtensions` (build-time only:
+  * analyzer rules cannot be added to a live session). */
+case class RollingDistinctRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private case class Target(alias: Alias, id: Attribute,
+      part: Seq[Attribute], order: Attribute, nPreceding: Long)
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
+  private def targetOf(e: NamedExpression): Option[Target] = e match {
+    case a @ Alias(WindowExpression(
+        AggregateExpression(Count(Seq(id: Attribute)), _, true, None, _),
+        WindowSpecDefinition(part,
+          Seq(SortOrder(ob: Attribute, Ascending, _, _)),
+          SpecifiedWindowFrame(RangeFrame, lower, CurrentRow))), _)
+        if part.forall(_.isInstanceOf[Attribute]) && lower.foldable &&
+          integral(ob.dataType) =>
+      lower.eval() match {
+        case n: Number if n.longValue < 0 && n.longValue > Int.MinValue + 2 =>
+          Some(Target(a, id, part.map(_.asInstanceOf[Attribute]), ob,
+            -n.longValue))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case w: Window if w.resolved &&
+          w.windowExpressions.nonEmpty &&
+          w.windowExpressions.forall(e => targetOf(e).isDefined) =>
+        rewrite(w)
+    }
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def rewrite(w: Window): LogicalPlan = {
+    val targets = w.windowExpressions.map(e => targetOf(e).get)
+    val childDf = ColumnShim.ofRows(spark, w.child)
+    var acc: DataFrame = childDf
+    val cntNames = targets.map { t =>
+      val u = seq.incrementAndGet()
+      val gNames = t.part.indices.map(j => s"__rd_g${j}_$u")
+      val bName = s"__rd_b_$u"
+      val idName = s"__rd_id_$u"
+      val cntName = s"__rd_cnt_$u"
+      val proj = childDf
+        .select((t.part :+ t.order :+ t.id).map(ColumnShim.column): _*)
+        .toDF(gNames ++ Seq(bName, idName): _*)
+      // non-null arm: the difference-array frame, one row per
+      // (partition, bucket-in-span)
+      // spine must span ALL observed buckets, not just id-bearing
+      // ones: a row whose id is null still has a trailing frame over
+      // the ids before it
+      val frame = graft.operators.RollingDistinct.groupedTrailingDistinct(
+        proj.filter(col(idName).isNotNull && col(bName).isNotNull),
+        by = gNames, idCol = idName, bucketCol = bName,
+        w = (t.nPreceding + 1).toInt, outCol = cntName,
+        spineFrom = Some(proj.filter(col(bName).isNotNull)))
+      // null-order-key arm: all null-key rows are one peer frame
+      val nullArm = proj.filter(col(bName).isNull)
+        .groupBy(gNames.map(col): _*)
+        .agg(count_distinct(col(idName)).as(cntName))
+        .withColumn(bName, lit(null).cast("long"))
+        .select(frame.columns.map(col): _*)
+      val lookup = frame.unionByName(nullArm)
+      val cond = (t.part.zip(gNames).map { case (p, g) =>
+          ColumnShim.column(p) <=> col(g)
+        } :+ (ColumnShim.column(t.order).cast("long") <=> col(bName)))
+        .reduce(_ && _)
+      acc = acc.join(lookup, cond, "left")
+        .drop((gNames :+ bName): _*)
+      cntName
+    }
+    val analyzed = acc.queryExecution.analyzed
+    val childAttrs = w.child.output.map(a =>
+      analyzed.output.find(_.exprId == a.exprId).getOrElse(a))
+    val aliases = targets.zip(cntNames).map { case (t, cn) =>
+      val cntAttr = analyzed.output.find(_.name == cn).getOrElse(
+        throw new IllegalStateException(
+          s"RollingDistinctRewrite lost its count column $cn"))
+      Alias(Coalesce(Seq(cntAttr, Literal(0L))),
+        t.alias.name)(exprId = t.alias.exprId,
+        qualifier = t.alias.qualifier)
+    }
+    Project(childAttrs ++ aliases, analyzed)
+  }
+}

@@ -1352,6 +1352,58 @@ object TimeSeriesQueries {
           expr("ts div 86400000000000").as("day")),
         idCol = "user_id", bucketCol = "day", w = 7, outCol = "uniq7")
     }),
+    "window_rolling_distinct_rule" -> ((s, dir) => {
+      // The NAIVE `count(DISTINCT user_id) OVER (ORDER BY day RANGE 6
+      // PRECEDING)` form — which stock Spark REJECTS outright
+      // (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED) — made legal AND
+      // scale-safe by the injected analyzer rule
+      // (plans/RollingDistinctRewrite): the rule claims the resolved
+      // Window node before CheckAnalysis fires and rewrites it to the
+      // difference-array plan of operators/RollingDistinct plus a
+      // back-join, so the user-facing declarative form gets the
+      // O(rows) plan automatically. The spine union (one null-id row
+      // per day in span) makes the per-row naive output collapse to
+      // exactly the dedicated key's per-day shape — the oracle is
+      // window_rolling_distinct's VERBATIM, so the rule is gated
+      // against the same interval-join ground truth. The require()s
+      // pin the rewrite: no distinct window aggregate survives to the
+      // optimized plan, and the difference-array shape (Generate
+      // delta-explode + back-join) is present.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      val span = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"),
+          lit(null).cast("long").as("user_id"))
+      val input = e.unionByName(span.select("user_id", "day"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      val out = input.select(col("day"),
+          count_distinct(col("user_id")).over(w).as("uniq7"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rolling_distinct_rule: the distinct window aggregate " +
+          "survived — RollingDistinctRewrite did not fire (is " +
+          "spark.sql.extensions=graft.GraftExtensions set?)")
+      val generates = opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      val joins = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      require(generates.nonEmpty && joins.nonEmpty,
+        "window_rolling_distinct_rule: expected the difference-array " +
+          "shape (delta Generate + back-join) in the rewritten plan")
+      out
+    }),
     "window_rolling_distinct_by" -> ((s, dir) => {
       // GROUPED rolling uniques (per event_type — rolling actives per
       // source/domain/tenant): the same difference-array decomposition
@@ -2175,6 +2227,17 @@ object TimeSeriesQueries {
          FROM det LEFT JOIN seas ON det.user_id = seas.user_id
            AND det.dow = seas.dow""",
     "window_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT unnest(generate_series(min(day), max(day)))
+           AS day FROM e)
+         SELECT s.day, count(DISTINCT e.user_id) AS uniq7
+         FROM span s LEFT JOIN e
+           ON e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1""",
+    // VERBATIM the dedicated key's oracle: the rule-rewritten naive
+    // form must reproduce the same per-day interval-join ground truth
+    "window_rolling_distinct_rule" ->
       """WITH e AS (SELECT DISTINCT user_id,
            epoch_ns(ts) // 86400000000000 AS day FROM events),
          span AS (SELECT unnest(generate_series(min(day), max(day)))

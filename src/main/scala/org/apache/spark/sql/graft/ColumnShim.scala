@@ -13,6 +13,15 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `Dataset.ofRows` is private[sql]; optimizer/resolution rules that
+    * rebuild a subtree with the DataFrame API (RollingDistinctRewrite)
+    * need the plan→DataFrame direction too. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** If the column is a plain attribute reference (`col("x")`), its
     * dotted name. The `internal.ColumnNode` AST is `private[sql]`, so
     * operator code (e.g. TidierOps' month-frame routing) introspects

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val get: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[4]")
       .appName("tidierspark-test")
       .config("spark.sql.shuffle.partitions", "4")
