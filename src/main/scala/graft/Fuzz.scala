@@ -24,8 +24,16 @@ import graft.operators.{Frame, TidierOps}
 object Fuzz {
   import TidierOps._
 
+  /** mutateW argument shape in SQL-text form — what [[graft.sql
+    * .SqlMutate.render]] takes. Captured per sample so the SAME random
+    * spec can be replayed through the SQL surface (round-12 verdict
+    * item 3: the sqlmutate fuzz arm). */
+  private final case class SqlSpec(agg: String, by: Seq[String],
+    orderBy: Seq[String], frame: Option[Frame], index: Option[String],
+    complete: Boolean)
+
   private final case class Sample(name: String, df: DataFrame,
-    result: DataFrame, oracle: String)
+    result: DataFrame, oracle: String, sqlSpec: Option[SqlSpec] = None)
 
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/tmp/fuzz_in")
@@ -43,6 +51,8 @@ object Fuzz {
 
     val oracles = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var fails = 0
+    var sqlOk = 0
+    var sqlRejected = 0
     (0 until n).foreach { i =>
       val s = sample(spark, i, seed)
       try {
@@ -55,7 +65,36 @@ object Fuzz {
         System.err.println(s"[fuzz] ${s.name} FAILED to build: $e")
         fails += 1
       }
+      // sqlmutate arm: replay the SAME spec through SqlMutate.render →
+      // spark.sql, gated against the SAME DuckDB replay (table renamed).
+      // Shapes the SQL surface rejects by design (e.g. the grouped
+      // months-median sweep outside the renderable family) are counted,
+      // not failed.
+      s.sqlSpec.foreach { sp =>
+        val tn = s.name + "s"
+        try {
+          s.df.createOrReplaceTempView(tn)
+          val sql = graft.sql.SqlMutate.render(tn,
+            Seq("out" -> sp.agg), by = sp.by, orderBy = sp.orderBy,
+            frame = sp.frame, index = sp.index, complete = sp.complete)
+          val res = spark.sql(sql).select(col("o"), col("out"))
+          s.df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$inDir/$tn.parquet")
+          res.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$tn")
+          oracles(tn) = s.oracle.replace(s.name, tn)
+          sqlOk += 1
+        } catch {
+          case _: IllegalArgumentException |
+               _: UnsupportedOperationException => sqlRejected += 1
+          case e: Exception =>
+            System.err.println(s"[fuzz] $tn (sqlmutate) FAILED: $e")
+            fails += 1
+        } finally spark.catalog.dropTempView(tn)
+      }
     }
+    System.err.println(
+      s"[fuzz] sqlmutate arm: $sqlOk rendered, $sqlRejected rejected-by-design")
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -98,6 +137,7 @@ object Fuzz {
     val useBy = rnd.nextBoolean()
     val by = if (useBy) Seq(col("g")) else Nil
     val pb = if (useBy) "PARTITION BY g " else ""
+    val byTexts = if (useBy) Seq("g") else Nil
     val desc = rnd.nextBoolean()
     val ord = if (desc) "o DESC" else "o"
 
@@ -112,11 +152,13 @@ object Fuzz {
           by = by, orderBy = Seq(if (desc) col("o").desc else col("o")))
         Sample(name, df, out(res),
           w(s"ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-            "CURRENT ROW"))
+            "CURRENT ROW"),
+          Some(SqlSpec(out0, byTexts, Seq(ord), None, None, false)))
       case 1 => // group-constant aggregate (.by only)
         val res = df.mutateW("out" -> aggC(col("v")))(by = Seq(col("g")))
         Sample(name, df, out(res), s"SELECT o, $out0 OVER " +
-          s"(PARTITION BY g) AS out FROM $name")
+          s"(PARTITION BY g) AS out FROM $name",
+          Some(SqlSpec(out0, Seq("g"), Nil, None, None, false)))
       case 2 => // rows(b, a) frame, possibly negative offsets + complete
         val b = rnd.nextInt(6) - 1 // -1..4
         val a = math.max(-b, rnd.nextInt(4) - 1) // frame nonempty
@@ -135,7 +177,9 @@ object Fuzz {
           if (!complete) base
           else s"""SELECT o, CASE WHEN count(1) OVER ($pb$fr) = ${b + a + 1}
                    THEN $out0 OVER ($pb$fr) END AS out FROM $name"""
-        Sample(name, df, out(res), o)
+        Sample(name, df, out(res), o,
+          Some(SqlSpec(out0, byTexts, Seq(ord), Some(Frame.rows(b, a)),
+            None, complete)))
       case 3 => // days(b, a) index range frame + complete
         val b = rnd.nextInt(45)
         val a = rnd.nextInt(15)
@@ -151,7 +195,9 @@ object Fuzz {
           else s"""SELECT o, CASE WHEN $idx - $b >= min($idx) OVER ($pb)
                    AND $idx + $a <= max($idx) OVER ($pb)
                    THEN $out0 OVER ($pb$fr) END AS out FROM $name"""
-        Sample(name, df, out(res), o)
+        Sample(name, df, out(res), o,
+          Some(SqlSpec(out0, byTexts, Nil, Some(Frame.days(b, a)),
+            Some("d"), complete)))
       case 4 => // trailing months(m, 0) — interval self-join oracle
         val m = 1 + rnd.nextInt(3)
         val res = df.mutateW("out" -> aggC(col("v")))(
@@ -161,7 +207,9 @@ object Fuzz {
           s"""SELECT a.o, ${aggS("b.v")} AS out
               FROM $name a JOIN $name b ON $onG
                 b.d BETWEEN CAST(a.d - INTERVAL $m MONTH AS DATE) AND a.d
-              GROUP BY a.o""")
+              GROUP BY a.o""",
+          Some(SqlSpec(out0, byTexts, Nil, Some(Frame.months(m, 0)),
+            Some("d"), false)))
       case 5 => // GENERAL months(b, a) offset frame, incl. negative after
         // — fuzzes monthsAgg's two-boundary as-of path and (for min/max)
         // the daily-partial expansion; possibly-empty windows ride the
@@ -179,7 +227,9 @@ object Fuzz {
           s"""SELECT a.o, ${aggS("b.v")} AS out
               FROM $name a LEFT JOIN $name b ON $onG
                 b.d BETWEEN CAST(${mb(-b)} AS DATE) AND CAST(${mb(a)} AS DATE)
-              GROUP BY a.o""")
+              GROUP BY a.o""",
+          Some(SqlSpec(out0, byTexts, Nil, Some(Frame.months(b, a)),
+            Some("d"), false)))
       case _ => // trailing months MEDIAN — the round-9 grouped quantile
         // sweep path (monthsQuantileGrouped). Integer-valued doubles make
         // the even-count interpolation exact in BOTH engines' formulas
@@ -193,7 +243,9 @@ object Fuzz {
           s"""SELECT a.o, median(b.v) AS out
               FROM $name a JOIN $name b ON a.g IS NOT DISTINCT FROM b.g AND
                 b.d BETWEEN CAST(a.d - INTERVAL $m MONTH AS DATE) AND a.d
-              GROUP BY a.o""")
+              GROUP BY a.o""",
+          Some(SqlSpec("median(v)", Seq("g"), Nil,
+            Some(Frame.months(m, 0)), Some("d"), false)))
     }
   }
 }

@@ -20,11 +20,13 @@ object PlanFingerprints {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val entries = Plans.fingerprinted.map { name =>
-      val fp = graft.plans.PlanFingerprint.of(
-        SparkEntry.queries(name)(spark, sfDir))
-      s"""  "$name": "$fp""""
-    }
+    val entries =
+      (Plans.fingerprinted.map { name =>
+        name -> graft.plans.PlanFingerprint.of(
+          SparkEntry.queries(name)(spark, sfDir))
+      } ++ Plans.scopedFingerprints.toSeq.map { case (name, fp) =>
+        name -> fp(spark, sfDir)
+      }).sortBy(_._1).map { case (name, fp) => s"""  "$name": "$fp"""" }
     Files.writeString(Paths.get(out),
       entries.mkString("{\n", ",\n", "\n}\n"))
     println(s"[fingerprints] wrote ${entries.size} shapes to $out")

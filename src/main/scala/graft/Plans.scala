@@ -73,9 +73,29 @@ object Plans {
 
   /** Keys whose `queries()` CONSTRUCTION executes jobs (the
     * collect-inside-conf-scope feature gates) — their returned frame
-    * is a LocalTableScan snapshot, so there is no plan to pin. */
+    * is a LocalTableScan snapshot, so there is no plan to pin from the
+    * inventory sweep. Round-13 (r12 verdict item 6): their INNER
+    * frames are fingerprinted anyway via [[scopedFingerprints]]. */
   val nonDumpable: Set[String] =
     Set("join_runtime_bloom", "join_dpp_prune", "join_aqe_skew")
+
+  /** Fingerprints for the three runtime-feature keys: each executes
+    * its frame inside queries() (snapshot pattern), so the ledger pins
+    * the SAME inner frame pre-execution, built under the SAME conf
+    * scope the gate key uses — AQE wrappers are normalized away by
+    * PlanFingerprint.shape, leaving the stable skeleton (scan + join
+    * type + the planted runtime-filter/pruning subquery marker). */
+  val scopedFingerprints: Map[String, (SparkSession, String) => String] =
+    Map(
+      "join_aqe_skew" -> ((s, dir) =>
+        graft.queries.ExtendedQueries.aqeSkewScoped(s, dir)(j =>
+          graft.plans.PlanFingerprint.of(j))),
+      "join_runtime_bloom" -> ((s, dir) =>
+        graft.queries.ExtendedQueries.bloomScoped(s, dir)(j =>
+          graft.plans.PlanFingerprint.of(j))),
+      "join_dpp_prune" -> ((s, dir) =>
+        graft.plans.PlanFingerprint.of(
+          graft.queries.FormatQueries.dppFrame(s, dir))))
 
   /** The fingerprint gate's domain (round-12: widened from the
     * curated `headline` ledger to EVERY non-streaming key) — the

@@ -57,6 +57,90 @@ object ExtendedQueries {
     * driver — see the guard at the collect site). */
   val AqeSkewCollectCapConf = "spark.graft.aqeskew.maxCollectRows"
 
+  /** join_aqe_skew's conf scope + inner adaptive join frame, shared by
+    * the gate key and the plan-fingerprint ledger (round-12 verdict
+    * item 6 — these runtime-feature keys return LocalTableScan
+    * snapshots, so the inventory-wide sweep cannot dump them; the
+    * pinned shape is this frame's PRE-EXECUTION skeleton with AQE
+    * wrappers normalized away by PlanFingerprint). Confs restored in
+    * finally. */
+  def aqeSkewScoped[T](s: SparkSession, dir: String)(
+      body: DataFrame => T): T = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // thresholds sized so the hot partition trips the gate at ALL
+      // fixture scales (sf0.001 hot ≈ 20KB compressed)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // ~95% of events on ONE derived key; props carried for realistic
+      // row width (the hot shuffle partition must clear the byte
+      // threshold at sf0.01)
+      // The 32-way repartition gives the join shuffle a multi-mapper
+      // map side: AQE splits a skewed REDUCE partition along mapper
+      // boundaries, so a fixture-sized scan (ONE map task) is
+      // unsplittable no matter the thresholds. A 100 TB scan has
+      // thousands of mappers; this emulates that granularity.
+      val big = events(s, dir).select(
+        when(col("user_id") % 20 =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("k"),
+        col("event_id"), col("value"), col("props"))
+        .repartition(32)
+      // plain-shuffled dim (not an aggregate: OptimizeSkewedJoin only
+      // matches SMJ → Sort → ShuffleQueryStage on BOTH sides — a
+      // post-shuffle HashAggregate on the dim side defeats the rule)
+      val dim = s.range(150).select(col("id").as("k"),
+        (col("id") * 2 + 1).as("d"))
+      body(big.join(dim, Seq("k"))
+        .select(col("event_id"), col("k"), col("value"), col("d")))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** join_runtime_bloom's conf scope + inner join frame — same sharing
+    * contract as [[aqeSkewScoped]]. */
+  def bloomScoped[T](s: SparkSession, dir: String)(
+      body: DataFrame => T): T = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fixture-scale thresholds: the default application-side floor
+      // (10GB scan) assumes warehouse sizes; the FEATURE is the gate
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "0")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      // selective build-side predicate (5% of parts at every sf —
+      // retailprice ranges scale with sf, a key-derived predicate
+      // doesn't) — the isLikelySelective shape InjectRuntimeFilter
+      // looks for
+      val p = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(20)) === 0)
+        .select(col("p_partkey"), col("p_brand"))
+      body(li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          r4(sum(col("l_quantity"))).as("qty")))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_wide" -> ((s, dir) => {
       // reshape long→wide (tidyr::pivot_wider analog). Values pinned:
@@ -128,7 +212,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).cast("long").as("n"),
           r4(sum(col("rev_c")).cast("double") / lit(10000.0)).as("rev"))
     }),
-    "join_aqe_skew" -> ((s, dir) => {
+    "join_aqe_skew" -> ((s, dir) => aqeSkewScoped(s, dir) { j =>
       // AQE runtime skew-join split, oracle-gated (was spec-only, the
       // zero-code complement to SkewOps salting): a 95%-hot join key is
       // split at RUNTIME by AdaptiveSparkPlan — `require`d on the
@@ -138,70 +222,33 @@ object ExtendedQueries {
       // collected output OF THAT EXECUTION (dedup_stream_exact's
       // snapshot pattern — the driver hashes what the skew-split plan
       // actually produced), equal to the plain join: the oracle IS the
-      // plain join. Thresholds shrink AqeSpec's proven recipe to fixture
-      // scale; confs are restored in finally.
-      val confs = Seq(
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
-        "spark.sql.adaptive.enabled" -> "true",
-        "spark.sql.adaptive.skewJoin.enabled" -> "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-        // thresholds sized so the hot partition trips the gate at ALL
-        // fixture scales (sf0.001 hot ≈ 20KB compressed)
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
-          -> "4KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
-        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-      try {
-        confs.foreach { case (k, v) => s.conf.set(k, v) }
-        // ~95% of events on ONE derived key; props carried for realistic
-        // row width (the hot shuffle partition must clear the byte
-        // threshold at sf0.01)
-        // The 32-way repartition gives the join shuffle a multi-mapper
-        // map side: AQE splits a skewed REDUCE partition along mapper
-        // boundaries, so a fixture-sized scan (ONE map task) is
-        // unsplittable no matter the thresholds. A 100 TB scan has
-        // thousands of mappers; this emulates that granularity.
-        val big = events(s, dir).select(
-          when(col("user_id") % 20 =!= 0, lit(0L))
-            .otherwise(col("user_id")).as("k"),
-          col("event_id"), col("value"), col("props"))
-          .repartition(32)
-        // plain-shuffled dim (not an aggregate: OptimizeSkewedJoin only
-        // matches SMJ → Sort → ShuffleQueryStage on BOTH sides — a
-        // post-shuffle HashAggregate on the dim side defeats the rule)
-        val dim = s.range(150).select(col("id").as("k"),
-          (col("id") * 2 + 1).as("d"))
-        val j = big.join(dim, Seq("k"))
-          .select(col("event_id"), col("k"), col("value"), col("d"))
-        // Row-cap guard (round-6 verdict item 3): the gate MUST collect
-        // its own execution to finalize THIS plan's AQE split, but an
-        // unbounded driver collect is the one scale-killer shape in the
-        // repo — bound it like Similarity.bruteForceGuard. The count
-        // runs on a cloned limit(cap+1) plan (limit early-out, never a
-        // full scan past the cap) and fails loudly instead of OOMing
-        // the driver on a 100× misuse.
-        val cap = s.conf.get(AqeSkewCollectCapConf, "2000000").toLong
-        val capInt = math.min(cap, Int.MaxValue - 1L).toInt
-        val probed = j.select(lit(1).as("one")).limit(capInt + 1).count()
-        require(probed <= cap,
-          s"join_aqe_skew collects its joined output to the driver to " +
-            s"finalize the adaptive plan; input would produce >$cap " +
-            s"rows — this gate is fixture-scale only, raise " +
-            s"$AqeSkewCollectCapConf if the collect is intended")
-        // collect() finalizes j's OWN adaptive plan (a count/write would
-        // build a separate QueryExecution and leave this one un-split)
-        val rows = j.collectAsList()
-        val finalPlan = j.queryExecution.executedPlan.toString
-        require(finalPlan.contains("skew=true"),
-          s"AQE did not mark the skewed join:\n$finalPlan")
-        s.createDataFrame(rows, j.schema)
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
-      }
+      // plain join. Conf scope + frame shared with the fingerprint
+      // ledger via aqeSkewScoped.
+      //
+      // Row-cap guard (round-6 verdict item 3): the gate MUST collect
+      // its own execution to finalize THIS plan's AQE split, but an
+      // unbounded driver collect is the one scale-killer shape in the
+      // repo — bound it like Similarity.bruteForceGuard. The count
+      // runs on a cloned limit(cap+1) plan (limit early-out, never a
+      // full scan past the cap) and fails loudly instead of OOMing
+      // the driver on a 100× misuse.
+      val cap = s.conf.get(AqeSkewCollectCapConf, "2000000").toLong
+      val capInt = math.min(cap, Int.MaxValue - 1L).toInt
+      val probed = j.select(lit(1).as("one")).limit(capInt + 1).count()
+      require(probed <= cap,
+        s"join_aqe_skew collects its joined output to the driver to " +
+          s"finalize the adaptive plan; input would produce >$cap " +
+          s"rows — this gate is fixture-scale only, raise " +
+          s"$AqeSkewCollectCapConf if the collect is intended")
+      // collect() finalizes j's OWN adaptive plan (a count/write would
+      // build a separate QueryExecution and leave this one un-split)
+      val rows = j.collectAsList()
+      val finalPlan = j.queryExecution.executedPlan.toString
+      require(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+      s.createDataFrame(rows, j.schema)
     }),
-    "join_runtime_bloom" -> ((s, dir) => {
+    "join_runtime_bloom" -> ((s, dir) => bloomScoped(s, dir) { j =>
       // Runtime BLOOM-FILTER semi-join reduction, oracle-gated (the
       // shuffle-join sibling of join_aqe_skew's AQE gate): when a join's
       // build side carries a selective predicate, Catalyst's
@@ -211,45 +258,17 @@ object ExtendedQueries {
       // shuffling only rows that can possibly match. The gate `require`s
       // the injected filter in the optimized plan, so a regression in
       // the rule (or a conf drift that disables it) fails the key; rows
-      // equal the plain join — the oracle IS the plain join.
-      val confs = Seq(
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // shuffle join
-        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-        // fixture-scale thresholds: the default application-side floor
-        // (10GB scan) assumes warehouse sizes; the FEATURE is the gate
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
-          -> "100MB",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-          -> "0")
-      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-      try {
-        confs.foreach { case (k, v) => s.conf.set(k, v) }
-        val li = t(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_quantity"))
-        // selective build-side predicate (5% of parts at every sf —
-        // retailprice ranges scale with sf, a key-derived predicate
-        // doesn't) — the isLikelySelective shape InjectRuntimeFilter
-        // looks for
-        val p = t(s, dir, "part")
-          .filter(pmod(col("p_partkey"), lit(20)) === 0)
-          .select(col("p_partkey"), col("p_brand"))
-        val j = li.join(p, col("l_partkey") === col("p_partkey"))
-          .groupBy("p_brand")
-          .agg(count(lit(1)).as("n"),
-            r4(sum(col("l_quantity"))).as("qty"))
-        val opt = j.queryExecution.optimizedPlan.toString
-        require(opt.contains("might_contain"),
-          s"runtime bloom filter was not injected:\n$opt")
-        // materialize THIS execution (the one carrying the injected
-        // filter) before the finally restores confs — a later write
-        // action would re-optimize under restored confs and silently
-        // drop the feature under test (the join_aqe_skew snapshot
-        // pattern; output is |brands| ≈ 25 rows, driver-safe)
-        s.createDataFrame(j.collectAsList(), j.schema)
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
-      }
+      // equal the plain join — the oracle IS the plain join. Conf scope
+      // + frame shared with the fingerprint ledger via bloomScoped.
+      val opt = j.queryExecution.optimizedPlan.toString
+      require(opt.contains("might_contain"),
+        s"runtime bloom filter was not injected:\n$opt")
+      // materialize THIS execution (the one carrying the injected
+      // filter) before the finally restores confs — a later write
+      // action would re-optimize under restored confs and silently
+      // drop the feature under test (the join_aqe_skew snapshot
+      // pattern; output is |brands| ≈ 25 rows, driver-safe)
+      s.createDataFrame(j.collectAsList(), j.schema)
     }),
     "join_star_schema" -> ((s, dir) => {
       // TPC-H Q5-shaped STAR JOIN — the canonical warehouse workload,

@@ -74,6 +74,34 @@ object FormatQueries {
     df.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("qty"))
 
+  /** join_dpp_prune's inner frame (scratch partitioned fact + filtered
+    * file-based dim + join/agg), shared by the gate key and the
+    * plan-fingerprint ledger (round-12 verdict item 6): the pinned
+    * shape carries the dynamicpruning subquery on the fact scan. */
+  def dppFrame(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "orders_dpp")
+    t(s, dir, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(path)
+    val fact = s.read.parquet(path)
+    import s.implicits._
+    // dim carries the selective filter; only status F survives.
+    // TWO planner preconditions earned the hard way: the predicate
+    // must be a comparison shape (Catalyst's isLikelySelective takes
+    // EqualTo/In/Like, not a bare boolean attribute), and the dim
+    // must be FILE-based — ConvertToLocalRelation folds a Filter over
+    // a LocalRelation away before the PartitionPruning optimizer
+    // batch ever sees it
+    val dimPath = scratch(s, dir, "dpp_dim")
+    Seq(("F", "pick"), ("O", "skip"), ("P", "skip"))
+      .toDF("st", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath).filter(col("tag") === "pick")
+    fact.join(dim, col("o_orderstatus") === col("st"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        r4(sum(col("o_totalprice").cast("decimal(11,2)")).cast("double"))
+          .as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
@@ -323,27 +351,7 @@ object FormatQueries {
       // decided at runtime from the broadcast result, no static literal
       // required. `require`d on the executed plan; rows equal the
       // statically-filtered oracle.
-      val path = scratch(s, dir, "orders_dpp")
-      t(s, dir, "orders").write.mode("overwrite")
-        .partitionBy("o_orderstatus").parquet(path)
-      val fact = s.read.parquet(path)
-      import s.implicits._
-      // dim carries the selective filter; only status F survives.
-      // TWO planner preconditions earned the hard way: the predicate
-      // must be a comparison shape (Catalyst's isLikelySelective takes
-      // EqualTo/In/Like, not a bare boolean attribute), and the dim
-      // must be FILE-based — ConvertToLocalRelation folds a Filter over
-      // a LocalRelation away before the PartitionPruning optimizer
-      // batch ever sees it
-      val dimPath = scratch(s, dir, "dpp_dim")
-      Seq(("F", "pick"), ("O", "skip"), ("P", "skip"))
-        .toDF("st", "tag").write.mode("overwrite").parquet(dimPath)
-      val dim = s.read.parquet(dimPath).filter(col("tag") === "pick")
-      val j = fact.join(dim, col("o_orderstatus") === col("st"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          r4(sum(col("o_totalprice").cast("decimal(11,2)")).cast("double"))
-            .as("total"))
+      val j = dppFrame(s, dir)
       val rows = j.collectAsList()
       val plan = j.queryExecution.executedPlan.toString
       require(plan.contains("dynamicpruning"),

@@ -22,7 +22,7 @@ class PlanFingerprintSpec extends AnyFunSuite {
   }
 
   test("ledger covers exactly the fingerprinted keys (all non-streaming)") {
-    val want = Plans.fingerprinted.toSet
+    val want = Plans.fingerprinted.toSet ++ Plans.scopedFingerprints.keySet
     assert(ledger.keySet == want,
       s"missing=${want.diff(ledger.keySet).toSeq.sorted} " +
         s"stale=${ledger.keySet.diff(want).toSeq.sorted} " +
@@ -30,8 +30,13 @@ class PlanFingerprintSpec extends AnyFunSuite {
   }
 
   test("every fingerprinted plan shape matches the committed ledger") {
-    val drift = Plans.fingerprinted.flatMap { name =>
-      val got = PlanFingerprint.of(SparkEntry.queries(name)(spark, dir))
+    val drift = (Plans.fingerprinted.map { name =>
+      name -> (() =>
+        PlanFingerprint.of(SparkEntry.queries(name)(spark, dir)))
+    } ++ Plans.scopedFingerprints.toSeq.map { case (name, fp) =>
+      name -> (() => fp(spark, dir))
+    }).flatMap { case (name, compute) =>
+      val got = compute()
       val want = ledger.getOrElse(name, "<absent>")
       if (got == want) Nil else Seq(s"$name:\n  want $want\n  got  $got")
     }
