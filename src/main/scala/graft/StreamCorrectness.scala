@@ -1,0 +1,369 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{KeyedEvent, TaggedEvent}
+
+/** Streaming 10× HASH GATE (round-13, r12 verdict item 1 — the single
+  * remaining correctness blind spot): the 22 streaming inventory keys
+  * are oracle-gated at sf0.01/sf0.1 and StreamProbe measures state and
+  * throughput at 10× stream length, but until this main no artifact
+  * hash-compared a stateful op's DRAINED OUTPUT against a batch oracle
+  * at the 10× scale — the way SF1CORRECTNESS does for batch keys.
+  *
+  * This main replays the IDENTICAL StreamProbe fixture (same generator,
+  * same seeds, same arrival schedules — [[StreamProbe.gen]]/[[
+  * StreamProbe.ooo]]/[[StreamProbe.inOrder]]) at `mult`× through every
+  * stateful operator, appends the gate fixtures' two all-keys sentinel
+  * batches so the watermark provably flushes every REAL event
+  * (sentinels' own release points stay above the final watermark
+  * forever, and their rows are filtered by timestamp anyway), and
+  * reduces the sink to an ORDER-INDEPENDENT digest — per micro-batch,
+  * `sum(xxhash64(canonical long columns))` + row count, folded on the
+  * driver (wrapping int64 sums; both sides wrap identically). The
+  * oracle computes the same multiset from the batch frame DEFINITION
+  * in Scala — two-pointer trailing windows, tie-group prefix sums, the
+  * textbook cusum recursion, per-window bags, the quote-book sweep —
+  * O(n log n) per op (the StreamFuzz oracles re-derived without the
+  * O(n²) per-event scan, which does not survive 2M events), then
+  * hashes it through the SAME Spark expression. `hash_match` ⇔ equal
+  * (count, hash-sum) pairs.
+  *
+  * Run: `sbt "runMain graft.StreamCorrectness [perKeyX1] [mult]"` →
+  * STREAMCORRECTNESS.json; exits 1 on any mismatch. */
+object StreamCorrectness {
+
+  type Row4 = (Long, Long, Long, Long)
+  type Row5 = (Long, Long, Long, Long, Long)
+
+  private val qId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def main(args: Array[String]): Unit = {
+    val perKey = args.headOption.map(_.toInt).getOrElse(2000)
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val lateness = StreamProbe.lateness
+    val before = StreamProbe.before
+    val nRows = StreamProbe.nRows
+    val winMs = 60000L
+    val aE4 = 50000L
+    val hE4 = 1000000L
+
+    /** digest of a canonical all-long frame: (row count, Σ low word,
+      * Σ high word of per-row xxhash64) — order-independent, computed
+      * distributed, and OVERFLOW-FREE under ANSI mode (Spark 4 default):
+      * each summand is bounded by 2^32, so even 2^30 rows stay inside
+      * int64 — no wrapping semantics to reason about on either side */
+    def digest(df: DataFrame): (Long, Long, Long) = {
+      val cols = df.columns.map(col)
+      val h = xxhash64(cols: _*)
+      val r = df.select(h.bitwiseAND(lit(0xFFFFFFFFL)).as("hl"),
+          shiftright(h, 32).as("hh"))
+        .agg(count(lit(1)).as("c"), sum(col("hl")).as("sl"),
+          sum(col("hh")).as("sh")).head
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    /** drive one op over the batch schedule, folding the per-batch
+      * digest of `proj(outputDF)` — nothing is retained on the driver
+      * beyond two longs */
+    def drain[I <: Product : org.apache.spark.sql.Encoder](
+        batches: Seq[Seq[I]],
+        op: Dataset[I] => DataFrame,
+        proj: DataFrame => DataFrame): (Long, Long, Long, Double) = {
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[I]
+      var cnt = 0L; var sLo = 0L; var sHi = 0L
+      val q = op(ms.toDS()).writeStream.outputMode("append")
+        .queryName(s"graft_scorr_${qId.incrementAndGet()}")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val (c, lo, hi) = digest(proj(df))
+          cnt += c; sLo += lo; sHi += hi
+        }
+        .start()
+      val t0 = System.nanoTime()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      (cnt, sLo, sHi, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---------- efficient batch oracles (frame DEFINITIONS) ----------
+    def s4(e: KeyedEvent): Long = StreamingOps.scaledE4(e.value)
+    def byKey(ev: IndexedSeq[KeyedEvent]): Map[Long, Array[KeyedEvent]] =
+      ev.groupBy(_.key).map { case (k, es) =>
+        k -> es.sortBy(e => (e.tsMillis, s4(e))).toArray
+      }
+    /** tie-group ranges [g0, g1) of equal ts over a ts-sorted array */
+    def tieGroups(a: Array[KeyedEvent]): Iterator[(Int, Int)] =
+      new Iterator[(Int, Int)] {
+        private var i = 0
+        def hasNext: Boolean = i < a.length
+        def next(): (Int, Int) = {
+          val g0 = i
+          while (i < a.length && a(i).tsMillis == a(g0).tsMillis) i += 1
+          (g0, i)
+        }
+      }
+    def prefix(a: Array[KeyedEvent]): Array[Long] = {
+      val p = new Array[Long](a.length + 1)
+      var i = 0
+      while (i < a.length) { p(i + 1) = p(i) + s4(a(i)); i += 1 }
+      p
+    }
+
+    def trailingOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        val pre = prefix(a)
+        val out = Seq.newBuilder[Row4]
+        var lo = 0
+        tieGroups(a).foreach { case (g0, g1) =>
+          val t = a(g0).tsMillis
+          while (a(lo).tsMillis < t - before) lo += 1
+          val n = (g1 - lo).toLong
+          val sum = pre(g1) - pre(lo)
+          var i = g0
+          while (i < g1) { out += ((k, t, n, sum)); i += 1 }
+        }
+        out.result()
+      }
+
+    def runningOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        val pre = prefix(a)
+        val out = Seq.newBuilder[Row4]
+        tieGroups(a).foreach { case (g0, g1) =>
+          val t = a(g0).tsMillis
+          var i = g0
+          while (i < g1) { out += ((k, t, g1.toLong, pre(g1))); i += 1 }
+        }
+        out.result()
+      }
+
+    def rowsOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        val pre = prefix(a)
+        a.indices.map { i =>
+          val lo = math.max(0, i - (nRows - 1))
+          (k, a(i).tsMillis, (i - lo + 1).toLong, pre(i + 1) - pre(lo))
+        }
+      }
+
+    def cusumOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        val out = Seq.newBuilder[Row4]
+        var s = 0L
+        tieGroups(a).foreach { case (g0, g1) =>
+          var d = 0L
+          var i = g0
+          while (i < g1) { d += s4(a(i)) - aE4; i += 1 }
+          s = math.max(0L, s + d)
+          val drift = if (s > hE4) 1L else 0L
+          i = g0
+          while (i < g1) { out += ((k, a(i).tsMillis, s, drift)); i += 1 }
+        }
+        out.result()
+      }
+
+    def topkOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row5] =
+      ev.groupBy(e => (e.key, Math.floorDiv(e.tsMillis, winMs) * winMs))
+        .toSeq.flatMap { case ((k, ws), es) =>
+          es.groupBy(s4).toSeq.map { case (v, g) => (v, g.size.toLong) }
+            .sortBy { case (v, c) => (-c, v) }.take(3)
+            .zipWithIndex.map { case ((v, c), i) => (k, ws, i + 1L, v, c) }
+        }
+
+    def quantileOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row5] =
+      ev.groupBy(e => (e.key, Math.floorDiv(e.tsMillis, winMs) * winMs))
+        .toSeq.map { case ((k, ws), es) =>
+          val sorted = es.map(s4).sorted
+          val n = sorted.size.toLong
+          def at(rank: Long): Long = sorted((rank - 1).toInt)
+          (k, ws, n, at((n + 1) / 2), at((95 * n + 99) / 100))
+        }
+
+    def asofOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        val out = Seq.newBuilder[Row4]
+        var haveQ = false; var qBest = 0L
+        tieGroups(a).foreach { case (g0, g1) =>
+          // quotes at ts t are eligible for lefts at the same t, and a
+          // newer ts replaces the book (per-ts MAX among quote ties)
+          var newBest = Long.MinValue; var anyNew = false
+          var i = g0
+          while (i < g1) {
+            if (StreamProbe.tagOf(a(i))) {
+              anyNew = true
+              if (s4(a(i)) > newBest) newBest = s4(a(i))
+            }
+            i += 1
+          }
+          if (anyNew) { haveQ = true; qBest = newBest }
+          i = g0
+          while (i < g1) {
+            if (!StreamProbe.tagOf(a(i)))
+              out += ((k, a(i).tsMillis, s4(a(i)),
+                if (haveQ) qBest else Long.MinValue))
+            i += 1
+          }
+        }
+        out.result()
+      }
+
+    def hash4(rows: Seq[Row4]): (Long, Long, Long) =
+      digest(spark.createDataset(rows).toDF())
+    def hash5(rows: Seq[Row5]): (Long, Long, Long) =
+      digest(spark.createDataset(rows).toDF())
+
+    // ---------- arms ----------
+    /** sentinel schedule: two all-keys batches past maxTs + lateness +
+      * window, so the final watermark strictly passes every real event
+      * AND every real tumbling window, while the sentinels' own release
+      * points stay above it forever (the gate-fixture construction) */
+    def withSentinels(ev: IndexedSeq[KeyedEvent],
+        batches: Vector[Seq[KeyedEvent]]): (Vector[Seq[KeyedEvent]], Long) = {
+      val s1 = ev.iterator.map(_.tsMillis).max + lateness + winMs + 2000L
+      val sent = (ts: Long) =>
+        (0 until StreamProbe.K).map(k => KeyedEvent(k.toLong, ts, 0.0))
+      (batches :+ sent(s1) :+ sent(s1 + 1000L), s1)
+    }
+
+    final case class Arm(name: String,
+        run: (IndexedSeq[KeyedEvent], Long) => (Long, Long, Long, Double),
+        oracle: IndexedSeq[KeyedEvent] => (Long, Long, Long))
+
+    def keep(s1: Long)(df: DataFrame): DataFrame =
+      df.filter(col("tsMillis") < s1)
+
+    val arms = Seq(
+      Arm("trailing_inorder",
+        (ev, _) => {
+          // in-order op emits at arrival — no watermark, no sentinels
+          drain(StreamProbe.inOrder(ev),
+            (ds: Dataset[KeyedEvent]) => StreamingOps.trailingW(ds,
+              before).toDF(),
+            df => df.select(col("key"), col("tsMillis"), col("winN"),
+              col("winSumE4")))
+        },
+        ev => hash4(trailingOracle(ev))),
+      Arm("trailing_delayed",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.trailingWDelayed(ds,
+              before, lateness).toDF(),
+            df => keep(s1)(df).select(col("key"), col("tsMillis"),
+              col("winN"), col("winSumE4")))
+        },
+        ev => hash4(trailingOracle(ev))),
+      Arm("running_delayed",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.runningWDelayed(ds,
+              lateness).toDF(),
+            df => keep(s1)(df).select(col("key"), col("tsMillis"),
+              col("cumN"), col("cumSumE4")))
+        },
+        ev => hash4(runningOracle(ev))),
+      Arm("rows_delayed",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.trailingRowsWDelayed(
+              ds, nRows, lateness).toDF(),
+            df => keep(s1)(df).select(col("key"), col("tsMillis"),
+              col("winN"), col("winSumE4")))
+        },
+        ev => hash4(rowsOracle(ev))),
+      Arm("cusum_delayed",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.cusumWDelayed(ds,
+              aE4, hE4, lateness).toDF(),
+            df => keep(s1)(df).select(col("key"), col("tsMillis"),
+              col("cusumE4"), col("isDrift").cast("long")))
+        },
+        ev => hash4(cusumOracle(ev))),
+      Arm("topk_delayed",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.topkWDelayed(ds,
+              winMs, 3, lateness).toDF(),
+            df => df.filter(col("winStartMillis") < s1)
+              .select(col("key"), col("winStartMillis"), col("rank"),
+                col("valueE4"), col("cnt")))
+        },
+        ev => hash5(topkOracle(ev))),
+      Arm("quantile_delayed",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.quantileWDelayed(ds,
+              winMs, lateness).toDF(),
+            df => df.filter(col("winStartMillis") < s1)
+              .select(col("key"), col("winStartMillis"), col("n"),
+                col("p50E4"), col("p95E4")))
+        },
+        ev => hash5(quantileOracle(ev))),
+      Arm("asof_delayed",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          val tb = b.map(_.map(e =>
+            TaggedEvent(e.key, e.tsMillis, e.value, StreamProbe.tagOf(e))))
+          drain(tb,
+            (ds: Dataset[TaggedEvent]) => StreamingOps.asofJoinWDelayed(ds,
+              lateness).toDF(),
+            df => keep(s1)(df).select(col("key"), col("tsMillis"),
+              col("valueE4"),
+              coalesce(col("quoteE4"), lit(Long.MinValue))))
+        },
+        ev => hash4(asofOracle(ev))))
+
+    val sb = new StringBuilder
+    sb.append("{\n \"metric\": \"stream_correctness\",\n")
+    sb.append(s""" "fixture": {"keys": ${StreamProbe.K}, """ +
+      s""""per_key_x1": $perKey, "mult": $mult, """ +
+      s""""step_ms": ${StreamProbe.stepMs}, """ +
+      s""""jitter_ms": ${StreamProbe.jitterMs}, """ +
+      s""""lateness_ms": $lateness, "before_ms": $before, """ +
+      s""""n_rows": $nRows, "window_ms": $winMs, """ +
+      s""""batch_size": ${StreamProbe.batchSize}},\n "ops": {\n""")
+    var bad = List.empty[String]
+    val entries = arms.zipWithIndex.map { case (arm, ai) =>
+      val ev = StreamProbe.gen(perKey * mult, seed = 42L + ai)
+      val (wc, wl, wh) = arm.oracle(ev)
+      val (gc, gl, gh, sec) = arm.run(ev, 42L + ai)
+      val ok = wc == gc && wl == gl && wh == gh
+      if (!ok) bad ::= arm.name
+      println(f"[scorr] ${arm.name}%-18s events ${ev.size}%9d " +
+        f"out $gc%9d oracle $wc%9d hash_match $ok%-5s ${sec}%7.1fs")
+      s"""  "${arm.name}": {"events": ${ev.size}, "out_rows": $gc, """ +
+        s""""oracle_rows": $wc, "hash_match": $ok, """ +
+        f""""drain_sec": $sec%.1f}"""
+    }
+    sb.append(entries.mkString(",\n")).append("\n }\n}\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("STREAMCORRECTNESS.json"), sb.toString)
+    println("[scorr] wrote STREAMCORRECTNESS.json")
+    spark.stop()
+    if (bad.nonEmpty) {
+      System.err.println(s"[scorr] MISMATCH: ${bad.reverse.mkString(",")}")
+      sys.exit(1)
+    }
+  }
+}

@@ -51,6 +51,57 @@ object StreamProbe {
     def evPerSec: Double = events / drainSec
   }
 
+  // ---- fixture (shared with graft.StreamCorrectness — the 10× hash
+  // gate replays the IDENTICAL event set and arrival schedules) ----
+  val K = 100
+  val stepMs = 100L
+  val t0 = 1700000000000L
+  val jitterMs = 5000L
+  val lateness: Long = 2 * jitterMs + 1000L
+  val before = 60000L
+  val nRows = 500
+  val batchSize = 10000
+
+  def gen(perKey: Int, seed: Long): IndexedSeq[KeyedEvent] = {
+    val rnd = new java.util.Random(seed)
+    (0 until K).flatMap { k =>
+      (0 until perKey).map { i =>
+        KeyedEvent(k.toLong, t0 + i * stepMs + rnd.nextInt(stepMs.toInt),
+          (rnd.nextInt(20001) - 10000) / 100.0)
+      }
+    }
+  }
+  /** arrival = event order perturbed by ±jitter — disorder bounded
+    * by the lateness the delayed ops are configured with */
+  def ooo(ev: IndexedSeq[KeyedEvent], seed: Long): Vector[Seq[KeyedEvent]] = {
+    val rnd = new java.util.Random(seed ^ 0x5eed)
+    // jitter PRECOMPUTED per element (a random key fn inside sortBy
+    // is an inconsistent comparator — TimSort throws)
+    ev.map(e =>
+        (e.tsMillis + rnd.nextInt(2 * jitterMs.toInt) - jitterMs) -> e)
+      .sortBy(_._1).map(_._2)
+      .grouped(batchSize).map(_.toSeq).toVector
+  }
+  /** arrival = exact (ts, value) order, cut so no ts tie group
+    * straddles a micro-batch (the in-order ops' contract) */
+  def inOrder(ev: IndexedSeq[KeyedEvent]): Vector[Seq[KeyedEvent]] = {
+    val sorted = ev.sortBy(e => (e.tsMillis, e.key, e.value))
+    val cuts = Vector.newBuilder[Seq[KeyedEvent]]
+    var from = 0
+    while (from < sorted.size) {
+      var to = math.min(from + batchSize, sorted.size)
+      while (to < sorted.size &&
+          sorted(to).tsMillis == sorted(to - 1).tsMillis) to += 1
+      cuts += sorted.slice(from, to)
+      from = to
+    }
+    cuts.result()
+  }
+
+  /** The asof arm's content-derived side tag (quote ⇔ hash ≡ 0 mod 3). */
+  def tagOf(e: KeyedEvent): Boolean =
+    ((e.key * 31 + e.tsMillis) * 31 + StreamingOps.scaledE4(e.value)) % 3 == 0
+
   def main(args: Array[String]): Unit = {
     val perKeyX1 = args.headOption.map(_.toInt).getOrElse(2000)
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
@@ -60,51 +111,6 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    val K = 100
-    val stepMs = 100L
-    val t0 = 1700000000000L
-    val jitterMs = 5000L
-    val lateness = 2 * jitterMs + 1000L
-    val before = 60000L
-    val nRows = 500
-    val batchSize = 10000
-
-    def gen(perKey: Int, seed: Long): IndexedSeq[KeyedEvent] = {
-      val rnd = new java.util.Random(seed)
-      (0 until K).flatMap { k =>
-        (0 until perKey).map { i =>
-          KeyedEvent(k.toLong, t0 + i * stepMs + rnd.nextInt(stepMs.toInt),
-            (rnd.nextInt(20001) - 10000) / 100.0)
-        }
-      }
-    }
-    /** arrival = event order perturbed by ±jitter — disorder bounded
-      * by the lateness the delayed ops are configured with */
-    def ooo(ev: IndexedSeq[KeyedEvent], seed: Long): Vector[Seq[KeyedEvent]] = {
-      val rnd = new java.util.Random(seed ^ 0x5eed)
-      // jitter PRECOMPUTED per element (a random key fn inside sortBy
-      // is an inconsistent comparator — TimSort throws)
-      ev.map(e =>
-          (e.tsMillis + rnd.nextInt(2 * jitterMs.toInt) - jitterMs) -> e)
-        .sortBy(_._1).map(_._2)
-        .grouped(batchSize).map(_.toSeq).toVector
-    }
-    /** arrival = exact (ts, value) order, cut so no ts tie group
-      * straddles a micro-batch (the in-order ops' contract) */
-    def inOrder(ev: IndexedSeq[KeyedEvent]): Vector[Seq[KeyedEvent]] = {
-      val sorted = ev.sortBy(e => (e.tsMillis, e.key, e.value))
-      val cuts = Vector.newBuilder[Seq[KeyedEvent]]
-      var from = 0
-      while (from < sorted.size) {
-        var to = math.min(from + batchSize, sorted.size)
-        while (to < sorted.size &&
-            sorted(to).tsMillis == sorted(to - 1).tsMillis) to += 1
-        cuts += sorted.slice(from, to)
-        from = to
-      }
-      cuts.result()
-    }
 
     def run[I <: Product : org.apache.spark.sql.Encoder](
         batches: Seq[Seq[I]],
@@ -152,11 +158,8 @@ object StreamProbe {
         (System.nanoTime() - start) / 1e9, batches.size, maxRows, maxBytes)
     }
 
-    def tag(ev: Seq[KeyedEvent]): Seq[TaggedEvent] = ev.map { e =>
-      val q = ((e.key * 31 + e.tsMillis) * 31 +
-        StreamingOps.scaledE4(e.value)) % 3 == 0
-      TaggedEvent(e.key, e.tsMillis, e.value, q)
-    }
+    def tag(ev: Seq[KeyedEvent]): Seq[TaggedEvent] =
+      ev.map(e => TaggedEvent(e.key, e.tsMillis, e.value, tagOf(e)))
 
     import spark.implicits._
     val arms: Seq[(String, (IndexedSeq[KeyedEvent], Long) => Metrics)] = Seq(
