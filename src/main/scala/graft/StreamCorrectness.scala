@@ -17,7 +17,11 @@ import graft.streaming.StreamingOps.{KeyedEvent, TaggedEvent}
   * This main replays the IDENTICAL StreamProbe fixture (same generator,
   * same seeds, same arrival schedules — [[StreamProbe.gen]]/[[
   * StreamProbe.ooo]]/[[StreamProbe.inOrder]]) at `mult`× through every
-  * stateful operator, appends the gate fixtures' two all-keys sentinel
+  * stateful operator — the probe's seven delayed/in-order window arms,
+  * `quantileWDelayed`, and `sessionize` (in-order only: its
+  * beyond-lateness late-data policy is arrival-order-dependent by
+  * design, so only the batch-identical regime has a definition to
+  * hash against) — appends the gate fixtures' two all-keys sentinel
   * batches so the watermark provably flushes every REAL event
   * (sentinels' own release points stay above the final watermark
   * forever, and their rows are filtered by timestamp anyway), and
@@ -194,6 +198,34 @@ object StreamCorrectness {
           (k, ws, n, at((n + 1) / 2), at((95 * n + 99) / 100))
         }
 
+    /** gap-rule session sweep in ts order — bit-identical double sums
+      * because the operator folds values in the same (ts, value) order
+      * under in-order arrival */
+    val gapMs = 150L
+    def sessionOracle(ev: IndexedSeq[KeyedEvent])
+        : Seq[(Long, Long, Long, Long, Double)] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+        var start = a(0).tsMillis; var end = start
+        var n = 1L; var total = a(0).value
+        var i = 1
+        while (i < a.length) {
+          val e = a(i)
+          if (e.tsMillis - end <= gapMs) {
+            end = e.tsMillis; n += 1; total += e.value
+          } else {
+            out += ((k, start, end, n, total))
+            start = e.tsMillis; end = start; n = 1L; total = e.value
+          }
+          i += 1
+        }
+        out += ((k, start, end, n, total))
+        out.result()
+      }
+    def hashSess(rows: Seq[(Long, Long, Long, Long, Double)])
+        : (Long, Long, Long) =
+      digest(spark.createDataset(rows).toDF())
+
     def asofOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
       byKey(ev).toSeq.flatMap { case (k, a) =>
         val out = Seq.newBuilder[Row4]
@@ -332,7 +364,27 @@ object StreamCorrectness {
               col("valueE4"),
               coalesce(col("quoteE4"), lit(Long.MinValue))))
         },
-        ev => hash4(asofOracle(ev))))
+        ev => hash4(asofOracle(ev))),
+      Arm("sessionize_inorder",
+        (ev, _) => {
+          // sessionize is watermark-FREE: its beyond-lateness late-data
+          // policy is arrival-order-dependent by design (bounded-state
+          // "no reopened sessions"), so the batch-definition hash gate
+          // is valid under IN-ORDER arrival — where the operator is
+          // batch-identical. One sentinel pair closes every real
+          // trailing session; sentinel sessions are filtered by start.
+          val s1 = ev.iterator.map(_.tsMillis).max + gapMs + 2000L
+          val sent = (ts: Long) =>
+            (0 until StreamProbe.K).map(k => KeyedEvent(k.toLong, ts, 0.0))
+          val b = StreamProbe.inOrder(ev) :+ sent(s1) :+ sent(s1 + 1000L)
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.sessionize(ds,
+              gapMs).toDF(),
+            df => df.filter(col("startMillis") < s1)
+              .select(col("key"), col("startMillis"), col("endMillis"),
+                col("nEvents"), col("sumValue")))
+        },
+        ev => hashSess(sessionOracle(ev))))
 
     val sb = new StringBuilder
     sb.append("{\n \"metric\": \"stream_correctness\",\n")

@@ -188,7 +188,13 @@ object StreamProbe {
             latenessMillis = lateness).toDF())),
       "asof_delayed" -> ((ev, sd) =>
         run(ooo(ev, sd).map(tag), (ds: Dataset[TaggedEvent]) =>
-          StreamingOps.asofJoinWDelayed(ds, lateness).toDF())))
+          StreamingOps.asofJoinWDelayed(ds, lateness).toDF())),
+      // watermark-free gap sessionization (O(1)/key state): in-order
+      // arrival, its batch-identical regime — round-13, paired with the
+      // sessionize_inorder hash gate in StreamCorrectness
+      "sessionize_inorder" -> ((ev, _) =>
+        run(inOrder(ev), (ds: Dataset[KeyedEvent]) =>
+          StreamingOps.sessionize(ds, gapMillis = 150L).toDF())))
 
     val sb = new StringBuilder
     sb.append("{\n \"metric\": \"stream_probe\",\n")

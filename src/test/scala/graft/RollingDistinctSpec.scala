@@ -79,4 +79,22 @@ class RollingDistinctSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
+
+  test("spineFrom widens the span: buckets past the id-bearing range " +
+      "still see trailing ids (the RollingDistinctRewrite contract)") {
+    // ids live on days 10-11; the caller must evaluate windows at days
+    // 13 and 20 too (rows whose id column is null in the rewrite).
+    // w=4: day 13's window [10,13] holds both ids; day 20's is empty.
+    val ids = Seq((1L, 10L), (2L, 11L)).toDF("uid", "b")
+    val spine = Seq((0L, 10L), (0L, 11L), (0L, 13L), (0L, 20L))
+      .toDF("uid", "b")
+    val got = RollingDistinct.groupedTrailingDistinct(ids, Nil, "uid",
+        "b", 4, "cnt", spineFrom = Some(spine))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(13L) == 2L)
+    assert(got(14L) == 1L) // [11,14] still holds id 2
+    assert(got(15L) == 0L)
+    assert(got(20L) == 0L)
+    assert(got(10L) == 1L && got(11L) == 2L)
+  }
 }
