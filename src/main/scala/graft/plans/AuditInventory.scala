@@ -57,6 +57,9 @@ object AuditInventory {
     // recall estimation needs ground truth on a bounded query sample,
     // O(|sample| · corpus) regardless of corpus size (r11)
     "ann_ivf_recall" -> Set("bnl_join"),
+    // same recall-audit shape for the IVF-PQ composition (r13): the
+    // exact arm's bounded-query brute-force scan is the ground truth
+    "ann_ivfpq_recall" -> Set("bnl_join"),
     "embedding_dup_pairs" -> Set("bnl_join"),
     // hybrid fusion's vector arm is the gated exact baseline
     // (cosineTopK on a 10-query broadcast side); the fusion itself is
