@@ -1404,6 +1404,43 @@ object TimeSeriesQueries {
           "shape (delta Generate + back-join) in the rewritten plan")
       out
     }),
+    "window_rolling_distinct_by_rule" -> ((s, dir) => {
+      // The GROUPED naive form through the same analyzer rule — one
+      // distinct-window aggregate PARTITION BY event_type, exercising
+      // RollingDistinctRewrite's partition-key path (null-safe group
+      // join, per-group spine) end to end; oracle is
+      // window_rolling_distinct_by's VERBATIM interval-join ground
+      // truth. Spine rows ride per (event_type, day in group span)
+      // with null user_id, collapsing the per-row output to the
+      // dedicated key's per-(group, day) shape.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"), col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      val span = e.groupBy("event_type")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"),
+          lit(null).cast("long").as("user_id"))
+      val input = e.unionByName(span.select("event_type", "user_id", "day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      val out = input.select(col("event_type"), col("day"),
+          count_distinct(col("user_id")).over(w).as("uniq7"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rolling_distinct_by_rule: the distinct window " +
+          "aggregate survived — RollingDistinctRewrite did not fire")
+      out
+    }),
     "window_rolling_distinct_by" -> ((s, dir) => {
       // GROUPED rolling uniques (per event_type — rolling actives per
       // source/domain/tenant): the same difference-array decomposition
@@ -2246,6 +2283,18 @@ object TimeSeriesQueries {
          FROM span s LEFT JOIN e
            ON e.day BETWEEN s.day - 6 AND s.day
          GROUP BY 1""",
+    // VERBATIM the grouped dedicated key's oracle (see
+    // window_rolling_distinct_rule)
+    "window_rolling_distinct_by_rule" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT event_type,
+           unnest(generate_series(min(day), max(day))) AS day
+           FROM e GROUP BY event_type)
+         SELECT s.event_type, s.day, count(DISTINCT e.user_id) AS uniq7
+         FROM span s LEFT JOIN e ON s.event_type = e.event_type
+           AND e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1, 2""",
     "window_rolling_distinct_by" ->
       """WITH e AS (SELECT DISTINCT event_type, user_id,
            epoch_ns(ts) // 86400000000000 AS day FROM events),
