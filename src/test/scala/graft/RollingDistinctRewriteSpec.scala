@@ -89,6 +89,35 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     assert(got == Map(2L -> 4L))
   }
 
+  test("the SQL surface gets the rewrite too: count(DISTINCT) OVER in " +
+      "spark.sql parses, rewrites, and matches the DataFrame path") {
+    // the reference's tbl_lazy users live in SQL — the analyzer rule
+    // fires regardless of how the plan was built ("6 PRECEDING" parses
+    // to a foldable negative boundary, handled like rangeBetween(-6, 0))
+    val df = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 14L), (3L, 15L))
+      .toDF("id", "b")
+    df.createOrReplaceTempView("rdr_sql_t")
+    try {
+      val viaSql = spark.sql(
+        """SELECT b, count(DISTINCT id) OVER
+             (ORDER BY b RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS u
+           FROM rdr_sql_t""")
+      val got = viaSql.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      // frames: b=10 → {1,2}; b=11 → [9,11] {1,2}; b=14 → [12,14] {3};
+      // b=15 → [13,15] {3}
+      assert(got == Seq((10L, 2L), (10L, 2L), (11L, 2L),
+        (14L, 1L), (15L, 1L)))
+      val w = Window.orderBy(col("b")).rangeBetween(-2, 0)
+      val viaDf = df.select(col("b"),
+          count_distinct(col("id")).over(w).as("u"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == viaDf)
+    } finally spark.catalog.dropTempView(rdrView)
+  }
+
+  private val rdrView = "rdr_sql_t"
+
   test("ineligible shapes are left alone and still rejected by Spark") {
     val df = Seq((1L, 10L)).toDF("id", "b")
     // rows frame (not RANGE): the rule must NOT claim it — stock
