@@ -103,4 +103,69 @@ object RollingDistinct {
       .select(byCols :+ col("__d").as(bucketCol) :+
         col("__cum").cast("long").as(outCol): _*)
   }
+
+  /** Dual-aggregate form: exact trailing COUNT(DISTINCT v) AND
+    * SUM(DISTINCT v) over the same trailing bucket window, one frame.
+    *
+    * The difference-array decomposition generalizes verbatim: a value's
+    * first appearance inside the trailing window contributes 1 to the
+    * distinct count and `v` to the distinct sum, so each distinct
+    * (group, v, bucket) pair emits TWO weighted delta rows —
+    * (+1, +v) where the value enters the window, (−1, −v) where it ages
+    * out — and two running sums over the bucket domain recover both
+    * aggregates exactly. `valueCol` must be integral (the sum rides
+    * exact 64-bit arithmetic; running partials are bounded by the true
+    * trailing distinct-sum magnitude, so ANSI overflow implies the
+    * answer itself overflows). SQL semantics preserved downstream:
+    * SUM over an empty frame is NULL while COUNT is 0 — callers gate
+    * the sum on `cntCol > 0` ([[graft.plans.RollingDistinctRewrite]]
+    * does). Output: (by..., bucketCol long, cntCol long, sumCol long). */
+  def groupedTrailingDistinctSum(df: DataFrame, by: Seq[String],
+      valueCol: String, bucketCol: String, w: Int,
+      cntCol: String, sumCol: String,
+      spineFrom: Option[DataFrame] = None): DataFrame = {
+    require(w >= 1, "window width must be >= 1 bucket")
+    import org.apache.spark.sql.expressions.Window
+
+    val byCols = by.map(col)
+    val pairs = df.select(byCols :+ col(valueCol).cast("long").as("__v") :+
+      col(bucketCol).cast("long").as("__b"): _*).distinct()
+    val perV = Window.partitionBy(byCols :+ col("__v"): _*)
+      .orderBy(col("__b"))
+    val edges = pairs
+      .withColumn("__prev", lag(col("__b"), 1).over(perV))
+      .select(byCols :+ col("__v") :+ col("__b") :+
+        (when(col("__prev").isNull, col("__b"))
+          .otherwise(greatest(col("__b"), col("__prev") + w))
+          .as("__start")): _*)
+    val deltas = edges.select(byCols :+ explode(array(
+        struct(col("__start").as("__d"), lit(1L).as("__dc"),
+          col("__v").as("__dv")),
+        struct((col("__b") + w).as("__d"), lit(-1L).as("__dc"),
+          (-col("__v")).as("__dv")))).as("__e"): _*)
+      .select(byCols :+ col("__e.__d").as("__d") :+
+        col("__e.__dc").as("__dc") :+ col("__e.__dv").as("__dv"): _*)
+      .groupBy((by :+ "__d").map(col): _*)
+      .agg(sum(col("__dc")).as("__dc"), sum(col("__dv")).as("__dv"))
+
+    val spine = spineFrom.getOrElse(df).groupBy(byCols: _*)
+      .agg(min(col(bucketCol).cast("long")).as("__lo"),
+        max(col(bucketCol).cast("long")).as("__hi"))
+      .select(byCols :+ explode(sequence(col("__lo"), col("__hi")))
+        .as("__d"): _*)
+    val joined = spine.join(deltas, by :+ "__d", "left")
+      .select(byCols :+ col("__d") :+
+        coalesce(col("__dc"), lit(0L)).as("__dc") :+
+        coalesce(col("__dv"), lit(0L)).as("__dv"): _*)
+
+    // both running sums ride the same pid-stamped two-pass scaffold;
+    // the second pass consumes the first's output (bucket-domain-sized
+    // frames — days, not rows — so the extra pass is cheap)
+    val c1 = GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")),
+      "__dc", "__cc")
+    GlobalWindow.groupedCumSum(c1, by, Seq(col("__d")), "__dv", "__cv")
+      .select(byCols :+ col("__d").as(bucketCol) :+
+        col("__cc").cast("long").as(cntCol) :+
+        col("__cv").cast("long").as(sumCol): _*)
+  }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
@@ -10,9 +10,11 @@ import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Analyzer rule: `COUNT(DISTINCT x) OVER (PARTITION BY k ORDER BY b
-  * RANGE BETWEEN n PRECEDING AND CURRENT ROW)` → the difference-array
-  * plan of [[graft.operators.RollingDistinct]] (round-12 verdict
-  * item 4 — the manual rewrite promoted to a Catalyst rule).
+  * RANGE BETWEEN n PRECEDING AND CURRENT ROW)` — and, since round 13,
+  * `SUM(DISTINCT x)` over the same frame shape for integral `x` — →
+  * the difference-array plan of [[graft.operators.RollingDistinct]]
+  * (round-12 verdict item 4 — the manual rewrite promoted to a
+  * Catalyst rule).
   *
   * Spark REJECTS distinct window aggregates outright
   * (`DISTINCT_WINDOW_FUNCTION_UNSUPPORTED`, raised from CheckAnalysis
@@ -34,13 +36,25 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *   - null order keys: Spark makes all null-key rows one peer frame
   *     (measured — see the null arm below), reproduced by a dedicated
   *     per-partition aggregate over the null-bucket rows;
-  *   - empty frames: COUNT is 0, never null (the final coalesce).
+  *   - empty frames: COUNT is 0, never null (the final coalesce);
+  *     SUM over an empty frame is NULL (the final count-gated If) —
+  *     the generalized frame carries BOTH running aggregates so the
+  *     two SQL conventions are distinguishable.
+  *
+  * The SUM arm reuses the identical decomposition with the value as
+  * its own weight: a value's first appearance inside the trailing
+  * window contributes `v` instead of 1, so each distinct (partition,
+  * v, bucket) pair emits (±1, ±v) delta rows and two bucket-domain
+  * running sums recover count and sum exactly
+  * ([[graft.operators.RollingDistinct.groupedTrailingDistinctSum]]).
   *
   * Output attributes keep the ORIGINAL exprIds (the final Project
   * aliases carry them over), so parent operators resolve unchanged.
   *
-  * Eligibility is deliberately narrow — count of ONE attribute, no
-  * FILTER clause, attribute partition keys, a single ascending
+  * Eligibility is deliberately narrow — count/sum of ONE attribute
+  * (integral-typed for sum: the rewrite rides exact 64-bit
+  * arithmetic; fractional sums would re-associate floating addition),
+  * no FILTER clause, attribute partition keys, a single ascending
   * integral order attribute, foldable finite negative lower bound,
   * CURRENT ROW upper — anything else is left for CheckAnalysis to
   * reject exactly as stock Spark would. Installed via
@@ -49,24 +63,41 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 case class RollingDistinctRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
+  private sealed trait Kind
+  private case object CntKind extends Kind
+  private case object SumKind extends Kind
+
   private case class Target(alias: Alias, id: Attribute,
-      part: Seq[Attribute], order: Attribute, nPreceding: Long)
+      part: Seq[Attribute], order: Attribute, nPreceding: Long,
+      kind: Kind)
 
   private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
 
   private def targetOf(e: NamedExpression): Option[Target] = e match {
     case a @ Alias(WindowExpression(
-        AggregateExpression(Count(Seq(id: Attribute)), _, true, None, _),
+        AggregateExpression(f, _, true, None, _),
         WindowSpecDefinition(part,
           Seq(SortOrder(ob: Attribute, Ascending, _, _)),
           SpecifiedWindowFrame(RangeFrame, lower, CurrentRow))), _)
         if part.forall(_.isInstanceOf[Attribute]) && lower.foldable &&
           integral(ob.dataType) =>
-      lower.eval() match {
-        case n: Number if n.longValue < 0 && n.longValue > Int.MinValue + 2 =>
-          Some(Target(a, id, part.map(_.asInstanceOf[Attribute]), ob,
-            -n.longValue))
+      val kind = f match {
+        case Count(Seq(_: Attribute)) => Some(CntKind)
+        case s: Sum if s.child.isInstanceOf[Attribute] &&
+            integral(s.child.dataType) => Some(SumKind)
+        case _ => None
+      }
+      val id = f match {
+        case Count(Seq(c: Attribute)) => Some(c)
+        case s: Sum => Some(s.child.asInstanceOf[Attribute])
+        case _ => None
+      }
+      (kind, lower.eval()) match {
+        case (Some(k), n: Number)
+            if n.longValue < 0 && n.longValue > Int.MinValue + 2 =>
+          Some(Target(a, id.get, part.map(_.asInstanceOf[Attribute]), ob,
+            -n.longValue, k))
         case _ => None
       }
     case _ => None
@@ -86,12 +117,13 @@ case class RollingDistinctRewrite(spark: SparkSession)
     val targets = w.windowExpressions.map(e => targetOf(e).get)
     val childDf = ColumnShim.ofRows(spark, w.child)
     var acc: DataFrame = childDf
-    val cntNames = targets.map { t =>
+    val outNames = targets.map { t =>
       val u = seq.incrementAndGet()
       val gNames = t.part.indices.map(j => s"__rd_g${j}_$u")
       val bName = s"__rd_b_$u"
       val idName = s"__rd_id_$u"
       val cntName = s"__rd_cnt_$u"
+      val sumName = s"__rd_sum_$u"
       val proj = childDf
         .select((t.part :+ t.order :+ t.id).map(ColumnShim.column): _*)
         .toDF(gNames ++ Seq(bName, idName): _*)
@@ -100,17 +132,37 @@ case class RollingDistinctRewrite(spark: SparkSession)
       // spine must span ALL observed buckets, not just id-bearing
       // ones: a row whose id is null still has a trailing frame over
       // the ids before it
-      val frame = graft.operators.RollingDistinct.groupedTrailingDistinct(
-        proj.filter(col(idName).isNotNull && col(bName).isNotNull),
-        by = gNames, idCol = idName, bucketCol = bName,
-        w = (t.nPreceding + 1).toInt, outCol = cntName,
-        spineFrom = Some(proj.filter(col(bName).isNotNull)))
-      // null-order-key arm: all null-key rows are one peer frame
-      val nullArm = proj.filter(col(bName).isNull)
-        .groupBy(gNames.map(col): _*)
-        .agg(count_distinct(col(idName)).as(cntName))
-        .withColumn(bName, lit(null).cast("long"))
-        .select(frame.columns.map(col): _*)
+      val idBearing = proj.filter(col(idName).isNotNull &&
+        col(bName).isNotNull)
+      val spineSrc = Some(proj.filter(col(bName).isNotNull))
+      val (frame, nullArm) = t.kind match {
+        case CntKind =>
+          val f = graft.operators.RollingDistinct.groupedTrailingDistinct(
+            idBearing, by = gNames, idCol = idName, bucketCol = bName,
+            w = (t.nPreceding + 1).toInt, outCol = cntName,
+            spineFrom = spineSrc)
+          val na = proj.filter(col(bName).isNull)
+            .groupBy(gNames.map(col): _*)
+            .agg(count_distinct(col(idName)).as(cntName))
+            .withColumn(bName, lit(null).cast("long"))
+            .select(f.columns.map(col): _*)
+          (f, na)
+        case SumKind =>
+          val f = graft.operators.RollingDistinct.groupedTrailingDistinctSum(
+            idBearing, by = gNames, valueCol = idName, bucketCol = bName,
+            w = (t.nPreceding + 1).toInt, cntCol = cntName,
+            sumCol = sumName, spineFrom = spineSrc)
+          // null-order-key peer frame: count AND sum of the distinct
+          // ids among null-bucket rows (sum_distinct of an all-null /
+          // empty set is NULL — matching the naive semantics)
+          val na = proj.filter(col(bName).isNull)
+            .groupBy(gNames.map(col): _*)
+            .agg(count_distinct(col(idName)).as(cntName),
+              sum_distinct(col(idName)).cast("long").as(sumName))
+            .withColumn(bName, lit(null).cast("long"))
+            .select(f.columns.map(col): _*)
+          (f, na)
+      }
       val lookup = frame.unionByName(nullArm)
       val cond = (t.part.zip(gNames).map { case (p, g) =>
           ColumnShim.column(p) <=> col(g)
@@ -118,18 +170,29 @@ case class RollingDistinctRewrite(spark: SparkSession)
         .reduce(_ && _)
       acc = acc.join(lookup, cond, "left")
         .drop((gNames :+ bName): _*)
-      cntName
+      (cntName, sumName)
     }
     val analyzed = acc.queryExecution.analyzed
     val childAttrs = w.child.output.map(a =>
       analyzed.output.find(_.exprId == a.exprId).getOrElse(a))
-    val aliases = targets.zip(cntNames).map { case (t, cn) =>
-      val cntAttr = analyzed.output.find(_.name == cn).getOrElse(
-        throw new IllegalStateException(
-          s"RollingDistinctRewrite lost its count column $cn"))
-      Alias(Coalesce(Seq(cntAttr, Literal(0L))),
-        t.alias.name)(exprId = t.alias.exprId,
-        qualifier = t.alias.qualifier)
+    val aliases = targets.zip(outNames).map {
+      case (t, (cn, sn)) =>
+        val cntAttr = analyzed.output.find(_.name == cn).getOrElse(
+          throw new IllegalStateException(
+            s"RollingDistinctRewrite lost its count column $cn"))
+        val body = t.kind match {
+          case CntKind => Coalesce(Seq(cntAttr, Literal(0L)))
+          case SumKind =>
+            val sumAttr = analyzed.output.find(_.name == sn).getOrElse(
+              throw new IllegalStateException(
+                s"RollingDistinctRewrite lost its sum column $sn"))
+            // SUM over an empty frame is NULL; over a non-empty frame
+            // the difference-array running value is exact
+            If(GreaterThan(Coalesce(Seq(cntAttr, Literal(0L))),
+              Literal(0L)), sumAttr, Literal(null, LongType))
+        }
+        Alias(body, t.alias.name)(exprId = t.alias.exprId,
+          qualifier = t.alias.qualifier)
     }
     Project(childAttrs ++ aliases, analyzed)
   }

@@ -1441,6 +1441,50 @@ object TimeSeriesQueries {
           "aggregate survived — RollingDistinctRewrite did not fire")
       out
     }),
+    "window_rolling_sumdistinct_rule" -> ((s, dir) => {
+      // SUM(DISTINCT) beside COUNT(DISTINCT) in ONE naive window node —
+      // "trailing 7-day sum of distinct transaction amounts", the
+      // dedup-then-sum metric (distinct amounts ≈ distinct price
+      // points; summing each once values the catalog, not the volume).
+      // Stock Spark rejects BOTH expressions
+      // (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED); the extended
+      // RollingDistinctRewrite claims the node and lowers each to the
+      // difference-array frame — the SUM arm emits (±1, ±v) weighted
+      // deltas per distinct (amount, day) pair and recovers count AND
+      // sum from two bucket-domain running sums, preserving SQL's
+      // empty-frame split (COUNT 0, SUM NULL) via the count-gated If.
+      // Amounts quantized to integral cents with an EXPLICIT floor
+      // (Spark truncates double→int, DuckDB rounds — floor first makes
+      // both exact); oracle is the |days| × |amount-days| interval
+      // join, sum(DISTINCT) computed by DuckDB's native aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(
+        expr("CAST(floor(value * 100) AS BIGINT)").as("amt"),
+        expr("ts div 86400000000000").as("day"))
+      val span = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"),
+          lit(null).cast("long").as("amt"))
+      val input = e.unionByName(span.select("amt", "day"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      val out = input.select(col("day"),
+          count_distinct(col("amt")).over(w).as("uniq7"),
+          sum_distinct(col("amt")).over(w).as("sumd7"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rolling_sumdistinct_rule: a distinct window aggregate " +
+          "survived — RollingDistinctRewrite did not fire (is " +
+          "spark.sql.extensions=graft.GraftExtensions set?)")
+      out
+    }),
     "window_rolling_distinct_by" -> ((s, dir) => {
       // GROUPED rolling uniques (per event_type — rolling actives per
       // source/domain/tenant): the same difference-array decomposition
@@ -2280,6 +2324,21 @@ object TimeSeriesQueries {
          span AS (SELECT unnest(generate_series(min(day), max(day)))
            AS day FROM e)
          SELECT s.day, count(DISTINCT e.user_id) AS uniq7
+         FROM span s LEFT JOIN e
+           ON e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1""",
+    // interval-join ground truth for the rule-rewritten dual
+    // count/sum(DISTINCT) window; sum(DISTINCT) is DuckDB-native here
+    // (HUGEINT → BIGINT), and an empty trailing window yields
+    // (uniq7=0, sumd7=NULL) on both engines
+    "window_rolling_sumdistinct_rule" ->
+      """WITH e AS (SELECT DISTINCT
+           CAST(floor(value * 100) AS BIGINT) AS amt,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT unnest(generate_series(min(day), max(day)))
+           AS day FROM e)
+         SELECT s.day, count(DISTINCT e.amt) AS uniq7,
+           CAST(sum(DISTINCT e.amt) AS BIGINT) AS sumd7
          FROM span s LEFT JOIN e
            ON e.day BETWEEN s.day - 6 AND s.day
          GROUP BY 1""",

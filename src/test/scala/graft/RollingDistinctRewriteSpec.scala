@@ -118,6 +118,110 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
 
   private val rdrView = "rdr_sql_t"
 
+  private def bruteSum(
+      rows: Seq[(String, java.lang.Long, java.lang.Long)],
+      n: Long): Map[(String, Option[Long]), Option[Long]] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val buckets = rs.map(r => Option(r._2).map(_.longValue)).distinct
+      buckets.map { b =>
+        val ids = rs.filter { r =>
+          val rb = Option(r._2).map(_.longValue)
+          b match {
+            case Some(bv) => rb.exists(x => x >= bv - n && x <= bv)
+            case None => rb.isEmpty
+          }
+        }.flatMap(r => Option(r._3).map(_.longValue)).distinct
+        (g, b) -> (if (ids.isEmpty) None else Some(ids.sum))
+      }
+    }
+
+  test("SUM(DISTINCT) arm: random grouped data with null buckets and " +
+      "null ids matches brute force; empty frames are NULL") {
+    val rnd = new scala.util.Random(4321)
+    for (trial <- 0 until 8) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(40 + rnd.nextInt(80)) {
+          val g = s"g${rnd.nextInt(nGroups)}"
+          // sparse buckets (stride 3) so small widths hit empty frames
+          // on null-id rows
+          val b: java.lang.Long = if (rnd.nextInt(10) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(25).toLong * 3)
+          val id: java.lang.Long = if (rnd.nextInt(4) == 0) null
+            else java.lang.Long.valueOf((rnd.nextInt(12) - 5).toLong)
+          (g, b, id)
+        }
+      val n = 1L + rnd.nextInt(9)
+      val df = rows.toDF("g", "b", "id")
+      val w = Window.partitionBy("g").orderBy(col("b"))
+        .rangeBetween(-n, 0)
+      val got = df.select(col("g"), col("b"),
+          sum_distinct(col("id")).over(w).as("sd"))
+        .collect()
+        .map(r => ((r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      val want = bruteSum(rows, n)
+      got.foreach { case (k, sd) =>
+        assert(sd == want(k), s"trial $trial n=$n key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
+  test("count and sum DISTINCT in ONE window node both rewrite; " +
+      "exprIds survive for parent operators") {
+    val df = Seq((1L, 10L), (5L, 10L), (5L, 11L), (7L, 12L))
+      .toDF("id", "b")
+    val w = Window.orderBy(col("b")).rangeBetween(-1, 0)
+    val out = df.select(col("b"),
+        count_distinct(col("id")).over(w).as("u"),
+        sum_distinct(col("id")).over(w).as("sd"))
+      .filter(col("u") >= 1)
+      .groupBy(col("b")).agg(max(col("sd")).as("m"))
+    val opt = out.queryExecution.optimizedPlan
+    val survivors = opt.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.windowExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions
+                .aggregate.AggregateExpression => ae.isDistinct
+            case _ => false
+          }) => wn
+    }
+    assert(survivors.isEmpty, "distinct window aggs must be rewritten")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // b=10: {1,5} sum 6; b=11: [10,11] {1,5} sum 6; b=12: [11,12]
+    // {5,7} sum 12
+    assert(got == Map(10L -> 6L, 11L -> 6L, 12L -> 12L))
+  }
+
+  test("SUM(DISTINCT) via the SQL surface matches the DataFrame path") {
+    val df = Seq((4L, 10L), (4L, 11L), (9L, 14L), (2L, 15L))
+      .toDF("id", "b")
+    df.createOrReplaceTempView("rds_sql_t")
+    try {
+      val viaSql = spark.sql(
+        """SELECT b, sum(DISTINCT id) OVER
+             (ORDER BY b RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS sd
+           FROM rds_sql_t""")
+      val got = viaSql.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      // b=10 {4}=4; b=11 [9,11] {4}=4; b=14 [12,14] {9}=9;
+      // b=15 [13,15] {9,2}=11
+      assert(got == Seq((10L, 4L), (11L, 4L), (14L, 9L), (15L, 11L)))
+    } finally spark.catalog.dropTempView("rds_sql_t")
+  }
+
+  test("fractional SUM(DISTINCT) is NOT claimed — stock rejection " +
+      "stands (the rewrite is exact-integer-only)") {
+    val df = Seq((1.5, 10L)).toDF("x", "b")
+    val w = Window.orderBy(col("b")).rangeBetween(-1, 0)
+    val e = intercept[Exception] {
+      df.select(sum_distinct(col("x")).over(w)).collect()
+    }
+    assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+  }
+
   test("ineligible shapes are left alone and still rejected by Spark") {
     val df = Seq((1L, 10L)).toDF("id", "b")
     // rows frame (not RANGE): the rule must NOT claim it — stock
