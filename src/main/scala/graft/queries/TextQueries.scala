@@ -750,6 +750,46 @@ object TextQueries {
             (col("cu") + col("v")).cast("double")))).as("avg_logprob"))
       sc.select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
         r4(exp(-col("avg_logprob"))).as("ppl"))
+    }),
+    "text_collocations" -> ((s, dir) => {
+      // Corpus-level PMI collocation mining — the phrase detector
+      // (word2phrase / "New York" → NEW_YORK) run before tokenizer
+      // training or n-gram vocab induction: for every bigram with
+      // support ≥ 5, PMI = ln(P(w1w2) / (P(w1)·P(w2))) with bigram
+      // probability over total transitions and unigram probabilities
+      // over total tokens. Every probability is an exact-integer
+      // division and the PMI argument is built with the SAME IEEE
+      // expression tree in both engines ((cb/Nb) / ((c1/Nu)·(c2/Nu)))
+      // so libm sees identical doubles; r4 absorbs the last-ulp ln
+      // jitter. Shuffle shape: the bigram count is one corpus-scan
+      // hash aggregate; the unigram table is VOCAB-bounded and rides
+      // BROADCAST into both endpoint joins (no shuffle of the bigram
+      // table beyond its own aggregation); the two grand totals are
+      // 1-row broadcast cross joins. Support filter BEFORE the joins
+      // keeps the joined frame at the collocation-candidate size.
+      val d = docs(s, dir)
+      val bi = d.select(explode(filter(
+          graft.operators.Dedup.shinglesAt(col("text"), 2),
+          g => g.isNotNull)).as("bg"))
+        .select(col("bg"),
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+      val cb = bi.groupBy("bg", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      val uni = d.select(explode(tokens(col("text"))).as("t"))
+      val cw = uni.groupBy("t").agg(count(lit(1)).as("c"))
+      val nu = uni.agg(count(lit(1)).as("nu"))
+      cb.filter(col("cnt") >= 5)
+        .join(broadcast(cw.select(col("t").as("w1"), col("c").as("c1"))),
+          Seq("w1"))
+        .join(broadcast(cw.select(col("t").as("w2"), col("c").as("c2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select(col("bg"), col("cnt"),
+          r4(log((col("cnt").cast("double") / col("nb").cast("double")) /
+            ((col("c1").cast("double") / col("nu").cast("double")) *
+             (col("c2").cast("double") / col("nu").cast("double")))))
+            .as("pmi"))
     })
   )
 
@@ -1217,6 +1257,31 @@ object TextQueries {
            GROUP BY 1)
          SELECT doc_id, n_bigrams, avg_logprob,
                 round(1e-9 + exp(-avg_logprob), 4) AS ppl
-         FROM sc"""
+         FROM sc""",
+    // PMI argument built with the IDENTICAL IEEE expression tree as
+    // the Spark side; uni/cw are each referenced twice → MATERIALIZED
+    // (DuckDB inlines multiply-referenced CTEs otherwise)
+    "text_collocations" ->
+      s"""$withToks, bi AS (
+           SELECT toks[i] AS w1, toks[i+1] AS w2,
+                  toks[i] || ' ' || toks[i+1] AS bg
+           FROM (SELECT doc_id, toks, unnest(range(1, n_toks)) AS i
+                 FROM tt WHERE n_toks >= 2)
+         ), cb AS (SELECT bg, w1, w2, count(*) AS cnt
+                   FROM bi GROUP BY 1, 2, 3),
+         nb AS (SELECT count(*) AS nb FROM bi),
+         uni AS MATERIALIZED (
+           SELECT unnest(toks) AS t FROM tt WHERE n_toks > 0),
+         cw AS MATERIALIZED (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+         nu AS (SELECT count(*) AS nu FROM uni)
+         SELECT cb.bg, cb.cnt,
+           round(1e-9 + ln((cb.cnt::DOUBLE / nb.nb::DOUBLE) /
+             ((c1.c::DOUBLE / nu.nu::DOUBLE)
+              * (c2.c::DOUBLE / nu.nu::DOUBLE))), 4) AS pmi
+         FROM cb
+         JOIN cw c1 ON cb.w1 = c1.t
+         JOIN cw c2 ON cb.w2 = c2.t
+         CROSS JOIN nb CROSS JOIN nu
+         WHERE cb.cnt >= 5"""
   )
 }
