@@ -1937,6 +1937,42 @@ object TimeSeriesQueries {
           expr("t_purchase div 1000000").as("t_purchase_ms"),
           when(col("t_purchase").isNotNull, 3L)
             .when(col("t_click").isNotNull, 2L).otherwise(1L).as("step"))
+    }),
+    "funnel_window_gap" -> ((s, dir) => {
+      // Funnel with a CONVERSION-WINDOW constraint — the form product
+      // analytics actually ships ("click within 6h of view, purchase
+      // within 6h of click"): each stage is the MIN event time
+      // strictly after the previous stage AND within the gap, so a
+      // too-late event doesn't convert (greedy first-qualifying-event
+      // semantics — deterministic, no backtracking: the canonical
+      // windowed-funnel definition). Identical chained
+      // conditional-aggregate plan to funnel_steps — the window
+      // constraint is ONE extra predicate per stage filter, zero new
+      // shuffles; every stage reuses the user_id key exchange. Gap
+      // durations surfaced in ms for the time-to-convert histogram.
+      val gapNs = 6L * 3600L * 1000000000L // 6 hours in epoch-nanos
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + gapNs)
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + gapNs)
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          expr("t_view div 1000000").as("t_view_ms"),
+          expr("(t_click - t_view) div 1000000").as("view_to_click_ms"),
+          expr("(t_purchase - t_click) div 1000000")
+            .as("click_to_purchase_ms"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L).otherwise(1L).as("step"))
     })
   )
 
@@ -2618,6 +2654,33 @@ object TimeSeriesQueries {
            v.t_view // 1000000 AS t_view_ms,
            c.t_click // 1000000 AS t_click_ms,
            p.t_purchase // 1000000 AS t_purchase_ms,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS BIGINT) AS step
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id""",
+    // 6h conversion window = 21600000000000 epoch-nanos; durations in
+    // ms via floor division (both engines' // / div truncate toward
+    // negative infinity on non-negative operands identically)
+    "funnel_window_gap" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn
+           FROM events),
+         v AS (SELECT user_id, min(tsn) AS t_view FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(tsn) AS t_click
+           FROM e JOIN v ON e.user_id = v.user_id
+           WHERE event_type = 'click' AND tsn > t_view
+             AND tsn <= t_view + 21600000000000
+           GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(tsn) AS t_purchase
+           FROM e JOIN c ON e.user_id = c.user_id
+           WHERE event_type = 'purchase' AND tsn > t_click
+             AND tsn <= t_click + 21600000000000
+           GROUP BY e.user_id)
+         SELECT v.user_id,
+           v.t_view // 1000000 AS t_view_ms,
+           (c.t_click - v.t_view) // 1000000 AS view_to_click_ms,
+           (p.t_purchase - c.t_click) // 1000000 AS click_to_purchase_ms,
            CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
                 WHEN c.user_id IS NOT NULL THEN 2
                 ELSE 1 END AS BIGINT) AS step
