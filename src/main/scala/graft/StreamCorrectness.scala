@@ -165,6 +165,21 @@ object StreamCorrectness {
         }
       }
 
+    // FIR (EWMA) oracle: weighted dot over the trailing frame in the
+    // total (ts, s4) order — O(n·depth) per key on the sorted array
+    val ewmaWs = StreamingOps.EwmaQ30Weights
+    def ewmaOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        a.indices.map { i =>
+          var acc = 0L; var j = 0
+          while (j < ewmaWs.length) {
+            if (i - j >= 0) acc += s4(a(i - j)) * ewmaWs(j)
+            j += 1
+          }
+          (k, a(i).tsMillis, acc, 0L)
+        }
+      }
+
     def cusumOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
       byKey(ev).toSeq.flatMap { case (k, a) =>
         val out = Seq.newBuilder[Row4]
@@ -352,6 +367,16 @@ object StreamCorrectness {
                 col("p50E4"), col("p95E4")))
         },
         ev => hash5(quantileOracle(ev))),
+      Arm("ewma_delayed",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.weightedRowsWDelayed(
+              ds, ewmaWs, lateness).toDF(),
+            df => keep(s1)(df).select(col("key"), col("tsMillis"),
+              col("firQ"), lit(0L)))
+        },
+        ev => hash4(ewmaOracle(ev))),
       Arm("asof_delayed",
         (ev, sd) => {
           val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))

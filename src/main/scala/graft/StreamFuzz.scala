@@ -295,10 +295,26 @@ object StreamFuzz {
           (key, ws, n, at((n + 1) / 2) * QPackB + at((95 * n + 99) / 100))
         }
 
+    // FIR oracle: the weighted dot over the trailing |ws|-row frame in
+    // the total (ts, s4) order — weights(0) on the row itself, missing
+    // predecessors contribute 0; the streaming op must reproduce it
+    // under ANY bounded-disorder arrival
+    def firOracle(ws: Seq[Long])(
+        ev: IndexedSeq[KeyedEvent]): Seq[(Long, Long, Long, Long)] =
+      ev.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+        val sorted = es.map(e => (e.tsMillis, s4(e))).sorted
+        sorted.zipWithIndex.map { case ((ts, _), i) =>
+          var acc = 0L
+          ws.indices.foreach { j =>
+            if (i - j >= 0) acc += sorted(i - j)._2 * ws(j) }
+          (k, ts, acc, 0L)
+        }
+      }
+
     val armNames = Seq("trailing_inorder", "running_inorder",
       "rows_inorder", "trailing_ooo", "running_ooo", "rows_ooo",
-      "cusum_ooo", "topk_ooo", "asof_ooo", "quantile_ooo")
-    val arm = rnd.nextInt(10)
+      "cusum_ooo", "topk_ooo", "asof_ooo", "quantile_ooo", "ewma_ooo")
+    val arm = rnd.nextInt(11)
     val name = s"${armNames(arm)}#$i"
     val sparkEnc = org.apache.spark.sql.Encoders
     arm match {
@@ -407,6 +423,22 @@ object StreamFuzz {
             _ >= sentWin)(
             sparkEnc.product[StreamingOps.QuantileAgg]),
           quantOracle(w))
+      case 10 =>
+        // streaming FIR (EWMA shape) under random arrival: the
+        // order-DEPENDENT rows-frame op — each value's coefficient is
+        // its DISTANCE from the newest row, so releasing a row before
+        // its prefix settles (or mis-ordering a tie group) shifts
+        // every weight assignment; random signed fixed-point weights
+        // at random depth, including zero weights and depth 1
+        val depth = 1 + rnd.nextInt(8)
+        val ws = Seq.fill(depth)((rnd.nextInt(2001) - 1000).toLong)
+        val (batches, lateness, s1) = oooBatches(0L)
+        Plan(name, events, batches,
+          (s, b) => drive[StreamingOps.FirAgg](s, b,
+            ds => StreamingOps.weightedRowsWDelayed(ds, ws, lateness),
+            t => (t.key, t.tsMillis, t.firQ, 0L), _ >= s1)(
+            sparkEnc.product[StreamingOps.FirAgg]),
+          firOracle(ws))
       case _ =>
         // stream-stream AS-OF: content-derived side tags (a pure
         // function of the event, so duplicates tag consistently on

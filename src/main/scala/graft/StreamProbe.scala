@@ -186,6 +186,14 @@ object StreamProbe {
         run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
           StreamingOps.quantileWDelayed(ds, windowMillis = 60000L,
             latenessMillis = lateness).toDF())),
+      // streaming FIR (gate key stream_ewma_stateful): Q30 EWMA-shaped
+      // weights, depth 20 — rows-frame state, so flat per-key state is
+      // the claim under test
+      "ewma_delayed" -> ((ev, sd) =>
+        run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
+          StreamingOps.weightedRowsWDelayed(ds,
+            weights = StreamingOps.EwmaQ30Weights,
+            latenessMillis = lateness).toDF())),
       "asof_delayed" -> ((ev, sd) =>
         run(ooo(ev, sd).map(tag), (ds: Dataset[TaggedEvent]) =>
           StreamingOps.asofJoinWDelayed(ds, lateness).toDF())),

@@ -2,17 +2,18 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Analyzer rule: `COUNT(DISTINCT x) OVER (PARTITION BY k ORDER BY b
   * RANGE BETWEEN n PRECEDING AND CURRENT ROW)` — and, since round 13,
-  * `SUM(DISTINCT x)` over the same frame shape for integral `x` — →
-  * the difference-array plan of [[graft.operators.RollingDistinct]]
+  * `SUM(DISTINCT x)` / `AVG(DISTINCT x)` over the same frame shape for
+  * integral `x` — → the difference-array plan of
+  * [[graft.operators.RollingDistinct]]
   * (round-12 verdict item 4 — the manual rewrite promoted to a
   * Catalyst rule).
   *
@@ -66,6 +67,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
   private sealed trait Kind
   private case object CntKind extends Kind
   private case object SumKind extends Kind
+  private case object AvgKind extends Kind
 
   private case class Target(alias: Alias, id: Attribute,
       part: Seq[Attribute], order: Attribute, nPreceding: Long,
@@ -86,11 +88,14 @@ case class RollingDistinctRewrite(spark: SparkSession)
         case Count(Seq(_: Attribute)) => Some(CntKind)
         case s: Sum if s.child.isInstanceOf[Attribute] &&
             integral(s.child.dataType) => Some(SumKind)
+        case a: Average if a.child.isInstanceOf[Attribute] &&
+            integral(a.child.dataType) => Some(AvgKind)
         case _ => None
       }
       val id = f match {
         case Count(Seq(c: Attribute)) => Some(c)
         case s: Sum => Some(s.child.asInstanceOf[Attribute])
+        case a: Average => Some(a.child.asInstanceOf[Attribute])
         case _ => None
       }
       (kind, lower.eval()) match {
@@ -147,7 +152,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
             .withColumn(bName, lit(null).cast("long"))
             .select(f.columns.map(col): _*)
           (f, na)
-        case SumKind =>
+        case SumKind | AvgKind =>
           val f = graft.operators.RollingDistinct.groupedTrailingDistinctSum(
             idBearing, by = gNames, valueCol = idName, bucketCol = bName,
             w = (t.nPreceding + 1).toInt, cntCol = cntName,
@@ -180,16 +185,27 @@ case class RollingDistinctRewrite(spark: SparkSession)
         val cntAttr = analyzed.output.find(_.name == cn).getOrElse(
           throw new IllegalStateException(
             s"RollingDistinctRewrite lost its count column $cn"))
+        lazy val sumAttr = analyzed.output.find(_.name == sn).getOrElse(
+          throw new IllegalStateException(
+            s"RollingDistinctRewrite lost its sum column $sn"))
+        val nonEmpty = GreaterThan(Coalesce(Seq(cntAttr, Literal(0L))),
+          Literal(0L))
         val body = t.kind match {
           case CntKind => Coalesce(Seq(cntAttr, Literal(0L)))
           case SumKind =>
-            val sumAttr = analyzed.output.find(_.name == sn).getOrElse(
-              throw new IllegalStateException(
-                s"RollingDistinctRewrite lost its sum column $sn"))
             // SUM over an empty frame is NULL; over a non-empty frame
             // the difference-array running value is exact
-            If(GreaterThan(Coalesce(Seq(cntAttr, Literal(0L))),
-              Literal(0L)), sumAttr, Literal(null, LongType))
+            If(nonEmpty, sumAttr, Literal(null, LongType))
+          case AvgKind =>
+            // AVG(DISTINCT) = exact integer sum / exact integer count
+            // in ONE correctly-rounded double division (stock Spark
+            // REJECTS the shape, so there is no native semantics to
+            // preserve — this exact-sum form is strictly more
+            // deterministic than Average's incremental double
+            // accumulation); empty frame is NULL
+            If(nonEmpty,
+              Divide(Cast(sumAttr, DoubleType), Cast(cntAttr, DoubleType)),
+              Literal(null, DoubleType))
         }
         Alias(body, t.alias.name)(exprId = t.alias.exprId,
           qualifier = t.alias.qualifier)

@@ -325,6 +325,15 @@ object TimeSeriesQueries {
     * results are partitioning-independent (the oracle gate re-proves it
     * every round). Restored in finally — batch keys in the same session
     * are untouched. */
+  /** Q30 fixed-point truncated-EWMA weights — the single shared
+    * definition ([[graft.streaming.StreamingOps.EwmaQ30Weights]]),
+    * embedded as the SAME integer literals in the streaming FIR op and
+    * the DuckDB oracle so the stream_ewma_stateful compare is exact
+    * int64 end to end (the streaming family's no-float-dimension
+    * contract). */
+  private[queries] val EwmaQWeights: Seq[Long] =
+    graft.streaming.StreamingOps.EwmaQ30Weights
+
   private val StatefulStreamKeys = Set(
     "window_stream_rows", "window_stream_rows_ooo",
     "window_stream_running_ooo",
@@ -334,7 +343,8 @@ object TimeSeriesQueries {
     "window_stream_tumbling", "window_stream_sliding",
     "dedup_stream_exact", "sessionize_stream_stateful",
     "stream_cusum_stateful", "stream_topk_stateful",
-    "stream_quantile_stateful", "join_stream_asof",
+    "stream_quantile_stateful", "stream_ewma_stateful",
+    "join_stream_asof",
     "join_stream_stream", "join_stream_stream_louter",
     "join_stream_stream_fouter")
 
@@ -723,6 +733,48 @@ object TimeSeriesQueries {
       val sink = s.table(qn).select(col("key").as("user_id"),
         col("winStartMillis").as("win_start_ms"), col("n"),
         col("p50E4").as("p50_e4"), col("p95E4").as("p95_e4"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "stream_ewma_stateful" -> ((s, dir) => {
+      // Truncated EWMA per user on the OOO stream — the exponential
+      // recency feature (fraud scores, rate trackers) computed AT every
+      // event: StreamingOps.weightedRowsWDelayed is the streaming FIR
+      // filter (trailing-rows state + a weighted emission), and EWMA is
+      // its geometric-weights instantiation. The recurrence itself is
+      // ORDER-DEPENDENT — the one state shape the family hadn't
+      // covered: unlike sums/bags the value at each event depends on
+      // the exact (ts, v4) total order of its 20 predecessors, so the
+      // delayed release machinery (emit once the watermark proves the
+      // prefix complete) is what makes OOO arrival exact rather than
+      // merely convergent. Weights are the batch window_ewma
+      // coefficients QUANTIZED to Q30 fixed point (floor(0.3·0.7ʲ·2³⁰),
+      // embedded as the same integer literals in the oracle), so the
+      // emitted dot is exact int64 — the streaming family keeps its
+      // no-float-dimension compare (bound: v4 ≤ 6·10⁶ on the fixture ×
+      // Σw < 2³⁰ → < 7·10¹⁵). Reuses the trailing-OOO staged fixture
+      // (2×2h shuffle in a 4h lateness, sentinel flush).
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val jitter = 2L * 3600L * 1000L
+      val lateness = 2 * jitter + 1000L
+      val srcDir = stagedTrailingOooDir(s, dir, jitter, lateness)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val agg = graft.streaming.StreamingOps.weightedRowsWDelayed(src,
+        weights = EwmaQWeights, latenessMillis = lateness)
+      val qn = s"graft_stream_ewma_${streamRuns.incrementAndGet()}"
+      val q = agg.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("tsMillis").as("ts_ms"), col("firQ").as("ewma_q30"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -1485,6 +1537,49 @@ object TimeSeriesQueries {
           "spark.sql.extensions=graft.GraftExtensions set?)")
       out
     }),
+    "window_rolling_avgdistinct_rule" -> ((s, dir) => {
+      // AVG(DISTINCT) — the rule's THIRD aggregate kind, grouped:
+      // "trailing 7-day mean of the distinct price points per event
+      // type" (mean over the deduped catalog, not the volume). Stock
+      // Spark rejects the shape outright, so the rewrite DEFINES its
+      // semantics: exact integer distinct-sum / exact integer
+      // distinct-count in ONE correctly-rounded double division —
+      // strictly more deterministic than Average's incremental double
+      // accumulation, and reproducible verbatim in the oracle's
+      // CAST(sum AS DOUBLE)/count form. Empty frames are NULL (the
+      // count-gated If); r4 is convention only — the division inputs
+      // are bit-identical exact integers in both engines.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("amt"),
+        expr("ts div 86400000000000").as("day"))
+      val span = e.groupBy("event_type")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"),
+          lit(null).cast("long").as("amt"))
+      val input = e.unionByName(span.select("event_type", "amt", "day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      // (functions has no avg_distinct builder — the parsed form
+      // resolves to Average with isDistinct, the same target shape)
+      val out = input.select(col("event_type"), col("day"),
+          r4(expr("avg(DISTINCT amt)").over(w)).as("avgd7"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rolling_avgdistinct_rule: a distinct window aggregate " +
+          "survived — RollingDistinctRewrite did not fire")
+      out
+    }),
     "window_rolling_distinct_by" -> ((s, dir) => {
       // GROUPED rolling uniques (per event_type — rolling actives per
       // source/domain/tenant): the same difference-array decomposition
@@ -1984,6 +2079,18 @@ object TimeSeriesQueries {
   // v4 is also the rows-frame SORT tiebreak, so a tie-grid divergence
   // would shift both the sum and the order.
   val oracleSql: Map[String, String] = Map(
+    // the Q30 weight literals are EwmaQWeights verbatim; lag over the
+    // same (ts_ms, v4) total order the stream releases in — exact
+    // integer dot, no float dimension
+    "stream_ewma_stateful" -> {
+      val terms = EwmaQWeights.zipWithIndex.map { case (wq, j) =>
+        s"COALESCE(lag(v4, $j) OVER w, 0) * $wq" }.mkString(" + ")
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
+         SELECT user_id, ts_ms, CAST($terms AS BIGINT) AS ewma_q30
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, v4)"""
+    },
     "window_stream_running" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
            CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events)
@@ -2378,6 +2485,22 @@ object TimeSeriesQueries {
          FROM span s LEFT JOIN e
            ON e.day BETWEEN s.day - 6 AND s.day
          GROUP BY 1""",
+    // grouped interval join; the avg is spelled as the rewrite's own
+    // exact-sum/exact-count double division (NOT DuckDB's native
+    // avg(DISTINCT), whose accumulation order is unspecified)
+    "window_rolling_avgdistinct_rule" ->
+      """WITH e AS (SELECT DISTINCT event_type,
+           CAST(floor(value * 100) AS BIGINT) AS amt,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT event_type,
+           unnest(generate_series(min(day), max(day))) AS day
+           FROM e GROUP BY event_type)
+         SELECT s.event_type, s.day,
+           round(1e-9 + CAST(sum(DISTINCT e.amt) AS DOUBLE)
+             / CAST(count(DISTINCT e.amt) AS DOUBLE), 4) AS avgd7
+         FROM span s LEFT JOIN e ON s.event_type = e.event_type
+           AND e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1, 2""",
     // VERBATIM the grouped dedicated key's oracle (see
     // window_rolling_distinct_rule)
     "window_rolling_distinct_by_rule" ->

@@ -948,6 +948,98 @@ object StreamingOps {
       }
   }
 
+  /** [[weightedRowsWDelayed]] output: the fixed-point FIR value AT each
+    * event (the weighted dot of the trailing rows frame). */
+  case class FirAgg(key: Long, tsMillis: Long, firQ: Long)
+
+  /** Q30 fixed-point truncated-EWMA weights — the batch window_ewma
+    * coefficients a·(1−a)ʲ (a = 0.3, depth 20) quantized to
+    * floor(c·2³⁰). ONE definition shared by the gate key
+    * (stream_ewma_stateful), its DuckDB oracle literals, StreamProbe's
+    * ewma_delayed arm, and StreamCorrectness's 10× hash gate — so the
+    * quantization can never drift between evidence surfaces. */
+  val EwmaQ30Weights: IndexedSeq[Long] =
+    (0 until 20).map(j =>
+      math.floor(0.3 * math.pow(0.7, j) * (1L << 30).toDouble).toLong)
+
+  /** Streaming FIR filter under OUT-OF-ORDER arrival: each event emits
+    * the weighted dot Σⱼ wⱼ·v(i−j) of its trailing |weights|-row frame
+    * in the total (ts, scaledValue) order — weights(0) applies to the
+    * event itself, rows before the stream start contribute 0. This is
+    * the trailing-rows machinery of [[trailingRowsWDelayed]] with a
+    * weighted emission, and it generalizes every finite impulse
+    * response a feature pipeline wants on a stream: truncated EWMA
+    * (geometric weights — the `stream_ewma_stateful` instantiation),
+    * linear decay, Savitzky–Golay smoothing, difference filters.
+    *
+    * EXACTNESS CONTRACT: weights are FIXED-POINT LONGS (callers
+    * quantize, e.g. floor(a·(1−a)ʲ·2³⁰)), values are the e4-scaled
+    * longs of [[scaledE4]], and the dot is exact 64-bit arithmetic —
+    * like every operator in this family the emitted stream has NO
+    * float dimension, so the batch-oracle hash compare is exact under
+    * any arrival order within the lateness. Bounds: |Σⱼ wⱼ·vⱼ| ≤
+    * max|v|·Σ|w| — for Q30 EWMA weights (Σw < 2³⁰) and v4 ≤ 10⁹ the
+    * dot stays ≤ ~10¹⁸, inside int64.
+    *
+    * State per key is O(|weights|) released-tail entries + the
+    * lateness-bounded pending sliver — frame-SPAN-independent, the
+    * rows-frame property. Releases ascend; stragglers beyond the
+    * emission mark emit best-effort over the retained tail, like every
+    * delayed operator here. */
+  def weightedRowsWDelayed(events: Dataset[KeyedEvent],
+      weights: Seq[Long], latenessMillis: Long): Dataset[FirAgg] = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(latenessMillis >= 0, "latenessMillis must be >= 0")
+    val ws = weights.toArray
+    val depth = ws.length
+    import events.sparkSession.implicits._
+    // fr is ascending in the total order; fr(last) is the event itself
+    def dotQ(fr: IndexedSeq[(Long, Long)]): Long = {
+      var acc = 0L; var j = 0; val last = fr.length - 1
+      while (j < depth) {
+        if (last - j >= 0) acc += fr(last - j)._2 * ws(j)
+        j += 1
+      }
+      acc
+    }
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", s"$latenessMillis milliseconds")
+      .as[KeyedEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RowsDelayBuf, FirAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedEventT],
+         st: GroupState[RowsDelayBuf]) =>
+          val prev = st.getOption.getOrElse(
+            RowsDelayBuf(Nil, Nil, Nil, Nil, Long.MinValue))
+          val batch = it.toSeq
+            .map(e => e.tsMillis -> scaledE4(e.value))
+          val (stragglers, fresh) =
+            batch.partition(_._1 <= prev.emittedThrough)
+          val stragglerOut = stragglers.sortBy(identity).map {
+            case (ts, v) =>
+              val fr = (prev.tailTs.zip(prev.tailV) :+ ((ts, v)))
+                .takeRight(depth).toIndexedSeq
+              FirAgg(key, ts, dotQ(fr))
+          }
+          val pending = (prev.pendTs.zip(prev.pendV) ++ fresh)
+            .sortBy(identity)
+          val emitUpTo = st.getCurrentWatermarkMs() - 1
+          val (release, keep) = pending.partition(_._1 <= emitUpTo)
+          var runTail = prev.tailTs.zip(prev.tailV)
+          val releaseOut = release.map { case (ts, v) =>
+            val fr = (runTail :+ ((ts, v))).takeRight(depth).toIndexedSeq
+            runTail = (runTail :+ ((ts, v))).takeRight(depth - 1)
+            FirAgg(key, ts, dotQ(fr))
+          }
+          val emittedThrough = math.max(prev.emittedThrough, emitUpTo)
+          st.update(RowsDelayBuf(runTail.map(_._1), runTail.map(_._2),
+            keep.map(_._1), keep.map(_._2), emittedThrough))
+          (stragglerOut ++ releaseOut).iterator
+      }
+  }
+
   // --- stateful sessionization (custom state via flatMapGroupsWithState) --
 
   /** Input event for sessionization: epoch-millis event time. */

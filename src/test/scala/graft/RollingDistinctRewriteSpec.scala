@@ -212,6 +212,42 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("rds_sql_t")
   }
 
+  test("AVG(DISTINCT) arm: exact-sum/exact-count division semantics, " +
+      "grouped, empty frames NULL; matches brute force") {
+    val rnd = new scala.util.Random(9876)
+    for (trial <- 0 until 4) {
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(60) {
+          val g = s"g${rnd.nextInt(2)}"
+          val b: java.lang.Long = java.lang.Long.valueOf(
+            rnd.nextInt(20).toLong * 2)
+          val id: java.lang.Long = if (rnd.nextInt(5) == 0) null
+            else java.lang.Long.valueOf((rnd.nextInt(9) - 4).toLong)
+          (g, b, id)
+        }
+      val n = 1L + rnd.nextInt(5)
+      val df = rows.toDF("g", "b", "id")
+      df.createOrReplaceTempView("rda_t")
+      try {
+        val got = spark.sql(
+          s"""SELECT g, b, avg(DISTINCT id) OVER (PARTITION BY g
+                ORDER BY b RANGE BETWEEN $n PRECEDING AND CURRENT ROW)
+              FROM rda_t""")
+          .collect()
+          .map(r => ((r.getString(0), r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        val wantSum = bruteSum(rows, n)
+        val wantCnt = brute(rows, n)
+        got.foreach { case (k, a) =>
+          val key = (k._1, Some(k._2): Option[Long])
+          val want = wantSum(key).map(s =>
+            s.toDouble / wantCnt(key).toDouble)
+          assert(a == want, s"trial $trial n=$n key=$k")
+        }
+      } finally spark.catalog.dropTempView("rda_t")
+    }
+  }
+
   test("fractional SUM(DISTINCT) is NOT claimed — stock rejection " +
       "stands (the rewrite is exact-integer-only)") {
     val df = Seq((1.5, 10L)).toDF("x", "b")
