@@ -29,6 +29,14 @@ object PlanPeek {
     val df = SparkEntry.queries(args(0))(spark,
       args.lift(1).getOrElse("/root/testdata/sf0.001"))
     df.explain("formatted")
+    // optional second arg "exec": run the query and print the FINAL
+    // adaptive plan (AQE stage reuse — ReusedExchange/ReusedQueryStage —
+    // only appears at runtime, never in the static explain)
+    if (args.contains("exec")) {
+      df.collect(): Unit // drive THIS plan instance to its final form
+      println("=== executed (isFinalPlan) ===")
+      println(df.queryExecution.executedPlan.toString.take(8000))
+    }
     spark.stop()
   }
 }

@@ -65,7 +65,12 @@ object Sf1Probe {
     // and the forced distributed-CC scale path
     "window_rolling_minmax_wide", "text_bpe_merge_rounds",
     "dedup_clusters_distributed", "graph_shortest_path_k",
-    "agg_weighted_median")
+    "agg_weighted_median",
+    // round-13 continuation: the new rule-rewritten distinct-window
+    // keys (difference-array scaling), the corpus PMI miner, and the
+    // windowed funnel
+    "window_rolling_sumdistinct_rule", "window_rolling_avgdistinct_rule",
+    "text_collocations", "funnel_window_gap")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")

@@ -775,10 +775,15 @@ object TextQueries {
           substring_index(col("bg"), " ", 1).as("w1"),
           substring_index(col("bg"), " ", -1).as("w2"))
       val cb = bi.groupBy("bg", "w1", "w2").agg(count(lit(1)).as("cnt"))
-      val nb = bi.agg(count(lit(1)).as("nb"))
       val uni = d.select(explode(tokens(col("text"))).as("t"))
       val cw = uni.groupBy("t").agg(count(lit(1)).as("c"))
-      val nu = uni.agg(count(lit(1)).as("nu"))
+      // grand totals DERIVE from the aggregates (Nb = Σ cnt, Nu = Σ c):
+      // no extra corpus scans, and because every reference to cb/cw
+      // shares one partial-aggregate Exchange subtree, ReuseExchange
+      // dedupes the scan+explode work — the corpus is read ONCE per
+      // token granularity (2 scans total, was 5)
+      val nb = cb.agg(sum(col("cnt")).as("nb"))
+      val nu = cw.agg(sum(col("c")).as("nu"))
       cb.filter(col("cnt") >= 5)
         .join(broadcast(cw.select(col("t").as("w1"), col("c").as("c1"))),
           Seq("w1"))
