@@ -68,7 +68,8 @@ object Plans {
       "ann_ivfpq_topk", "ann_ivfpq_recall", "window_rolling_distinct_rule",
       "window_rolling_distinct_by_rule",
       "window_rolling_sumdistinct_rule", "text_collocations",
-      "funnel_window_gap", "window_rolling_avgdistinct_rule")
+      "funnel_window_gap", "window_rolling_avgdistinct_rule",
+      "window_ewma_irregular", "join_scd2_asat")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

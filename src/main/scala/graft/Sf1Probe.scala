@@ -70,7 +70,8 @@ object Sf1Probe {
     // keys (difference-array scaling), the corpus PMI miner, and the
     // windowed funnel
     "window_rolling_sumdistinct_rule", "window_rolling_avgdistinct_rule",
-    "text_collocations", "funnel_window_gap")
+    "text_collocations", "funnel_window_gap",
+    "window_ewma_irregular", "join_scd2_asat")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")

@@ -404,6 +404,35 @@ object ExtendedQueries {
         .reduce(_ + _)
       events(s, dir).select(col("event_id"), r4(ewma).as("ewma"))
     }),
+    "window_ewma_irregular" -> ((s, dir) => {
+      // IRREGULAR-time EWMA (τ = 1h): y_i = Σⱼ v(i−j)·exp(−Δtⱼ/τ) over
+      // the trailing 20 rows — the time-decay recency feature for
+      // event streams with uneven gaps, where the row-count EWMA
+      // (window_ewma) misweights bursts vs lulls. The untruncated
+      // closed-form prefix trick (Σ v·e^{t/τ} scaled by e^{−t_i/τ})
+      // catastrophically overflows/cancels at scale (window_ewma's
+      // scaladoc argument applies doubly here: t/τ reaches ~10⁴), so
+      // the truncated 20-term lag form is the honest one: residual
+      // weight < e^{−Δt₂₀/τ}, and 20 lags of (value, ts) share ONE
+      // WindowExec. DETERMINISM: each exp argument is an exact-integer
+      // nanosecond gap divided by the same double literal, so both
+      // engines feed libm identical doubles; term products/sums are
+      // left-associated identically; r4 absorbs the last-ulp exp/ln
+      // jitter (|y| ≤ 20·max v ≈ 10⁴ — inside the r4 envelope).
+      val tauNs = "3600000000000.0" // 1h in ns, embedded verbatim in SQL
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val terms = (0 until 20).map { j =>
+        if (j == 0) col("value")
+        else coalesce(
+          lag(col("value"), j).over(w) *
+            exp(-((col("ts") - lag(col("ts"), j).over(w)).cast("double") /
+              expr(tauNs))),
+          lit(0.0))
+      }
+      val decayed = terms.reduce(_ + _)
+      events(s, dir).select(col("event_id"), r4(decayed).as("ewma_t"))
+    }),
     "window_rolling_corr" -> ((s, dir) => {
       // Rolling bivariate statistics as WINDOW aggregates: trailing
       // 20-row Pearson correlation and sample covariance of
@@ -1330,6 +1359,50 @@ object ExtendedQueries {
           col("valid_to").cast("date").cast("string").as("valid_to"),
           col("is_current"))
     }),
+    "join_scd2_asat" -> ((s, dir) => {
+      // POINT-IN-TIME (as-at) join — the warehouse query SCD2 exists
+      // FOR: each fact row joins the dimension version valid AT its
+      // own timestamp ("what status regime was the customer in when
+      // this line shipped"). Composition of two gated primitives:
+      // Scd2.intervals builds the [valid_from, valid_to) history (one
+      // hash exchange), RangeJoin.intervalJoin lands each fact in its
+      // containing interval via the binned equi-join — equi join on
+      // (custkey, day-bin) + exact recheck, never a nested-loop range
+      // scan. Open intervals are capped at the facts' max day (1-row
+      // broadcast cross join — no unbounded bin explode); the
+      // exclusive valid_to becomes an inclusive hi at to−1 in the
+      // integer day domain. Every lineitem matches EXACTLY one
+      // interval (shipdate ≥ orderdate ≥ the customer's first
+      // observation), which the row count proves.
+      val orders = t(s, dir, "orders")
+      val log = orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderstatus"))
+      val dim0 = graft.operators.Scd2.intervals(log,
+        keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+        tieCols = Seq("o_orderkey"), attrCols = Seq("o_orderstatus"))
+      val facts = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_shipdate"))
+        .join(orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("o_custkey").as("custkey"),
+          expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+            .as("shipday"))
+      val cap = facts.agg(max(col("shipday")).as("__cap"))
+      val dim = dim0.crossJoin(broadcast(cap))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status_asat"),
+          expr("datediff(CAST(valid_from AS DATE), DATE '1970-01-01')")
+            .as("lo"),
+          coalesce(
+            expr("datediff(CAST(valid_to AS DATE), DATE '1970-01-01')")
+              - 1, col("__cap")).as("hi"))
+      graft.operators.RangeJoin.intervalJoin(facts, dim, Seq("custkey"),
+          "shipday", "lo", "hi", binWidth = 128)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("shipday"), col("status_asat"))
+    }),
     "scd2_incremental" -> ((s, dir) => {
       // Incremental SCD2 refresh (Scd2.applyBatch): history built from
       // pre-1996 orders, then the 1996+ tail applied as an append
@@ -1416,6 +1489,21 @@ object ExtendedQueries {
         s"COALESCE(lag(value, $j) OVER w, 0.0) * $c" }.mkString(" + ")
       s"""SELECT event_id, round(1e-9 + ($terms), 4) AS ewma
           FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+    },
+    // identical expression tree to the Spark side: exact-integer ns
+    // gaps / the same double literal → identical exp inputs; term
+    // order j ascending, left-associated
+    "window_ewma_irregular" -> {
+      val terms = "value" +: (1 until 20).map { j =>
+        s"COALESCE(lag(value, $j) OVER w * exp(-(CAST(tsn - " +
+          s"lag(tsn, $j) OVER w AS DOUBLE) / 3600000000000.0)), 0.0)"
+      }
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+            epoch_ns(ts) AS tsn, value FROM events)
+          SELECT event_id, round(1e-9 + (${terms.mkString(" + ")}), 4)
+            AS ewma_t
+          FROM e
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
     },
     "window_rolling_corr" ->
@@ -1908,6 +1996,35 @@ object ExtendedQueries {
            lead(o_orderdate) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
          FROM c""",
+    // scd2_intervals' change-compression CTE + the BETWEEN containment
+    // join; open intervals capped at the facts' max day, exclusive
+    // valid_to → inclusive hi at to−1 (integer day domain)
+    "join_scd2_asat" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             o_orderstatus,
+           lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+           FROM w WHERE prev IS NULL OR prev <> o_orderstatus),
+         iv AS (SELECT o_custkey, o_orderstatus,
+           date_diff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) AS lo,
+           date_diff('day', DATE '1970-01-01',
+             CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS DATE)) - 1 AS hi_raw
+           FROM c),
+         f AS MATERIALIZED (SELECT l_orderkey, l_linenumber, l_partkey,
+             l_suppkey, o_custkey AS custkey,
+           date_diff('day', DATE '1970-01-01',
+             CAST(l_shipdate AS DATE)) AS shipday
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         cap AS (SELECT max(shipday) AS cap FROM f)
+         SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.l_suppkey,
+           f.shipday, iv.o_orderstatus AS status_asat
+         FROM f JOIN iv ON f.custkey = iv.o_custkey
+           AND f.shipday >= iv.lo
+           AND f.shipday <= COALESCE(iv.hi_raw, (SELECT cap FROM cap))""",
     // deliberately the SAME full-recompute SQL as scd2_intervals: the
     // Spark side computes it INCREMENTALLY (history + applied batch),
     // and the hash gate proves incremental == recompute
