@@ -71,7 +71,8 @@ object Sf1Probe {
     // windowed funnel
     "window_rolling_sumdistinct_rule", "window_rolling_avgdistinct_rule",
     "text_collocations", "funnel_window_gap",
-    "window_ewma_irregular", "join_scd2_asat")
+    "window_ewma_irregular", "join_scd2_asat",
+    "window_running_distinct_rule")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")

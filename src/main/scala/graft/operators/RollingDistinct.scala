@@ -168,4 +168,61 @@ object RollingDistinct {
         col("__cc").cast("long").as(cntCol) :+
         col("__cv").cast("long").as(sumCol): _*)
   }
+
+  /** CUMULATIVE distinct count AND sum — the `RANGE UNBOUNDED
+    * PRECEDING` (default-frame) sibling of the trailing forms, i.e.
+    * "cumulative unique users to date". Simpler decomposition: each
+    * distinct value contributes (+1, +v) exactly once, at its FIRST
+    * bucket; one running sum over the bucket domain recovers both
+    * prefixes. NULL buckets fold in as a −∞ SENTINEL bucket (returned
+    * as a null `bucketCol` row): stock Spark's measured semantics for
+    * null order keys under an unbounded range frame — nulls sort
+    * first as ONE peer group whose frame is just itself, and every
+    * non-null row's frame INCLUDES them — fall out of the sentinel
+    * sorting below every real bucket. `spineFrom` (default `df`)
+    * decides which buckets get output rows: each group's [min, max]
+    * span of non-null buckets, plus the sentinel row for groups with
+    * null-bucket rows. */
+  def groupedCumulativeDistinctSum(df: DataFrame, by: Seq[String],
+      valueCol: String, bucketCol: String,
+      cntCol: String, sumCol: String,
+      spineFrom: Option[DataFrame] = None): DataFrame = {
+    val SENT = Long.MinValue
+    val byCols = by.map(col)
+    val pairs = df
+      .select(byCols :+ col(valueCol).cast("long").as("__v") :+
+        coalesce(col(bucketCol).cast("long"), lit(SENT)).as("__b"): _*)
+      .filter(col("__v").isNotNull)
+      .distinct()
+    val deltas = pairs.groupBy(byCols :+ col("__v"): _*)
+      .agg(min(col("__b")).as("__d"))
+      .groupBy((by :+ "__d").map(col): _*)
+      .agg(count(lit(1)).as("__dc"), sum(col("__v")).as("__dv"))
+
+    val spineSrc = spineFrom.getOrElse(df)
+    val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
+      .groupBy(byCols: _*)
+      .agg(min(col(bucketCol).cast("long")).as("__lo"),
+        max(col(bucketCol).cast("long")).as("__hi"))
+      .select(byCols :+ explode(sequence(col("__lo"), col("__hi")))
+        .as("__d"): _*)
+    val sentSpine = spineSrc.filter(col(bucketCol).isNull)
+      .select(byCols: _*).distinct()
+      .withColumn("__d", lit(SENT))
+      .select(realSpan.columns.map(col): _*)
+    val joined = realSpan.unionByName(sentSpine)
+      .join(deltas, by :+ "__d", "left")
+      .select(byCols :+ col("__d") :+
+        coalesce(col("__dc"), lit(0L)).as("__dc") :+
+        coalesce(col("__dv"), lit(0L)).as("__dv"): _*)
+
+    val c1 = GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")),
+      "__dc", "__cc")
+    GlobalWindow.groupedCumSum(c1, by, Seq(col("__d")), "__dv", "__cv")
+      .select(byCols :+
+        when(col("__d") === SENT, lit(null).cast("long"))
+          .otherwise(col("__d")).as(bucketCol) :+
+        col("__cc").cast("long").as(cntCol) :+
+        col("__cv").cast("long").as(sumCol): _*)
+  }
 }

@@ -56,9 +56,13 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * (integral-typed for sum: the rewrite rides exact 64-bit
   * arithmetic; fractional sums would re-associate floating addition),
   * no FILTER clause, attribute partition keys, a single ascending
-  * integral order attribute, foldable finite negative lower bound,
-  * CURRENT ROW upper — anything else is left for CheckAnalysis to
-  * reject exactly as stock Spark would. Installed via
+  * integral order attribute, lower bound either UNBOUNDED PRECEDING
+  * (the default frame — cumulative distinct via the first-occurrence
+  * difference array, null order keys folded in as a −∞ sentinel
+  * bucket matching the measured nulls-first-peer-group semantics) or
+  * a foldable finite negative offset, CURRENT ROW upper — anything
+  * else is left for CheckAnalysis to reject exactly as stock Spark
+  * would. Installed via
   * `spark.sql.extensions=graft.GraftExtensions` (build-time only:
   * analyzer rules cannot be added to a live session). */
 case class RollingDistinctRewrite(spark: SparkSession)
@@ -69,8 +73,10 @@ case class RollingDistinctRewrite(spark: SparkSession)
   private case object SumKind extends Kind
   private case object AvgKind extends Kind
 
+  /** nPreceding None = RANGE UNBOUNDED PRECEDING (the default frame —
+    * cumulative distinct); Some(n) = the trailing n-bucket frame. */
   private case class Target(alias: Alias, id: Attribute,
-      part: Seq[Attribute], order: Attribute, nPreceding: Long,
+      part: Seq[Attribute], order: Attribute, nPreceding: Option[Long],
       kind: Kind)
 
   private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -82,7 +88,8 @@ case class RollingDistinctRewrite(spark: SparkSession)
         WindowSpecDefinition(part,
           Seq(SortOrder(ob: Attribute, Ascending, _, _)),
           SpecifiedWindowFrame(RangeFrame, lower, CurrentRow))), _)
-        if part.forall(_.isInstanceOf[Attribute]) && lower.foldable &&
+        if part.forall(_.isInstanceOf[Attribute]) &&
+          (lower == UnboundedPreceding || lower.foldable) &&
           integral(ob.dataType) =>
       val kind = f match {
         case Count(Seq(_: Attribute)) => Some(CntKind)
@@ -98,11 +105,17 @@ case class RollingDistinctRewrite(spark: SparkSession)
         case a: Average => Some(a.child.asInstanceOf[Attribute])
         case _ => None
       }
-      (kind, lower.eval()) match {
-        case (Some(k), n: Number)
-            if n.longValue < 0 && n.longValue > Int.MinValue + 2 =>
+      (kind, lower) match {
+        case (Some(k), UnboundedPreceding) =>
           Some(Target(a, id.get, part.map(_.asInstanceOf[Attribute]), ob,
-            -n.longValue, k))
+            None, k))
+        case (Some(k), _) => lower.eval() match {
+          case n: Number
+              if n.longValue < 0 && n.longValue > Int.MinValue + 2 =>
+            Some(Target(a, id.get, part.map(_.asInstanceOf[Attribute]),
+              ob, Some(-n.longValue), k))
+          case _ => None
+        }
         case _ => None
       }
     case _ => None
@@ -140,35 +153,55 @@ case class RollingDistinctRewrite(spark: SparkSession)
       val idBearing = proj.filter(col(idName).isNotNull &&
         col(bName).isNotNull)
       val spineSrc = Some(proj.filter(col(bName).isNotNull))
-      val (frame, nullArm) = t.kind match {
-        case CntKind =>
-          val f = graft.operators.RollingDistinct.groupedTrailingDistinct(
-            idBearing, by = gNames, idCol = idName, bucketCol = bName,
-            w = (t.nPreceding + 1).toInt, outCol = cntName,
-            spineFrom = spineSrc)
-          val na = proj.filter(col(bName).isNull)
-            .groupBy(gNames.map(col): _*)
-            .agg(count_distinct(col(idName)).as(cntName))
-            .withColumn(bName, lit(null).cast("long"))
-            .select(f.columns.map(col): _*)
-          (f, na)
-        case SumKind | AvgKind =>
-          val f = graft.operators.RollingDistinct.groupedTrailingDistinctSum(
-            idBearing, by = gNames, valueCol = idName, bucketCol = bName,
-            w = (t.nPreceding + 1).toInt, cntCol = cntName,
-            sumCol = sumName, spineFrom = spineSrc)
-          // null-order-key peer frame: count AND sum of the distinct
-          // ids among null-bucket rows (sum_distinct of an all-null /
-          // empty set is NULL — matching the naive semantics)
-          val na = proj.filter(col(bName).isNull)
-            .groupBy(gNames.map(col): _*)
-            .agg(count_distinct(col(idName)).as(cntName),
-              sum_distinct(col(idName)).cast("long").as(sumName))
-            .withColumn(bName, lit(null).cast("long"))
-            .select(f.columns.map(col): _*)
-          (f, na)
+      val lookup = t.nPreceding match {
+        case None =>
+          // UNBOUNDED PRECEDING (the default frame — cumulative
+          // distinct): one first-occurrence difference array serves
+          // all three kinds; null order keys fold in as the −∞
+          // sentinel (nulls-first peer group INCLUDED in every
+          // non-null frame — the measured stock semantics for
+          // unbounded range frames, opposite of the finite case), so
+          // no separate null arm exists on this path
+          graft.operators.RollingDistinct.groupedCumulativeDistinctSum(
+            proj.filter(col(idName).isNotNull), by = gNames,
+            valueCol = idName, bucketCol = bName,
+            cntCol = cntName, sumCol = sumName,
+            spineFrom = Some(proj))
+        case Some(nPrec) =>
+          val (frame, nullArm) = t.kind match {
+            case CntKind =>
+              val f = graft.operators.RollingDistinct
+                .groupedTrailingDistinct(
+                  idBearing, by = gNames, idCol = idName,
+                  bucketCol = bName, w = (nPrec + 1).toInt,
+                  outCol = cntName, spineFrom = spineSrc)
+              val na = proj.filter(col(bName).isNull)
+                .groupBy(gNames.map(col): _*)
+                .agg(count_distinct(col(idName)).as(cntName))
+                .withColumn(bName, lit(null).cast("long"))
+                .select(f.columns.map(col): _*)
+              (f, na)
+            case SumKind | AvgKind =>
+              val f = graft.operators.RollingDistinct
+                .groupedTrailingDistinctSum(
+                  idBearing, by = gNames, valueCol = idName,
+                  bucketCol = bName, w = (nPrec + 1).toInt,
+                  cntCol = cntName, sumCol = sumName,
+                  spineFrom = spineSrc)
+              // null-order-key peer frame: count AND sum of the
+              // distinct ids among null-bucket rows (sum_distinct of
+              // an all-null / empty set is NULL — matching the naive
+              // semantics)
+              val na = proj.filter(col(bName).isNull)
+                .groupBy(gNames.map(col): _*)
+                .agg(count_distinct(col(idName)).as(cntName),
+                  sum_distinct(col(idName)).cast("long").as(sumName))
+                .withColumn(bName, lit(null).cast("long"))
+                .select(f.columns.map(col): _*)
+              (f, na)
+          }
+          frame.unionByName(nullArm)
       }
-      val lookup = frame.unionByName(nullArm)
       val cond = (t.part.zip(gNames).map { case (p, g) =>
           ColumnShim.column(p) <=> col(g)
         } :+ (ColumnShim.column(t.order).cast("long") <=> col(bName)))

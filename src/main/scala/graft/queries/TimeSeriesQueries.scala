@@ -1537,6 +1537,42 @@ object TimeSeriesQueries {
           "spark.sql.extensions=graft.GraftExtensions set?)")
       out
     }),
+    "window_running_distinct_rule" -> ((s, dir) => {
+      // CUMULATIVE uniques to date — count(DISTINCT) over the DEFAULT
+      // frame (`OVER (ORDER BY day)` = RANGE UNBOUNDED PRECEDING),
+      // i.e. the most common naive distinct-window form a user writes:
+      // the users-acquired curve. The rule's unbounded arm lowers it
+      // to the FIRST-OCCURRENCE difference array (each user emits +1
+      // at their first day; one bucket-domain running sum is the whole
+      // curve) — O(rows), no per-frame distinct state. Spine union
+      // collapses the per-row output to one row per day in span.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      val span = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"),
+          lit(null).cast("long").as("user_id"))
+      val input = e.unionByName(span.select("user_id", "day"))
+      val w = Window.orderBy(col("day"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = input.select(col("day"),
+          count_distinct(col("user_id")).over(w).as("cum_uniq"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_running_distinct_rule: the distinct window aggregate " +
+          "survived — RollingDistinctRewrite's unbounded arm did not " +
+          "fire")
+      out
+    }),
     "window_rolling_avgdistinct_rule" -> ((s, dir) => {
       // AVG(DISTINCT) — the rule's THIRD aggregate kind, grouped:
       // "trailing 7-day mean of the distinct price points per event
@@ -2484,6 +2520,15 @@ object TimeSeriesQueries {
            CAST(sum(DISTINCT e.amt) AS BIGINT) AS sumd7
          FROM span s LEFT JOIN e
            ON e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1""",
+    // cumulative uniques: the prefix interval join (e.day <= s.day)
+    "window_running_distinct_rule" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT unnest(generate_series(min(day), max(day)))
+           AS day FROM e)
+         SELECT s.day, count(DISTINCT e.user_id) AS cum_uniq
+         FROM span s LEFT JOIN e ON e.day <= s.day
          GROUP BY 1""",
     // grouped interval join; the avg is spelled as the rewrite's own
     // exact-sum/exact-count double division (NOT DuckDB's native

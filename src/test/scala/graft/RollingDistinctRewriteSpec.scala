@@ -248,6 +248,80 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute force for the UNBOUNDED PRECEDING (cumulative) frame under
+    * the MEASURED stock null semantics: null order keys sort first as
+    * one peer group whose frame is just the null rows, and every
+    * non-null row's frame includes them (the opposite of the finite
+    * range case, where nulls sit outside every frame — both measured
+    * in this suite). */
+  private def bruteCum(
+      rows: Seq[(String, java.lang.Long, java.lang.Long)])
+      : Map[(String, Option[Long]), (Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val buckets = rs.map(r => Option(r._2).map(_.longValue)).distinct
+      buckets.map { b =>
+        val ids = rs.filter { r =>
+          val rb = Option(r._2).map(_.longValue)
+          b match {
+            case Some(bv) => rb.isEmpty || rb.exists(_ <= bv)
+            case None => rb.isEmpty
+          }
+        }.flatMap(r => Option(r._3).map(_.longValue)).distinct
+        (g, b) -> ((ids.size.toLong,
+          if (ids.isEmpty) None else Some(ids.sum)))
+      }
+    }
+
+  test("UNBOUNDED PRECEDING (cumulative distinct): count and sum " +
+      "match brute force incl. null buckets and the nulls-first " +
+      "peer-group inclusion semantics") {
+    val rnd = new scala.util.Random(5555)
+    for (trial <- 0 until 8) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(40 + rnd.nextInt(80)) {
+          val g = s"g${rnd.nextInt(nGroups)}"
+          val b: java.lang.Long = if (rnd.nextInt(8) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(25).toLong)
+          val id: java.lang.Long = if (rnd.nextInt(6) == 0) null
+            else java.lang.Long.valueOf((rnd.nextInt(12) - 5).toLong)
+          (g, b, id)
+        }
+      val df = rows.toDF("g", "b", "id")
+      val w = Window.partitionBy("g").orderBy(col("b"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.select(col("g"), col("b"),
+          count_distinct(col("id")).over(w).as("c"),
+          sum_distinct(col("id")).over(w).as("sd"))
+        .collect()
+        .map(r => ((r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      val want = bruteCum(rows)
+      got.foreach { case (k, v) =>
+        assert(v == want(k), s"trial $trial key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
+  test("cumulative distinct via the SQL default frame (plain ORDER " +
+      "BY — no frame clause) rewrites and matches hand values") {
+    val df = Seq((1L, 10L), (2L, 10L), (1L, 11L), (3L, 12L))
+      .toDF("id", "b")
+    df.createOrReplaceTempView("rdc_sql_t")
+    try {
+      val got = spark.sql(
+        """SELECT b, count(DISTINCT id) OVER (ORDER BY b) AS u
+           FROM rdc_sql_t""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // cumulative uniques: b=10 {1,2}=2 (x2 rows); b=11 {1,2}=2;
+      // b=12 {1,2,3}=3
+      assert(got == Seq((10L, 2L), (10L, 2L), (11L, 2L), (12L, 3L)))
+    } finally spark.catalog.dropTempView("rdc_sql_t")
+  }
+
   test("fractional SUM(DISTINCT) is NOT claimed — stock rejection " +
       "stands (the rewrite is exact-integer-only)") {
     val df = Seq((1.5, 10L)).toDF("x", "b")
