@@ -33,6 +33,19 @@ object TextQueries {
         x -> x IN (${stops.map(w => s"'$w'").mkString(", ")}))) END"""
   // single source of truth: the exact lists the Spark functions use
   private val enS = graft.functions.TextFunctions.enStop
+
+  /** Poisson(λ=0.7) CDF thresholds quantized to Q20 —
+    * floor(P(X ≤ k)·2²⁰) for k = 0..4, computed ONCE here and embedded
+    * as the same integer literals in the sample_poisson_bootstrap key
+    * and its oracle; the draw k = Σⱼ 1[u ≥ Tⱼ] is pure integer
+    * arithmetic on both engines (k capped at 5, residual mass < 1e-4). */
+  private[queries] val PoissonQ20: Seq[Long] = {
+    val lambda = 0.7
+    val pmf = Iterator.iterate((0, math.exp(-lambda))) {
+      case (k, p) => (k + 1, p * lambda / (k + 1)) }
+    val cdf = pmf.take(5).map(_._2).scanLeft(0.0)(_ + _).drop(1)
+    cdf.map(c => math.floor(c * (1L << 20).toDouble).toLong).toSeq
+  }
   private val esS = graft.functions.TextFunctions.esStop
   private val deS = graft.functions.TextFunctions.deStop
   private val frS = graft.functions.TextFunctions.frStop
@@ -173,6 +186,29 @@ object TextQueries {
       docs(s, dir).filter(pmod(graft.operators.Dedup.baseHash(
           col("doc_id").cast("string")), lit(100)) < 10)
         .select("doc_id")
+    }),
+    "sample_poisson_bootstrap" -> ((s, dir) => {
+      // DETERMINISTIC Poisson(λ=0.7) bootstrap — the distributed
+      // bootstrap/epoch-upsampling primitive: each doc is replicated
+      // k ~ Poisson(λ) times with NO global coordination (per-row
+      // draw), so resamples of a 100 TB corpus need one narrow map.
+      // The draw is hash-derived, not RNG: u = baseHash(doc_id ∥ salt)
+      // mod 2²⁰ against PRECOMPUTED integer CDF thresholds
+      // floor(CDF_Poisson(k)·2²⁰) (computed once driver-side from
+      // exp(−λ), embedded as the same literals in the oracle), so
+      // k = Σⱼ 1[u ≥ Tⱼ] is pure integer arithmetic — identical rows
+      // on every run, partitioning, and engine. Capped at k ≤ 5
+      // (residual mass < 1e-4 lands on the cap, as both engines
+      // agree). Docs drawing k=0 drop — bootstrap semantics.
+      val u20 = pmod(graft.operators.Dedup.baseHash(
+        concat(col("doc_id").cast("string"), lit("#pboot"))),
+        lit(1048576L))
+      val k = PoissonQ20.map(t => (u20 >= t).cast("long"))
+        .reduce(_ + _)
+      docs(s, dir).select(col("doc_id"), k.as("k"))
+        .filter(col("k") >= 1)
+        .select(col("doc_id"), col("k"),
+          explode(sequence(lit(1L), col("k"))).as("copy_idx"))
     }),
     "sample_split_consistent" -> ((s, dir) => {
       // Deterministic train/valid/test assignment (80/10/10) by key
@@ -1030,6 +1066,20 @@ object TextQueries {
       """SELECT doc_id FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
            AS BIGINT) % 100 < 10""",
+    // identical md5-derived u and Q20 threshold literals (PoissonQ20);
+    // k = sum of integer indicator compares; range(1, k+1) = Spark's
+    // inclusive sequence(1, k)
+    "sample_poisson_bootstrap" -> {
+      val ind = PoissonQ20.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT doc_id,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+              || '#pboot'), 1, 15)) AS BIGINT) % 1048576 AS u
+            FROM documents),
+          kk AS (SELECT doc_id, CAST($ind AS BIGINT) AS k FROM h)
+          SELECT doc_id, k, unnest(range(1, k + 1)) AS copy_idx
+          FROM kk WHERE k >= 1"""
+    },
     "sample_split_consistent" ->
       """WITH h AS (SELECT source, n_chars,
            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
