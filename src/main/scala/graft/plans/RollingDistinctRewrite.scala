@@ -135,7 +135,22 @@ case class RollingDistinctRewrite(spark: SparkSession)
     val targets = w.windowExpressions.map(e => targetOf(e).get)
     val childDf = ColumnShim.ofRows(spark, w.child)
     var acc: DataFrame = childDf
+    // TARGET COALESCING: all targets over the same (id, partition,
+    // order, frame) signature share ONE difference-array lookup and
+    // ONE back-join — `count(DISTINCT x)` and `sum(DISTINCT x)` in one
+    // window node cost one frame, not two (the dual frame carries both
+    // running aggregates anyway). Count-only groups keep the lean
+    // count-only pipeline.
+    type Sig = (Long, Seq[Long], Long, Option[Long])
+    def sigOf(t: Target): Sig = (t.id.exprId.id,
+      t.part.map(_.exprId.id), t.order.exprId.id, t.nPreceding)
+    val groupNames = scala.collection.mutable.Map.empty[Sig, (String, String)]
     val outNames = targets.map { t =>
+      val sig = sigOf(t)
+      val needsSum = t.nPreceding.isEmpty ||
+        targets.exists(o => sigOf(o) == sig && o.kind != CntKind)
+      if (groupNames.contains(sig)) groupNames(sig)
+      else {
       val u = seq.incrementAndGet()
       val gNames = t.part.indices.map(j => s"__rd_g${j}_$u")
       val bName = s"__rd_b_$u"
@@ -168,8 +183,8 @@ case class RollingDistinctRewrite(spark: SparkSession)
             cntCol = cntName, sumCol = sumName,
             spineFrom = Some(proj))
         case Some(nPrec) =>
-          val (frame, nullArm) = t.kind match {
-            case CntKind =>
+          val (frame, nullArm) =
+            if (!needsSum) {
               val f = graft.operators.RollingDistinct
                 .groupedTrailingDistinct(
                   idBearing, by = gNames, idCol = idName,
@@ -181,7 +196,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
                 .withColumn(bName, lit(null).cast("long"))
                 .select(f.columns.map(col): _*)
               (f, na)
-            case SumKind | AvgKind =>
+            } else {
               val f = graft.operators.RollingDistinct
                 .groupedTrailingDistinctSum(
                   idBearing, by = gNames, valueCol = idName,
@@ -199,7 +214,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
                 .withColumn(bName, lit(null).cast("long"))
                 .select(f.columns.map(col): _*)
               (f, na)
-          }
+            }
           frame.unionByName(nullArm)
       }
       val cond = (t.part.zip(gNames).map { case (p, g) =>
@@ -208,7 +223,9 @@ case class RollingDistinctRewrite(spark: SparkSession)
         .reduce(_ && _)
       acc = acc.join(lookup, cond, "left")
         .drop((gNames :+ bName): _*)
+      groupNames(sig) = (cntName, sumName)
       (cntName, sumName)
+      }
     }
     val analyzed = acc.queryExecution.analyzed
     val childAttrs = w.child.output.map(a =>
