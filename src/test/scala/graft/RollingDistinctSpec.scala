@@ -97,4 +97,42 @@ class RollingDistinctSpec extends AnyFunSuite {
     assert(got(20L) == 0L)
     assert(got(10L) == 1L && got(11L) == 2L)
   }
+
+  test("groupedTrailingDistinctSum: count AND sum per bucket match " +
+      "brute force (values as their own weights, default spine)") {
+    val rnd = new scala.util.Random(777)
+    val rows = Seq.fill(120)((s"g${rnd.nextInt(2)}",
+      (rnd.nextInt(10) - 4).toLong, rnd.nextInt(20).toLong))
+    val df = rows.toDF("g", "v", "b")
+    val w = 4
+    val got = RollingDistinct.groupedTrailingDistinctSum(df, Seq("g"),
+        "v", "b", w, "cnt", "sm")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    rows.map(r => (r._1, r._3)).distinct.foreach { case (g, b) =>
+      // every observed bucket is inside that group's spine span
+      val vs = rows.filter(r => r._1 == g && r._3 >= b - (w - 1) &&
+        r._3 <= b).map(_._2).distinct
+      assert(got((g, b)) == ((vs.size.toLong, vs.sum)),
+        s"group $g bucket $b")
+    }
+  }
+
+  test("groupedCumulativeDistinctSum: prefix count/sum, null buckets " +
+      "as the sentinel row, default spine") {
+    val df = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("g", null, 5L), ("g", null, 5L), ("g", 10L, 5L), ("g", 10L, 7L),
+      ("g", 12L, 7L), ("g", 13L, 9L)).toDF("g", "b", "v")
+    val got = RollingDistinct.groupedCumulativeDistinctSum(df, Seq("g"),
+        "v", "b", "cnt", "sm")
+      .collect().map(r => (if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        -> ((r.getLong(2), r.getLong(3)))).toMap
+    // sentinel (null bucket): ids among null rows only = {5}
+    assert(got(None) == ((1L, 5L)))
+    // day 10: {5 (incl. from nulls), 7} — 11 in span, same prefix
+    assert(got(Some(10L)) == ((2L, 12L)))
+    assert(got(Some(11L)) == ((2L, 12L)))
+    assert(got(Some(12L)) == ((2L, 12L)))
+    assert(got(Some(13L)) == ((3L, 21L)))
+  }
 }
