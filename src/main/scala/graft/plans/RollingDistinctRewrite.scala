@@ -121,19 +121,45 @@ case class RollingDistinctRewrite(spark: SparkSession)
     case _ => None
   }
 
+  /** A window expression the rule can leave to stock Spark: anything
+    * WITHOUT a distinct aggregate (plain aggs, rank functions, lag…).
+    * An ineligible DISTINCT expression (e.g. a rows-frame distinct)
+    * keeps the whole node unclaimed so CheckAnalysis rejects it
+    * exactly as stock Spark would. */
+  private def plainWindowExpr(e: NamedExpression): Boolean =
+    !e.exists {
+      case ae: AggregateExpression => ae.isDistinct
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case w: Window if w.resolved &&
-          w.windowExpressions.nonEmpty &&
-          w.windowExpressions.forall(e => targetOf(e).isDefined) =>
+      // MIXED nodes are claimed too: ExtractWindowExpressions groups
+      // every compatible window expression into ONE Window node, so
+      // `count(DISTINCT x) OVER w` beside `sum(y) OVER w` lands in one
+      // node — the rule splits it (plain expressions stay a stock
+      // Window, distinct targets become difference-array joins) instead
+      // of letting one distinct aggregate poison the whole node.
+      case w: Window if w.resolved && w.windowExpressions.nonEmpty && {
+          val (ts, rest) =
+            w.windowExpressions.partition(e => targetOf(e).isDefined)
+          ts.nonEmpty && rest.forall(plainWindowExpr)
+        } =>
         rewrite(w)
     }
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
   private def rewrite(w: Window): LogicalPlan = {
-    val targets = w.windowExpressions.map(e => targetOf(e).get)
-    val childDf = ColumnShim.ofRows(spark, w.child)
+    val (targetExprs, rest) =
+      w.windowExpressions.partition(e => targetOf(e).isDefined)
+    val targets = targetExprs.map(e => targetOf(e).get)
+    // plain window expressions stay a stock Window node UNDER the
+    // difference-array joins (their attributes ride the probe side
+    // untouched, original exprIds preserved)
+    val base: LogicalPlan =
+      if (rest.isEmpty) w.child else w.copy(windowExpressions = rest)
+    val childDf = ColumnShim.ofRows(spark, base)
     var acc: DataFrame = childDf
     // TARGET COALESCING: all targets over the same (id, partition,
     // order, frame) signature share ONE difference-array lookup and
@@ -260,6 +286,16 @@ case class RollingDistinctRewrite(spark: SparkSession)
         Alias(body, t.alias.name)(exprId = t.alias.exprId,
           qualifier = t.alias.qualifier)
     }
-    Project(childAttrs ++ aliases, analyzed)
+    // output contract: child.output ++ windowExpressions attrs in the
+    // ORIGINAL order — plain expressions resolve to their stock-Window
+    // attributes riding the probe side, targets to the rewrite aliases
+    val aliasById = aliases.map(a => a.exprId -> a).toMap
+    val winOut: Seq[NamedExpression] = w.windowExpressions.map { e =>
+      aliasById.getOrElse(e.exprId,
+        analyzed.output.find(_.exprId == e.exprId).getOrElse(
+          throw new IllegalStateException(
+            s"RollingDistinctRewrite lost window output ${e.name}")))
+    }
+    Project(childAttrs ++ winOut, analyzed)
   }
 }

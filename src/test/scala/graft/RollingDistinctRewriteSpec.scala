@@ -322,6 +322,53 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("rdc_sql_t")
   }
 
+  test("MIXED window node: a distinct target beside PLAIN window " +
+      "expressions splits — plain exprs stay a stock Window, the " +
+      "distinct one rewrites, all outputs correct in order") {
+    val df = Seq((1L, 10L, 2L), (2L, 10L, 3L), (2L, 11L, 4L),
+      (3L, 12L, 5L)).toDF("id", "b", "y")
+    val w = Window.orderBy(col("b")).rangeBetween(-1, 0)
+    // ExtractWindowExpressions puts all three into ONE Window node
+    val out = df.select(col("b"),
+        count_distinct(col("id")).over(w).as("u"),
+        sum(col("y")).over(w).as("sy"),
+        count(lit(1)).over(w).as("n"))
+    val opt = out.queryExecution.optimizedPlan
+    val survivors = opt.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.windowExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions
+                .aggregate.AggregateExpression => ae.isDistinct
+            case _ => false
+          }) => wn
+    }
+    assert(survivors.isEmpty, "the distinct expr must be rewritten")
+    val plainWindows = opt.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }
+    assert(plainWindows.nonEmpty,
+      "the plain exprs must remain a stock Window node")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    // b=10: frame [9,10] ids {1,2} u=2, sy=2+3=5, n=2 (x2 rows);
+    // b=11: [10,11] ids {1,2} u=2, sy=9, n=3; b=12: [11,12] {2,3} u=2,
+    // sy=9, n=2
+    assert(got == Seq((10L, 2L, 5L, 2L), (10L, 2L, 5L, 2L),
+      (11L, 2L, 9L, 3L), (12L, 2L, 9L, 2L)))
+  }
+
+  test("a mixed node with an INELIGIBLE distinct (rows frame) is left " +
+      "whole — stock rejection applies to the whole node") {
+    val df = Seq((1L, 10L, 2L)).toDF("id", "b", "y")
+    val wr = Window.orderBy(col("b")).rowsBetween(-1, 0)
+    val e = intercept[Exception] {
+      df.select(count_distinct(col("id")).over(wr),
+        sum(col("y")).over(wr)).collect()
+    }
+    assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+  }
+
   test("fractional SUM(DISTINCT) is NOT claimed — stock rejection " +
       "stands (the rewrite is exact-integer-only)") {
     val df = Seq((1.5, 10L)).toDF("x", "b")
