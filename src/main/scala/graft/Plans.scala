@@ -70,7 +70,8 @@ object Plans {
       "window_rolling_sumdistinct_rule", "text_collocations",
       "funnel_window_gap", "window_rolling_avgdistinct_rule",
       "window_ewma_irregular", "join_scd2_asat",
-      "window_running_distinct_rule", "sample_poisson_bootstrap")
+      "window_running_distinct_rule", "sample_poisson_bootstrap",
+      "window_rolling_mixed_rule")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

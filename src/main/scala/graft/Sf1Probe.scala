@@ -72,7 +72,8 @@ object Sf1Probe {
     "window_rolling_sumdistinct_rule", "window_rolling_avgdistinct_rule",
     "text_collocations", "funnel_window_gap",
     "window_ewma_irregular", "join_scd2_asat",
-    "window_running_distinct_rule", "sample_poisson_bootstrap")
+    "window_running_distinct_rule", "sample_poisson_bootstrap",
+    "window_rolling_mixed_rule")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val ready = new java.io.File(dst, "_READY")

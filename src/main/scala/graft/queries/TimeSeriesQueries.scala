@@ -1537,6 +1537,54 @@ object TimeSeriesQueries {
           "spark.sql.extensions=graft.GraftExtensions set?)")
       out
     }),
+    "window_rolling_mixed_rule" -> ((s, dir) => {
+      // MIXED window node through the rule: `count(DISTINCT user_id)`
+      // beside the PLAIN `count(user_id)` over one window spec — the
+      // DAU + event-volume pair every activity dashboard computes, and
+      // the node shape ExtractWindowExpressions always produces (all
+      // compatible window exprs in ONE node, so before the mixed-node
+      // arm the plain column POISONED the whole node into stock
+      // rejection). The rule splits it: the plain count stays a stock
+      // WindowExec riding the probe side; the distinct one lowers to
+      // the difference array. count(user_id) (not count(*)) keeps the
+      // spine's null-id rows out of the plain count on both engines.
+      // PARTITION BY event_type so the surviving stock window is the
+      // ordinary partitioned shape (PlanAudit-clean with no allow).
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"), col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      val span = e.groupBy("event_type")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"),
+          lit(null).cast("long").as("user_id"))
+      val input = e.unionByName(span.select("event_type", "user_id", "day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      val out = input.select(col("event_type"), col("day"),
+          count_distinct(col("user_id")).over(w).as("uniq7"),
+          count(col("user_id")).over(w).as("events7"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rolling_mixed_rule: the distinct window aggregate " +
+          "survived — the mixed-node arm did not fire")
+      val plainWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+      }
+      require(plainWindows.nonEmpty,
+        "window_rolling_mixed_rule: the PLAIN count must remain a " +
+          "stock Window node (the split contract)")
+      out
+    }),
     "window_running_distinct_rule" -> ((s, dir) => {
       // CUMULATIVE uniques to date — count(DISTINCT) over the DEFAULT
       // frame (`OVER (ORDER BY day)` = RANGE UNBOUNDED PRECEDING),
@@ -2521,6 +2569,20 @@ object TimeSeriesQueries {
          FROM span s LEFT JOIN e
            ON e.day BETWEEN s.day - 6 AND s.day
          GROUP BY 1""",
+    // the mixed pair from one interval join: distinct users AND event
+    // volume per trailing window (count(user_id) skips the spine's
+    // null ids on both engines)
+    "window_rolling_mixed_rule" ->
+      """WITH e AS (SELECT event_type, user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT event_type,
+           unnest(generate_series(min(day), max(day))) AS day
+           FROM e GROUP BY event_type)
+         SELECT s.event_type, s.day, count(DISTINCT e.user_id) AS uniq7,
+           count(e.user_id) AS events7
+         FROM span s LEFT JOIN e ON s.event_type = e.event_type
+           AND e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1, 2""",
     // cumulative uniques: the prefix interval join (e.day <= s.day)
     "window_running_distinct_rule" ->
       """WITH e AS (SELECT DISTINCT user_id,
