@@ -82,7 +82,10 @@ object Fuzz {
             .parquet(s"$inDir/$tn.parquet")
           res.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$tn")
-          oracles(tn) = s.oracle.replace(s.name, tn)
+          // whole-word replace: a sample name appearing as a SUBSTRING
+          // of another SQL token must not be rewritten (r13 ADVICE)
+          oracles(tn) = s.oracle.replaceAll(
+            "\\b" + java.util.regex.Pattern.quote(s.name) + "\\b", tn)
           sqlOk += 1
         } catch {
           case _: IllegalArgumentException |

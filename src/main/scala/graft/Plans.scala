@@ -71,7 +71,10 @@ object Plans {
       "funnel_window_gap", "window_rolling_avgdistinct_rule",
       "window_ewma_irregular", "join_scd2_asat",
       "window_running_distinct_rule", "sample_poisson_bootstrap",
-      "window_rolling_mixed_rule")
+      "window_rolling_mixed_rule",
+      // round-14: the DESC (leading-window) widening of the rule
+      "window_rolling_distinct_desc_rule",
+      "window_rolling_avgdistinct_desc_rule")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact COUNT(DISTINCT id) over a trailing bucket window — the "7-day
@@ -33,6 +33,28 @@ import org.apache.spark.sql.functions._
   * at much lower cost see the HLL path in `agg_approx`.
   */
 object RollingDistinct {
+
+  /** Spine span guard (r13 ADVICE): the dense bucket spine is
+    * `sequence(lo, hi)` per group, so a SPARSE integral order domain
+    * (epoch-nanos keys with a small range frame) would explode into an
+    * enormous per-group sequence and fail late — or run for hours —
+    * instead of erroring at analysis the way stock Spark's rejection
+    * would have. This caps each group's span at
+    * `spark.graft.rollingDistinct.maxBucketSpan` (default 1e8 — ~3
+    * years of second-granular buckets, ~270k years of days) and raises
+    * immediately with a quantize-first hint on pathological domains.
+    * The subtraction itself is ANSI-checked: span overflow (hi−lo past
+    * int64) also fails loudly rather than wrapping. */
+  private def guardedHi(df: DataFrame): Column = {
+    val cap = df.sparkSession.conf.get(
+      "spark.graft.rollingDistinct.maxBucketSpan", "100000000").toLong
+    when(col("__hi") - col("__lo") <= cap, col("__hi"))
+      .otherwise(raise_error(format_string(
+        "rolling-distinct bucket span %s exceeds " +
+          s"spark.graft.rollingDistinct.maxBucketSpan=$cap — quantize " +
+          "the order key to a coarser bucket grid (days/hours, not ns)",
+        col("__hi") - col("__lo"))).cast("long"))
+  }
 
   /** Append the exact trailing-`w`-bucket distinct count of `idCol`,
     * evaluated at EVERY bucket in the data's [min, max] span (buckets
@@ -92,7 +114,7 @@ object RollingDistinct {
     val spine = spineFrom.getOrElse(df).groupBy(byCols: _*)
       .agg(min(col(bucketCol).cast("long")).as("__lo"),
         max(col(bucketCol).cast("long")).as("__hi"))
-      .select(byCols :+ explode(sequence(col("__lo"), col("__hi")))
+      .select(byCols :+ explode(sequence(col("__lo"), guardedHi(df)))
         .as("__d"): _*)
     val joined = spine.join(deltas, by :+ "__d", "left")
       .select(byCols :+ col("__d") :+
@@ -151,7 +173,7 @@ object RollingDistinct {
     val spine = spineFrom.getOrElse(df).groupBy(byCols: _*)
       .agg(min(col(bucketCol).cast("long")).as("__lo"),
         max(col(bucketCol).cast("long")).as("__hi"))
-      .select(byCols :+ explode(sequence(col("__lo"), col("__hi")))
+      .select(byCols :+ explode(sequence(col("__lo"), guardedHi(df)))
         .as("__d"): _*)
     val joined = spine.join(deltas, by :+ "__d", "left")
       .select(byCols :+ col("__d") :+
@@ -188,10 +210,22 @@ object RollingDistinct {
       cntCol: String, sumCol: String,
       spineFrom: Option[DataFrame] = None): DataFrame = {
     val SENT = Long.MinValue
+    // in-band sentinel safety (r13 ADVICE): a LEGITIMATE bucket equal
+    // to Long.MinValue would be conflated with the null peer group
+    // (and re-emitted as a null-bucket row) — reject it loudly. A
+    // when() on a null bucket falls through to otherwise(), so the
+    // null → SENT fold is unaffected.
+    def checkedB(c: Column): Column =
+      when(c === SENT, raise_error(lit(
+        "rolling-distinct: order-key bucket Long.MinValue collides " +
+          "with the null-bucket sentinel — shift or re-quantize the " +
+          "order key")).cast("long"))
+        .otherwise(c)
     val byCols = by.map(col)
     val pairs = df
       .select(byCols :+ col(valueCol).cast("long").as("__v") :+
-        coalesce(col(bucketCol).cast("long"), lit(SENT)).as("__b"): _*)
+        coalesce(checkedB(col(bucketCol).cast("long")), lit(SENT))
+          .as("__b"): _*)
       .filter(col("__v").isNotNull)
       .distinct()
     val deltas = pairs.groupBy(byCols :+ col("__v"): _*)
@@ -202,10 +236,10 @@ object RollingDistinct {
     val spineSrc = spineFrom.getOrElse(df)
     val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
       .groupBy(byCols: _*)
-      .agg(min(col(bucketCol).cast("long")).as("__lo"),
+      .agg(min(checkedB(col(bucketCol).cast("long"))).as("__lo"),
         max(col(bucketCol).cast("long")).as("__hi"))
-      .select(byCols :+ explode(sequence(col("__lo"), col("__hi")))
-        .as("__d"): _*)
+      .select(byCols :+ explode(sequence(col("__lo"),
+        guardedHi(spineSrc))).as("__d"): _*)
     val sentSpine = spineSrc.filter(col(bucketCol).isNull)
       .select(byCols: _*).distinct()
       .withColumn("__d", lit(SENT))

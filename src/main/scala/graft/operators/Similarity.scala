@@ -401,16 +401,6 @@ object Similarity {
     topKRank(cands, k)
   }
 
-  /** kNN GRAPH via IVF: top-k neighbors for EVERY corpus row —
-    * the sub-quadratic sibling of [[cosineTopK]]'s self-join form. Each
-    * row scores only the rows in its `nProbe` nearest clusters:
-    * O(n²·nProbe/C) score work instead of O(n²). Unlike [[ivfTopK]],
-    * whose SMALL query side is broadcast, both sides here are the corpus,
-    * so candidates come from a SHUFFLE equi-join on the cluster id — the
-    * corpus is hashed C-way, never broadcast and never crossed. At real
-    * scale C is thousands of centroids, so per-cluster candidate lists
-    * stay bounded; a hot cluster is AQE's skew-split case, not a plan
-    * rewrite. Probe/rank tie-breaks match [[ivfTopK]] exactly. */
   /** IVF-PQ: coarse IVF probe + per-cluster ADC over PQ codes — the
     * composition behind every billion-vector index (FAISS IVFADC,
     * Jégou et al. 2011): the inverted lists bound WHICH rows are
@@ -471,6 +461,16 @@ object Similarity {
         (col("r0") + 1).cast("long").as("rank"))
   }
 
+  /** kNN GRAPH via IVF: top-k neighbors for EVERY corpus row —
+    * the sub-quadratic sibling of [[cosineTopK]]'s self-join form. Each
+    * row scores only the rows in its `nProbe` nearest clusters:
+    * O(n²·nProbe/C) score work instead of O(n²). Unlike [[ivfTopK]],
+    * whose SMALL query side is broadcast, both sides here are the corpus,
+    * so candidates come from a SHUFFLE equi-join on the cluster id — the
+    * corpus is hashed C-way, never broadcast and never crossed. At real
+    * scale C is thousands of centroids, so per-cluster candidate lists
+    * stay bounded; a hot cluster is AQE's skew-split case, not a plan
+    * rewrite. Probe/rank tie-breaks match [[ivfTopK]] exactly. */
   def ivfKnnJoin(corpus: DataFrame, centroids: Array[(Long, Seq[Double])],
       k: Int, nProbe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -55,14 +55,28 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * Eligibility is deliberately narrow — count/sum of ONE attribute
   * (integral-typed for sum: the rewrite rides exact 64-bit
   * arithmetic; fractional sums would re-associate floating addition),
-  * no FILTER clause, attribute partition keys, a single ascending
-  * integral order attribute, lower bound either UNBOUNDED PRECEDING
-  * (the default frame — cumulative distinct via the first-occurrence
-  * difference array, null order keys folded in as a −∞ sentinel
-  * bucket matching the measured nulls-first-peer-group semantics) or
-  * a foldable finite negative offset, CURRENT ROW upper — anything
-  * else is left for CheckAnalysis to reject exactly as stock Spark
-  * would. Installed via
+  * no FILTER clause, attribute partition keys, a single integral
+  * order attribute ASC or DESC (DESC — a LEADING window, "distinct
+  * over the next n buckets" — rides the identical ASC pipeline on
+  * NEGATED buckets; round-14), lower bound either UNBOUNDED
+  * PRECEDING (the default frame — cumulative distinct via the
+  * first-occurrence difference array; ASC NULLS FIRST ONLY: the −∞
+  * sentinel fold encodes the nulls-first peer-group semantics, and
+  * NULLS LAST defines the OPPOSITE frames for null rows, so that
+  * shape stays stock-rejected — r13 ADVICE) or a foldable finite
+  * negative offset, CURRENT ROW upper. Finite frames accept EITHER
+  * null ordering: null order keys are one peer group whose frame is
+  * itself regardless of where nulls sort (null compares with
+  * nothing under a finite range bound). Anything else is left for
+  * CheckAnalysis to reject exactly as stock Spark would.
+  *
+  * FILTER clauses are structurally unclaimable: stock Spark raises
+  * "Window aggregate function with filter predicate is not supported
+  * yet" from ExtractWindowExpressions DURING the resolution batch —
+  * before any Window node exists — so no injected resolution rule
+  * can see the shape (unlike the DISTINCT rejection, which fires
+  * from CheckAnalysis after resolution). A negative test pins the
+  * stock error. Installed via
   * `spark.sql.extensions=graft.GraftExtensions` (build-time only:
   * analyzer rules cannot be added to a live session). */
 case class RollingDistinctRewrite(spark: SparkSession)
@@ -74,10 +88,14 @@ case class RollingDistinctRewrite(spark: SparkSession)
   private case object AvgKind extends Kind
 
   /** nPreceding None = RANGE UNBOUNDED PRECEDING (the default frame —
-    * cumulative distinct); Some(n) = the trailing n-bucket frame. */
+    * cumulative distinct); Some(n) = the trailing n-bucket frame.
+    * desc = ORDER BY ... DESC: the frame LEADS in bucket space and the
+    * pipeline runs on negated buckets (−Long.MinValue overflows ANSI
+    * arithmetic loudly, and the operator's span guard bounds the
+    * domain anyway). */
   private case class Target(alias: Alias, id: Attribute,
       part: Seq[Attribute], order: Attribute, nPreceding: Option[Long],
-      kind: Kind)
+      kind: Kind, desc: Boolean)
 
   private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
@@ -86,7 +104,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
     case a @ Alias(WindowExpression(
         AggregateExpression(f, _, true, None, _),
         WindowSpecDefinition(part,
-          Seq(SortOrder(ob: Attribute, Ascending, _, _)),
+          Seq(SortOrder(ob: Attribute, dir, no, _)),
           SpecifiedWindowFrame(RangeFrame, lower, CurrentRow))), _)
         if part.forall(_.isInstanceOf[Attribute]) &&
           (lower == UnboundedPreceding || lower.foldable) &&
@@ -106,14 +124,28 @@ case class RollingDistinctRewrite(spark: SparkSession)
         case _ => None
       }
       (kind, lower) match {
-        case (Some(k), UnboundedPreceding) =>
+        // cumulative arm: ASC NULLS FIRST only. The −∞ sentinel fold
+        // hard-codes nulls-first peer semantics (null peer group
+        // included in every non-null frame); under NULLS LAST the
+        // naive frames are the OPPOSITE (non-null frames exclude the
+        // null peers, null rows see everything), so claiming that
+        // shape would return wrong results — leave it stock-rejected
+        // (r13 ADVICE medium).
+        case (Some(k), UnboundedPreceding)
+            if dir == Ascending && no == NullsFirst =>
           Some(Target(a, id.get, part.map(_.asInstanceOf[Attribute]), ob,
-            None, k))
+            None, k, desc = false))
+        case (_, UnboundedPreceding) => None
         case (Some(k), _) => lower.eval() match {
           case n: Number
               if n.longValue < 0 && n.longValue > Int.MinValue + 2 =>
+            // finite frame: null order keys form ONE peer group whose
+            // frame is itself under EITHER null ordering (null
+            // compares with nothing against a finite range bound), so
+            // both NULLS FIRST and NULLS LAST are eligible; DESC rides
+            // the ASC pipeline on negated buckets.
             Some(Target(a, id.get, part.map(_.asInstanceOf[Attribute]),
-              ob, Some(-n.longValue), k))
+              ob, Some(-n.longValue), k, desc = dir == Descending))
           case _ => None
         }
         case _ => None
@@ -167,9 +199,9 @@ case class RollingDistinctRewrite(spark: SparkSession)
     // window node cost one frame, not two (the dual frame carries both
     // running aggregates anyway). Count-only groups keep the lean
     // count-only pipeline.
-    type Sig = (Long, Seq[Long], Long, Option[Long])
+    type Sig = (Long, Seq[Long], Long, Option[Long], Boolean)
     def sigOf(t: Target): Sig = (t.id.exprId.id,
-      t.part.map(_.exprId.id), t.order.exprId.id, t.nPreceding)
+      t.part.map(_.exprId.id), t.order.exprId.id, t.nPreceding, t.desc)
     val groupNames = scala.collection.mutable.Map.empty[Sig, (String, String)]
     val outNames = targets.map { t =>
       val sig = sigOf(t)
@@ -183,8 +215,16 @@ case class RollingDistinctRewrite(spark: SparkSession)
       val idName = s"__rd_id_$u"
       val cntName = s"__rd_cnt_$u"
       val sumName = s"__rd_sum_$u"
+      // DESC = a LEADING frame in bucket space; negating the bucket
+      // turns it into the identical trailing-ASC problem (nulls stay
+      // null through negation, so the null arm is unchanged)
+      def bucketOf: Column = {
+        val c = ColumnShim.column(t.order).cast("long")
+        if (t.desc) -c else c
+      }
       val proj = childDf
-        .select((t.part :+ t.order :+ t.id).map(ColumnShim.column): _*)
+        .select(t.part.map(ColumnShim.column) :+ bucketOf :+
+          ColumnShim.column(t.id): _*)
         .toDF(gNames ++ Seq(bName, idName): _*)
       // non-null arm: the difference-array frame, one row per
       // (partition, bucket-in-span)
@@ -245,7 +285,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
       }
       val cond = (t.part.zip(gNames).map { case (p, g) =>
           ColumnShim.column(p) <=> col(g)
-        } :+ (ColumnShim.column(t.order).cast("long") <=> col(bName)))
+        } :+ (bucketOf <=> col(bName)))
         .reduce(_ && _)
       acc = acc.join(lookup, cond, "left")
         .drop((gNames :+ bName): _*)

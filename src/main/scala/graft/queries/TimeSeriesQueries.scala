@@ -1664,6 +1664,86 @@ object TimeSeriesQueries {
           "survived — RollingDistinctRewrite did not fire")
       out
     }),
+    "window_rolling_distinct_desc_rule" -> ((s, dir) => {
+      // DESC order key through the rule (round-14 widening, r13
+      // verdict item 4): `count(DISTINCT user_id) OVER (ORDER BY day
+      // DESC RANGE 6 PRECEDING)` — "n PRECEDING" in DESC order is a
+      // LEADING window, i.e. distinct users over the NEXT 7 days at
+      // every day (the forward-exposure metric: how many uniques does
+      // a launch day reach in its first week). Stock Spark rejects it
+      // like every distinct window shape; the rule NEGATES the bucket
+      // domain and rides the identical trailing-ASC difference array
+      // (RollingDistinctRewrite.bucketOf), so the leading form costs
+      // exactly the trailing form's O(rows). Oracle: the interval join
+      // with e.day BETWEEN s.day AND s.day + 6 — the leading twin of
+      // window_rolling_distinct's ground truth.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      val span = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"),
+          lit(null).cast("long").as("user_id"))
+      val input = e.unionByName(span.select("user_id", "day"))
+      val w = Window.orderBy(col("day").desc).rangeBetween(-6, 0)
+      val out = input.select(col("day"),
+          count_distinct(col("user_id")).over(w).as("uniq7f"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rolling_distinct_desc_rule: the DESC distinct window " +
+          "aggregate survived — the round-14 widening did not fire")
+      out
+    }),
+    "window_rolling_avgdistinct_desc_rule" -> ((s, dir) => {
+      // DESC + GROUPED + AVG + explicit non-default null ordering in
+      // one shape: `avg(DISTINCT amt) OVER (PARTITION BY event_type
+      // ORDER BY day DESC NULLS FIRST RANGE 6 PRECEDING)` — the
+      // leading 7-day mean of distinct price points per event type.
+      // DESC NULLS FIRST (not DESC's default NULLS LAST) pins the
+      // finite-frame eligibility argument: null order keys are one
+      // peer group whose frame is itself under EITHER null ordering,
+      // so the rule accepts both (no null days exist in this fixture —
+      // the SHAPE acceptance is what's exercised; the property tests
+      // cover null buckets). Same exact-sum/exact-count division
+      // semantics as the ASC avg key.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("amt"),
+        expr("ts div 86400000000000").as("day"))
+      val span = e.groupBy("event_type")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"),
+          lit(null).cast("long").as("amt"))
+      val input = e.unionByName(span.select("event_type", "amt", "day"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day").desc_nulls_first).rangeBetween(-6, 0)
+      val out = input.select(col("event_type"), col("day"),
+          r4(expr("avg(DISTINCT amt)").over(w)).as("avgd7f"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rolling_avgdistinct_desc_rule: the DESC distinct " +
+          "window aggregate survived — the round-14 widening did not " +
+          "fire")
+      out
+    }),
     "window_rolling_distinct_by" -> ((s, dir) => {
       // GROUPED rolling uniques (per event_type — rolling actives per
       // source/domain/tenant): the same difference-array decomposition
@@ -2607,6 +2687,32 @@ object TimeSeriesQueries {
              / CAST(count(DISTINCT e.amt) AS DOUBLE), 4) AS avgd7
          FROM span s LEFT JOIN e ON s.event_type = e.event_type
            AND e.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1, 2""",
+    // the LEADING interval join (e.day in [s.day, s.day+6]) — the
+    // DESC twin of window_rolling_distinct_rule's ground truth
+    "window_rolling_distinct_desc_rule" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT unnest(generate_series(min(day), max(day)))
+           AS day FROM e)
+         SELECT s.day, count(DISTINCT e.user_id) AS uniq7f
+         FROM span s LEFT JOIN e
+           ON e.day BETWEEN s.day AND s.day + 6
+         GROUP BY 1""",
+    // grouped LEADING interval join; avg spelled as the rewrite's own
+    // exact-sum/exact-count double division (see the ASC avg oracle)
+    "window_rolling_avgdistinct_desc_rule" ->
+      """WITH e AS (SELECT DISTINCT event_type,
+           CAST(floor(value * 100) AS BIGINT) AS amt,
+           epoch_ns(ts) // 86400000000000 AS day FROM events),
+         span AS (SELECT event_type,
+           unnest(generate_series(min(day), max(day))) AS day
+           FROM e GROUP BY event_type)
+         SELECT s.event_type, s.day,
+           round(1e-9 + CAST(sum(DISTINCT e.amt) AS DOUBLE)
+             / CAST(count(DISTINCT e.amt) AS DOUBLE), 4) AS avgd7f
+         FROM span s LEFT JOIN e ON s.event_type = e.event_type
+           AND e.day BETWEEN s.day AND s.day + 6
          GROUP BY 1, 2""",
     // VERBATIM the grouped dedicated key's oracle (see
     // window_rolling_distinct_rule)

@@ -389,4 +389,165 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
   }
+
+  // ---- round-14: DESC widening + the nulls-ordering envelope ----
+
+  /** Brute force for the DESC finite frame: "n PRECEDING" in DESC
+    * order means LARGER buckets — the frame is buckets in [b, b+n];
+    * null buckets stay one peer frame (position-independent under a
+    * finite range bound). */
+  private def bruteDesc(
+      rows: Seq[(String, java.lang.Long, java.lang.Long)],
+      n: Long): Map[(String, Option[Long]), Long] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val buckets = rs.map(r => Option(r._2).map(_.longValue)).distinct
+      buckets.map { b =>
+        val ids = rs.filter { r =>
+          val rb = Option(r._2).map(_.longValue)
+          b match {
+            case Some(bv) => rb.exists(x => x >= bv && x <= bv + n)
+            case None => rb.isEmpty
+          }
+        }.flatMap(r => Option(r._3)).distinct
+        (g, b) -> ids.size.toLong
+      }
+    }
+
+  test("DESC order key (leading window): random grouped data with " +
+      "null buckets matches brute force; the rewrite fires") {
+    val rnd = new scala.util.Random(1414)
+    for (trial <- 0 until 8) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(40 + rnd.nextInt(80)) {
+          val g = s"g${rnd.nextInt(nGroups)}"
+          val b: java.lang.Long = if (rnd.nextInt(10) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(25).toLong)
+          val id: java.lang.Long = if (rnd.nextInt(8) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(12).toLong)
+          (g, b, id)
+        }
+      val n = 1L + rnd.nextInt(9)
+      val df = rows.toDF("g", "b", "id")
+      val w = Window.partitionBy("g").orderBy(col("b").desc)
+        .rangeBetween(-n, 0)
+      val out = df.select(col("g"), col("b"),
+        count_distinct(col("id")).over(w).as("c"))
+      val survivors = out.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      assert(survivors.isEmpty, "DESC distinct window must be rewritten")
+      val got = out.collect()
+        .map(r => ((r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2)))
+      val want = bruteDesc(rows, n)
+      got.foreach { case (k, c) =>
+        assert(c == want(k), s"trial $trial n=$n key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
+  test("DESC via the SQL surface (both DESC null orderings): hand " +
+      "values; ASC path unchanged by the widening") {
+    val df = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 13L))
+      .toDF("id", "b")
+    df.createOrReplaceTempView("rdd_sql_t")
+    try {
+      for (nulls <- Seq("NULLS FIRST", "NULLS LAST")) {
+        val got = spark.sql(
+          s"""SELECT b, count(DISTINCT id) OVER (ORDER BY b DESC $nulls
+                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS u
+              FROM rdd_sql_t""")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        // leading frames [b, b+2]: b=10 → {1,2,2@11}= {1,2} u=2 (x2);
+        // b=11 → [11,13] {2,3} u=2; b=13 → {3} u=1
+        assert(got == Seq((10L, 2L), (10L, 2L), (11L, 2L), (13L, 1L)),
+          s"nulls=$nulls")
+      }
+    } finally spark.catalog.dropTempView("rdd_sql_t")
+  }
+
+  test("ASC NULLS LAST over the UNBOUNDED frame is NOT claimed — the " +
+      "sentinel fold encodes nulls-first semantics only (r13 ADVICE)") {
+    val df = Seq((1L, 10L)).toDF("id", "b")
+    df.createOrReplaceTempView("rdnl_sql_t")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(DISTINCT id) OVER (ORDER BY b ASC " +
+          "NULLS LAST) FROM rdnl_sql_t").collect()
+      }
+      assert(
+        e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+    } finally spark.catalog.dropTempView("rdnl_sql_t")
+  }
+
+  test("DESC over the UNBOUNDED frame is NOT claimed — stock " +
+      "rejection stands") {
+    val df = Seq((1L, 10L)).toDF("id", "b")
+    val w = Window.orderBy(col("b").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = intercept[Exception] {
+      df.select(count_distinct(col("id")).over(w)).collect()
+    }
+    assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+  }
+
+  test("FILTER clauses are structurally unclaimable: stock Spark " +
+      "raises from ExtractWindowExpressions before any Window node " +
+      "exists, so the stock error is preserved verbatim") {
+    val df = Seq((1L, 2L, 10L)).toDF("id", "y", "b")
+    df.createOrReplaceTempView("rdf_sql_t")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(
+          """SELECT count(DISTINCT id) FILTER (WHERE y > 0) OVER
+               (ORDER BY b RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+             FROM rdf_sql_t""").collect()
+      }
+      assert(e.getMessage.contains("filter predicate is not supported"))
+    } finally spark.catalog.dropTempView("rdf_sql_t")
+  }
+
+  // ---- round-14: the operator guards (r13 ADVICE lows) ----
+
+  test("bucket-span guard: a sparse order domain fails fast with the " +
+      "quantize hint instead of exploding the spine") {
+    val key = "spark.graft.rollingDistinct.maxBucketSpan"
+    spark.conf.set(key, "1000")
+    try {
+      val df = Seq((1L, 0L), (2L, 50000L)).toDF("id", "b")
+      val w = Window.orderBy(col("b")).rangeBetween(-6, 0)
+      val e = intercept[Exception] {
+        df.select(count_distinct(col("id")).over(w)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("maxBucketSpan")),
+        s"got: ${msgs(e).mkString(" | ")}")
+    } finally spark.conf.unset(key)
+  }
+
+  test("null-sentinel guard: a legitimate Long.MinValue bucket in the " +
+      "cumulative frame raises instead of conflating with nulls") {
+    val df = Seq((1L, java.lang.Long.valueOf(Long.MinValue)),
+      (2L, java.lang.Long.valueOf(Long.MinValue + 5)))
+      .toDF("id", "b")
+    val e = intercept[Exception] {
+      graft.operators.RollingDistinct.groupedCumulativeDistinctSum(
+        df, by = Nil, valueCol = "id", bucketCol = "b",
+        cntCol = "c", sumCol = "s").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("sentinel")),
+      s"got: ${msgs(e).mkString(" | ")}")
+  }
 }
