@@ -148,8 +148,17 @@ object Bench {
     // under the old one-retry policy).
     val suspectJson = stillSuspect.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Declared brute-force baselines (r13 verdict item 8): these keys
+    // are O(n²) EXACT ORACLES for gated sub-quadratic scale siblings
+    // (plans/AuditInventory bnl_join allows) — their wall time grows
+    // quadratically BY DESIGN (ann_knn_join: 22 s = 5.8% of the sf1
+    // bench) and must never be read as a scaling signal; the artifact
+    // itself now carries the discount list.
+    val baselineJson = graft.plans.AuditInventory.declaredAllows
+      .collect { case (k, allows) if allows("bnl_join") => k }
+      .toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subset"queries":$qs,"failed":$failedJson,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subset"queries":$qs,"failed":$failedJson,"stall_suspect":$suspectJson,"declared_baselines":$baselineJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded TAIL of stdout; with ~100 queries the
     // line's head (the headline total) can fall outside that window. The

@@ -75,11 +75,25 @@ object Sf1Probe {
     "window_running_distinct_rule", "sample_poisson_bootstrap",
     "window_rolling_mixed_rule")
 
-  def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+  def buildSf1(spark: SparkSession, src: String, dst: String): Unit =
+    buildScaled(spark, src, dst, copies = 10, tag = "c",
+      withEmbeddings = true)
+
+  /** Generalized key-shifted scaling (round-14: Sf10Probe composes it
+    * a second time, sf1 → sf10). `tag` MUST differ per hop: sf1's
+    * copies already carry `c{i}_` token prefixes, so re-applying `c`
+    * would make sf10-copy-j of an sf1-copy-0 doc an EXACT TEXT
+    * duplicate of sf10-copy-0's sf1-copy-j doc (cross-copy dup
+    * clusters — a workload-shape change, not a scale-up); a fresh
+    * prefix keeps every copy's token space disjoint. Embeddings are
+    * optional for the same reason in reverse: composed rotations
+    * collide (i+j ≡ i'+j'), so a second hop only builds them when the
+    * probed keys don't read them. */
+  def buildScaled(spark: SparkSession, src: String, dst: String,
+      copies: Int, tag: String, withEmbeddings: Boolean): Unit = {
     val ready = new java.io.File(dst, "_READY")
     if (ready.isFile) return
     new java.io.File(dst).mkdirs()
-    val copies = 10
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
@@ -116,19 +130,21 @@ object Sf1Probe {
       if (i == 0) d
       // token-space remap: zero cross-copy shingle overlap
       else d.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
+        regexp_replace(col("text"), "(\\S+)", s"$tag${i}_$$1"))
     }.reduce(_ unionAll _), "documents")
 
-    val emb = t("embeddings")
-    val vecStep = step(emb, "vec_id")
-    write((0 until copies).map { i =>
-      val d = emb.withColumn("vec_id", col("vec_id") + lit(i * vecStep))
-      if (i == 0) d
-      // circular rotation by i: ~orthogonal to the original
-      else d.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))"))
-    }.reduce(_ unionAll _), "embeddings")
+    if (withEmbeddings) {
+      val emb = t("embeddings")
+      val vecStep = step(emb, "vec_id")
+      write((0 until copies).map { i =>
+        val d = emb.withColumn("vec_id", col("vec_id") + lit(i * vecStep))
+        if (i == 0) d
+        // circular rotation by i: ~orthogonal to the original
+        else d.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+            s"slice(embedding, 1, $i))"))
+      }.reduce(_ unionAll _), "embeddings")
+    }
 
     ready.createNewFile(): Unit
   }

@@ -18,10 +18,19 @@ import graft.streaming.StreamingOps.{KeyedEvent, TaggedEvent}
   * same seeds, same arrival schedules — [[StreamProbe.gen]]/[[
   * StreamProbe.ooo]]/[[StreamProbe.inOrder]]) at `mult`× through every
   * stateful operator — the probe's seven delayed/in-order window arms,
-  * `quantileWDelayed`, and `sessionize` (in-order only: its
+  * `quantileWDelayed`, `sessionize` (in-order only: its
   * beyond-lateness late-data policy is arrival-order-dependent by
   * design, so only the batch-identical regime has a definition to
-  * hash against) — appends the gate fixtures' two all-keys sentinel
+  * hash against), and — round 14, closing the r13 top_next — the
+  * STREAM-STREAM JOIN family (inner/leftOuter/fullOuter on two
+  * watermarked sides with an event-time range condition: TIGHT
+  * lateness, so state is continuously evicted across ~400
+  * micro-batches and the fullOuter null-flush at eviction — the
+  * semantics most likely to hide a >2-batch state bug — is exercised
+  * for real), `dropDuplicatesWithinWatermark` (injected duplicate
+  * pairs within the lateness bound), and the watermark-deterministic
+  * [[StreamingOps.sessionizeDelayed]] under OUT-OF-ORDER arrival —
+  * appends the gate fixtures' two all-keys sentinel
   * batches so the watermark provably flushes every REAL event
   * (sentinels' own release points stay above the final watermark
   * forever, and their rows are filtered by timestamp anyway), and
@@ -241,6 +250,169 @@ object StreamCorrectness {
         : (Long, Long, Long) =
       digest(spark.createDataset(rows).toDF())
 
+    // ---------- round-14 (r13 verdict item 1): the stream-stream join
+    // family, streaming exact-dedup, and the delayed sessionizer ----------
+
+    // side split / dup tag / join frame are the SHARED StreamProbe
+    // definitions, so the probe's state measurement and this hash gate
+    // exercise the identical topology
+    def joinSideOf(e: KeyedEvent): Boolean = StreamProbe.joinSideOf(e)
+    def dupOf(e: KeyedEvent): Boolean = StreamProbe.dupOf(e)
+    val joinR = StreamProbe.joinR
+    val MIN = Long.MinValue
+
+    /** per key: the two sides' (ts, v4) arrays, ts-sorted. ts is
+      * UNIQUE per key by the generator's slot construction, so pair
+      * multiplicities are 0/1 and the oracle needs no bag logic. */
+    def splitSides(ev: IndexedSeq[KeyedEvent])
+        : Map[Long, (Array[(Long, Long)], Array[(Long, Long)])] =
+      ev.groupBy(_.key).map { case (k, es) =>
+        val (ls, rs) = es.partition(joinSideOf)
+        k -> (ls.map(e => (e.tsMillis, s4(e))).sorted.toArray,
+          rs.map(e => (e.tsMillis, s4(e))).sorted.toArray)
+      }
+
+    /** two-pointer range join per key: O(n log n + matches). Unmatched
+      * rows carry the Long.MinValue null stand-in the drained sink's
+      * projection coalesces to. */
+    def ssJoinOracle(ev: IndexedSeq[KeyedEvent], mode: String)
+        : Seq[Row4] =
+      splitSides(ev).toSeq.flatMap { case (k, (ls, rs)) =>
+        val out = Seq.newBuilder[Row4]
+        val matchedR = new Array[Boolean](rs.length)
+        var lo = 0
+        ls.foreach { case (lt, lv) =>
+          while (lo < rs.length && rs(lo)._1 < lt - joinR) lo += 1
+          var i = lo; var any = false
+          while (i < rs.length && rs(i)._1 <= lt + joinR) {
+            out += ((k, lt, lv, rs(i)._1)); any = true
+            matchedR(i) = true; i += 1
+          }
+          if (!any && mode != "inner") out += ((k, lt, lv, MIN))
+        }
+        if (mode == "fullOuter") rs.indices.foreach { i =>
+          if (!matchedR(i)) out += ((k, MIN, MIN, rs(i)._1))
+        }
+        out.result()
+      }
+
+    /** the streaming join under test is [[StreamProbe.joinDF]]: TIGHT
+      * lateness, so state is continuously evicted across the ~400
+      * micro-batches (unlike the sf-fixture gate keys whose delay
+      * covers the whole span). The drained multiset is provably
+      * complete because arrival disorder (≤ 2·jitter) stays below the
+      * lateness: when a row arrives, its partner's state cannot have
+      * been evicted (wm ≤ partnerTs − 1000 at that point — the
+      * StreamProbe fixture arithmetic). */
+    def joinDF(l: Dataset[KeyedEvent], r: Dataset[KeyedEvent],
+        mode: String): DataFrame = StreamProbe.joinDF(l, r, mode)
+
+    /** drive one stream-stream join over TWO MemoryStreams (one per
+      * side — each with its own watermark; no self-join ambiguity),
+      * folding the per-batch digest of the projected sink. Sentinel
+      * rows (ts ≥ s1 on either side) are filtered BEFORE the digest,
+      * in foreachBatch — safely post-hoc, unlike a filter inside the
+      * streaming plan (see the join_stream_stream_louter pushdown
+      * hazard note). */
+    def drainJoin(batches: Seq[Seq[TaggedEvent]], mode: String,
+        s1: Long): (Long, Long, Long, Double) = {
+      implicit val sq = spark.sqlContext
+      val msl = MemoryStream[KeyedEvent]
+      val msr = MemoryStream[KeyedEvent]
+      var cnt = 0L; var sLo = 0L; var sHi = 0L
+      val q = joinDF(msl.toDS(), msr.toDS(), mode)
+        .writeStream.outputMode("append")
+        .queryName(s"graft_scorr_${qId.incrementAndGet()}")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val kept = df.filter(
+              (col("l_ts").isNull || col("l_ts") < s1) &&
+              (col("r_ts").isNull || col("r_ts") < s1))
+            .select(col("k"),
+              coalesce(col("l_ts"), lit(MIN)),
+              coalesce(col("l_v4"), lit(MIN)),
+              coalesce(col("r_ts"), lit(MIN)),
+              coalesce(col("r_v4"), lit(MIN)))
+          val (c, lo, hi) = digest(kept)
+          cnt += c; sLo += lo; sHi += hi
+        }
+        .start()
+      val t0 = System.nanoTime()
+      try {
+        batches.foreach { b =>
+          val (ls, rs) = b.partition(_.isQuote)
+          if (ls.nonEmpty)
+            msl.addData(ls.map(e => KeyedEvent(e.key, e.tsMillis, e.value)))
+          if (rs.nonEmpty)
+            msr.addData(rs.map(e => KeyedEvent(e.key, e.tsMillis, e.value)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      (cnt, sLo, sHi, (System.nanoTime() - t0) / 1e9)
+    }
+
+    /** two all-keys BOTH-SIDES sentinel batches: they advance each
+      * side's watermark past every real row's join-window end (so all
+      * outer null-extensions flush), their own windows stay above the
+      * final watermark forever (never null-flushed), and their
+      * sentinel-sentinel matches are cut by the s1 filter. */
+    def joinBatches(ev: IndexedSeq[KeyedEvent], sd: Long)
+        : (Seq[Seq[TaggedEvent]], Long) = {
+      val s1 = ev.iterator.map(_.tsMillis).max + lateness + joinR + 2000L
+      val tagged = StreamProbe.ooo(ev, sd).map(_.map(e =>
+        TaggedEvent(e.key, e.tsMillis, e.value, joinSideOf(e))))
+      val sent = (ts: Long) => (0 until StreamProbe.K).flatMap(k => Seq(
+        TaggedEvent(k.toLong, ts, 0.0, isQuote = true),
+        TaggedEvent(k.toLong, ts, 0.0, isQuote = false)))
+      (tagged :+ sent(s1) :+ sent(s1 + 1000L), s1)
+    }
+
+    /** oracle hash for a (k, l_ts, l_v4, r_ts) 4-col shape joined back
+      * to r_v4: rows 4-wide in the oracle builder keep the Seq small;
+      * the 5th column (r_v4) is reconstructed here because ts is
+      * unique per (key, side) — one lookup, no bag semantics. */
+    def hashJoin(ev: IndexedSeq[KeyedEvent], mode: String)
+        : (Long, Long, Long) = {
+      val sides = splitSides(ev)
+      val rows = ssJoinOracle(ev, mode).map { case (k, lt, lv, rt) =>
+        val rv = if (rt == MIN) MIN else {
+          val rs = sides(k)._2
+          var lo = 0; var hi = rs.length - 1; var found = MIN
+          while (lo <= hi) {
+            val m = (lo + hi) >>> 1
+            if (rs(m)._1 < rt) lo = m + 1
+            else if (rs(m)._1 > rt) hi = m - 1
+            else { found = rs(m)._2; lo = hi + 1 }
+          }
+          found
+        }
+        (k, lt, lv, rt, rv)
+      }
+      hash5(rows)
+    }
+
+    /** gap sweep on the ts line with EXACT integer sums — the batch
+      * definition [[StreamingOps.sessionizeDelayed]] must reproduce
+      * under any bounded-disorder arrival. */
+    def sessionE4Oracle(ev: IndexedSeq[KeyedEvent]): Seq[Row5] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        val out = Seq.newBuilder[Row5]
+        var start = a(0).tsMillis; var end = start
+        var n = 1L; var total = s4(a(0))
+        var i = 1
+        while (i < a.length) {
+          val e = a(i)
+          if (e.tsMillis - end <= gapMs) {
+            end = e.tsMillis; n += 1; total += s4(e)
+          } else {
+            out += ((k, start, end, n, total))
+            start = e.tsMillis; end = start; n = 1L; total = s4(e)
+          }
+          i += 1
+        }
+        out += ((k, start, end, n, total))
+        out.result()
+      }
+
     def asofOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
       byKey(ev).toSeq.flatMap { case (k, a) =>
         val out = Seq.newBuilder[Row4]
@@ -409,7 +581,70 @@ object StreamCorrectness {
               .select(col("key"), col("startMillis"), col("endMillis"),
                 col("nEvents"), col("sumValue")))
         },
-        ev => hashSess(sessionOracle(ev))))
+        ev => hashSess(sessionOracle(ev))),
+      // ---- round-14 arms (r13 verdict items 1 and 6) ----
+      Arm("join_ss_inner_delayed",
+        (ev, sd) => {
+          val (b, s1) = joinBatches(ev, sd)
+          drainJoin(b, "inner", s1)
+        },
+        ev => hashJoin(ev, "inner")),
+      Arm("join_ss_louter_delayed",
+        (ev, sd) => {
+          val (b, s1) = joinBatches(ev, sd)
+          drainJoin(b, "leftOuter", s1)
+        },
+        ev => hashJoin(ev, "leftOuter")),
+      Arm("join_ss_fouter_delayed",
+        (ev, sd) => {
+          val (b, s1) = joinBatches(ev, sd)
+          drainJoin(b, "fullOuter", s1)
+        },
+        ev => hashJoin(ev, "fullOuter")),
+      Arm("dedup_delayed",
+        (ev, sd) => {
+          // ~1/3 of events re-emitted as exact duplicates; the ooo
+          // schedule jitters each COPY independently (arrival
+          // separation ≤ 2·jitter < lateness, so the
+          // dropDuplicatesWithinWatermark guarantee covers every
+          // pair). Emission is immediate (the op is a filter), so no
+          // sentinels; the drained sink must equal the original
+          // duplicate-free event set.
+          val evDup: IndexedSeq[KeyedEvent] =
+            ev.flatMap(e => if (dupOf(e)) Seq(e, e) else Seq(e))
+          drain(StreamProbe.ooo(evDup, sd),
+            (ds: Dataset[KeyedEvent]) => ds
+              .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+              .withWatermark("eventTime", s"$lateness milliseconds")
+              .dropDuplicatesWithinWatermark("key", "tsMillis")
+              .select(col("key"), col("tsMillis"),
+                expr("cast(floor(value * 10000d + 0.5d) as bigint)")
+                  .as("v4")),
+            identity)
+        },
+        ev => digest(spark.createDataset(
+          ev.map(e => (e.key, e.tsMillis, s4(e)))).toDF())),
+      Arm("sessionize_delayed",
+        (ev, sd) => {
+          // the watermark-deterministic OOO sessionizer: sessions hold
+          // until the watermark strictly passes end + gap, so the
+          // drained sink is a pure function of the event SET under
+          // bounded disorder — the property the in-order sessionize
+          // cannot offer (r13 verdict item 6). Sentinels close every
+          // real trailing session; their own runs stay pending.
+          val s1 = ev.iterator.map(_.tsMillis).max + lateness +
+            gapMs + 2000L
+          val sent = (ts: Long) =>
+            (0 until StreamProbe.K).map(k => KeyedEvent(k.toLong, ts, 0.0))
+          val b = StreamProbe.ooo(ev, sd) :+ sent(s1) :+ sent(s1 + 1000L)
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.sessionizeDelayed(
+              ds, gapMs, lateness).toDF(),
+            df => df.filter(col("startMillis") < s1)
+              .select(col("key"), col("startMillis"), col("endMillis"),
+                col("nEvents"), col("sumE4")))
+        },
+        ev => hash5(sessionE4Oracle(ev))))
 
     val sb = new StringBuilder
     sb.append("{\n \"metric\": \"stream_correctness\",\n")

@@ -102,6 +102,52 @@ object StreamProbe {
   def tagOf(e: KeyedEvent): Boolean =
     ((e.key * 31 + e.tsMillis) * 31 + StreamingOps.scaledE4(e.value)) % 3 == 0
 
+  // ---- stream-stream join fixture (round-14; shared with the
+  // StreamCorrectness 10× hash-gate arms so probe and gate measure the
+  // IDENTICAL topology) ----
+
+  /** duplicate-injection tag for the dedup arms (~1/3 of events get an
+    * exact second copy, independently jittered by [[ooo]] — arrival
+    * separation ≤ 2·jitter < lateness, inside the
+    * dropDuplicatesWithinWatermark guarantee). */
+  def dupOf(e: KeyedEvent): Boolean =
+    ((e.key * 37 + e.tsMillis) * 37 + StreamingOps.scaledE4(e.value)) % 3 == 1
+
+  /** join half-range: small enough that per-row match counts stay
+    * bounded (~2/left at the fixture rate) at any stream length. */
+  val joinR = 200L
+  /** content-hash side split (~half each — a different modulus than
+    * the asof quote tag). */
+  def joinSideOf(e: KeyedEvent): Boolean =
+    ((e.key * 31 + e.tsMillis) * 31 + StreamingOps.scaledE4(e.value)) % 2 == 0
+  /** the streaming join under test: both sides watermarked at the
+    * probe lateness (TIGHT — state evicts continuously), equi-key +
+    * ±joinR event-time range on the watermark columns. Arrival
+    * disorder (≤ 2·jitter) stays below the lateness, so no partner's
+    * state can be evicted before the match lands — the drained
+    * multiset is provably the batch join. */
+  def joinDF(l: Dataset[KeyedEvent], r: Dataset[KeyedEvent],
+      joinMode: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v4 = (c: String) =>
+      expr(s"cast(floor($c * 10000d + 0.5d) as bigint)")
+    val lf = l.select(col("key"), col("tsMillis").as("l_ts"),
+        v4("value").as("l_v4"),
+        timestamp_millis(col("tsMillis")).as("l_et"))
+      .withWatermark("l_et", s"$lateness milliseconds")
+    val rf = r.select(col("key").as("r_key"),
+        col("tsMillis").as("r_ts"), v4("value").as("r_v4"),
+        timestamp_millis(col("tsMillis")).as("r_et"))
+      .withWatermark("r_et", s"$lateness milliseconds")
+    lf.join(rf, col("key") === col("r_key") &&
+        col("r_et") >= col("l_et") -
+          expr(s"INTERVAL $joinR MILLISECONDS") &&
+        col("r_et") <= col("l_et") +
+          expr(s"INTERVAL $joinR MILLISECONDS"), joinMode)
+      .select(coalesce(col("key"), col("r_key")).as("k"),
+        col("l_ts"), col("l_v4"), col("r_ts"), col("r_v4"))
+  }
+
   def main(args: Array[String]): Unit = {
     val perKeyX1 = args.headOption.map(_.toInt).getOrElse(2000)
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
@@ -161,6 +207,55 @@ object StreamProbe {
     def tag(ev: Seq[KeyedEvent]): Seq[TaggedEvent] =
       ev.map(e => TaggedEvent(e.key, e.tsMillis, e.value, tagOf(e)))
 
+    /** the two-source twin of run(): one MemoryStream per join side,
+      * batches split by [[joinSideOf]]; state metrics come from the
+      * SAME engine progress scan (a stream-stream join keeps four
+      * state stores per partition — the heaviest stateful topology in
+      * the inventory, so its state_x10_over_x1 ≈ 1 is the
+      * load-bearing row). */
+    def runJoin(batches: Seq[Seq[KeyedEvent]], mode: String): Metrics = {
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val msl = MemoryStream[KeyedEvent]
+      val msr = MemoryStream[KeyedEvent]
+      val q = joinDF(msl.toDS(), msr.toDS(), mode)
+        .writeStream.outputMode("append")
+        .format("noop").queryName(s"graft_sprobe_${qId.incrementAndGet()}")
+        .start()
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var out = 0L; var maxRows = 0L; var maxBytes = 0L
+      def scan(): Unit = q.recentProgress.foreach { p =>
+        if (seen.add(p.batchId)) {
+          out += Option(p.sink).map(_.numOutputRows).getOrElse(0L)
+          p.stateOperators.foreach { so =>
+            maxRows = math.max(maxRows, so.numRowsTotal)
+            maxBytes = math.max(maxBytes, so.memoryUsedBytes)
+          }
+        }
+      }
+      val start = System.nanoTime()
+      try {
+        batches.foreach { b =>
+          val (ls, rs) = b.partition(joinSideOf)
+          if (ls.nonEmpty) msl.addData(ls)
+          if (rs.nonEmpty) msr.addData(rs)
+          q.processAllAvailable()
+          scan()
+        }
+        var stable = 0; var lastSeen = -1L; var tries = 0
+        while (tries < 50 && stable < 3) {
+          scan()
+          val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (b >= 0 && b == lastSeen && seen.contains(b)) stable += 1
+          else { stable = 0; lastSeen = b }
+          Thread.sleep(100); tries += 1
+        }
+        scan()
+      } finally q.stop()
+      Metrics(batches.iterator.map(_.size.toLong).sum, out,
+        (System.nanoTime() - start) / 1e9, batches.size, maxRows, maxBytes)
+    }
+
     import spark.implicits._
     val arms: Seq[(String, (IndexedSeq[KeyedEvent], Long) => Metrics)] = Seq(
       "trailing_inorder" -> ((ev, _) =>
@@ -202,7 +297,32 @@ object StreamProbe {
       // sessionize_inorder hash gate in StreamCorrectness
       "sessionize_inorder" -> ((ev, _) =>
         run(inOrder(ev), (ds: Dataset[KeyedEvent]) =>
-          StreamingOps.sessionize(ds, gapMillis = 150L).toDF())))
+          StreamingOps.sessionize(ds, gapMillis = 150L).toDF())),
+      // round-14: the watermark-deterministic OOO sessionizer — state
+      // is pending RUNS bounded by (lateness + gap) × rate / gap,
+      // independent of stream length (the claim under test)
+      "sessionize_delayed" -> ((ev, sd) =>
+        run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
+          StreamingOps.sessionizeDelayed(ds, gapMillis = 150L,
+            latenessMillis = lateness).toDF())),
+      // round-14: dropDuplicatesWithinWatermark under injected exact
+      // duplicates — state expires with the watermark, so flat per-key
+      // state at 10× is the 100 TB/day contract plain dropDuplicates
+      // cannot give
+      "dedup_delayed" -> ((ev, sd) =>
+        run(ooo(ev.flatMap(e => if (dupOf(e)) Seq(e, e) else Seq(e)), sd),
+          (ds: Dataset[KeyedEvent]) => ds
+            .withColumn("eventTime",
+              org.apache.spark.sql.functions.timestamp_millis(
+                org.apache.spark.sql.functions.col("tsMillis")))
+            .withWatermark("eventTime", s"$lateness milliseconds")
+            .dropDuplicatesWithinWatermark("key", "tsMillis"))),
+      // round-14: the heaviest stateful topology — a stream-stream
+      // FULL OUTER join holds four state stores per partition and
+      // null-flushes BOTH sides at watermark eviction; its
+      // state_x10_over_x1 ≈ 1 is the load-bearing join-scale row
+      "join_ss_fouter_delayed" -> ((ev, sd) =>
+        runJoin(ooo(ev, sd), "fullOuter")))
 
     val sb = new StringBuilder
     sb.append("{\n \"metric\": \"stream_probe\",\n")

@@ -820,10 +820,24 @@ object TextQueries {
       // token granularity (2 scans total, was 5)
       val nb = cb.agg(sum(col("cnt")).as("nb"))
       val nu = cw.agg(sum(col("c")).as("nu"))
-      cb.filter(col("cnt") >= 5)
-        .join(broadcast(cw.select(col("t").as("w1"), col("c").as("c1"))),
+      // STRUCTURAL broadcast bound (r13 ADVICE): at web scale the raw
+      // token vocabulary is NOT broadcast-bounded, so the unigram
+      // table is first semi-joined to the support-≥5 bigrams'
+      // endpoints — a collocation-candidate-sized set (broadcast into
+      // the semi join itself) — making the broadcast build side
+      // provably candidate-bounded, not vocab-bounded. nu still
+      // derives from the UNPRUNED table (the PMI denominator is the
+      // full-corpus token total).
+      val sup = cb.filter(col("cnt") >= 5)
+      val ends = sup.select(col("w1").as("t"))
+        .union(sup.select(col("w2").as("t"))).distinct()
+      val cwPruned = cw.join(broadcast(ends), Seq("t"), "left_semi")
+      val out = sup
+        .join(broadcast(
+          cwPruned.select(col("t").as("w1"), col("c").as("c1"))),
           Seq("w1"))
-        .join(broadcast(cw.select(col("t").as("w2"), col("c").as("c2"))),
+        .join(broadcast(
+          cwPruned.select(col("t").as("w2"), col("c").as("c2"))),
           Seq("w2"))
         .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
         .select(col("bg"), col("cnt"),
@@ -831,6 +845,20 @@ object TextQueries {
             ((col("c1").cast("double") / col("nu").cast("double")) *
              (col("c2").cast("double") / col("nu").cast("double")))))
             .as("pmi"))
+      // the plan must carry the prune: the unigram build sides reach
+      // the broadcast joins THROUGH the semi join against the
+      // support-filtered endpoints (one semi join per endpoint side
+      // after dedup of the shared subtree)
+      val semis = out.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans
+              .LeftSemi => j
+      }
+      require(semis.nonEmpty,
+        "text_collocations: the unigram broadcast must derive from " +
+          "the support-filtered endpoint semi-join (candidate-bounded, " +
+          "not vocab-bounded)")
+      out
     })
   )
 

@@ -2209,31 +2209,42 @@ object TimeSeriesQueries {
       // constraint is ONE extra predicate per stage filter, zero new
       // shuffles; every stage reuses the user_id key exchange. Gap
       // durations surfaced in ms for the time-to-convert histogram.
-      val gapNs = 6L * 3600L * 1000000000L // 6 hours in epoch-nanos
-      val e = events(s, dir).select(col("user_id"), col("event_type"),
-        col("ts"))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, Seq("user_id"))
-        .filter(col("ts") > col("t_view") &&
-          col("ts") <= col("t_view") + gapNs)
-        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, Seq("user_id"))
-        .filter(col("ts") > col("t_click") &&
-          col("ts") <= col("t_click") + gapNs)
-        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"),
-          expr("t_view div 1000000").as("t_view_ms"),
-          expr("(t_click - t_view) div 1000000").as("view_to_click_ms"),
-          expr("(t_purchase - t_click) div 1000000")
-            .as("click_to_purchase_ms"),
-          when(col("t_purchase").isNotNull, 3L)
-            .when(col("t_click").isNotNull, 2L).otherwise(1L).as("step"))
+      windowedFunnel(events(s, dir).select(col("user_id"),
+        col("event_type"), col("ts")),
+        gapNs = 6L * 3600L * 1000000000L) // 6 hours in epoch-nanos
     })
   )
+
+  /** The conversion-window funnel over an arbitrary `(user_id,
+    * event_type, ts[ns])` frame — factored from `funnel_window_gap`
+    * (round-14) so OperatorPropertySpec can pit the chained
+    * conditional-aggregate plan against a direct per-user fold: the
+    * greedy first-qualifying semantics ("too-late click ⇒ no
+    * conversion, even if a later in-window purchase exists") was
+    * previously pinned only by the DuckDB oracle, not the unit layer. */
+  private[graft] def windowedFunnel(e: org.apache.spark.sql.DataFrame,
+      gapNs: Long): org.apache.spark.sql.DataFrame = {
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + gapNs)
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + gapNs)
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        expr("t_view div 1000000").as("t_view_ms"),
+        expr("(t_click - t_view) div 1000000").as("view_to_click_ms"),
+        expr("(t_purchase - t_click) div 1000000")
+          .as("click_to_purchase_ms"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L).otherwise(1L).as("step"))
+  }
 
   // Streaming-key oracles scale doubles with floor(value*10000 + 0.5)
   // — the literal IEEE op sequence StreamingOps.scaledE4 now shares

@@ -286,4 +286,68 @@ class OperatorPropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  // --- windowed funnel vs a direct per-user fold (r13 verdict item 7) ----
+
+  /** greedy first-qualifying fold: stage k = min event time strictly
+    * after stage k−1 AND within gap — a too-late middle stage kills
+    * the conversion even if a later in-window next stage exists. */
+  private def funnelFold(rows: Seq[(Long, String, Long)], gap: Long)
+      : Map[Long, (Long, Option[Long], Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val tc = es.filter(e => e._2 == "click" && e._3 > tv &&
+          e._3 <= tv + gap).map(_._3).minOption
+        val tp = tc.flatMap(c => es.filter(e => e._2 == "purchase" &&
+          e._3 > c && e._3 <= c + gap).map(_._3).minOption)
+        Some(u -> ((tv, tc, tp)))
+      }
+    }
+
+  test("windowedFunnel equals the greedy per-user fold; a too-late " +
+      "click blocks conversion even with a later in-window purchase") {
+    val MS = 1000000L // ts on an exact-ms grid so the div is lossless
+    val gapNs = 5L * MS
+    def run(rows: Seq[(Long, String, Long)])
+        : Map[Long, (Long, Option[Long], Option[Long], Long)] =
+      graft.queries.TimeSeriesQueries.windowedFunnel(
+        rows.toDF("user_id", "event_type", "ts"), gapNs)
+        .collect().map { r =>
+          val tc = if (r.isNullAt(2)) None
+            else Some(r.getLong(1) + r.getLong(2))
+          val tp = tc.flatMap(c => if (r.isNullAt(3)) None
+            else Some(c + r.getLong(3)))
+          r.getLong(0) -> ((r.getLong(1), tc, tp, r.getLong(4)))
+        }.toMap
+    // the directed case the comment promises: click at +10ms is past
+    // the 5ms window, so the +12ms purchase (in-window of the click)
+    // must NOT convert — step stays 1
+    val directed = Seq((7L, "view", 0L * MS), (7L, "click", 10L * MS),
+      (7L, "purchase", 12L * MS))
+    val d = run(directed)(7L)
+    assert(d == ((0L, None, None, 1L)),
+      s"too-late click must block the funnel, got $d")
+
+    val evGen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 3L)
+        et <- Gen.oneOf("view", "click", "purchase")
+        t <- Gen.choose(0L, 30L)
+      } yield (u, et, t * MS))
+    } yield rows
+    check(forAll(evGen) { rows =>
+      val got = run(rows)
+      // fold works in ns; compare on the ms grid (lossless — every ts
+      // is an exact ms multiple by construction)
+      val want = funnelFold(rows, gapNs).map { case (u, (tv, tc, tp)) =>
+        u -> ((tv / MS, tc.map(_ / MS), tp.map(_ / MS),
+          if (tp.isDefined) 3L else if (tc.isDefined) 2L else 1L))
+      }
+      got == want
+    })
+  }
 }
