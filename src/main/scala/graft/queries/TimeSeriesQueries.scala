@@ -140,6 +140,69 @@ object TimeSeriesQueries {
     staged
   }
 
+  /** Stage the DELAYED-sessionize fixture (round-14): events projected
+    * to (key, tsMillis, value) in JITTERED ts order — a deterministic
+    * per-row hash jitter of ±`jMs`, so cross-file arrival disorder is
+    * bounded by 2·jMs < the operator's lateness and the engine's late
+    * filter provably drops nothing — split into three files by
+    * jittered-order thirds, plus TWO trailing all-keys sentinel files
+    * (one row per key at s1 = maxTs + lateness + gap + 2s, and at
+    * s1 + 1s). The first sentinel batch lifts the watermark past every
+    * real session's `end + gap`; the second delivers a row for EVERY
+    * key at that watermark (flatMapGroupsWithState only re-evaluates
+    * keys present in a batch), so every real session closes in-stream.
+    * Sentinel sessions themselves stay pending forever (their end +
+    * gap sits above the final watermark) — the established
+    * sentinel-never-emits contract, no sink filtering needed. */
+  private def stagedDelayedSessionDir(s: SparkSession, dir: String,
+      gapMs: Long, jMs: Long, lateMs: Long): String = {
+    require(lateMs > 2 * jMs, "lateness must exceed the jitter disorder")
+    val root = s"/tmp/graft_stream/${s.sparkContext.applicationId}"
+    val staged = s"$root/${new java.io.File(dir).getName}/sessdelfix"
+    val done = new java.io.File(staged, "_STAGED")
+    if (!done.isFile) {
+      stagedEventsDir(s, dir) // registers the shutdown-hook cleanup
+      val ev = events(s, dir).select(col("user_id").as("key"),
+          expr("ts div 1000000").as("tsMillis"), col("value"))
+        .withColumn("__j", col("tsMillis") +
+          pmod(xxhash64(col("key"), col("tsMillis")), lit(2 * jMs)) -
+          lit(jMs))
+      val mm = ev.agg(min(col("__j")), max(col("__j")),
+        max(col("tsMillis"))).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val maxTs = mm.getLong(2)
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val s1 = maxTs + lateMs + gapMs + 2000L
+      def sent(ts: Long) = ev.select(col("key")).distinct()
+        .select(col("key"), lit(ts).as("tsMillis"), lit(0.0).as("value"))
+      val parts = Seq(
+        ev.filter(col("__j") <= lit(c1)).drop("__j"),
+        ev.filter(col("__j") > lit(c1) && col("__j") <= lit(c2))
+          .drop("__j"),
+        ev.filter(col("__j") > lit(c2)).drop("__j"),
+        sent(s1), sent(s1 + 1000L))
+      val base = System.currentTimeMillis() - 60000
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$staged/__tmp_$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(staged, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 1000L)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      done.createNewFile(): Unit
+    }
+    staged
+  }
+
   /** Stage the trailing-window stream fixture: events projected to
     * (key, tsMillis, value), split into three GLOBALLY time-ordered
     * files (ascending mtimes; maxFilesPerTrigger=1 replays them as
@@ -342,6 +405,7 @@ object TimeSeriesQueries {
     "window_stream_trailing_ooo", "window_stream_trailing",
     "window_stream_tumbling", "window_stream_sliding",
     "dedup_stream_exact", "sessionize_stream_stateful",
+    "sessionize_stream_delayed",
     "stream_cusum_stateful", "stream_topk_stateful",
     "stream_quantile_stateful", "stream_ewma_stateful",
     "join_stream_asof",
@@ -1011,6 +1075,48 @@ object TimeSeriesQueries {
         col("startMillis").as("sess_start_ms"),
         col("endMillis").as("sess_end_ms"),
         col("nEvents").as("n"), r4(col("sumValue")).as("sum_v"))
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
+    "sessionize_stream_delayed" -> ((s, dir) => {
+      // The WATERMARK-DETERMINISTIC sessionizer as an inventory key
+      // (round-14; the operator's 2M-event hash gate lives in
+      // STREAMCORRECTNESS): StreamingOps.sessionizeDelayed over
+      // OUT-OF-ORDER staged arrival — deterministic ±5-day hash
+      // jitter, 11-day lateness (> 2·jitter, so the engine's late
+      // filter provably drops nothing), 30-day gap. Sessions are
+      // pending interval RUNS emitted only when the watermark strictly
+      // passes end + gap, so the appended sink is a pure function of
+      // the event SET — the batch gap sessionization, which IS the
+      // oracle — under arrival disorder the in-order
+      // sessionize_stream_stateful key cannot tolerate. Exact-integer
+      // sums (scaledE4 grid) keep the compare float-free; sentinel
+      // sessions never emit (their end + gap sits above the final
+      // watermark), so the sink needs no filtering.
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val gapMs = 2592000000L        // 30 days
+      val jMs = 5L * 86400000L       // +-5 days arrival jitter
+      val lateMs = 11L * 86400000L   // watermark delay > 2*jitter
+      val srcDir = stagedDelayedSessionDir(s, dir, gapMs, jMs, lateMs)
+      val schema = new StructType().add("key", LongType)
+        .add("tsMillis", LongType).add("value", DoubleType)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[graft.streaming.StreamingOps.KeyedEvent]
+      val sessions = graft.streaming.StreamingOps.sessionizeDelayed(
+        src, gapMs, lateMs)
+      val qn = s"graft_stream_sessdel_${streamRuns.incrementAndGet()}"
+      val q = sessions.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn).select(col("key").as("user_id"),
+        col("startMillis").as("sess_start_ms"),
+        col("endMillis").as("sess_end_ms"),
+        col("nEvents").as("n"), col("sumE4").as("sum_e4"))
       val out = s.createDataFrame(sink.collectAsList(), sink.schema)
       s.catalog.dropTempView(qn)
       out
@@ -2476,6 +2582,26 @@ object TimeSeriesQueries {
            FROM g)
          SELECT user_id, min(ms) AS sess_start_ms, max(ms) AS sess_end_ms,
            count(*) AS n, round(1e-9 + sum(value), 4) AS sum_v
+         FROM sess GROUP BY user_id, sid""",
+    // the batch gap sweep with a 30-day gap and EXACT v4 sums — the
+    // delayed sessionizer must land on this under OOO arrival (tie
+    // order inside a session is irrelevant to start/end/n/sum once the
+    // sum is associative-integer)
+    "sessionize_stream_delayed" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+           FROM events),
+         g AS (SELECT user_id, ms, v4,
+           CASE WHEN lag(ms) OVER w IS NULL
+                  OR ms - lag(ms) OVER w > 2592000000
+                THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, v4)),
+         sess AS (SELECT user_id, ms, v4,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ms, v4
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(ms) AS sess_start_ms, max(ms) AS sess_end_ms,
+           count(*) AS n, CAST(sum(v4) AS BIGINT) AS sum_e4
          FROM sess GROUP BY user_id, sid""",
     "join_stream_static" ->
       """WITH dim AS (SELECT user_id,
