@@ -73,7 +73,10 @@ object Sf1Probe {
     "text_collocations", "funnel_window_gap",
     "window_ewma_irregular", "join_scd2_asat",
     "window_running_distinct_rule", "sample_poisson_bootstrap",
-    "window_rolling_mixed_rule")
+    "window_rolling_mixed_rule",
+    // round-14: the DESC (leading-window) rule keys
+    "window_rolling_distinct_desc_rule",
+    "window_rolling_avgdistinct_desc_rule")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit =
     buildScaled(spark, src, dst, copies = 10, tag = "c",

@@ -680,4 +680,77 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 0L, 1L, -15000L, -15000L),
       (3L, 0L, 8L, 50000L, 90000L)))
   }
+
+  test("sessionizeDelayed: OOO arrival lands on the batch gap sweep; " +
+      "sessions hold until the watermark strictly passes end + gap; " +
+      "strictly-late stragglers are dropped deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val gap = 150L; val late = 10000L
+    val out = StreamingOps.sessionizeDelayed(ms.toDS(), gap, late)
+    val qn = "sessdel_spec"
+    val q = out.toDF().writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    // two runs forming out of order: [1000,1120] and [1400,1500]
+    ms.addData(KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1100, 2.0),
+      KeyedEvent(1, 1400, 4.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 1120, 8.0), KeyedEvent(1, 1500, 16.0))
+    q.processAllAvailable()
+    // nothing can emit yet: wm is still below end + gap for both runs
+    assert(spark.table(qn).count() == 0,
+      "sessions must hold until the watermark passes end + gap")
+    // sentinel pair: batch N lifts the watermark, batch N+1 (carrying
+    // the key) evaluates under it — both runs close, sentinels pend
+    ms.addData(KeyedEvent(1, 20000, 0.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 21000, 0.0))
+    q.processAllAvailable()
+    def rows() = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    assert(rows() == Seq(
+      (1L, 1000L, 1120L, 3L, 110000L),  // 1.0 + 2.0 + 8.0 on the e4 grid
+      (1L, 1400L, 1500L, 2L, 200000L))) // 4.0 + 16.0
+    // straggler at or below the flushed horizon: dropped (the engine's
+    // late filter catches it first — ts < wm — and the operator's
+    // closedThrough policy is the deterministic second line); the
+    // emitted set must not change and no session reopens
+    ms.addData(KeyedEvent(1, 500, 99.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(1, 21500, 0.0))
+    q.processAllAvailable()
+    assert(rows() == Seq(
+      (1L, 1000L, 1120L, 3L, 110000L),
+      (1L, 1400L, 1500L, 2L, 200000L)),
+      "a strictly-late straggler must not reopen or re-emit sessions")
+    q.stop(); spark.catalog.dropTempView(qn)
+  }
+
+  test("sessionizeDelayed: a bridging event MERGES two pending runs " +
+      "into one session (incremental connected components)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val out = StreamingOps.sessionizeDelayed(ms.toDS(), gapMillis = 150L,
+      latenessMillis = 10000L)
+    val qn = "sessdel_bridge_spec"
+    val q = out.toDF().writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    // runs [1000,1050] and [1300,1350] (gap 250 > 150), then 1180
+    // arrives late and bridges BOTH (1180-1050=130, 1300-1180=120)
+    ms.addData(KeyedEvent(7, 1000, 1.0), KeyedEvent(7, 1050, 1.0),
+      KeyedEvent(7, 1300, 1.0), KeyedEvent(7, 1350, 1.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(7, 1180, 1.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(7, 20000, 0.0))
+    q.processAllAvailable()
+    ms.addData(KeyedEvent(7, 21000, 0.0))
+    q.processAllAvailable()
+    val got = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    q.stop(); spark.catalog.dropTempView(qn)
+    assert(got == Seq((7L, 1000L, 1350L, 5L, 50000L)))
+  }
 }
