@@ -52,7 +52,16 @@ object Sf10Probe {
         .select(col("bg"), col("cnt")))),
     // weights = f(global trade volume): values change with scale by
     // design; the 25-nation output domain must not
-    ("graph_shortest_path_k", 1, None))
+    ("graph_shortest_path_k", 1, None),
+    // round-14 widening: the banded-LSH candidate pipeline (copy-local
+    // pairs — disjoint shingle spaces), the two-limb retraction
+    // carrier at w=200, and the second fixed-domain iterative graph
+    // key (pagerank: 25 nations, volumes change values, domain fixed)
+    ("dedup_minhash", 10,
+      Some((df, maxDoc, _) => df.filter(col("doc_a") <= maxDoc))),
+    ("window_rolling_std_wide", 10,
+      Some((df, _, maxSupp) => df.filter(col("l_suppkey") <= maxSupp))),
+    ("graph_pagerank", 1, None))
 
   /** order-independent exact digest (the StreamCorrectness shape):
     * (count, Σ low word, Σ high word of per-row xxhash64) — ANSI-safe. */
