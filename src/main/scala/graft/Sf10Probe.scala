@@ -63,16 +63,10 @@ object Sf10Probe {
       Some((df, _, maxSupp) => df.filter(col("l_suppkey") <= maxSupp))),
     ("graph_pagerank", 1, None))
 
-  /** order-independent exact digest (the StreamCorrectness shape):
-    * (count, Σ low word, Σ high word of per-row xxhash64) — ANSI-safe. */
-  private def digest(df: DataFrame): (Long, Long, Long) = {
-    val h = xxhash64(df.columns.map(col): _*)
-    val r = df.select(h.bitwiseAND(lit(0xFFFFFFFFL)).as("hl"),
-        shiftright(h, 32).as("hh"))
-      .agg(count(lit(1)), sum(col("hl")), sum(col("hh"))).head
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
-      if (r.isNullAt(2)) 0L else r.getLong(2))
-  }
+  /** the shared order-independent exact digest
+    * ([[graft.functions.FrameDigest]]). */
+  private def digest(df: DataFrame): (Long, Long, Long) =
+    graft.functions.FrameDigest.of(df)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -72,22 +72,12 @@ object StreamCorrectness {
     val aE4 = 50000L
     val hE4 = 1000000L
 
-    /** digest of a canonical all-long frame: (row count, Σ low word,
-      * Σ high word of per-row xxhash64) — order-independent, computed
-      * distributed, and OVERFLOW-FREE under ANSI mode (Spark 4 default):
-      * each summand is bounded by 2^32, so even 2^30 rows stay inside
-      * int64 — no wrapping semantics to reason about on either side */
-    def digest(df: DataFrame): (Long, Long, Long) = {
-      val cols = df.columns.map(col)
-      val h = xxhash64(cols: _*)
-      val r = df.select(h.bitwiseAND(lit(0xFFFFFFFFL)).as("hl"),
-          shiftright(h, 32).as("hh"))
-        .agg(count(lit(1)).as("c"), sum(col("hl")).as("sl"),
-          sum(col("hh")).as("sh")).head
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
-    }
+    /** the shared order-independent exact digest
+      * ([[graft.functions.FrameDigest]] — one definition across every
+      * hash gate, so the streaming and sf10 gates cannot silently
+      * diverge in what they certify). */
+    def digest(df: DataFrame): (Long, Long, Long) =
+      graft.functions.FrameDigest.of(df)
 
     /** drive one op over the batch schedule, folding the per-batch
       * digest of `proj(outputDF)` — nothing is retained on the driver

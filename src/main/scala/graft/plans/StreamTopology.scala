@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Streaming TOPOLOGY fingerprints (round-14, r13 verdict item 3): the
-  * 23 streaming inventory keys were the only slice outside
-  * PLAN_FINGERPRINTS — a refactor that silently doubled a stateful
+  * streaming inventory keys (24 as of round 14) were the only slice
+  * outside PLAN_FINGERPRINTS — a refactor that silently doubled a stateful
   * op's state stores, or turned a stateless broadcast enrichment into
   * a stateful join, would have passed every correctness gate. This
   * captures, per key, the micro-batch execution's skeleton from the
@@ -51,9 +51,18 @@ object StreamTopology {
     spark.streams.addListener(listener)
     try {
       graft.SparkEntry.queries(key)(spark, dir).count(): Unit
-      // the bus drains after the key returns — poll until stable
+      // the bus drains after the key returns — poll until stable AND
+      // covered: every started query must have delivered at least one
+      // progress event (an AvailableNow query always runs ≥1 batch),
+      // so three quiet samples BEFORE any event arrives on a loaded
+      // box cannot end the poll with an empty buffer
+      import scala.jdk.CollectionConverters._
+      def covered: Boolean = {
+        val seen = buf.asScala.map(_.id).toSet
+        started.asScala.forall(seen.contains)
+      }
       var last = -1; var stable = 0; var tries = 0
-      while (tries < 50 && stable < 3) {
+      while (tries < 100 && !(stable >= 3 && covered)) {
         val n = buf.size
         if (n == last) stable += 1 else { stable = 0; last = n }
         Thread.sleep(100); tries += 1
