@@ -453,6 +453,61 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     }
   }
 
+  /** DESC brute force for the dual count/sum: frame = buckets in
+    * [b, b+n]; empty frames keep the COUNT-0 / SUM-NULL split. */
+  private def bruteDescSum(
+      rows: Seq[(String, java.lang.Long, java.lang.Long)],
+      n: Long): Map[(String, Option[Long]), (Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val buckets = rs.map(r => Option(r._2).map(_.longValue)).distinct
+      buckets.map { b =>
+        val ids = rs.filter { r =>
+          val rb = Option(r._2).map(_.longValue)
+          b match {
+            case Some(bv) => rb.exists(x => x >= bv && x <= bv + n)
+            case None => rb.isEmpty
+          }
+        }.flatMap(r => Option(r._3).map(_.longValue)).distinct
+        (g, b) -> ((ids.size.toLong,
+          if (ids.isEmpty) None else Some(ids.sum)))
+      }
+    }
+
+  test("DESC SUM+COUNT(DISTINCT) in one node: coalesced frame, " +
+      "sparse buckets, empty leading frames NULL — matches brute") {
+    val rnd = new scala.util.Random(2468)
+    for (trial <- 0 until 6) {
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(50 + rnd.nextInt(60)) {
+          val g = s"g${rnd.nextInt(2)}"
+          // sparse buckets (stride 3) so small widths hit empty
+          // leading frames on null-id rows
+          val b: java.lang.Long = if (rnd.nextInt(10) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(20).toLong * 3)
+          val id: java.lang.Long = if (rnd.nextInt(4) == 0) null
+            else java.lang.Long.valueOf((rnd.nextInt(11) - 5).toLong)
+          (g, b, id)
+        }
+      val n = 1L + rnd.nextInt(7)
+      val df = rows.toDF("g", "b", "id")
+      val w = Window.partitionBy("g").orderBy(col("b").desc)
+        .rangeBetween(-n, 0)
+      val out = df.select(col("g"), col("b"),
+        count_distinct(col("id")).over(w).as("c"),
+        sum_distinct(col("id")).over(w).as("sd"))
+      val got = out.collect()
+        .map(r => ((r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      val want = bruteDescSum(rows, n)
+      got.foreach { case (k, v) =>
+        assert(v == want(k), s"trial $trial n=$n key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
   test("DESC via the SQL surface (both DESC null orderings): hand " +
       "values; ASC path unchanged by the widening") {
     val df = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 13L))
