@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * rested on design arguments past sf1. This main materializes a
   * 100×-of-sf0.1 fixture (~60M lineitem rows / 10M events / 600k
   * docs) by composing [[Sf1Probe.buildScaled]] a second time (fresh
-  * `d` token tag — see its scaladoc for why re-tagging matters; no
+  * `zz9dup` token tag — see its scaladoc for why re-tagging matters,
+  * and the tag is a sentinel no corpus token can start with (r14
+  * advice: a plain `d` prefix could silently shrink the certified
+  * collocation slice if a real token matched `d[0-9]_`); no
   * embeddings: none of the probed keys read them) and, per key:
   *
   *   - times sf1 vs sf10 in the SAME session (min of two passes each;
@@ -46,9 +49,10 @@ object Sf10Probe {
       Some((df, _, maxSupp) => df.filter(col("l_suppkey") <= maxSupp))),
     // collocation counts are per-copy-local but PMI carries the GLOBAL
     // totals — slice compares (bg, cnt) only; copy-0 bigrams are
-    // exactly the sf1 strings (copies 1-9 carry the d{i}_ tag)
+    // exactly the sf1 strings (copies 1-9 carry the sentinel
+    // zz9dup{i}_ tag, which no corpus token can start with)
     ("text_collocations", 10,
-      Some((df, _, _) => df.filter(!col("bg").rlike("^d[0-9]_"))
+      Some((df, _, _) => df.filter(!col("bg").rlike("^zz9dup[0-9]_"))
         .select(col("bg"), col("cnt")))),
     // weights = f(global trade volume): values change with scale by
     // design; the 25-nation output domain must not
@@ -79,11 +83,14 @@ object Sf10Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
-    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
+    // dir is tag-suffixed so a stale fixture built with an older tag
+    // (its _READY gate would skip the rebuild) can never be probed
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+      "/tmp/graft_sf10_zz9dup")
     System.err.println("[sf10probe] building sf1 (10x sf0.1) ...")
     Sf1Probe.buildSf1(spark, "/root/testdata/sf0.1", sf1)
-    System.err.println("[sf10probe] building sf10 (10x sf1, tag d) ...")
-    Sf1Probe.buildScaled(spark, sf1, sf10, copies = 10, tag = "d",
+    System.err.println("[sf10probe] building sf10 (10x sf1, tag zz9dup) ...")
+    Sf1Probe.buildScaled(spark, sf1, sf10, copies = 10, tag = "zz9dup",
       withEmbeddings = false)
 
     val maxDoc = spark.read.parquet(s"$sf1/documents.parquet")
@@ -139,7 +146,7 @@ object Sf10Probe {
         s""""slice_hash_match":${hashOk.map(_.toString).getOrElse("null")}}"""
     }
     val line = s"""{"metric":"sf10probe","unit":"sec","fixture":""" +
-      s""""100x sf0.1 (10x sf1, tag d, no embeddings)","keys":{""" +
+      s""""100x sf0.1 (10x sf1, tag zz9dup, no embeddings)","keys":{""" +
       rows.mkString(",") + "}}"
     println(line)
     if (only.isEmpty)

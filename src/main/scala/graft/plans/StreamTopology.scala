@@ -67,6 +67,13 @@ object StreamTopology {
         if (n == last) stable += 1 else { stable = 0; last = n }
         Thread.sleep(100); tries += 1
       }
+      // a timed-out poll must fail LOUDLY (r14 advice): a partial
+      // buffer would hash to a silently-smaller fingerprint that
+      // surfaces as spurious topology drift rather than a flake
+      require(covered,
+        s"$key: progress events still missing for started queries " +
+          s"after ${tries * 100} ms — listener bus did not drain; " +
+          "rerun (flake), this is NOT topology drift")
     } finally spark.streams.removeListener(listener)
 
     import scala.jdk.CollectionConverters._

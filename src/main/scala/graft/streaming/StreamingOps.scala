@@ -1073,13 +1073,21 @@ object StreamingOps {
     * policy by design (bounded state, no reopened sessions, late
     * buffers coalesce); this operator instead:
     *
-    *   - declares an event-time WATERMARK (lateness) so the engine
-    *     deterministically drops strictly-late rows (ts < watermark)
-    *     before the stateful operator;
+    *   - declares an event-time WATERMARK (lateness); with the
+    *     EventTimeTimeout below, the engine deterministically drops
+    *     strictly-late rows (ts < watermark) before the stateful
+    *     operator;
     *   - holds every session until the watermark STRICTLY passes
     *     `end + gap` — only then can no admitted future row (ts ≥
     *     watermark) extend or bridge it, so emission never depends on
     *     which batch a row arrived in;
+    *   - registers an event-time TIMEOUT at `min(pending end) + gap
+    *     + 1` so trailing sessions FLUSH ON WATERMARK ADVANCE alone —
+    *     a key whose stream goes quiet still emits its final sessions
+    *     once any later data anywhere moves the watermark past their
+    *     release points (no per-key re-activation rows needed), and a
+    *     key with nothing pending has its state REMOVED, so the store
+    *     tracks active keys only (r14 advice item 1);
     *   - drops (counts, does not emit) any straggler at or below the
     *     flushed horizon `closedThrough = max(wm − gap − 1)` — a
     *     belt-and-braces twin of the engine filter: such a row could
@@ -1090,7 +1098,7 @@ object StreamingOps {
     * gap is ≤ gapMillis (incremental connected components on the ts
     * line — order-independent by construction). State per key is
     * O(pending runs) = O((lateness + gap) × rate / gap), independent
-    * of stream length. */
+    * of stream length, and zero once the key's horizon fully closes. */
   def sessionizeDelayed(events: Dataset[KeyedEvent], gapMillis: Long,
       latenessMillis: Long): Dataset[SessionE4] = {
     require(gapMillis >= 0 && latenessMillis >= 0,
@@ -1102,14 +1110,15 @@ object StreamingOps {
       .as[KeyedEventT]
       .groupByKey(_.key)
       .flatMapGroupsWithState[SessDelayBuf, SessionE4](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, it: Iterator[KeyedEventT],
          st: GroupState[SessDelayBuf]) =>
           val prev = st.getOption.getOrElse(
             SessDelayBuf(Nil, Nil, Nil, Nil, Long.MinValue))
           // the deterministic drop policy: at or below the flushed
           // horizon ⇒ already-emitted territory (the engine's own
-          // late filter normally caught these first)
+          // late filter catches these first; on a timeout invocation
+          // `it` is simply empty)
           val fresh = it.filter(_.tsMillis > prev.closedThrough)
           // singleton runs + pending runs, sort by start, sweep-merge
           val all = (prev.starts.indices.map(i => (prev.starts(i),
@@ -1129,10 +1138,22 @@ object StreamingOps {
           // can reach: end + gap < wm  ⇔  end ≤ wm − gap − 1
           val closeBound = st.getCurrentWatermarkMs() - gapMillis - 1
           val (closed, pending) = merged.partition(_._2 <= closeBound)
-          val keepBound = math.max(prev.closedThrough, closeBound)
-          st.update(SessDelayBuf(pending.map(_._1).toSeq,
-            pending.map(_._2).toSeq, pending.map(_._3).toSeq,
-            pending.map(_._4).toSeq, keepBound))
+          if (pending.isEmpty) {
+            // nothing to hold: clear the key from the store entirely.
+            // The closedThrough horizon is subsumed by the engine's
+            // late filter (any ts ≤ old wm − gap − 1 is < the current
+            // watermark, so it never reaches this function again).
+            st.remove()
+          } else {
+            val keepBound = math.max(prev.closedThrough, closeBound)
+            st.update(SessDelayBuf(pending.map(_._1).toSeq,
+              pending.map(_._2).toSeq, pending.map(_._3).toSeq,
+              pending.map(_._4).toSeq, keepBound))
+            // earliest release point among pending runs; provably >
+            // current wm (pending ⇒ end > wm − gap − 1), so the
+            // registration is always legal
+            st.setTimeoutTimestamp(pending.map(_._2).min + gapMillis + 1)
+          }
           closed.iterator.map(r =>
             SessionE4(key, r._1, r._2, r._3, r._4))
       }

@@ -727,6 +727,34 @@ class StreamingSpec extends AnyFunSuite {
     q.stop(); spark.catalog.dropTempView(qn)
   }
 
+  test("sessionizeDelayed: trailing sessions flush on WATERMARK ADVANCE " +
+      "alone (EventTimeTimeout) — no per-key re-activation row needed") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val out = StreamingOps.sessionizeDelayed(ms.toDS(), gapMillis = 150L,
+      latenessMillis = 10000L)
+    val qn = "sessdel_timeout_spec"
+    val q = out.toDF().writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    // key 1's only events, then key 1 goes SILENT forever
+    ms.addData(KeyedEvent(1, 1000, 1.0), KeyedEvent(1, 1100, 2.0))
+    q.processAllAvailable()
+    assert(spark.table(qn).count() == 0)
+    // a single row on a DIFFERENT key lifts the watermark to 10000;
+    // the registered event-time timeout (end 1100 + gap + 1 = 1251)
+    // fires in the ensuing no-data batch and key 1's session emits —
+    // the r14-advice contract: emission is a function of the event
+    // set + watermark, not of later per-key activity
+    ms.addData(KeyedEvent(42, 20000, 0.0))
+    q.processAllAvailable()
+    val got = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    q.stop(); spark.catalog.dropTempView(qn)
+    assert(got == Seq((1L, 1000L, 1100L, 2L, 30000L)),
+      s"trailing session must flush via timeout, got $got")
+  }
+
   test("sessionizeDelayed: a bridging event MERGES two pending runs " +
       "into one session (incremental connected components)") {
     implicit val sqlCtx = spark.sqlContext
