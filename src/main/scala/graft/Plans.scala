@@ -74,7 +74,12 @@ object Plans {
       "window_rolling_mixed_rule",
       // round-14: the DESC (leading-window) widening of the rule
       "window_rolling_distinct_desc_rule",
-      "window_rolling_avgdistinct_desc_rule")
+      "window_rolling_avgdistinct_desc_rule",
+      // round-15: the ROWS-frame lag-array arm + the NULLS LAST
+      // cumulative mirror arm + the months+sub-day .complete gate
+      "window_rowsframe_distinct_rule",
+      "window_running_distinct_nullslast_rule",
+      "window_complete_months_hours")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

@@ -76,11 +76,33 @@ object Sf1Probe {
     "window_rolling_mixed_rule",
     // round-14: the DESC (leading-window) rule keys
     "window_rolling_distinct_desc_rule",
-    "window_rolling_avgdistinct_desc_rule")
+    "window_rolling_avgdistinct_desc_rule",
+    // round-15: the ROWS-frame lag-array arm, the NULLS LAST
+    // cumulative mirror arm, and the months+sub-day .complete gate
+    "window_rowsframe_distinct_rule",
+    "window_running_distinct_nullslast_rule",
+    "window_complete_months_hours")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit =
     buildScaled(spark, src, dst, copies = 10, tag = "c",
       withEmbeddings = true)
+
+  /** Per-copy deterministic SIGN-FLIP embedding transform for SECOND-hop
+    * scaling (round 15, r14 verdict item 5): composed circular rotations
+    * collide (hop-1 copy i + hop-2 copy j lands at rotation i+j, so
+    * (i,j)≠(i',j') with i+j = i'+j' would be EXACT duplicates — a
+    * workload-shape change). Flipping dimension k of copy i iff
+    * `hash(i, k) % 2 = 0` is (a) identity-free for i = 0 (copy 0 stays
+    * bit-identical — the differential slice gates depend on it),
+    * (b) incoherent BETWEEN hop-2 copies (sign patterns differ on ~half
+    * the dimensions, cos ≈ ±Σ±x²/‖x‖² ~ N(0, 1/√dim)) and (c)
+    * composable with hop-1 rotations (a flipped rotation is still
+    * incoherent with every other flipped rotation). Cosine STRUCTURE
+    * within each copy is exactly preserved (a global sign flip per
+    * dimension is an isometry). */
+  private def signFlipped(i: Int): String =
+    s"transform(embedding, (x, k) -> " +
+      s"CASE WHEN hash($i, k) % 2 = 0 THEN x ELSE -x END)"
 
   /** Generalized key-shifted scaling (round-14: Sf10Probe composes it
     * a second time, sf1 → sf10). `tag` MUST differ per hop: sf1's
@@ -93,7 +115,8 @@ object Sf1Probe {
     * collide (i+j ≡ i'+j'), so a second hop only builds them when the
     * probed keys don't read them. */
   def buildScaled(spark: SparkSession, src: String, dst: String,
-      copies: Int, tag: String, withEmbeddings: Boolean): Unit = {
+      copies: Int, tag: String, withEmbeddings: Boolean,
+      embedSignFlip: Boolean = false): Unit = {
     val ready = new java.io.File(dst, "_READY")
     if (ready.isFile) return
     new java.io.File(dst).mkdirs()
@@ -142,7 +165,12 @@ object Sf1Probe {
       write((0 until copies).map { i =>
         val d = emb.withColumn("vec_id", col("vec_id") + lit(i * vecStep))
         if (i == 0) d
-        // circular rotation by i: ~orthogonal to the original
+        // hop-1: circular rotation by i (~orthogonal to the original);
+        // hop-2 (embedSignFlip): per-copy deterministic sign flips —
+        // rotations don't compose across hops (collisions), sign
+        // patterns do (see signFlipped's scaladoc)
+        else if (embedSignFlip)
+          d.withColumn("embedding", expr(signFlipped(i)))
         else d.withColumn("embedding",
           expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
             s"slice(embedding, 1, $i))"))

@@ -521,6 +521,29 @@ object SparkEntry {
         .select(col("o_orderkey"), col("mh_cnt"),
           r4(col("mh_sum").cast("double")).as("mh_sum"))
     }),
+    "window_complete_months_hours" -> ((s, dir) => {
+      // `.complete = TRUE` on the months+SUB-DAY compound path (round
+      // 15, r14 verdict item 7): the gate branch of
+      // CalendarWindow.monthsSecondsAgg (:789) existed in code but had
+      // no oracle key — window_complete{,_range,_months} cover the
+      // rows/range/months branches only. Same fixture as
+      // window_range_months_hours (orders spread inside the day by an
+      // o_orderkey-derived second offset, UTC-pinned); a window is
+      // complete iff its VALUE span [(ts−1mo)−6h, ts−12h] lies inside
+      // the customer's observed ts2 span, else every output is NULL.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(11,2)").as("p"),
+          expr("o_orderdate + make_interval(0,0,0,0,0,0, o_orderkey % 86400)")
+            .as("ts2"))
+        .mutateW("mhc_cnt" -> count(col("p")), "mhc_sum" -> sum(col("p")))(
+          by = Seq(col("o_custkey")),
+          frame = Some(Frame.monthsHours(1, 6, 0, -12)),
+          index = Some(col("ts2")), complete = true)
+        .select(col("o_orderkey"), col("mhc_cnt"),
+          r4(col("mhc_sum").cast("double")).as("mhc_sum"))
+    }),
     "window_complete_range" -> ((s, dir) => {
       // `.complete = TRUE` over a RANGE (Period) frame: the window is
       // complete iff its VALUE span [day-3, day] lies inside the
@@ -823,6 +846,30 @@ object SparkEntry {
            AND b.ts2 BETWEEN a.ts2 - INTERVAL 1 MONTH - INTERVAL 6 HOUR
                          AND a.ts2 - INTERVAL 12 HOUR
          GROUP BY 1""",
+    // quadratic pair scan + span-containment gate, the months+sub-day
+    // compound twin of window_complete_months's oracle (o MATERIALIZED:
+    // referenced three times — DuckDB inlines CTEs per reference)
+    "window_complete_months_hours" ->
+      """WITH o AS MATERIALIZED (SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(11,2)) AS p,
+           o_orderdate + INTERVAL (o_orderkey % 86400) SECOND AS ts2
+         FROM orders),
+         s AS (SELECT o_custkey, min(ts2) AS tmin, max(ts2) AS tmax
+           FROM o GROUP BY 1)
+         SELECT a.o_orderkey,
+           CASE WHEN a.ts2 - INTERVAL 1 MONTH - INTERVAL 6 HOUR >= s.tmin
+                 AND a.ts2 - INTERVAL 12 HOUR <= s.tmax
+                THEN count(b.p) END AS mhc_cnt,
+           CASE WHEN a.ts2 - INTERVAL 1 MONTH - INTERVAL 6 HOUR >= s.tmin
+                 AND a.ts2 - INTERVAL 12 HOUR <= s.tmax
+                THEN round(1e-9 + CAST(sum(b.p) AS DOUBLE), 4)
+           END AS mhc_sum
+         FROM o a
+         JOIN s ON a.o_custkey = s.o_custkey
+         LEFT JOIN o b ON a.o_custkey = b.o_custkey
+           AND b.ts2 BETWEEN a.ts2 - INTERVAL 1 MONTH - INTERVAL 6 HOUR
+                         AND a.ts2 - INTERVAL 12 HOUR
+         GROUP BY a.o_orderkey, a.ts2, s.tmin, s.tmax""",
     "window_complete_months" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS DATE) AS d
            FROM events),

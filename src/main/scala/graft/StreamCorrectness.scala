@@ -28,8 +28,13 @@ import graft.streaming.StreamingOps.{KeyedEvent, TaggedEvent}
   * micro-batches and the fullOuter null-flush at eviction — the
   * semantics most likely to hide a >2-batch state bug — is exercised
   * for real), `dropDuplicatesWithinWatermark` (injected duplicate
-  * pairs within the lateness bound), and the watermark-deterministic
-  * [[StreamingOps.sessionizeDelayed]] under OUT-OF-ORDER arrival —
+  * pairs within the lateness bound), the watermark-deterministic
+  * [[StreamingOps.sessionizeDelayed]] under OUT-OF-ORDER arrival, and
+  * — round 15 (r14 verdict item 4) — the ENGINE-NATIVE aggregations
+  * ([[StreamingOps.mutateStreamW]] tumbling + sliding and
+  * `session_window`), whose emission is the engine's own append-mode
+  * watermark eviction rather than custom state code, gated against
+  * epoch-aligned window / inclusive-merge session oracles —
   * appends the gate fixtures' two all-keys sentinel
   * batches so the watermark provably flushes every REAL event
   * (sentinels' own release points stay above the final watermark
@@ -239,6 +244,62 @@ object StreamCorrectness {
     def hashSess(rows: Seq[(Long, Long, Long, Long, Double)])
         : (Long, Long, Long) =
       digest(spark.createDataset(rows).toDF())
+
+    // ---------- round-15 (r14 verdict item 4): the ENGINE-NATIVE
+    // streaming aggregations — mutateStreamW's tumbling/sliding
+    // windows and session_window — hash-gated at 10× like the custom
+    // stateful recipes ----------
+
+    /** tumbling per (key, epoch-aligned window start): count + exact
+      * scaled-int sum — the batch definition of
+      * `window(eventTime, winMs)`. */
+    def tumbNativeOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
+      ev.groupBy(e =>
+          (e.key, e.tsMillis - Math.floorMod(e.tsMillis, winMs)))
+        .toSeq.map { case ((k, ws), es) =>
+          (k, ws, es.size.toLong, es.map(s4).sum)
+        }
+
+    /** sliding 60s/20s: each event lands in exactly len/slide = 3
+      * epoch-aligned windows (starts g, g−slide, g−2·slide where
+      * g = ts − ts mod slide; ts < g−2·slide + len by construction). */
+    val slideMs = 20000L
+    def slideNativeOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row4] =
+      ev.flatMap { e =>
+          val g = e.tsMillis - Math.floorMod(e.tsMillis, slideMs)
+          (0 until (winMs / slideMs).toInt).map(i =>
+            ((e.key, g - i * slideMs), e))
+        }
+        .groupBy(_._1).toSeq
+        .map { case ((k, ws), es) =>
+          (k, ws, es.size.toLong, es.map(t => s4(t._2)).sum)
+        }
+
+    /** session_window's merge rule, MEASURED: per-event windows
+      * [ts, ts+gap] merge while next.ts ≤ end (inclusive — exactly
+      * gap apart DOES merge, like the custom gap sweep), but the
+      * reported session end is last ts + gap (the custom sweep
+      * reports last ts) — the two definitions are deliberately both
+      * gated. */
+    def sessionNativeOracle(ev: IndexedSeq[KeyedEvent]): Seq[Row5] =
+      byKey(ev).toSeq.flatMap { case (k, a) =>
+        val out = Seq.newBuilder[Row5]
+        var start = a(0).tsMillis; var end = start + gapMs
+        var n = 1L; var total = s4(a(0))
+        var i = 1
+        while (i < a.length) {
+          val e = a(i)
+          if (e.tsMillis <= end) {
+            end = math.max(end, e.tsMillis + gapMs); n += 1; total += s4(e)
+          } else {
+            out += ((k, start, end, n, total))
+            start = e.tsMillis; end = start + gapMs; n = 1L; total = s4(e)
+          }
+          i += 1
+        }
+        out += ((k, start, end, n, total))
+        out.result()
+      }
 
     // ---------- round-14 (r13 verdict item 1): the stream-stream join
     // family, streaming exact-dedup, and the delayed sessionizer ----------
@@ -634,7 +695,77 @@ object StreamCorrectness {
               .select(col("key"), col("startMillis"), col("endMillis"),
                 col("nEvents"), col("sumE4")))
         },
-        ev => hash5(sessionE4Oracle(ev))))
+        ev => hash5(sessionE4Oracle(ev))),
+      // ---- round-15 arms (r14 verdict item 4): engine-native
+      // aggregations under OOO arrival. Emission is the ENGINE's
+      // append-mode watermark eviction (no custom state code) — the
+      // gate certifies the mutateStreamW/session_window recipes and
+      // their watermark configuration end to end. Sentinels advance
+      // the final watermark past every real window/session end;
+      // sentinel windows stay above it forever and are start-filtered
+      // anyway. ----
+      Arm("tumbling_native",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.mutateStreamW(
+              ds.toDF()
+                .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+                .withColumn("v4",
+                  expr("cast(floor(value * 10000d + 0.5d) as bigint)")),
+              "eventTime", s"$lateness milliseconds",
+              s"$winMs milliseconds",
+              by = Seq(col("key")))(
+              "cnt" -> count(lit(1)), "sumE4" -> sum(col("v4"))),
+            df => df
+              .filter(col("window.start") < timestamp_millis(lit(s1)))
+              .select(col("key"),
+                unix_millis(col("window.start")).as("ws"),
+                col("cnt"), col("sumE4")))
+        },
+        ev => hash4(tumbNativeOracle(ev))),
+      Arm("sliding_native",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => StreamingOps.mutateStreamW(
+              ds.toDF()
+                .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+                .withColumn("v4",
+                  expr("cast(floor(value * 10000d + 0.5d) as bigint)")),
+              "eventTime", s"$lateness milliseconds",
+              s"$winMs milliseconds",
+              slide = Some(s"$slideMs milliseconds"),
+              by = Seq(col("key")))(
+              "cnt" -> count(lit(1)), "sumE4" -> sum(col("v4"))),
+            df => df
+              .filter(col("window.start") < timestamp_millis(lit(s1)))
+              .select(col("key"),
+                unix_millis(col("window.start")).as("ws"),
+                col("cnt"), col("sumE4")))
+        },
+        ev => hash4(slideNativeOracle(ev))),
+      Arm("session_native",
+        (ev, sd) => {
+          val (b, s1) = withSentinels(ev, StreamProbe.ooo(ev, sd))
+          drain(b,
+            (ds: Dataset[KeyedEvent]) => ds.toDF()
+              .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+              .withColumn("v4",
+                expr("cast(floor(value * 10000d + 0.5d) as bigint)"))
+              .withWatermark("eventTime", s"$lateness milliseconds")
+              .groupBy(col("key"),
+                session_window(col("eventTime"), s"$gapMs milliseconds")
+                  .as("sw"))
+              .agg(count(lit(1)).as("cnt"), sum(col("v4")).as("sumE4")),
+            df => df
+              .filter(col("sw.start") < timestamp_millis(lit(s1)))
+              .select(col("key"),
+                unix_millis(col("sw.start")).as("ws"),
+                unix_millis(col("sw.end")).as("we"),
+                col("cnt"), col("sumE4")))
+        },
+        ev => hash5(sessionNativeOracle(ev))))
 
     val sb = new StringBuilder
     sb.append("{\n \"metric\": \"stream_correctness\",\n")

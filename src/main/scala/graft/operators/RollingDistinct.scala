@@ -259,4 +259,71 @@ object RollingDistinct {
         col("__cc").cast("long").as(cntCol) :+
         col("__cv").cast("long").as(sumCol): _*)
   }
+
+  /** The NULLS LAST sibling of [[groupedCumulativeDistinctSum]] (r14
+    * verdict item 3). Under `ORDER BY b ASC NULLS LAST RANGE UNBOUNDED
+    * PRECEDING`, the frames are the MIRROR of the nulls-first case:
+    *
+    *   - non-null rows EXCLUDE the null peer group (nulls sort after
+    *     every non-null bucket) — the plain first-occurrence difference
+    *     array over non-null-bucket pairs, with NO sentinel fold;
+    *   - null rows are the LAST peer group, so their frame is the
+    *     whole partition — one per-group total distinct count/sum
+    *     (count_distinct + sum_distinct, a plain hash aggregate),
+    *     emitted as the null-bucket row.
+    *
+    * No in-band sentinel exists on this path, so a legitimate
+    * Long.MinValue bucket is fine here (the nulls-first variant must
+    * reject it). `spineFrom` (default `df`) must carry `valueCol` too:
+    * its rows decide which buckets get output rows AND which groups
+    * have a null peer group, and the null-arm totals aggregate over it
+    * (distinct aggregates skip null values, so extra null-value rows
+    * relative to `df` cannot change the totals). */
+  def groupedCumulativeDistinctSumNullsLast(df: DataFrame, by: Seq[String],
+      valueCol: String, bucketCol: String,
+      cntCol: String, sumCol: String,
+      spineFrom: Option[DataFrame] = None): DataFrame = {
+    val byCols = by.map(col)
+    val pairs = df.filter(col(bucketCol).isNotNull)
+      .select(byCols :+ col(valueCol).cast("long").as("__v") :+
+        col(bucketCol).cast("long").as("__b"): _*)
+      .filter(col("__v").isNotNull)
+      .distinct()
+    val deltas = pairs.groupBy(byCols :+ col("__v"): _*)
+      .agg(min(col("__b")).as("__d"))
+      .groupBy((by :+ "__d").map(col): _*)
+      .agg(count(lit(1)).as("__dc"), sum(col("__v")).as("__dv"))
+
+    val spineSrc = spineFrom.getOrElse(df)
+    val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
+      .groupBy(byCols: _*)
+      .agg(min(col(bucketCol).cast("long")).as("__lo"),
+        max(col(bucketCol).cast("long")).as("__hi"))
+      .select(byCols :+ explode(sequence(col("__lo"),
+        guardedHi(spineSrc))).as("__d"): _*)
+    val joined = realSpan.join(deltas, by :+ "__d", "left")
+      .select(byCols :+ col("__d") :+
+        coalesce(col("__dc"), lit(0L)).as("__dc") :+
+        coalesce(col("__dv"), lit(0L)).as("__dv"): _*)
+    val c1 = GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")),
+      "__dc", "__cc")
+    val nonNullArm = GlobalWindow
+      .groupedCumSum(c1, by, Seq(col("__d")), "__dv", "__cv")
+      .select(byCols :+ col("__d").as(bucketCol) :+
+        col("__cc").cast("long").as(cntCol) :+
+        col("__cv").cast("long").as(sumCol): _*)
+
+    // whole-partition totals for groups that HAVE a null peer group;
+    // groupBy(Nil) is the global-aggregate case, so by = Nil needs no
+    // special join plumbing
+    val nullArm = spineSrc.groupBy(byCols: _*)
+      .agg(count_distinct(col(valueCol)).as(cntCol),
+        sum_distinct(col(valueCol).cast("long")).cast("long").as(sumCol),
+        max(when(col(bucketCol).isNull, lit(1)).otherwise(lit(0)))
+          .as("__hasnull"))
+      .filter(col("__hasnull") === 1)
+      .withColumn(bucketCol, lit(null).cast("long"))
+      .select(nonNullArm.columns.map(col): _*)
+    nonNullArm.unionByName(nullArm)
+  }
 }

@@ -60,15 +60,30 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * over the next n buckets" — rides the identical ASC pipeline on
   * NEGATED buckets; round-14), lower bound either UNBOUNDED
   * PRECEDING (the default frame — cumulative distinct via the
-  * first-occurrence difference array; ASC NULLS FIRST ONLY: the −∞
-  * sentinel fold encodes the nulls-first peer-group semantics, and
-  * NULLS LAST defines the OPPOSITE frames for null rows, so that
-  * shape stays stock-rejected — r13 ADVICE) or a foldable finite
-  * negative offset, CURRENT ROW upper. Finite frames accept EITHER
-  * null ordering: null order keys are one peer group whose frame is
-  * itself regardless of where nulls sort (null compares with
-  * nothing under a finite range bound). Anything else is left for
-  * CheckAnalysis to reject exactly as stock Spark would.
+  * first-occurrence difference array; ASC only: NULLS FIRST folds
+  * null buckets in as the −∞ sentinel, and since round 15 NULLS
+  * LAST is claimed too via the MIRROR lowering — non-null frames
+  * are the plain first-occurrence array with NO sentinel fold, null
+  * rows are the last peer group and receive the whole-partition
+  * totals, [[graft.operators.RollingDistinct
+  * .groupedCumulativeDistinctSumNullsLast]] — r14 verdict item 3)
+  * or a foldable finite negative offset, CURRENT ROW upper. Finite
+  * frames accept EITHER null ordering: null order keys are one peer
+  * group whose frame is itself regardless of where nulls sort (null
+  * compares with nothing under a finite range bound). Anything else
+  * is left for CheckAnalysis to reject exactly as stock Spark would.
+  *
+  * ROWS frames (round 15, r14 verdict item 2): `COUNT/SUM/AVG
+  * (DISTINCT x) OVER (... ROWS n PRECEDING)` is claimed for FOLDABLE
+  * small n (n ≤ `spark.graft.rowsDistinct.maxLag`, default 64) via a
+  * LAG-ARRAY lowering — the difference array cannot apply (positional
+  * membership, not bucket intervals), but n+1 lag taps in ONE
+  * WindowExec + `array_distinct` over the non-null entries is exact
+  * for any order key (multi-key, any type, any direction: the frame
+  * is purely positional and the lags ride the same sort). Per-row
+  * state is the n+1 taps — bounded by the declared frame, never by
+  * partition size. Larger/unbounded rows frames stay stock-rejected
+  * (per-row cost would be O(n); the range rewrite is the scale path).
   *
   * FILTER clauses are structurally unclaimable: stock Spark raises
   * "Window aggregate function with filter predicate is not supported
@@ -87,18 +102,52 @@ case class RollingDistinctRewrite(spark: SparkSession)
   private case object SumKind extends Kind
   private case object AvgKind extends Kind
 
+  private sealed trait AnyTarget { def alias: Alias }
+
   /** nPreceding None = RANGE UNBOUNDED PRECEDING (the default frame —
     * cumulative distinct); Some(n) = the trailing n-bucket frame.
     * desc = ORDER BY ... DESC: the frame LEADS in bucket space and the
     * pipeline runs on negated buckets (−Long.MinValue overflows ANSI
     * arithmetic loudly, and the operator's span guard bounds the
-    * domain anyway). */
+    * domain anyway). nullsLast is only meaningful on the cumulative
+    * arm (finite frames treat both null orderings identically) and
+    * routes to the mirror nulls-last lowering. */
   private case class Target(alias: Alias, id: Attribute,
       part: Seq[Attribute], order: Attribute, nPreceding: Option[Long],
-      kind: Kind, desc: Boolean)
+      kind: Kind, desc: Boolean, nullsLast: Boolean = false)
+      extends AnyTarget
+
+  /** ROWS n PRECEDING .. CURRENT ROW — the positional frame, lowered
+    * to n+1 lag taps in one WindowExec (r14 verdict item 2). Order is
+    * kept verbatim (any keys, any direction: the lags ride the same
+    * sort the naive frame would). */
+  private case class RowsTarget(alias: Alias, id: Attribute,
+      part: Seq[Expression], order: Seq[SortOrder], n: Int, kind: Kind)
+      extends AnyTarget
 
   private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
+  /** Aggregate-function eligibility shared by the range and rows arms:
+    * count/sum/avg DISTINCT of one attribute, integral for sum/avg. */
+  private def kindIdOf(f: Expression): Option[(Kind, Attribute)] =
+    f match {
+      case Count(Seq(c: Attribute)) => Some((CntKind, c))
+      case s: Sum if s.child.isInstanceOf[Attribute] &&
+          integral(s.child.dataType) =>
+        Some((SumKind, s.child.asInstanceOf[Attribute]))
+      case a: Average if a.child.isInstanceOf[Attribute] &&
+          integral(a.child.dataType) =>
+        Some((AvgKind, a.child.asInstanceOf[Attribute]))
+      case _ => None
+    }
+
+  /** Rows-frame tap cap: the lowering materializes n+1 lag buffers per
+    * row, so only small declared frames are claimed; anything larger
+    * keeps the stock rejection (use a range frame / bucket grid for
+    * wide windows — that path is O(rows) regardless of width). */
+  private def maxRowsLag: Int = spark.conf
+    .get("spark.graft.rowsDistinct.maxLag", "64").toInt
 
   private def targetOf(e: NamedExpression): Option[Target] = e match {
     case a @ Alias(WindowExpression(
@@ -109,32 +158,17 @@ case class RollingDistinctRewrite(spark: SparkSession)
         if part.forall(_.isInstanceOf[Attribute]) &&
           (lower == UnboundedPreceding || lower.foldable) &&
           integral(ob.dataType) =>
-      val kind = f match {
-        case Count(Seq(_: Attribute)) => Some(CntKind)
-        case s: Sum if s.child.isInstanceOf[Attribute] &&
-            integral(s.child.dataType) => Some(SumKind)
-        case a: Average if a.child.isInstanceOf[Attribute] &&
-            integral(a.child.dataType) => Some(AvgKind)
-        case _ => None
-      }
-      val id = f match {
-        case Count(Seq(c: Attribute)) => Some(c)
-        case s: Sum => Some(s.child.asInstanceOf[Attribute])
-        case a: Average => Some(a.child.asInstanceOf[Attribute])
-        case _ => None
-      }
+      val kind = kindIdOf(f).map(_._1)
+      val id = kindIdOf(f).map(_._2)
       (kind, lower) match {
-        // cumulative arm: ASC NULLS FIRST only. The −∞ sentinel fold
-        // hard-codes nulls-first peer semantics (null peer group
-        // included in every non-null frame); under NULLS LAST the
-        // naive frames are the OPPOSITE (non-null frames exclude the
-        // null peers, null rows see everything), so claiming that
-        // shape would return wrong results — leave it stock-rejected
-        // (r13 ADVICE medium).
-        case (Some(k), UnboundedPreceding)
-            if dir == Ascending && no == NullsFirst =>
+        // cumulative arm: ASC only. NULLS FIRST rides the −∞ sentinel
+        // fold (null peer group included in every non-null frame);
+        // NULLS LAST (round 15) rides the MIRROR lowering — non-null
+        // frames exclude the null peers, null rows see the whole
+        // partition (groupedCumulativeDistinctSumNullsLast).
+        case (Some(k), UnboundedPreceding) if dir == Ascending =>
           Some(Target(a, id.get, part.map(_.asInstanceOf[Attribute]), ob,
-            None, k, desc = false))
+            None, k, desc = false, nullsLast = no == NullsLast))
         case (_, UnboundedPreceding) => None
         case (Some(k), _) => lower.eval() match {
           case n: Number
@@ -152,6 +186,29 @@ case class RollingDistinctRewrite(spark: SparkSession)
       }
     case _ => None
   }
+
+  private def rowsTargetOf(e: NamedExpression): Option[RowsTarget] =
+    e match {
+      case a @ Alias(WindowExpression(
+          AggregateExpression(f, _, true, None, _),
+          WindowSpecDefinition(part, order,
+            SpecifiedWindowFrame(RowFrame, lower, CurrentRow))), _)
+          if order.nonEmpty && lower != UnboundedPreceding &&
+            lower.foldable =>
+        kindIdOf(f).flatMap { case (k, id) =>
+          lower.eval() match {
+            case n: Number
+                if n.longValue < 0 && -n.longValue <= maxRowsLag =>
+              Some(RowsTarget(a, id, part, order,
+                (-n.longValue).toInt, k))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
+  private def anyTargetOf(e: NamedExpression): Option[AnyTarget] =
+    targetOf(e).orElse(rowsTargetOf(e))
 
   /** A window expression the rule can leave to stock Spark: anything
     * WITHOUT a distinct aggregate (plain aggs, rank functions, lag…).
@@ -174,7 +231,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
       // of letting one distinct aggregate poison the whole node.
       case w: Window if w.resolved && w.windowExpressions.nonEmpty && {
           val (ts, rest) =
-            w.windowExpressions.partition(e => targetOf(e).isDefined)
+            w.windowExpressions.partition(e => anyTargetOf(e).isDefined)
           ts.nonEmpty && rest.forall(plainWindowExpr)
         } =>
         rewrite(w)
@@ -184,8 +241,10 @@ case class RollingDistinctRewrite(spark: SparkSession)
 
   private def rewrite(w: Window): LogicalPlan = {
     val (targetExprs, rest) =
-      w.windowExpressions.partition(e => targetOf(e).isDefined)
-    val targets = targetExprs.map(e => targetOf(e).get)
+      w.windowExpressions.partition(e => anyTargetOf(e).isDefined)
+    val allTargets = targetExprs.map(e => anyTargetOf(e).get)
+    val targets = allTargets.collect { case t: Target => t }
+    val rowsTargets = allTargets.collect { case t: RowsTarget => t }
     // plain window expressions stay a stock Window node UNDER the
     // difference-array joins (their attributes ride the probe side
     // untouched, original exprIds preserved)
@@ -199,9 +258,10 @@ case class RollingDistinctRewrite(spark: SparkSession)
     // window node cost one frame, not two (the dual frame carries both
     // running aggregates anyway). Count-only groups keep the lean
     // count-only pipeline.
-    type Sig = (Long, Seq[Long], Long, Option[Long], Boolean)
+    type Sig = (Long, Seq[Long], Long, Option[Long], Boolean, Boolean)
     def sigOf(t: Target): Sig = (t.id.exprId.id,
-      t.part.map(_.exprId.id), t.order.exprId.id, t.nPreceding, t.desc)
+      t.part.map(_.exprId.id), t.order.exprId.id, t.nPreceding, t.desc,
+      t.nullsLast)
     val groupNames = scala.collection.mutable.Map.empty[Sig, (String, String)]
     val outNames = targets.map { t =>
       val sig = sigOf(t)
@@ -235,6 +295,17 @@ case class RollingDistinctRewrite(spark: SparkSession)
         col(bName).isNotNull)
       val spineSrc = Some(proj.filter(col(bName).isNotNull))
       val lookup = t.nPreceding match {
+        case None if t.nullsLast =>
+          // cumulative, ASC NULLS LAST (round 15): the MIRROR
+          // lowering — non-null frames are the plain first-occurrence
+          // array (no sentinel fold, null peers excluded), null rows
+          // get the whole-partition totals as the null-bucket row
+          graft.operators.RollingDistinct
+            .groupedCumulativeDistinctSumNullsLast(
+              proj.filter(col(idName).isNotNull), by = gNames,
+              valueCol = idName, bucketCol = bName,
+              cntCol = cntName, sumCol = sumName,
+              spineFrom = Some(proj))
         case None =>
           // UNBOUNDED PRECEDING (the default frame — cumulative
           // distinct): one first-occurrence difference array serves
@@ -293,6 +364,51 @@ case class RollingDistinctRewrite(spark: SparkSession)
       (cntName, sumName)
       }
     }
+    // ROWS-frame targets (round 15): no join — n+1 lag taps in one
+    // WindowExec over the probe side, then array_distinct over the
+    // non-null entries. The lags ride the ORIGINAL order spec
+    // verbatim, so whatever row order the naive frame would see, the
+    // taps see too (ties resolve identically: same sort, same
+    // WindowExec).
+    val rowsOut: Seq[(RowsTarget, String)] = rowsTargets.map { t =>
+      import org.apache.spark.sql.expressions.{Window => WApi}
+      val u = seq.incrementAndGet()
+      val outName = s"__rr_out_$u"
+      val orderCols = t.order.map { so =>
+        val c = ColumnShim.column(so.child)
+        (so.direction, so.nullOrdering) match {
+          case (Ascending, NullsFirst)   => c.asc_nulls_first
+          case (Ascending, NullsLast)    => c.asc_nulls_last
+          case (Descending, NullsFirst)  => c.desc_nulls_first
+          case (Descending, NullsLast)   => c.desc_nulls_last
+        }
+      }
+      val wspec = WApi.partitionBy(t.part.map(ColumnShim.column): _*)
+        .orderBy(orderCols: _*)
+      val idC0 = ColumnShim.column(t.id)
+      // sum/avg ride exact 64-bit arithmetic (integral-only
+      // eligibility); count keeps the original type — array_distinct
+      // compares any atomic type
+      val idC = if (t.kind == CntKind) idC0 else idC0.cast("long")
+      val arr = array(
+        (idC +: (1 to t.n).map(j => lag(idC, j).over(wspec))): _*)
+      // nulls drop out exactly as COUNT/SUM(DISTINCT) requires:
+      // a lag tap past the partition head and a genuinely-null value
+      // are both non-frame members
+      val dist = array_distinct(filter(arr, e => e.isNotNull))
+      val outCol = t.kind match {
+        case CntKind => size(dist).cast("long")
+        case SumKind => when(size(dist) > 0,
+            org.apache.spark.sql.functions.aggregate(dist, lit(0L), (acc0, x) => acc0 + x))
+          .otherwise(lit(null).cast("long"))
+        case AvgKind => when(size(dist) > 0,
+            org.apache.spark.sql.functions.aggregate(dist, lit(0L), (acc0, x) => acc0 + x)
+              .cast("double") / size(dist).cast("double"))
+          .otherwise(lit(null).cast("double"))
+      }
+      acc = acc.withColumn(outName, outCol)
+      (t, outName)
+    }
     val analyzed = acc.queryExecution.analyzed
     val childAttrs = w.child.output.map(a =>
       analyzed.output.find(_.exprId == a.exprId).getOrElse(a))
@@ -326,10 +442,17 @@ case class RollingDistinctRewrite(spark: SparkSession)
         Alias(body, t.alias.name)(exprId = t.alias.exprId,
           qualifier = t.alias.qualifier)
     }
+    val rowsAliases = rowsOut.map { case (t, name) =>
+      val attr = analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalStateException(
+          s"RollingDistinctRewrite lost its rows-frame column $name"))
+      Alias(attr, t.alias.name)(exprId = t.alias.exprId,
+        qualifier = t.alias.qualifier)
+    }
     // output contract: child.output ++ windowExpressions attrs in the
     // ORIGINAL order — plain expressions resolve to their stock-Window
     // attributes riding the probe side, targets to the rewrite aliases
-    val aliasById = aliases.map(a => a.exprId -> a).toMap
+    val aliasById = (aliases ++ rowsAliases).map(a => a.exprId -> a).toMap
     val winOut: Seq[NamedExpression] = w.windowExpressions.map { e =>
       aliasById.getOrElse(e.exprId,
         analyzed.output.find(_.exprId == e.exprId).getOrElse(

@@ -1850,6 +1850,78 @@ object TimeSeriesQueries {
           "fire")
       out
     }),
+    "window_rowsframe_distinct_rule" -> ((s, dir) => {
+      // ROWS-frame distinct through the rule (round 15, r14 verdict
+      // item 2): count(DISTINCT amt) + sum(DISTINCT amt) OVER
+      // (PARTITION BY event_type ORDER BY event_id ROWS 9 PRECEDING) —
+      // "distinct price points among the last 10 events per type".
+      // The difference array can't serve a POSITIONAL frame, so the
+      // rule lowers this to 10 lag taps in ONE WindowExec +
+      // array_distinct — exact because event_id is unique (a rows
+      // frame over a tied order is ambiguous in ANY engine). Per-row
+      // state is the 10 taps, never partition-sized; frames wider
+      // than spark.graft.rowsDistinct.maxLag stay stock-rejected.
+      // Oracle: DuckDB's NATIVE distinct window aggregate over the
+      // identical frame.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("amt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("event_id")).rowsBetween(-9, 0)
+      val out = e.select(col("event_type"), col("event_id"),
+        count_distinct(col("amt")).over(w).as("uniq10"),
+        sum_distinct(col("amt")).over(w).as("sumd10"))
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rowsframe_distinct_rule: the rows-frame distinct " +
+          "window aggregate survived — the round-15 lag-array arm " +
+          "did not fire")
+      out
+    }),
+    "window_running_distinct_nullslast_rule" -> ((s, dir) => {
+      // ASC NULLS LAST cumulative distinct through the rule (round 15,
+      // r14 verdict item 3 — the r13 negative test flipped positive):
+      // events whose day is unknown (nulled here for one user cohort)
+      // sort LAST, so their peer frame is the WHOLE partition while
+      // every non-null day EXCLUDES them — the exact mirror of the
+      // nulls-first sentinel fold. The rule lowers the non-null rows
+      // to the plain first-occurrence difference array (no sentinel)
+      // and the null peer group to one whole-partition distinct
+      // total. Oracle: DuckDB's native distinct window under the
+      // identical NULLS LAST frame.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(
+        when(col("user_id") % 19 === 0, lit(null).cast("long"))
+          .otherwise(expr("ts div 86400000000000")).as("dayn"),
+        col("user_id"))
+      val w = Window.orderBy(col("dayn").asc_nulls_last)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = e.select(col("dayn"),
+        count_distinct(col("user_id")).over(w).as("cum_uniq"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_running_distinct_nullslast_rule: the NULLS LAST " +
+          "cumulative distinct survived — the round-15 mirror arm " +
+          "did not fire")
+      out
+    }),
     "window_rolling_distinct_by" -> ((s, dir) => {
       // GROUPED rolling uniques (per event_type — rolling actives per
       // source/domain/tenant): the same difference-array decomposition
@@ -2851,6 +2923,29 @@ object TimeSeriesQueries {
          FROM span s LEFT JOIN e ON s.event_type = e.event_type
            AND e.day BETWEEN s.day AND s.day + 6
          GROUP BY 1, 2""",
+    // DuckDB's NATIVE distinct window aggregate over the identical
+    // positional frame (sum cast: DuckDB widens BIGINT sums to
+    // HUGEINT)
+    "window_rowsframe_distinct_rule" ->
+      """WITH e AS (SELECT event_type, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS amt FROM events)
+         SELECT event_type, event_id,
+           count(DISTINCT amt) OVER w AS uniq10,
+           CAST(sum(DISTINCT amt) OVER w AS BIGINT) AS sumd10
+         FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    // DuckDB's native distinct window under the identical ASC NULLS
+    // LAST cumulative frame (its measured null-row semantics — whole
+    // partition — match the mirror lowering)
+    "window_running_distinct_nullslast_rule" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 19 = 0 THEN NULL
+           ELSE epoch_ns(ts) // 86400000000000 END AS dayn, user_id
+           FROM events)
+         SELECT DISTINCT dayn, count(DISTINCT user_id) OVER
+           (ORDER BY dayn ASC NULLS LAST
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_uniq
+         FROM e""",
     // VERBATIM the grouped dedicated key's oracle (see
     // window_rolling_distinct_rule)
     "window_rolling_distinct_by_rule" ->

@@ -358,10 +358,11 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
       (11L, 2L, 9L, 3L), (12L, 2L, 9L, 2L)))
   }
 
-  test("a mixed node with an INELIGIBLE distinct (rows frame) is left " +
-      "whole — stock rejection applies to the whole node") {
+  test("a mixed node with an INELIGIBLE distinct (WIDE rows frame, " +
+      "n > maxLag) is left whole — stock rejection applies to the " +
+      "whole node") {
     val df = Seq((1L, 10L, 2L)).toDF("id", "b", "y")
-    val wr = Window.orderBy(col("b")).rowsBetween(-1, 0)
+    val wr = Window.orderBy(col("b")).rowsBetween(-100, 0)
     val e = intercept[Exception] {
       df.select(count_distinct(col("id")).over(wr),
         sum(col("y")).over(wr)).collect()
@@ -381,13 +382,21 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
 
   test("ineligible shapes are left alone and still rejected by Spark") {
     val df = Seq((1L, 10L)).toDF("id", "b")
-    // rows frame (not RANGE): the rule must NOT claim it — stock
-    // Spark's DISTINCT_WINDOW_FUNCTION_UNSUPPORTED applies
-    val w = Window.orderBy(col("b")).rowsBetween(-1, 0)
+    // UNBOUNDED PRECEDING rows frame: positional-cumulative — the lag
+    // lowering would need partition-sized tap counts, so the rule must
+    // NOT claim it; stock DISTINCT_WINDOW_FUNCTION_UNSUPPORTED applies
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val e = intercept[Exception] {
       df.select(count_distinct(col("id")).over(w)).collect()
     }
     assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+    // rows frame WIDER than the tap cap: stock rejection stands
+    val w2 = Window.orderBy(col("b")).rowsBetween(-65, 0)
+    val e2 = intercept[Exception] {
+      df.select(count_distinct(col("id")).over(w2)).collect()
+    }
+    assert(e2.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
   }
 
   // ---- round-14: DESC widening + the nulls-ordering envelope ----
@@ -528,18 +537,219 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("rdd_sql_t")
   }
 
-  test("ASC NULLS LAST over the UNBOUNDED frame is NOT claimed — the " +
-      "sentinel fold encodes nulls-first semantics only (r13 ADVICE)") {
-    val df = Seq((1L, 10L)).toDF("id", "b")
-    df.createOrReplaceTempView("rdnl_sql_t")
+  // ---- round-15: NULLS LAST cumulative + ROWS-frame lag lowering ----
+
+  /** Brute force for the cumulative NULLS LAST mirror: non-null rows
+    * see distinct values over non-null buckets ≤ b ONLY (the null peer
+    * group sorts after them); null rows are the LAST peer group, so
+    * their frame is the whole partition. */
+  private def bruteCumNullsLast(
+      rows: Seq[(String, java.lang.Long, java.lang.Long)])
+      : Map[(String, Option[Long]), (Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val buckets = rs.map(r => Option(r._2).map(_.longValue)).distinct
+      buckets.map { b =>
+        val ids = rs.filter { r =>
+          val rb = Option(r._2).map(_.longValue)
+          b match {
+            case Some(bv) => rb.exists(_ <= bv)
+            case None => true
+          }
+        }.flatMap(r => Option(r._3).map(_.longValue)).distinct
+        (g, b) -> ((ids.size.toLong,
+          if (ids.isEmpty) None else Some(ids.sum)))
+      }
+    }
+
+  test("ASC NULLS LAST cumulative IS claimed (round 15 — flips the " +
+      "r13 negative): count and sum match the mirror brute force " +
+      "incl. null buckets seeing the whole partition") {
+    val rnd = new scala.util.Random(7272)
+    for (trial <- 0 until 8) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(40 + rnd.nextInt(80)) {
+          val g = s"g${rnd.nextInt(nGroups)}"
+          val b: java.lang.Long = if (rnd.nextInt(8) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(25).toLong)
+          val id: java.lang.Long = if (rnd.nextInt(6) == 0) null
+            else java.lang.Long.valueOf((rnd.nextInt(12) - 5).toLong)
+          (g, b, id)
+        }
+      val df = rows.toDF("g", "b", "id")
+      val w = Window.partitionBy("g").orderBy(col("b").asc_nulls_last)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = df.select(col("g"), col("b"),
+        count_distinct(col("id")).over(w).as("c"),
+        sum_distinct(col("id")).over(w).as("sd"))
+      val survivors = out.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      assert(survivors.isEmpty,
+        "NULLS LAST cumulative distinct must be rewritten")
+      val got = out.collect()
+        .map(r => ((r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      val want = bruteCumNullsLast(rows)
+      got.foreach { case (k, v) =>
+        assert(v == want(k), s"trial $trial key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
+  test("NULLS LAST cumulative: a Long.MinValue bucket is LEGAL here " +
+      "(no sentinel on the mirror path) and the SQL surface agrees " +
+      "with the DataFrame path") {
+    // no sentinel fold → Long.MinValue is an ordinary bucket... but the
+    // span guard still bounds the spine, so keep buckets adjacent
+    val df = Seq((1L, java.lang.Long.valueOf(Long.MinValue)),
+      (2L, java.lang.Long.valueOf(Long.MinValue + 3)),
+      (3L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "b")
+    df.createOrReplaceTempView("rdnl2_sql_t")
     try {
+      val got = spark.sql(
+        """SELECT b, count(DISTINCT id) OVER (ORDER BY b ASC NULLS LAST)
+             AS u FROM rdnl2_sql_t""")
+        .collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1))).toSeq
+        .sortBy(_._1.getOrElse(Long.MaxValue))
+      // MinValue row: {1}; MinValue+3 row: {1,2}; null row: whole
+      // partition {1,2,3}
+      assert(got == Seq((Some(Long.MinValue), 1L),
+        (Some(Long.MinValue + 3), 2L), (None, 3L)))
+    } finally spark.catalog.dropTempView("rdnl2_sql_t")
+  }
+
+  /** Positional brute force for ROWS n PRECEDING: previous n physical
+    * rows + current in (unique) order-key order, distinct non-null
+    * values. */
+  private def bruteRows(rows: Seq[(String, Long, java.lang.Long)],
+      n: Int, asc: Boolean): Map[(String, Long), (Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = if (asc) rs.sortBy(_._2) else rs.sortBy(-_._2)
+      sorted.zipWithIndex.map { case (r, i) =>
+        val ids = sorted.slice(math.max(0, i - n), i + 1)
+          .flatMap(x => Option(x._3).map(_.longValue)).distinct
+        (g, r._2) -> ((ids.size.toLong,
+          if (ids.isEmpty) None else Some(ids.sum)))
+      }
+    }
+
+  test("ROWS-frame distinct (round 15): count+sum via the lag-array " +
+      "lowering match positional brute force, ASC and DESC order, " +
+      "all-null frames SUM-NULL") {
+    val rnd = new scala.util.Random(3131)
+    for (trial <- 0 until 6; asc <- Seq(true, false)) {
+      val rows: Seq[(String, Long, java.lang.Long)] =
+        rnd.shuffle((0 until (40 + rnd.nextInt(60))).map { i =>
+          val g = s"g${rnd.nextInt(3)}"
+          // unique order key per (g, i) so the positional frame is
+          // deterministic (ties would make ANY rows frame ambiguous)
+          val id: java.lang.Long = if (rnd.nextInt(4) == 0) null
+            else java.lang.Long.valueOf((rnd.nextInt(9) - 4).toLong)
+          (g, i.toLong, id)
+        })
+      val n = 1 + rnd.nextInt(7)
+      val df = rows.toDF("g", "o", "id")
+      val ord = if (asc) col("o").asc else col("o").desc
+      val w = Window.partitionBy("g").orderBy(ord).rowsBetween(-n, 0)
+      val out = df.select(col("g"), col("o"),
+        count_distinct(col("id")).over(w).as("c"),
+        sum_distinct(col("id")).over(w).as("sd"))
+      val survivors = out.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      assert(survivors.isEmpty,
+        "rows-frame distinct must be rewritten to the lag array")
+      val got = out.collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      val want = bruteRows(rows, n, asc)
+      got.foreach { case (k, v) =>
+        assert(v == want(k), s"trial $trial n=$n asc=$asc key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
+  test("ROWS-frame distinct: COUNT over a STRING column (count claims " +
+      "any atomic type; sum stays integral-only) and AVG via SQL — " +
+      "exact-sum/exact-count division") {
+    val df = Seq(("g", 1L, "a", 4L), ("g", 2L, "b", 4L),
+      ("g", 3L, "a", 6L), ("g", 4L, null, 10L), ("g", 5L, "c", 6L))
+      .toDF("g", "o", "s", "v")
+    df.createOrReplaceTempView("rdrows_sql_t")
+    try {
+      val got = spark.sql(
+        """SELECT o, count(DISTINCT s) OVER w AS cs,
+              avg(DISTINCT v) OVER w AS av
+            FROM rdrows_sql_t
+            WINDOW w AS (PARTITION BY g ORDER BY o
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      // frames (o): 1:{a}/{4}; 2:{a,b}/{4}; 3:{a,b}+a/{4,6};
+      // 4:{b,a,-}/{4,6,10}; 5:{a,-,c}/{6,10}
+      assert(got == Seq((1L, 1L, 4.0), (2L, 2L, 4.0), (3L, 2L, 5.0),
+        (4L, 2L, 20.0 / 3.0), (5L, 2L, 8.0)))
+      // fractional sum_distinct over a rows frame stays stock-rejected
       val e = intercept[Exception] {
-        spark.sql("SELECT count(DISTINCT id) OVER (ORDER BY b ASC " +
-          "NULLS LAST) FROM rdnl_sql_t").collect()
+        spark.sql("""SELECT sum(DISTINCT CAST(v AS DOUBLE)) OVER
+            (PARTITION BY g ORDER BY o ROWS BETWEEN 2 PRECEDING AND
+             CURRENT ROW) FROM rdrows_sql_t""").collect()
       }
       assert(
         e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
-    } finally spark.catalog.dropTempView("rdnl_sql_t")
+    } finally spark.catalog.dropTempView("rdrows_sql_t")
+  }
+
+  test("ROWS-frame tap cap is configurable: maxLag=4 rejects n=5 and " +
+      "claims n=4 in the same session") {
+    val key = "spark.graft.rowsDistinct.maxLag"
+    spark.conf.set(key, "4")
+    try {
+      val df = Seq((1L, 10L)).toDF("id", "o")
+      val w5 = Window.orderBy(col("o")).rowsBetween(-5, 0)
+      val e = intercept[Exception] {
+        df.select(count_distinct(col("id")).over(w5)).collect()
+      }
+      assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+      val w4 = Window.orderBy(col("o")).rowsBetween(-4, 0)
+      val got = df.select(count_distinct(col("id")).over(w4)).collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    } finally spark.conf.unset(key)
+  }
+
+  test("DESC-negation overflow guard (r14 verdict item 8): a " +
+      "Long.MinValue order key under a DESC finite frame fails " +
+      "LOUDLY with the ANSI overflow error instead of wrapping") {
+    val df = Seq((1L, java.lang.Long.valueOf(Long.MinValue)),
+      (2L, java.lang.Long.valueOf(10L))).toDF("id", "b")
+    val w = Window.orderBy(col("b").desc).rangeBetween(-2, 0)
+    val e = intercept[Exception] {
+      df.select(count_distinct(col("id")).over(w)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("ARITHMETIC_OVERFLOW") ||
+      m.contains("overflow")), s"got: ${msgs(e).mkString(" | ")}")
   }
 
   test("DESC over the UNBOUNDED frame is NOT claimed — stock " +
