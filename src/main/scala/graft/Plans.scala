@@ -79,6 +79,7 @@ object Plans {
       // cumulative mirror arm + the months+sub-day .complete gate
       "window_rowsframe_distinct_rule",
       "window_running_distinct_nullslast_rule",
+      "window_running_distinct_desc_rule",
       "window_complete_months_hours")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes

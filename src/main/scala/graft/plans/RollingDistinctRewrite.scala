@@ -60,14 +60,16 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * over the next n buckets" — rides the identical ASC pipeline on
   * NEGATED buckets; round-14), lower bound either UNBOUNDED
   * PRECEDING (the default frame — cumulative distinct via the
-  * first-occurrence difference array; ASC only: NULLS FIRST folds
-  * null buckets in as the −∞ sentinel, and since round 15 NULLS
-  * LAST is claimed too via the MIRROR lowering — non-null frames
-  * are the plain first-occurrence array with NO sentinel fold, null
-  * rows are the last peer group and receive the whole-partition
-  * totals, [[graft.operators.RollingDistinct
-  * .groupedCumulativeDistinctSumNullsLast]] — r14 verdict item 3)
-  * or a foldable finite negative offset, CURRENT ROW upper. Finite
+  * first-occurrence difference array; since round 15 ALL FOUR
+  * direction × null-ordering quadrants: NULLS FIRST folds null
+  * buckets in as the −∞ sentinel, NULLS LAST rides the MIRROR
+  * lowering — non-null frames are the plain first-occurrence array
+  * with NO sentinel fold, null rows are the last peer group and
+  * receive the whole-partition totals, [[graft.operators
+  * .RollingDistinct.groupedCumulativeDistinctSumNullsLast]] — r14
+  * verdict item 3; DESC negates the bucket domain, mapping each DESC
+  * null ordering onto its ASC twin) or a foldable finite negative
+  * offset, CURRENT ROW upper. Finite
   * frames accept EITHER null ordering: null order keys are one peer
   * group whose frame is itself regardless of where nulls sort (null
   * compares with nothing under a finite range bound). Anything else
@@ -109,9 +111,11 @@ case class RollingDistinctRewrite(spark: SparkSession)
     * desc = ORDER BY ... DESC: the frame LEADS in bucket space and the
     * pipeline runs on negated buckets (−Long.MinValue overflows ANSI
     * arithmetic loudly, and the operator's span guard bounds the
-    * domain anyway). nullsLast is only meaningful on the cumulative
-    * arm (finite frames treat both null orderings identically) and
-    * routes to the mirror nulls-last lowering. */
+    * domain anyway — and the same negation serves the cumulative arm,
+    * whose DESC form is "distinct from here forward"). nullsLast is
+    * only meaningful on the cumulative arm (finite frames treat both
+    * null orderings identically) and routes to the mirror nulls-last
+    * lowering. */
   private case class Target(alias: Alias, id: Attribute,
       part: Seq[Attribute], order: Attribute, nPreceding: Option[Long],
       kind: Kind, desc: Boolean, nullsLast: Boolean = false)
@@ -161,15 +165,20 @@ case class RollingDistinctRewrite(spark: SparkSession)
       val kind = kindIdOf(f).map(_._1)
       val id = kindIdOf(f).map(_._2)
       (kind, lower) match {
-        // cumulative arm: ASC only. NULLS FIRST rides the −∞ sentinel
-        // fold (null peer group included in every non-null frame);
-        // NULLS LAST (round 15) rides the MIRROR lowering — non-null
-        // frames exclude the null peers, null rows see the whole
-        // partition (groupedCumulativeDistinctSumNullsLast).
-        case (Some(k), UnboundedPreceding) if dir == Ascending =>
+        // cumulative arm, BOTH directions (round 15): NULLS FIRST
+        // rides the −∞ sentinel fold (null peer group included in
+        // every non-null frame); NULLS LAST rides the MIRROR lowering
+        // — non-null frames exclude the null peers, null rows see the
+        // whole partition (groupedCumulativeDistinctSumNullsLast).
+        // DESC ("distinct from here FORWARD" — the remaining-reach
+        // curve) negates the bucket domain exactly like the finite
+        // frames: on the negated axis DESC NULLS FIRST ≡ ASC NULLS
+        // FIRST and DESC NULLS LAST ≡ ASC NULLS LAST, so both
+        // lowerings serve all four quadrants.
+        case (Some(k), UnboundedPreceding) =>
           Some(Target(a, id.get, part.map(_.asInstanceOf[Attribute]), ob,
-            None, k, desc = false, nullsLast = no == NullsLast))
-        case (_, UnboundedPreceding) => None
+            None, k, desc = dir == Descending,
+            nullsLast = no == NullsLast))
         case (Some(k), _) => lower.eval() match {
           case n: Number
               if n.longValue < 0 && n.longValue > Int.MinValue + 2 =>

@@ -1922,6 +1922,41 @@ object TimeSeriesQueries {
           "did not fire")
       out
     }),
+    "window_running_distinct_desc_rule" -> ((s, dir) => {
+      // DESC over the UNBOUNDED frame through the rule (round 15 —
+      // flips the last stock-rejected cumulative quadrant): distinct
+      // users from each day FORWARD — the remaining-reach curve a
+      // retention analysis reads right-to-left. DESC NULLS FIRST with
+      // injected null days pins the sentinel quadrant: on the negated
+      // bucket axis DESC NULLS FIRST ≡ ASC NULLS FIRST, so the null
+      // peer group rides the −∞ sentinel fold (included in every
+      // non-null frame, null rows see only themselves — DuckDB's
+      // measured native semantics agree). Oracle: DuckDB's native
+      // distinct window under the identical frame.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(
+        when(col("user_id") % 23 === 0, lit(null).cast("long"))
+          .otherwise(expr("ts div 86400000000000")).as("dayn"),
+        col("user_id"))
+      val w = Window.orderBy(col("dayn").desc_nulls_first)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = e.select(col("dayn"),
+        count_distinct(col("user_id")).over(w).as("fwd_uniq"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_running_distinct_desc_rule: the DESC cumulative " +
+          "distinct survived — the round-15 widening did not fire")
+      out
+    }),
     "window_rolling_distinct_by" -> ((s, dir) => {
       // GROUPED rolling uniques (per event_type — rolling actives per
       // source/domain/tenant): the same difference-array decomposition
@@ -2945,6 +2980,20 @@ object TimeSeriesQueries {
            (ORDER BY dayn ASC NULLS LAST
             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_uniq
+         FROM e""",
+    // DuckDB's native distinct window under the identical DESC NULLS
+    // FIRST cumulative frame (measured: the null peer group precedes
+    // the largest day — included in every non-null frame, null rows
+    // see only themselves — matching the sentinel fold on negated
+    // buckets)
+    "window_running_distinct_desc_rule" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 23 = 0 THEN NULL
+           ELSE epoch_ns(ts) // 86400000000000 END AS dayn, user_id
+           FROM events)
+         SELECT DISTINCT dayn, count(DISTINCT user_id) OVER
+           (ORDER BY dayn DESC NULLS FIRST
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS fwd_uniq
          FROM e""",
     // VERBATIM the grouped dedicated key's oracle (see
     // window_rolling_distinct_rule)

@@ -752,15 +752,77 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
       m.contains("overflow")), s"got: ${msgs(e).mkString(" | ")}")
   }
 
-  test("DESC over the UNBOUNDED frame is NOT claimed — stock " +
-      "rejection stands") {
-    val df = Seq((1L, 10L)).toDF("id", "b")
-    val w = Window.orderBy(col("b").desc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val e = intercept[Exception] {
-      df.select(count_distinct(col("id")).over(w)).collect()
+  /** Brute force for the DESC cumulative quadrants ("distinct from
+    * here FORWARD"): frame = buckets ≥ b. DESC NULLS FIRST puts the
+    * null peer group BEFORE the largest bucket (every non-null frame
+    * includes it, null rows see only themselves); DESC NULLS LAST is
+    * the mirror (non-null frames exclude nulls, null rows see the
+    * whole partition). */
+  private def bruteCumDesc(
+      rows: Seq[(String, java.lang.Long, java.lang.Long)],
+      nullsLast: Boolean)
+      : Map[(String, Option[Long]), (Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val buckets = rs.map(r => Option(r._2).map(_.longValue)).distinct
+      buckets.map { b =>
+        val ids = rs.filter { r =>
+          val rb = Option(r._2).map(_.longValue)
+          (b, nullsLast) match {
+            case (Some(bv), false) => rb.isEmpty || rb.exists(_ >= bv)
+            case (Some(bv), true)  => rb.exists(_ >= bv)
+            case (None, false)     => rb.isEmpty
+            case (None, true)      => true
+          }
+        }.flatMap(r => Option(r._3).map(_.longValue)).distinct
+        (g, b) -> ((ids.size.toLong,
+          if (ids.isEmpty) None else Some(ids.sum)))
+      }
     }
-    assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+
+  test("DESC over the UNBOUNDED frame IS claimed (round 15 — flips " +
+      "the r14 negative): both DESC null orderings match the " +
+      "reverse-cumulative brute force on negated buckets") {
+    val rnd = new scala.util.Random(6161)
+    for (trial <- 0 until 4; nullsLast <- Seq(false, true)) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(40 + rnd.nextInt(60)) {
+          val g = s"g${rnd.nextInt(nGroups)}"
+          val b: java.lang.Long = if (rnd.nextInt(8) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(25).toLong)
+          val id: java.lang.Long = if (rnd.nextInt(6) == 0) null
+            else java.lang.Long.valueOf((rnd.nextInt(12) - 5).toLong)
+          (g, b, id)
+        }
+      val df = rows.toDF("g", "b", "id")
+      val ord = if (nullsLast) col("b").desc_nulls_last
+                else col("b").desc_nulls_first
+      val w = Window.partitionBy("g").orderBy(ord)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = df.select(col("g"), col("b"),
+        count_distinct(col("id")).over(w).as("c"),
+        sum_distinct(col("id")).over(w).as("sd"))
+      val survivors = out.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      assert(survivors.isEmpty,
+        "DESC cumulative distinct must be rewritten")
+      val got = out.collect()
+        .map(r => ((r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      val want = bruteCumDesc(rows, nullsLast)
+      got.foreach { case (k, v) =>
+        assert(v == want(k), s"trial $trial nullsLast=$nullsLast key=$k")
+      }
+      assert(got.length == rows.length)
+    }
   }
 
   test("FILTER clauses are structurally unclaimable: stock Spark " +
