@@ -295,6 +295,29 @@ object StreamFuzz {
           (key, ws, n, at((n + 1) / 2) * QPackB + at((95 * n + 99) / 100))
         }
 
+    // session oracle: the gap sweep over the per-key ts-sorted events
+    // (merge while next − end ≤ gap — sessionizeDelayed's inclusive
+    // rule), exact scaled-int sums; (n, sumE4) packed injectively
+    val SPackB = 400000001L
+    def sessOracle(gap: Long)(
+        ev: IndexedSeq[KeyedEvent]): Seq[(Long, Long, Long, Long)] =
+      ev.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+        val sorted = es.sortBy(_.tsMillis)
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        var start = sorted.head.tsMillis; var end = start
+        var n = 1L; var sum = s4(sorted.head)
+        sorted.tail.foreach { e =>
+          if (e.tsMillis - end <= gap) {
+            end = e.tsMillis; n += 1; sum += s4(e)
+          } else {
+            out += ((k, start, end, n * SPackB + sum))
+            start = e.tsMillis; end = start; n = 1L; sum = s4(e)
+          }
+        }
+        out += ((k, start, end, n * SPackB + sum))
+        out.result()
+      }
+
     // FIR oracle: the weighted dot over the trailing |ws|-row frame in
     // the total (ts, s4) order — weights(0) on the row itself, missing
     // predecessors contribute 0; the streaming op must reproduce it
@@ -313,8 +336,9 @@ object StreamFuzz {
 
     val armNames = Seq("trailing_inorder", "running_inorder",
       "rows_inorder", "trailing_ooo", "running_ooo", "rows_ooo",
-      "cusum_ooo", "topk_ooo", "asof_ooo", "quantile_ooo", "ewma_ooo")
-    val arm = rnd.nextInt(11)
+      "cusum_ooo", "topk_ooo", "asof_ooo", "quantile_ooo", "ewma_ooo",
+      "sessdel_ooo")
+    val arm = rnd.nextInt(12)
     val name = s"${armNames(arm)}#$i"
     val sparkEnc = org.apache.spark.sql.Encoders
     arm match {
@@ -439,6 +463,27 @@ object StreamFuzz {
             t => (t.key, t.tsMillis, t.firQ, 0L), _ >= s1)(
             sparkEnc.product[StreamingOps.FirAgg]),
           firOracle(ws))
+      case 11 =>
+        // watermark-deterministic SESSIONIZATION under random arrival,
+        // random gap, random lateness — AND the round-15 TIMEOUT-flush
+        // contract fuzzed for real: the trailing watermark carriers are
+        // SINGLE-KEY rows, so every OTHER key's final sessions can only
+        // emit via the registered EventTimeTimeout (no per-key
+        // re-activation). The (n, sumE4) pair rides one slot via an
+        // injective base-B pack (|sumE4| ≤ n·10^6 ≤ 10^8 < B/2).
+        val gap = (1L + rnd.nextInt(1800)) * 1000L
+        val (b0, lateness, s1) = oooBatches(gap)
+        val carrier = events.map(_.key).min
+        val data = b0.dropRight(2) ++ Seq(
+          Seq(KeyedEvent(carrier, s1, 0.0)),
+          Seq(KeyedEvent(carrier, s1 + 1000L, 0.0)))
+        Plan(name, events, data,
+          (s, b) => drive[StreamingOps.SessionE4](s, b,
+            ds => StreamingOps.sessionizeDelayed(ds, gap, lateness),
+            t => (t.key, t.startMillis, t.endMillis,
+              t.nEvents * SPackB + t.sumE4), _ >= s1)(
+            sparkEnc.product[StreamingOps.SessionE4]),
+          sessOracle(gap))
       case _ =>
         // stream-stream AS-OF: content-derived side tags (a pure
         // function of the event, so duplicates tag consistently on
