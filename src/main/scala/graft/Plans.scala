@@ -80,6 +80,7 @@ object Plans {
       "window_rowsframe_distinct_rule",
       "window_running_distinct_nullslast_rule",
       "window_running_distinct_desc_rule",
+      "window_rowsframe_distinct_centered_rule",
       "window_complete_months_hours")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes

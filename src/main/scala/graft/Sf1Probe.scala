@@ -82,6 +82,7 @@ object Sf1Probe {
     "window_rowsframe_distinct_rule",
     "window_running_distinct_nullslast_rule",
     "window_running_distinct_desc_rule",
+    "window_rowsframe_distinct_centered_rule",
     "window_complete_months_hours")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit =

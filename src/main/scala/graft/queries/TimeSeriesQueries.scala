@@ -1922,6 +1922,39 @@ object TimeSeriesQueries {
           "did not fire")
       out
     }),
+    "window_rowsframe_distinct_centered_rule" -> ((s, dir) => {
+      // CENTERED rows-frame distinct through the rule (round 15 — the
+      // lag/lead generalization): count(DISTINCT amt) + sum(DISTINCT
+      // amt) OVER (... ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) —
+      // "distinct price points in the 11-event neighborhood", the
+      // smoothing-window shape. The lowering spends one lag/lead tap
+      // per offset in ONE WindowExec; frames clip at partition edges
+      // exactly like the naive frame (taps past an edge are null).
+      // Oracle: DuckDB's NATIVE distinct window over the identical
+      // centered frame.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("amt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("event_id")).rowsBetween(-5, 5)
+      val out = e.select(col("event_type"), col("event_id"),
+        count_distinct(col("amt")).over(w).as("uniq11"),
+        sum_distinct(col("amt")).over(w).as("sumd11"))
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rowsframe_distinct_centered_rule: the centered " +
+          "rows-frame distinct survived — the lag/lead arm did not " +
+          "fire")
+      out
+    }),
     "window_running_distinct_desc_rule" -> ((s, dir) => {
       // DESC over the UNBOUNDED frame through the rule (round 15 —
       // flips the last stock-rejected cumulative quadrant): distinct
@@ -2981,6 +3014,16 @@ object TimeSeriesQueries {
             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_uniq
          FROM e""",
+    // DuckDB's NATIVE distinct window over the identical centered
+    // frame
+    "window_rowsframe_distinct_centered_rule" ->
+      """WITH e AS (SELECT event_type, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS amt FROM events)
+         SELECT event_type, event_id,
+           count(DISTINCT amt) OVER w AS uniq11,
+           CAST(sum(DISTINCT amt) OVER w AS BIGINT) AS sumd11
+         FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)""",
     // DuckDB's native distinct window under the identical DESC NULLS
     // FIRST cumulative frame (measured: the null peer group precedes
     // the largest day — included in every non-null frame, null rows

@@ -688,6 +688,66 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     }
   }
 
+  /** General positional brute force: frame = rows [i+lo, i+hi] clipped
+    * to the partition, distinct non-null values. */
+  private def bruteRowsRange(rows: Seq[(String, Long, java.lang.Long)],
+      lo: Int, hi: Int, asc: Boolean)
+      : Map[(String, Long), (Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = if (asc) rs.sortBy(_._2) else rs.sortBy(-_._2)
+      sorted.zipWithIndex.map { case (r, i) =>
+        val ids = sorted.slice(math.max(0, i + lo),
+            math.max(0, i + hi + 1))
+          .flatMap(x => Option(x._3).map(_.longValue)).distinct
+        (g, r._2) -> ((ids.size.toLong,
+          if (ids.isEmpty) None else Some(ids.sum)))
+      }
+    }
+
+  test("ROWS-frame distinct GENERAL offsets (round 15): random " +
+      "[lo, hi] frames — centered, leading, strictly-offset, current " +
+      "row excluded — match positional brute force; empty frames " +
+      "COUNT-0 / SUM-NULL") {
+    val rnd = new scala.util.Random(8787)
+    for (trial <- 0 until 10) {
+      val rows: Seq[(String, Long, java.lang.Long)] =
+        rnd.shuffle((0 until (30 + rnd.nextInt(50))).map { i =>
+          val g = s"g${rnd.nextInt(3)}"
+          val id: java.lang.Long = if (rnd.nextInt(4) == 0) null
+            else java.lang.Long.valueOf((rnd.nextInt(9) - 4).toLong)
+          (g, i.toLong, id)
+        })
+      val lo = rnd.nextInt(13) - 6
+      val hi = lo + rnd.nextInt(13 - math.max(0, lo + 6))
+      val asc = rnd.nextBoolean()
+      val df = rows.toDF("g", "o", "id")
+      val ord = if (asc) col("o").asc else col("o").desc
+      val w = Window.partitionBy("g").orderBy(ord).rowsBetween(lo, hi)
+      val out = df.select(col("g"), col("o"),
+        count_distinct(col("id")).over(w).as("c"),
+        sum_distinct(col("id")).over(w).as("sd"))
+      val survivors = out.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      assert(survivors.isEmpty,
+        s"rows [$lo,$hi] distinct must be rewritten")
+      val got = out.collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      val want = bruteRowsRange(rows, lo, hi, asc)
+      got.foreach { case (k, v) =>
+        assert(v == want(k), s"trial $trial [$lo,$hi] asc=$asc key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
   test("ROWS-frame distinct: COUNT over a STRING column (count claims " +
       "any atomic type; sum stays integral-only) and AVG via SQL — " +
       "exact-sum/exact-count division") {
