@@ -222,8 +222,15 @@ object RollingDistinct {
           "order key")).cast("long"))
         .otherwise(c)
     val byCols = by.map(col)
+    // distinct by the RAW value (round-15 review fix): COUNT(DISTINCT)
+    // is claimed for ANY atomic type, and an eager cast("long") here
+    // would conflate distinct non-integral values (1.2 and 1.7 both →
+    // 1) or ANSI-throw on strings. The sum carrier casts AFTER the
+    // distinct pass — try_cast, so non-numeric types yield a null
+    // (unused: the rewrite only reads the sum for integral-eligible
+    // SUM/AVG targets, where the cast is the identity).
     val pairs = df
-      .select(byCols :+ col(valueCol).cast("long").as("__v") :+
+      .select(byCols :+ col(valueCol).as("__v") :+
         coalesce(checkedB(col(bucketCol).cast("long")), lit(SENT))
           .as("__b"): _*)
       .filter(col("__v").isNotNull)
@@ -231,7 +238,8 @@ object RollingDistinct {
     val deltas = pairs.groupBy(byCols :+ col("__v"): _*)
       .agg(min(col("__b")).as("__d"))
       .groupBy((by :+ "__d").map(col): _*)
-      .agg(count(lit(1)).as("__dc"), sum(col("__v")).as("__dv"))
+      .agg(count(lit(1)).as("__dc"),
+        sum(expr("try_cast(__v AS BIGINT)")).as("__dv"))
 
     val spineSrc = spineFrom.getOrElse(df)
     val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
@@ -284,15 +292,18 @@ object RollingDistinct {
       cntCol: String, sumCol: String,
       spineFrom: Option[DataFrame] = None): DataFrame = {
     val byCols = by.map(col)
+    // raw-value distinct + post-distinct try_cast sum carrier — the
+    // same any-atomic-type COUNT contract as the nulls-first sibling
     val pairs = df.filter(col(bucketCol).isNotNull)
-      .select(byCols :+ col(valueCol).cast("long").as("__v") :+
+      .select(byCols :+ col(valueCol).as("__v") :+
         col(bucketCol).cast("long").as("__b"): _*)
       .filter(col("__v").isNotNull)
       .distinct()
     val deltas = pairs.groupBy(byCols :+ col("__v"): _*)
       .agg(min(col("__b")).as("__d"))
       .groupBy((by :+ "__d").map(col): _*)
-      .agg(count(lit(1)).as("__dc"), sum(col("__v")).as("__dv"))
+      .agg(count(lit(1)).as("__dc"),
+        sum(expr("try_cast(__v AS BIGINT)")).as("__dv"))
 
     val spineSrc = spineFrom.getOrElse(df)
     val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
@@ -318,7 +329,8 @@ object RollingDistinct {
     // special join plumbing
     val nullArm = spineSrc.groupBy(byCols: _*)
       .agg(count_distinct(col(valueCol)).as(cntCol),
-        sum_distinct(col(valueCol).cast("long")).cast("long").as(sumCol),
+        sum_distinct(expr(s"try_cast($valueCol AS BIGINT)"))
+          .cast("long").as(sumCol),
         max(when(col(bucketCol).isNull, lit(1)).otherwise(lit(0)))
           .as("__hasnull"))
       .filter(col("__hasnull") === 1)

@@ -228,8 +228,14 @@ case class RollingDistinctRewrite(spark: SparkSession)
           (k, id) <- kindIdOf(f)
           lo <- rowOffsetOf(lower)
           hi <- rowOffsetOf(upper)
-          if lo <= hi && hi - lo <= maxRowsLag &&
-            math.abs(lo) <= maxRowsLag && math.abs(hi) <= maxRowsLag
+          // magnitude bounds FIRST (r15 review: math.abs(Long.MinValue)
+          // is negative and hi − lo can wrap, so an extreme literal —
+          // e.g. a hand-built Literal(Long.MinValue) frame — would
+          // otherwise slip past the cap and truncate at toInt); the
+          // span check is then overflow-free
+          if lo >= -maxRowsLag.toLong && lo <= maxRowsLag.toLong &&
+            hi >= -maxRowsLag.toLong && hi <= maxRowsLag.toLong &&
+            lo <= hi && hi - lo <= maxRowsLag
         } yield RowsTarget(a, id, part, order, lo.toInt, hi.toInt, k)
       case _ => None
     }
@@ -239,9 +245,10 @@ case class RollingDistinctRewrite(spark: SparkSession)
 
   /** A window expression the rule can leave to stock Spark: anything
     * WITHOUT a distinct aggregate (plain aggs, rank functions, lag…).
-    * An ineligible DISTINCT expression (e.g. a rows-frame distinct)
-    * keeps the whole node unclaimed so CheckAnalysis rejects it
-    * exactly as stock Spark would. */
+    * An ineligible DISTINCT expression (e.g. a rows frame wider than
+    * the tap cap, or an unbounded rows frame) keeps the whole node
+    * unclaimed so CheckAnalysis rejects it exactly as stock Spark
+    * would. */
   private def plainWindowExpr(e: NamedExpression): Boolean =
     !e.exists {
       case ae: AggregateExpression => ae.isDistinct
@@ -396,46 +403,69 @@ case class RollingDistinctRewrite(spark: SparkSession)
     // array_distinct over the non-null entries. The taps ride the
     // ORIGINAL order spec verbatim, so whatever row order the naive
     // frame would see, the taps see too (ties resolve identically:
-    // same sort, same WindowExec).
+    // same sort, same WindowExec). Targets sharing one (id, partition,
+    // order, frame) signature share ONE tap array (r15 review —
+    // count+sum over the same frame cost one tap set, not two; if any
+    // sharer needs the exact-64-bit carrier, the shared taps ride the
+    // cast — injective on the integral types sum/avg eligibility
+    // guarantees, so the count is unchanged).
+    type RSig = (Long, Seq[Int], Seq[Int], Int, Int)
+    def rSigOf(t: RowsTarget): RSig = (t.id.exprId.id,
+      t.part.map(_.semanticHash()), t.order.map(_.semanticHash()),
+      t.lo, t.hi)
+    val distCols = scala.collection.mutable.Map.empty[RSig, String]
     val rowsOut: Seq[(RowsTarget, String)] = rowsTargets.map { t =>
       import org.apache.spark.sql.expressions.{Window => WApi}
+      val sig = rSigOf(t)
+      val distName = distCols.getOrElseUpdate(sig, {
+        val u = seq.incrementAndGet()
+        val dn = s"__rr_dist_$u"
+        val orderCols = t.order.map { so =>
+          val c = ColumnShim.column(so.child)
+          (so.direction, so.nullOrdering) match {
+            case (Ascending, NullsFirst)   => c.asc_nulls_first
+            case (Ascending, NullsLast)    => c.asc_nulls_last
+            case (Descending, NullsFirst)  => c.desc_nulls_first
+            case (Descending, NullsLast)   => c.desc_nulls_last
+          }
+        }
+        val wspec = WApi.partitionBy(t.part.map(ColumnShim.column): _*)
+          .orderBy(orderCols: _*)
+        val idC0 = ColumnShim.column(t.id)
+        // sum/avg ride exact 64-bit arithmetic (integral-only
+        // eligibility); a count-ONLY signature keeps the original
+        // type — array_distinct compares any atomic type
+        val needLong = rowsTargets.exists(o =>
+          rSigOf(o) == sig && o.kind != CntKind)
+        val idC = if (needLong) idC0.cast("long") else idC0
+        // one tap per offset in [lo, hi]: lag for the past, lead for
+        // the future, the row itself iff 0 ∈ [lo, hi]; a tap past
+        // either partition edge is null, exactly the clipped naive
+        // frame
+        val arr = array((t.lo to t.hi).map {
+          case 0          => idC
+          case j if j < 0 => lag(idC, -j).over(wspec)
+          case j          => lead(idC, j).over(wspec)
+        }: _*)
+        // nulls drop out exactly as COUNT/SUM(DISTINCT) requires:
+        // a tap past the partition edge and a genuinely-null value
+        // are both non-frame members
+        acc = acc.withColumn(dn,
+          array_distinct(filter(arr, e => e.isNotNull)))
+        dn
+      })
       val u = seq.incrementAndGet()
       val outName = s"__rr_out_$u"
-      val orderCols = t.order.map { so =>
-        val c = ColumnShim.column(so.child)
-        (so.direction, so.nullOrdering) match {
-          case (Ascending, NullsFirst)   => c.asc_nulls_first
-          case (Ascending, NullsLast)    => c.asc_nulls_last
-          case (Descending, NullsFirst)  => c.desc_nulls_first
-          case (Descending, NullsLast)   => c.desc_nulls_last
-        }
-      }
-      val wspec = WApi.partitionBy(t.part.map(ColumnShim.column): _*)
-        .orderBy(orderCols: _*)
-      val idC0 = ColumnShim.column(t.id)
-      // sum/avg ride exact 64-bit arithmetic (integral-only
-      // eligibility); count keeps the original type — array_distinct
-      // compares any atomic type
-      val idC = if (t.kind == CntKind) idC0 else idC0.cast("long")
-      // one tap per offset in [lo, hi]: lag for the past, lead for the
-      // future, the row itself iff 0 ∈ [lo, hi]; a tap past either
-      // partition edge is null, exactly the clipped naive frame
-      val arr = array((t.lo to t.hi).map {
-        case 0          => idC
-        case j if j < 0 => lag(idC, -j).over(wspec)
-        case j          => lead(idC, j).over(wspec)
-      }: _*)
-      // nulls drop out exactly as COUNT/SUM(DISTINCT) requires:
-      // a lag tap past the partition head and a genuinely-null value
-      // are both non-frame members
-      val dist = array_distinct(filter(arr, e => e.isNotNull))
+      val dist = col(distName)
       val outCol = t.kind match {
         case CntKind => size(dist).cast("long")
         case SumKind => when(size(dist) > 0,
-            org.apache.spark.sql.functions.aggregate(dist, lit(0L), (acc0, x) => acc0 + x))
+            org.apache.spark.sql.functions.aggregate(dist, lit(0L),
+              (acc0, x) => acc0 + x))
           .otherwise(lit(null).cast("long"))
         case AvgKind => when(size(dist) > 0,
-            org.apache.spark.sql.functions.aggregate(dist, lit(0L), (acc0, x) => acc0 + x)
+            org.apache.spark.sql.functions.aggregate(dist, lit(0L),
+              (acc0, x) => acc0 + x)
               .cast("double") / size(dist).cast("double"))
           .otherwise(lit(null).cast("double"))
       }

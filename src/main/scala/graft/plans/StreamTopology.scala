@@ -69,11 +69,15 @@ object StreamTopology {
       }
       // a timed-out poll must fail LOUDLY (r14 advice): a partial
       // buffer would hash to a silently-smaller fingerprint that
-      // surfaces as spurious topology drift rather than a flake
-      require(covered,
-        s"$key: progress events still missing for started queries " +
-          s"after ${tries * 100} ms — listener bus did not drain; " +
-          "rerun (flake), this is NOT topology drift")
+      // surfaces as spurious topology drift rather than a flake.
+      // BOTH exit conditions are asserted (r15 review): `covered`
+      // alone would accept a buffer that saw one event per query but
+      // was still GROWING at the 10 s cap — the same partial
+      // fingerprint through the other door.
+      require(stable >= 3 && covered,
+        s"$key: listener bus did not drain after ${tries * 100} ms " +
+          s"(covered=$covered, stable=$stable) — rerun (flake), " +
+          "this is NOT topology drift")
     } finally spark.streams.removeListener(listener)
 
     import scala.jdk.CollectionConverters._

@@ -821,11 +821,15 @@ object TextQueries {
       // two corpus passes (one per token granularity); both tables
       // are aggregate-bounded (bigram types / vocab), the natural
       // artifacts a production phrase-miner persists anyway.
+      // eager = false (r15 review): the file's checkpoint convention —
+      // materialization happens on first ACTION, not at queries()
+      // construction, so plan-only consumers (the fingerprint sweep)
+      // and repeated constructions in Bench/probes pay nothing
       val cb = bi.groupBy("bg", "w1", "w2").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val uni = d.select(explode(tokens(col("text"))).as("t"))
       val cw = uni.groupBy("t").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // grand totals DERIVE from the aggregates (Nb = Σ cnt, Nu = Σ c):
       // no extra corpus scans, and because every reference to cb/cw
       // shares one partial-aggregate Exchange subtree, ReuseExchange

@@ -1151,8 +1151,14 @@ object StreamingOps {
               pending.map(_._4).toSeq, keepBound))
             // earliest release point among pending runs; provably >
             // current wm (pending ⇒ end > wm − gap − 1), so the
-            // registration is always legal
-            st.setTimeoutTimestamp(pending.map(_._2).min + gapMillis + 1)
+            // registration is always legal. The max(1, ·) clamp keeps
+            // PRE-EPOCH event times (negative release points) legal
+            // too — setTimeoutTimestamp requires a positive epoch; the
+            // engine's watermark never goes below 0 either, so a
+            // clamped timeout fires as soon as any watermark exists,
+            // which is the earliest a pre-epoch session could close.
+            st.setTimeoutTimestamp(
+              math.max(1L, pending.map(_._2).min + gapMillis + 1))
           }
           closed.iterator.map(r =>
             SessionE4(key, r._1, r._2, r._3, r._4))

@@ -796,6 +796,46 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("cumulative COUNT(DISTINCT) over NON-INTEGRAL values (r15 " +
+      "review fix): doubles count as distinct doubles in all four " +
+      "quadrants — no long-cast conflation; strings don't ANSI-throw") {
+    val df = Seq(
+      (java.lang.Double.valueOf(1.2), java.lang.Long.valueOf(1L)),
+      (java.lang.Double.valueOf(1.7), java.lang.Long.valueOf(1L)),
+      (java.lang.Double.valueOf(2.5), java.lang.Long.valueOf(2L)),
+      (java.lang.Double.valueOf(1.2), java.lang.Long.valueOf(3L)),
+      (java.lang.Double.valueOf(9.9), null.asInstanceOf[java.lang.Long]))
+      .toDF("x", "b")
+    def run(ord: org.apache.spark.sql.Column): Map[Option[Long], Long] = {
+      val w = Window.orderBy(ord)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      df.select(col("b"), count_distinct(col("x")).over(w).as("c"))
+        .distinct().collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1))).toMap
+    }
+    // pre-fix, the eager cast("long") conflated 1.2 and 1.7 into one
+    // distinct value — every frame containing both under-counted
+    assert(run(col("b").asc_nulls_first) == Map(
+      Some(1L) -> 3L, Some(2L) -> 4L, Some(3L) -> 4L, None -> 1L))
+    assert(run(col("b").asc_nulls_last) == Map(
+      Some(1L) -> 2L, Some(2L) -> 3L, Some(3L) -> 3L, None -> 4L))
+    assert(run(col("b").desc_nulls_first) == Map(
+      Some(3L) -> 2L, Some(2L) -> 3L, Some(1L) -> 4L, None -> 1L))
+    assert(run(col("b").desc_nulls_last) == Map(
+      Some(3L) -> 1L, Some(2L) -> 2L, Some(1L) -> 3L, None -> 4L))
+    // STRING values: the sum carrier must not ANSI-throw (try_cast),
+    // and the count is over distinct strings
+    val sdf = Seq(("a", 1L), ("bb", 1L), ("a", 2L), ("c", 2L))
+      .toDF("s", "b")
+    val w = Window.orderBy(col("b"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = sdf.select(col("b"),
+        count_distinct(col("s")).over(w).as("c"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 3L))
+  }
+
   test("DESC-negation overflow guard (r14 verdict item 8): a " +
       "Long.MinValue order key under a DESC finite frame fails " +
       "LOUDLY with the ANSI overflow error instead of wrapping") {
