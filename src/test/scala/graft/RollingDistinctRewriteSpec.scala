@@ -748,6 +748,26 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rows-frame tap COALESCING (r15 review): count+sum over one " +
+      "frame share one tap array — exactly ONE Window node survives") {
+    val df = Seq((1L, 1L), (2L, 2L), (1L, 3L), (3L, 4L))
+      .toDF("id", "o")
+    val w = Window.orderBy(col("o")).rowsBetween(-2, 0)
+    val out = df.select(col("o"),
+      count_distinct(col("id")).over(w).as("c"),
+      sum_distinct(col("id")).over(w).as("sd"))
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }
+    assert(windows.size == 1,
+      s"count+sum must share one tap WindowExec, got ${windows.size}")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // frames (positional): o=1 {1}; o=2 {1,2}; o=3 {1,2}; o=4 {2,1,3}
+    assert(got == Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 2L, 3L),
+      (4L, 3L, 6L)))
+  }
+
   test("ROWS-frame distinct: COUNT over a STRING column (count claims " +
       "any atomic type; sum stays integral-only) and AVG via SQL — " +
       "exact-sum/exact-count division") {
