@@ -239,7 +239,7 @@ object RollingDistinct {
       .agg(min(col("__b")).as("__d"))
       .groupBy((by :+ "__d").map(col): _*)
       .agg(count(lit(1)).as("__dc"),
-        sum(expr("try_cast(__v AS BIGINT)")).as("__dv"))
+        sum(col("__v").try_cast("bigint")).as("__dv"))
 
     val spineSrc = spineFrom.getOrElse(df)
     val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
@@ -303,7 +303,7 @@ object RollingDistinct {
       .agg(min(col("__b")).as("__d"))
       .groupBy((by :+ "__d").map(col): _*)
       .agg(count(lit(1)).as("__dc"),
-        sum(expr("try_cast(__v AS BIGINT)")).as("__dv"))
+        sum(col("__v").try_cast("bigint")).as("__dv"))
 
     val spineSrc = spineFrom.getOrElse(df)
     val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
@@ -327,9 +327,13 @@ object RollingDistinct {
     // whole-partition totals for groups that HAVE a null peer group;
     // groupBy(Nil) is the global-aggregate case, so by = Nil needs no
     // special join plumbing
+    // Column-API try_cast, NOT a string splice (r15 ADVICE): the
+    // rewrite's generated __rd_* names are parse-safe, but a direct
+    // caller with a column name needing backticks (spaces, dots) would
+    // get a parse error — or silently resolve the wrong column
     val nullArm = spineSrc.groupBy(byCols: _*)
       .agg(count_distinct(col(valueCol)).as(cntCol),
-        sum_distinct(expr(s"try_cast($valueCol AS BIGINT)"))
+        sum_distinct(col(valueCol).try_cast("bigint"))
           .cast("long").as(sumCol),
         max(when(col(bucketCol).isNull, lit(1)).otherwise(lit(0)))
           .as("__hasnull"))

@@ -78,7 +78,14 @@ class StreamingSpec extends AnyFunSuite {
       (t("2026-01-01 00:29:59"), 1L, 2.0),  // 29:59 gap → same session
       (t("2026-01-01 00:59:59"), 1L, 4.0),  // EXACTLY prev+gap → MERGES
       (t("2026-01-01 01:30:00"), 1L, 8.0),  // 30:01 after prev → NEW
-      (t("2026-01-01 00:00:00"), 2L, 16.0))
+      (t("2026-01-01 00:00:00"), 2L, 16.0),
+      // millisecond-resolution boundary pair (r15 ADVICE — pin the
+      // inclusive-merge tie rule deterministically, not by fixture
+      // luck): exactly prev+gap MERGES; ONE millisecond past it does
+      // not. An engine-version change to the tie rule fails here
+      // loudly instead of surfacing as a flaky 2M-event hash gate.
+      (t("2026-01-01 00:30:00.000"), 2L, 32.0), // == prev+gap → MERGES
+      (t("2026-01-01 01:00:00.001"), 2L, 64.0)) // gap+1ms → NEW
     val streamed = try {
       ms.addData(rows: _*)
       q.processAllAvailable()
@@ -102,7 +109,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq(
       (1L, "2026-01-01 00:00:00.0", 3L, 7.0),
       (1L, "2026-01-01 01:30:00.0", 1L, 8.0),
-      (2L, "2026-01-01 00:00:00.0", 1L, 16.0)))
+      (2L, "2026-01-01 00:00:00.0", 2L, 48.0),
+      (2L, "2026-01-01 01:00:00.001", 1L, 64.0)))
   }
 
   test("sessionize (streaming): a gap larger than gapMillis closes the session") {
