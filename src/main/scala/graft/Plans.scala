@@ -81,7 +81,11 @@ object Plans {
       "window_running_distinct_nullslast_rule",
       "window_running_distinct_desc_rule",
       "window_rowsframe_distinct_centered_rule",
-      "window_complete_months_hours")
+      "window_complete_months_hours",
+      // round-16: the strictly-offset range-frame arm (shifted-bucket
+      // join) + the expression-target widening
+      "window_rangeframe_distinct_offset_rule",
+      "window_running_distinct_expr_rule")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

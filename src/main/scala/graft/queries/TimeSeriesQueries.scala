@@ -1990,6 +1990,74 @@ object TimeSeriesQueries {
           "distinct survived — the round-15 widening did not fire")
       out
     }),
+    "window_rangeframe_distinct_offset_rule" -> ((s, dir) => {
+      // STRICTLY-OFFSET range frame through the rule (round 16, r15
+      // verdict item 2): count(DISTINCT user_id) + sum(DISTINCT
+      // user_id) OVER (PARTITION BY event_type ORDER BY day RANGE
+      // BETWEEN 6 PRECEDING AND 2 PRECEDING) — "uniques in the
+      // [d−6, d−2] lookback", the blackout-window shape that excludes
+      // the most recent days. The difference array answers it as the
+      // trailing-5 window JOINED AT THE SHIFTED BUCKET d−2 over a
+      // spine widened by the shift — still no per-row frame state, no
+      // interval self-join. Oracle: DuckDB's NATIVE distinct window
+      // aggregate over the identical frame (incl. its measured
+      // null-free empty-frame COUNT-0/SUM-NULL split).
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"),
+        expr("ts div 86400000000000").as("day"), col("user_id"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rangeBetween(-6, -2)
+      val out = e.select(col("event_type"), col("day"),
+        count_distinct(col("user_id")).over(w).as("uniq_off"),
+        sum_distinct(col("user_id")).over(w).as("sumd_off"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rangeframe_distinct_offset_rule: the offset-frame " +
+          "distinct survived — the round-16 shifted-bucket arm did " +
+          "not fire")
+      out
+    }),
+    "window_running_distinct_expr_rule" -> ((s, dir) => {
+      // EXPRESSION distinct target through the rule (round 16, r15
+      // verdict item 5): count(DISTINCT ts div 86400000000000) OVER
+      // (PARTITION BY event_type ORDER BY event_id) — cumulative
+      // "distinct active DAYS seen so far per type, in arrival
+      // order", spelled with the day derived INSIDE the aggregate
+      // instead of pre-projected (the natural user form). The rule
+      // claims any deterministic scalar expression by evaluating it
+      // as a projected column below the difference-array frame.
+      // Oracle: DuckDB's native distinct window over the identical
+      // inline expression.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("event_id"))
+      val out = e.select(col("event_type"), col("event_id"),
+        count_distinct(expr("ts div 86400000000000")).over(w)
+          .as("cum_days"))
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_running_distinct_expr_rule: the expression-target " +
+          "distinct survived — the round-16 widening did not fire")
+      out
+    }),
     "window_rolling_distinct_by" -> ((s, dir) => {
       // GROUPED rolling uniques (per event_type — rolling actives per
       // source/domain/tenant): the same difference-array decomposition
@@ -3038,6 +3106,24 @@ object TimeSeriesQueries {
             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS fwd_uniq
          FROM e""",
+    // DuckDB's NATIVE distinct window over the identical strictly-
+    // offset frame (sum cast: DuckDB widens BIGINT sums to HUGEINT;
+    // empty frames are COUNT-0 / SUM-NULL in both engines — measured)
+    "window_rangeframe_distinct_offset_rule" ->
+      """WITH e AS (SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS day, user_id FROM events)
+         SELECT DISTINCT event_type, day,
+           count(DISTINCT user_id) OVER w AS uniq_off,
+           CAST(sum(DISTINCT user_id) OVER w AS BIGINT) AS sumd_off
+         FROM e WINDOW w AS (PARTITION BY event_type ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND 2 PRECEDING)""",
+    // DuckDB's native distinct window with the day derived INSIDE the
+    // aggregate — the expression-target form
+    "window_running_distinct_expr_rule" ->
+      """SELECT event_type, event_id,
+           count(DISTINCT epoch_ns(ts) // 86400000000000) OVER
+             (PARTITION BY event_type ORDER BY event_id) AS cum_days
+         FROM events""",
     // VERBATIM the grouped dedicated key's oracle (see
     // window_rolling_distinct_rule)
     "window_rolling_distinct_by_rule" ->

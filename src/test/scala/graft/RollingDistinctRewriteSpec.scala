@@ -981,6 +981,189 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  // ---- round-16: offset range frames (r15 verdict item 2) and
+  // expression targets (item 5) ----
+
+  /** Brute force for ANY same-side offset frame, direction-aware: the
+    * frame of a non-null bucket b is order values in [b+lo, b+hi]
+    * under ASC and [b−hi, b−lo] under DESC (PRECEDING = larger values
+    * there); null-bucket rows stay ONE peer frame under any finite
+    * bounds (measured in DuckDB — even strictly-offset ones). */
+  private def bruteOffset(
+      rows: Seq[(String, java.lang.Long, java.lang.Long)],
+      lo: Long, hi: Long, desc: Boolean)
+      : Map[(String, Option[Long]), (Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val buckets = rs.map(r => Option(r._2).map(_.longValue)).distinct
+      buckets.map { b =>
+        val ids = rs.filter { r =>
+          val rb = Option(r._2).map(_.longValue)
+          b match {
+            case Some(bv) =>
+              val (fl, fh) =
+                if (desc) (bv - hi, bv - lo) else (bv + lo, bv + hi)
+              rb.exists(x => x >= fl && x <= fh)
+            case None => rb.isEmpty
+          }
+        }.flatMap(r => Option(r._3).map(_.longValue)).distinct
+        (g, b) -> ((ids.size.toLong,
+          if (ids.isEmpty) None else Some(ids.sum)))
+      }
+    }
+
+  private def assertRewritten(df: org.apache.spark.sql.DataFrame,
+      what: String): Unit = {
+    val survivors = df.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.windowExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions
+                .aggregate.AggregateExpression => ae.isDistinct
+            case _ => false
+          }) => wn
+    }
+    assert(survivors.isEmpty, s"$what: distinct window agg survived")
+  }
+
+  test("OFFSET range frames (round 16): [n PREC, m PREC], the " +
+      "FOLLOWING mirrors, and the peers frame — ASC and DESC, " +
+      "count+sum, null buckets/ids — match brute force") {
+    val rnd = new scala.util.Random(1616)
+    for (trial <- 0 until 12) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(40 + rnd.nextInt(80)) {
+          val g = s"g${rnd.nextInt(nGroups)}"
+          val b: java.lang.Long = if (rnd.nextInt(10) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(25).toLong)
+          val id: java.lang.Long = if (rnd.nextInt(8) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(12).toLong)
+          (g, b, id)
+        }
+      val m = rnd.nextInt(5).toLong
+      val n = m + rnd.nextInt(6).toLong // n ≥ m ≥ 0
+      val (lo, hi) = rnd.nextInt(3) match {
+        case 0 => (-n, -m) // preceding side (m = 0: classic trailing)
+        case 1 => (m, n)   // following side
+        case _ => (0L, 0L) // degenerate peers frame
+      }
+      val desc = rnd.nextBoolean()
+      val df = rows.toDF("g", "b", "id")
+      val ord = if (desc) col("b").desc else col("b")
+      val w = Window.partitionBy("g").orderBy(ord).rangeBetween(lo, hi)
+      val out = df.select(col("g"), col("b"),
+        count_distinct(col("id")).over(w).as("c"),
+        sum_distinct(col("id")).over(w).as("s"))
+      assertRewritten(out, s"trial $trial [$lo,$hi] desc=$desc")
+      val got = out.collect().map(r => ((r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      val want = bruteOffset(rows, lo, hi, desc)
+      got.foreach { case (k, cs) =>
+        assert(cs == want(k), s"trial $trial [$lo,$hi] desc=$desc key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
+  test("offset frame via the SQL surface: RANGE BETWEEN 6 PRECEDING " +
+      "AND 2 PRECEDING matches the DataFrame path") {
+    val df = Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 14L), (5L, 18L))
+      .toDF("id", "b")
+    df.createOrReplaceTempView("rdr_off_t")
+    try {
+      val viaSql = spark.sql(
+        """SELECT b, count(DISTINCT id) OVER
+             (ORDER BY b RANGE BETWEEN 6 PRECEDING AND 2 PRECEDING) AS u
+           FROM rdr_off_t""")
+      assertRewritten(viaSql, "sql offset frame")
+      val got = viaSql.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      // frames: 10→[4,8] {}; 11→[5,9] {}; 12→[6,10] {1}; 14→[8,12]
+      // {1,2,3}; 18→[12,16] {3,4}
+      assert(got == Seq((10L, 0L), (11L, 0L), (12L, 1L),
+        (14L, 3L), (18L, 2L)))
+      val w = Window.orderBy(col("b")).rangeBetween(-6, -2)
+      val viaDf = df.select(col("b"),
+          count_distinct(col("id")).over(w).as("u"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == viaDf)
+    } finally spark.catalog.dropTempView("rdr_off_t")
+  }
+
+  test("EXPRESSION distinct target (round 16): count+sum(DISTINCT " +
+      "expr) over cumulative, offset-range, and rows frames equals " +
+      "the pre-projected attribute form") {
+    val rnd = new scala.util.Random(2616)
+    val rows = Seq.fill(120)((s"g${rnd.nextInt(3)}",
+      rnd.nextInt(20).toLong, rnd.nextDouble() * 8))
+    val df = rows.toDF("g", "b", "v")
+    val target = expr("CAST(floor(v * 4) AS BIGINT)")
+    val frames = Seq(
+      Window.partitionBy("g").orderBy(col("b"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow),
+      Window.partitionBy("g").orderBy(col("b")).rangeBetween(-5, -2),
+      Window.partitionBy("g").orderBy(col("b"), col("v"))
+        .rowsBetween(-4, 2))
+    frames.zipWithIndex.foreach { case (w, i) =>
+      val direct = df.select(col("g"), col("b"), col("v"),
+        count_distinct(target).over(w).as("c"),
+        sum_distinct(target).over(w).as("s"))
+      assertRewritten(direct, s"expr target frame $i")
+      // the round-15 path: project the expression FIRST, rewrite on
+      // the attribute — the widened rule must agree exactly
+      val pre = df.withColumn("t", target)
+        .select(col("g"), col("b"), col("v"),
+          count_distinct(col("t")).over(w).as("c"),
+          sum_distinct(col("t")).over(w).as("s"))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))
+      val gotD = direct.collect().map(r => key(r) ->
+        ((r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      val gotP = pre.collect().map(r => key(r) ->
+        ((r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      assert(gotD.sortBy(_._1.toString) === gotP.sortBy(_._1.toString),
+        s"frame $i")
+    }
+  }
+
+  test("non-deterministic distinct target: the analyzer's " +
+      "PullOutNondeterministic canonicalizes rand() into a per-row " +
+      "projected ATTRIBUTE before the rule fires — execution succeeds " +
+      "with exactly one draw per row (the eligibleId determinism " +
+      "guard is unreachable defense-in-depth on this path)") {
+    val df = spark.range(50).toDF("b")
+    val w = Window.orderBy(col("b"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.select(col("b"),
+      count_distinct(floor(rand(7) * 5).cast("long")).over(w).as("c"))
+    assertRewritten(out, "pulled-out nondeterministic target")
+    val got = out.orderBy(col("b")).collect().map(_.getLong(1))
+    // one draw per row, fixed below the frame: the cumulative distinct
+    // count is non-decreasing and bounded by the 5 possible buckets
+    assert(got.length == 50 && got.head >= 1 && got.max <= 5)
+    assert(got.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("STRADDLING range frames and cumulative-to-offset stay " +
+      "stock-rejected (negative pins for the round-16 widening)") {
+    val df = Seq((1L, 10L)).toDF("id", "b")
+    // [2 PRECEDING, 1 FOLLOWING]: not a trailing window on either
+    // bucket axis — must stay unclaimed
+    val w1 = Window.orderBy(col("b")).rangeBetween(-2, 1)
+    val e1 = intercept[Exception] {
+      df.select(count_distinct(col("id")).over(w1)).collect()
+    }
+    assert(e1.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+    // [UNBOUNDED PRECEDING, 1 PRECEDING]: cumulative-to-an-offset —
+    // declared out of scope, stock rejection preserved
+    val w2 = Window.orderBy(col("b"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val e2 = intercept[Exception] {
+      df.select(count_distinct(col("id")).over(w2)).collect()
+    }
+    assert(e2.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+  }
+
   test("null-sentinel guard: a legitimate Long.MinValue bucket in the " +
       "cumulative frame raises instead of conflating with nulls") {
     val df = Seq((1L, java.lang.Long.valueOf(Long.MinValue)),
