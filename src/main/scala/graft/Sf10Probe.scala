@@ -46,8 +46,16 @@ object Sf10Probe {
     * 500 planted-twin set, 10 queries) whose cost cannot scale — the
     * 100 TB claims live in the operators. fn gets (spark, dir,
     * isSf10). */
+  /** `work` (round 16, r15 verdict item 6): per-scale WORK counters —
+    * candidate pairs, cluster/bucket load stats — emitted into the
+    * arm's JSON row. A near-1× wall ratio alone is consistent with
+    * overhead-dominated linear work AND with a degenerate space where
+    * nobody collides and no work happens; the counters prove the work
+    * itself scaled. One extra aggregate over the arm's own frames. */
   private[graft] case class Arm(name: String, mult: Int, slice: Option[Slice],
-      fn: (SparkSession, String, Boolean) => DataFrame)
+      fn: (SparkSession, String, Boolean) => DataFrame,
+      work: Option[(SparkSession, String, Boolean) => Seq[(String, Long)]] =
+        None)
 
   private def key(name: String, mult: Int, slice: Option[Slice]): Arm =
     Arm(name, mult, slice,
@@ -124,7 +132,28 @@ object Sf10Probe {
       (s, dir, _) => graft.operators.Similarity.srpNearPairs(
           plantTwins(emb(s, dir)), minCosine = 0.95,
           nBits = 48, rowsPerBand = 24)
-        .select(col("id_a"), col("id_b"))),
+        .select(col("id_a"), col("id_b")),
+      // work counters: per-band bucket loads under the IDENTICAL
+      // 2×24-bit banding (same seeded hyperplanes srpNearPairs uses);
+      // candidate_pairs = Σ load·(load−1)/2 per (band, bucket) — the
+      // actual self-join work BEFORE cross-band dedup and cosine
+      // verification
+      work = Some { (s, dir, _) =>
+        import graft.operators.Similarity
+        val sig = plantTwins(emb(s, dir))
+          .select(Similarity.srpSignature(col("embedding"), 48, 64)
+            .as("sig"))
+        val bands = sig.select(posexplode(array((0 until 2).map(j =>
+            shiftright(col("sig"), j * 24)
+              .bitwiseAND(lit((1L << 24) - 1))): _*))
+          .as(Seq("band", "bv")))
+        val r = bands.groupBy("band", "bv").agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) div 2")).as("cand"),
+            max(col("n")).as("maxload"), count(lit(1)).as("nbuckets"))
+          .head
+        Seq("candidate_pairs" -> r.getLong(0),
+          "max_bucket" -> r.getLong(1), "n_buckets" -> r.getLong(2))
+      }),
     // full-corpus SemDeDup with an LSH-PARTITIONED coarse space: the
     // cluster id is the vector's b-bit SRP signature (spherical,
     // scale-invariant — a twin provably lands with its base), b grown
@@ -164,6 +193,29 @@ object Sf10Probe {
           .join(dups, Seq("vec_id"), "left")
           .select(col("vec_id"),
             coalesce(!col("dup"), lit(true)).as("keep"))
+      },
+      // work counters (the r15 verdict's named demand): cluster-size
+      // distribution of the SAME coarse space the arm joins on —
+      // candidate_pairs = Σ |c|·(|c|−1)/2 is the exact pair count the
+      // same-cluster self-join produces before the cosine filter, and
+      // sum_c2 = Σ|c|² is the SemDeDup cost functional the b-grows-
+      // with-n design keeps linear. A 1.1× wall ratio with ~10×
+      // candidate_pairs proves real work scaled; a degenerate space
+      // would show pairs collapsing instead.
+      work = Some { (s, dir, isSf10) =>
+        import graft.operators.Similarity
+        val bBits = if (isSf10) 11 else 8
+        val r = plantTwins(emb(s, dir))
+          .select(Similarity.srpSignature(col("embedding"), bBits, 64)
+            .as("cluster"))
+          .groupBy("cluster").agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) div 2")).as("cand"),
+            max(col("n")).as("maxc"),
+            sum(expr("n * n")).as("sumc2"),
+            count(lit(1)).as("nclusters"))
+          .head
+        Seq("candidate_pairs" -> r.getLong(0), "max_cluster" -> r.getLong(1),
+          "sum_c2" -> r.getLong(2), "n_clusters" -> r.getLong(3))
       }))
 
   /** the shared order-independent exact digest
@@ -239,6 +291,20 @@ object Sf10Probe {
         want == got
       }
       if (!rowsOk || hashOk.contains(false)) bad ::= k
+      // work counters at BOTH scales (r15 verdict item 6): the wall
+      // ratio alone can't distinguish linear work from a degenerate
+      // no-collision space — the counters prove the work scaled
+      val workJson = arm.work.map { wf =>
+        val w1 = wf(spark, sf1, false)
+        val w10 = wf(spark, sf10, true)
+        val pairs = w1.map { case (n, v1) =>
+          val v10 = w10.find(_._1 == n).map(_._2).getOrElse(-1L)
+          System.err.println(f"[sf10probe]   work $k%-22s $n%-16s " +
+            f"$v1%12d -> $v10%14d (${v10.toDouble / math.max(1L, v1)}%6.2fx)")
+          s""""$n":{"sf1":$v1,"sf10":$v10}"""
+        }
+        s""","work":{${pairs.mkString(",")}}"""
+      }.getOrElse("")
       System.err.println(f"[sf10probe] $k%-28s sf1 ${t1}%7.2fs  " +
         f"sf10 ${t10}%8.2fs  ratio ${t10 / t1}%5.2fx  " +
         f"rows $r1%9d -> $r10%10d (x${arm.mult} ${rowsOk}%-5s)  " +
@@ -246,7 +312,8 @@ object Sf10Probe {
       s""""$k":{"sf1":${r3(t1)},"sf10":${r3(t10)},""" +
         s""""ratio":${r3(t10 / t1)},"rows_sf1":$r1,"rows_sf10":$r10,""" +
         s""""rows_mult_want":${arm.mult},"rows_ok":$rowsOk,""" +
-        s""""slice_hash_match":${hashOk.map(_.toString).getOrElse("null")}}"""
+        s""""slice_hash_match":${hashOk.map(_.toString).getOrElse("null")}""" +
+        workJson + "}"
     }
     val line = s"""{"metric":"sf10probe","unit":"sec","fixture":""" +
       s""""100x sf0.1 (10x sf1, tag zz9dup, sign-flip embeddings)",""" +

@@ -322,7 +322,61 @@ object StreamProbe {
       // null-flushes BOTH sides at watermark eviction; its
       // state_x10_over_x1 ≈ 1 is the load-bearing join-scale row
       "join_ss_fouter_delayed" -> ((ev, sd) =>
-        runJoin(ooo(ev, sd), "fullOuter")))
+        runJoin(ooo(ev, sd), "fullOuter")),
+      // round-16 (r15 verdict item 7): the inner/leftOuter siblings
+      // share the fouter topology (four stores, same watermark range
+      // condition) but EVICTION differs — inner drops unmatched rows
+      // silently, leftOuter null-flushes one side — so each gets its
+      // own state-flatness row instead of inheriting fouter's
+      "join_ss_inner_delayed" -> ((ev, sd) =>
+        runJoin(ooo(ev, sd), "inner")),
+      "join_ss_louter_delayed" -> ((ev, sd) =>
+        runJoin(ooo(ev, sd), "leftOuter")),
+      // round-16 (r15 verdict item 4): the three ENGINE-NATIVE
+      // aggregation topologies from the round-15 StreamCorrectness
+      // arms (mutateStreamW tumbling/sliding + session_window), probed
+      // for state flatness like the custom ops. State is the OPEN
+      // windows/sessions inside the lateness horizon — O(keys ×
+      // windows-in-horizon), independent of stream length; a ratio
+      // near 10 would mean the engine's own append-mode eviction is
+      // not keeping up with the watermark. Window params mirror
+      // StreamCorrectness (60 s tumble, 60 s/20 s slide, 150 ms gap).
+      "tumbling_native" -> { (ev, sd) =>
+        import org.apache.spark.sql.functions._
+        run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
+          StreamingOps.mutateStreamW(
+            ds.toDF()
+              .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+              .withColumn("v4",
+                expr("cast(floor(value * 10000d + 0.5d) as bigint)")),
+            "eventTime", s"$lateness milliseconds", "60000 milliseconds",
+            by = Seq(col("key")))(
+            "cnt" -> count(lit(1)), "sumE4" -> sum(col("v4"))))
+      },
+      "sliding_native" -> { (ev, sd) =>
+        import org.apache.spark.sql.functions._
+        run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) =>
+          StreamingOps.mutateStreamW(
+            ds.toDF()
+              .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+              .withColumn("v4",
+                expr("cast(floor(value * 10000d + 0.5d) as bigint)")),
+            "eventTime", s"$lateness milliseconds", "60000 milliseconds",
+            slide = Some("20000 milliseconds"),
+            by = Seq(col("key")))(
+            "cnt" -> count(lit(1)), "sumE4" -> sum(col("v4"))))
+      },
+      "session_native" -> { (ev, sd) =>
+        import org.apache.spark.sql.functions._
+        run(ooo(ev, sd), (ds: Dataset[KeyedEvent]) => ds.toDF()
+          .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+          .withColumn("v4",
+            expr("cast(floor(value * 10000d + 0.5d) as bigint)"))
+          .withWatermark("eventTime", s"$lateness milliseconds")
+          .groupBy(col("key"),
+            session_window(col("eventTime"), "150 milliseconds").as("sw"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v4")).as("sumE4")))
+      })
 
     val sb = new StringBuilder
     sb.append("{\n \"metric\": \"stream_probe\",\n")
