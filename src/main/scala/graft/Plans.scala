@@ -83,9 +83,12 @@ object Plans {
       "window_rowsframe_distinct_centered_rule",
       "window_complete_months_hours",
       // round-16: the strictly-offset range-frame arm (shifted-bucket
-      // join) + the expression-target widening
+      // join), the expression-target widening, cumulative-to-offset,
+      // and the multi-argument struct synthesis
       "window_rangeframe_distinct_offset_rule",
-      "window_running_distinct_expr_rule")
+      "window_running_distinct_expr_rule",
+      "window_running_distinct_offset_rule",
+      "window_rolling_distinct_pair_rule")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

@@ -84,10 +84,13 @@ object Sf1Probe {
     "window_running_distinct_desc_rule",
     "window_rowsframe_distinct_centered_rule",
     "window_complete_months_hours",
-    // round-16: the strictly-offset range-frame arm + the
-    // expression-target widening
+    // round-16: the strictly-offset range-frame arm, the
+    // expression-target widening, cumulative-to-offset, and the
+    // multi-argument struct synthesis
     "window_rangeframe_distinct_offset_rule",
-    "window_running_distinct_expr_rule")
+    "window_running_distinct_expr_rule",
+    "window_running_distinct_offset_rule",
+    "window_rolling_distinct_pair_rule")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit =
     buildScaled(spark, src, dst, copies = 10, tag = "c",

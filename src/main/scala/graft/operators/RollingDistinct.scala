@@ -56,6 +56,22 @@ object RollingDistinct {
         col("__hi") - col("__lo"))).cast("long"))
   }
 
+  /** Sum carrier for the dual-aggregate lowerings (round 16): distinct
+    * values are compared RAW — any atomic type, and since the
+    * multi-argument COUNT(DISTINCT a, b) widening also STRUCTS — but
+    * `try_cast(x AS BIGINT)` is an ANALYSIS error (not a runtime null)
+    * for struct/array/map/binary/date inputs, so the running-sum
+    * carrier becomes a null literal for any type bigint cannot be
+    * try_cast from. Callers only read the sum for integral-eligible
+    * SUM/AVG targets, where the cast is the identity. */
+  private def sumCastable(df: DataFrame, valueCol: String): Boolean =
+    df.schema.find(_.name == valueCol).map(_.dataType).exists {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType     => true
+      case org.apache.spark.sql.types.BooleanType    => true
+      case _                                         => false
+    }
+
   /** Append the exact trailing-`w`-bucket distinct count of `idCol`,
     * evaluated at EVERY bucket in the data's [min, max] span (buckets
     * with no activity included — the count can stay positive while ids
@@ -209,6 +225,9 @@ object RollingDistinct {
       valueCol: String, bucketCol: String,
       cntCol: String, sumCol: String,
       spineFrom: Option[DataFrame] = None): DataFrame = {
+    val carrier: Column =
+      if (sumCastable(df, valueCol)) col("__v").try_cast("bigint")
+      else lit(null).cast("bigint")
     val SENT = Long.MinValue
     // in-band sentinel safety (r13 ADVICE): a LEGITIMATE bucket equal
     // to Long.MinValue would be conflated with the null peer group
@@ -239,7 +258,7 @@ object RollingDistinct {
       .agg(min(col("__b")).as("__d"))
       .groupBy((by :+ "__d").map(col): _*)
       .agg(count(lit(1)).as("__dc"),
-        sum(col("__v").try_cast("bigint")).as("__dv"))
+        sum(carrier).as("__dv"))
 
     val spineSrc = spineFrom.getOrElse(df)
     val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
@@ -291,6 +310,9 @@ object RollingDistinct {
       valueCol: String, bucketCol: String,
       cntCol: String, sumCol: String,
       spineFrom: Option[DataFrame] = None): DataFrame = {
+    val carrier: Column =
+      if (sumCastable(df, valueCol)) col("__v").try_cast("bigint")
+      else lit(null).cast("bigint")
     val byCols = by.map(col)
     // raw-value distinct + post-distinct try_cast sum carrier — the
     // same any-atomic-type COUNT contract as the nulls-first sibling
@@ -303,7 +325,7 @@ object RollingDistinct {
       .agg(min(col("__b")).as("__d"))
       .groupBy((by :+ "__d").map(col): _*)
       .agg(count(lit(1)).as("__dc"),
-        sum(col("__v").try_cast("bigint")).as("__dv"))
+        sum(carrier).as("__dv"))
 
     val spineSrc = spineFrom.getOrElse(df)
     val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
@@ -333,7 +355,9 @@ object RollingDistinct {
     // get a parse error — or silently resolve the wrong column
     val nullArm = spineSrc.groupBy(byCols: _*)
       .agg(count_distinct(col(valueCol)).as(cntCol),
-        sum_distinct(col(valueCol).try_cast("bigint"))
+        sum_distinct(if (sumCastable(spineSrc, valueCol))
+            col(valueCol).try_cast("bigint")
+          else lit(null).cast("bigint"))
           .cast("long").as(sumCol),
         max(when(col(bucketCol).isNull, lit(1)).otherwise(lit(0)))
           .as("__hasnull"))

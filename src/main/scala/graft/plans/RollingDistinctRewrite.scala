@@ -184,10 +184,19 @@ case class RollingDistinctRewrite(spark: SparkSession)
 
   /** Aggregate-function eligibility shared by the range and rows arms:
     * count/sum/avg DISTINCT of one deterministic expression, integral
-    * for sum/avg (exact 64-bit arithmetic). */
+    * for sum/avg (exact 64-bit arithmetic). MULTI-ARGUMENT
+    * `COUNT(DISTINCT a, b, …)` (round 16) synthesizes a single struct
+    * target nullified when ANY argument is null — exactly the SQL
+    * semantics (a row with any null argument is not counted), and the
+    * pipelines' distinct machinery compares structs natively, so the
+    * tuple count rides the same lowerings as a scalar. */
   private def kindIdOf(f: Expression): Option[(Kind, Expression)] =
     f match {
       case Count(Seq(c)) if eligibleId(c) => Some((CntKind, c))
+      case Count(cs) if cs.size > 1 && cs.forall(eligibleId) =>
+        val struct = CreateStruct(cs)
+        val anyNull = cs.map(IsNull(_): Expression).reduce(Or(_, _))
+        Some((CntKind, If(anyNull, Literal(null, struct.dataType), struct)))
       case s: Sum if eligibleId(s.child) && integral(s.child.dataType) =>
         Some((SumKind, s.child))
       case a: Average if eligibleId(a.child) &&
@@ -199,11 +208,11 @@ case class RollingDistinctRewrite(spark: SparkSession)
   /** Rows-frame tap cap: the lowering materializes n+1 lag buffers per
     * row, so only small declared frames are claimed; anything larger
     * keeps the stock rejection (use a range frame / bucket grid for
-    * wide windows — that path is O(rows) regardless of width). */
-  /** Defensive parse (r15 ADVICE): a malformed value would otherwise
-    * throw NumberFormatException from INSIDE the analyzer rule —
-    * surfacing as a baffling analysis failure on any query with a
-    * distinct rows-frame window — so non-integers fall back to the
+    * wide windows — that path is O(rows) regardless of width).
+    * Parsed defensively (r15 ADVICE): a malformed value would
+    * otherwise throw NumberFormatException from INSIDE the analyzer
+    * rule — surfacing as a baffling analysis failure on any query with
+    * a distinct rows-frame window — so non-integers fall back to the
     * default and negatives clamp to 0 (an explicit "disable the arm"
     * knob, restoring the stock rejection). */
   private def maxRowsLag: Int = spark.conf
@@ -247,9 +256,24 @@ case class RollingDistinctRewrite(spark: SparkSession)
           case (UnboundedPreceding, CurrentRow) =>
             Some(Target(a, id, part.map(_.asInstanceOf[Attribute]), ob,
               None, k, negate = desc, nullsLast = no == NullsLast))
-          // cumulative-to-an-offset ([UNBOUNDED, m PRECEDING]) stays
-          // stock-rejected — a negative test pins it
-          case (UnboundedPreceding, _) => None
+          // CUMULATIVE-TO-AN-OFFSET (round 16): [UNBOUNDED PRECEDING,
+          // u] for any foldable u — "everything up to m buckets ago"
+          // (u < 0) or "everything up to m buckets ahead" (u > 0) —
+          // is the SAME cumulative array evaluated at the shifted
+          // bucket b+u: probe joins at b+u over a spine widened by
+          // the shift; all four direction × null-ordering quadrants
+          // ride the existing two lowerings unchanged (measured in
+          // DuckDB: null-key rows keep their peer-group/whole-
+          // partition frames exactly as under the CURRENT ROW upper,
+          // and non-null frames include/exclude the null peers by
+          // null ordering exactly as the sentinel/mirror arms do).
+          case (UnboundedPreceding, up) =>
+            offsetOf(up).collect {
+              case u if math.abs(u) <= Int.MaxValue.toLong - 2 =>
+                Target(a, id, part.map(_.asInstanceOf[Attribute]), ob,
+                  None, k, negate = desc, nullsLast = no == NullsLast,
+                  mPreceding = -u)
+            }
           case _ =>
             // finite frame, any SAME-SIDE bounds (round 16, r15
             // verdict item 2): canonicalize [lo, hi] to the trailing
@@ -415,16 +439,18 @@ case class RollingDistinctRewrite(spark: SparkSession)
       // the ids before it
       val idBearing = proj.filter(col(idName).isNotNull &&
         col(bName).isNotNull)
-      // STRICTLY-OFFSET frames (m > 0) evaluate the trailing window at
-      // the SHIFTED bucket b−m, which need not itself be an observed
-      // bucket — widen the spine with the shifted copies so every
-      // probe bucket has a frame row (the spine is min/max + dense
-      // sequence, so this just extends the span by m)
+      // OFFSET frames (m ≠ 0) evaluate their lowering at the SHIFTED
+      // bucket b−m, which need not itself be an observed bucket —
+      // widen the spine with the shifted copies so every probe bucket
+      // has a frame row (the spine is min/max + dense sequence, so
+      // this just extends the span by |m|; duplicated rows cannot
+      // change the lowerings' DISTINCT totals or sentinel detection)
+      def widened(src: DataFrame): DataFrame =
+        if (t.mPreceding == 0L) src
+        else src.unionByName(
+          src.withColumn(bName, col(bName) - t.mPreceding))
       val obsB = proj.filter(col(bName).isNotNull)
-      val spineSrc = Some(
-        if (t.mPreceding == 0L) obsB
-        else obsB.unionByName(
-          obsB.withColumn(bName, col(bName) - t.mPreceding)))
+      val spineSrc = Some(widened(obsB))
       val lookup = t.nPreceding match {
         case None if t.nullsLast =>
           // cumulative, ASC NULLS LAST (round 15): the MIRROR
@@ -436,7 +462,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
               proj.filter(col(idName).isNotNull), by = gNames,
               valueCol = idName, bucketCol = bName,
               cntCol = cntName, sumCol = sumName,
-              spineFrom = Some(proj))
+              spineFrom = Some(widened(proj)))
         case None =>
           // UNBOUNDED PRECEDING (the default frame — cumulative
           // distinct): one first-occurrence difference array serves
@@ -449,7 +475,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
             proj.filter(col(idName).isNotNull), by = gNames,
             valueCol = idName, bucketCol = bName,
             cntCol = cntName, sumCol = sumName,
-            spineFrom = Some(proj))
+            spineFrom = Some(widened(proj)))
         case Some(nPrec) =>
           val (frame, nullArm) =
             if (!needsSum) {

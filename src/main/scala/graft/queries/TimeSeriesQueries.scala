@@ -2026,6 +2026,81 @@ object TimeSeriesQueries {
           "not fire")
       out
     }),
+    "window_running_distinct_offset_rule" -> ((s, dir) => {
+      // CUMULATIVE-TO-OFFSET through the rule (round 16): count
+      // (DISTINCT user_id) OVER (ORDER BY dayn ASC NULLS LAST RANGE
+      // BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) — "uniques ever
+      // seen as of two days ago", the settled-data cumulative a
+      // reporting pipeline uses when the trailing days are still
+      // mutable. The SAME first-occurrence array answers it evaluated
+      // at the shifted bucket d−2 (probe joins at the shift over a
+      // widened spine); NULLS LAST injected nulls exercise the mirror
+      // lowering + shift composition. Oracle: DuckDB's native
+      // distinct window over the identical frame (measured: null
+      // rows see the whole partition, exactly as with the CURRENT
+      // ROW upper).
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(
+        when(col("user_id") % 19 === 0, lit(null).cast("long"))
+          .otherwise(expr("ts div 86400000000000")).as("dayn"),
+        col("user_id"))
+      val w = Window.orderBy(col("dayn").asc_nulls_last)
+        .rangeBetween(Window.unboundedPreceding, -2)
+      val out = e.select(col("dayn"),
+        count_distinct(col("user_id")).over(w).as("cum_uniq_off"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_running_distinct_offset_rule: the cumulative-to-" +
+          "offset distinct survived — the round-16 shifted-probe arm " +
+          "did not fire")
+      out
+    }),
+    "window_rolling_distinct_pair_rule" -> ((s, dir) => {
+      // MULTI-ARGUMENT COUNT(DISTINCT a, b) through the rule (round
+      // 16): count(DISTINCT user_id, amt) OVER (PARTITION BY
+      // event_type ORDER BY day RANGE 6 PRECEDING) — "distinct
+      // (user, price-point) pairs in the trailing week". The rule
+      // synthesizes a null-guarded struct target (a row with ANY null
+      // argument is uncounted — the SQL multi-arg semantics) and the
+      // difference array distinct-counts the tuples natively; nulls
+      // injected into user_id pin the any-null-skips rule. Oracle:
+      // DuckDB's native distinct window over the equivalent
+      // null-guarded row-value.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"),
+        expr("ts div 86400000000000").as("day"),
+        when(col("user_id") % 19 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("uid"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("amt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rangeBetween(-6, 0)
+      val out = e.select(col("event_type"), col("day"),
+        count_distinct(col("uid"), col("amt")).over(w).as("uniq_pairs"))
+        .distinct()
+      val opt = out.queryExecution.optimizedPlan
+      val distinctWindows = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(distinctWindows.isEmpty,
+        "window_rolling_distinct_pair_rule: the multi-argument " +
+          "distinct survived — the round-16 struct synthesis did not " +
+          "fire")
+      out
+    }),
     "window_running_distinct_expr_rule" -> ((s, dir) => {
       // EXPRESSION distinct target through the rule (round 16, r15
       // verdict item 5): count(DISTINCT ts div 86400000000000) OVER
@@ -3117,6 +3192,34 @@ object TimeSeriesQueries {
            CAST(sum(DISTINCT user_id) OVER w AS BIGINT) AS sumd_off
          FROM e WINDOW w AS (PARTITION BY event_type ORDER BY day
            RANGE BETWEEN 6 PRECEDING AND 2 PRECEDING)""",
+    // DuckDB's native distinct window over the identical cumulative-
+    // to-offset NULLS LAST frame (measured: null rows see the whole
+    // partition, non-null rows exclude the null peers — exactly the
+    // CURRENT ROW upper's quadrant semantics, evaluated at day−2)
+    "window_running_distinct_offset_rule" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 19 = 0 THEN NULL
+           ELSE epoch_ns(ts) // 86400000000000 END AS dayn, user_id
+           FROM events)
+         SELECT DISTINCT dayn, count(DISTINCT user_id) OVER
+           (ORDER BY dayn ASC NULLS LAST
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           AS cum_uniq_off
+         FROM e""",
+    // DuckDB's native distinct window over the equivalent
+    // NULL-GUARDED row-value: DuckDB's row() counts tuples with null
+    // FIELDS as distinct values (measured), while SQL multi-argument
+    // COUNT skips any-null rows — the CASE reproduces the skip
+    "window_rolling_distinct_pair_rule" ->
+      """WITH e AS (SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS day,
+           CASE WHEN user_id % 19 = 0 THEN NULL ELSE user_id END AS uid,
+           CAST(floor(value * 100) AS BIGINT) AS amt FROM events)
+         SELECT DISTINCT event_type, day,
+           count(DISTINCT CASE WHEN uid IS NULL OR amt IS NULL
+             THEN NULL ELSE (uid, amt) END) OVER
+             (PARTITION BY event_type ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS uniq_pairs
+         FROM e""",
     // DuckDB's native distinct window with the day derived INSIDE the
     // aggregate — the expression-target form
     "window_running_distinct_expr_rule" ->

@@ -1144,8 +1144,8 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     assert(got.sliding(2).forall(p => p(0) <= p(1)))
   }
 
-  test("STRADDLING range frames and cumulative-to-offset stay " +
-      "stock-rejected (negative pins for the round-16 widening)") {
+  test("STRADDLING range frames stay stock-rejected (negative pin " +
+      "for the round-16 widening)") {
     val df = Seq((1L, 10L)).toDF("id", "b")
     // [2 PRECEDING, 1 FOLLOWING]: not a trailing window on either
     // bucket axis — must stay unclaimed
@@ -1154,14 +1154,177 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
       df.select(count_distinct(col("id")).over(w1)).collect()
     }
     assert(e1.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
-    // [UNBOUNDED PRECEDING, 1 PRECEDING]: cumulative-to-an-offset —
-    // declared out of scope, stock rejection preserved
-    val w2 = Window.orderBy(col("b"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val e2 = intercept[Exception] {
-      df.select(count_distinct(col("id")).over(w2)).collect()
+  }
+
+  /** Brute force for CUMULATIVE-TO-OFFSET [UNBOUNDED, u]: a non-null
+    * row's frame is {buckets ≤ b+u} under ASC / {buckets ≥ b−u} under
+    * DESC, including the null peer group iff NULLS FIRST; null rows
+    * keep the peer group (NULLS FIRST) or see the whole partition
+    * (NULLS LAST) — all measured in DuckDB, identical to the
+    * CURRENT ROW upper. */
+  private def bruteCumOffset(
+      rows: Seq[(String, java.lang.Long, java.lang.Long)],
+      u: Long, desc: Boolean, nullsLast: Boolean)
+      : Map[(String, Option[Long]), (Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val buckets = rs.map(r => Option(r._2).map(_.longValue)).distinct
+      buckets.map { b =>
+        val ids = rs.filter { r =>
+          val rb = Option(r._2).map(_.longValue)
+          b match {
+            case Some(bv) => rb match {
+              case Some(x) => if (desc) x >= bv - u else x <= bv + u
+              case None    => !nullsLast
+            }
+            case None => if (nullsLast) true else rb.isEmpty
+          }
+        }.flatMap(r => Option(r._3).map(_.longValue)).distinct
+        (g, b) -> ((ids.size.toLong,
+          if (ids.isEmpty) None else Some(ids.sum)))
+      }
     }
-    assert(e2.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+
+  test("CUMULATIVE-TO-OFFSET (round 16): [UNBOUNDED, u] for u both " +
+      "PRECEDING and FOLLOWING, all four direction x null-ordering " +
+      "quadrants — count+sum match brute force; the rewrite fires") {
+    val rnd = new scala.util.Random(3616)
+    for (trial <- 0 until 12) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(40 + rnd.nextInt(80)) {
+          val g = s"g${rnd.nextInt(nGroups)}"
+          val b: java.lang.Long = if (rnd.nextInt(10) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(25).toLong)
+          val id: java.lang.Long = if (rnd.nextInt(8) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(12).toLong)
+          (g, b, id)
+        }
+      val u = (rnd.nextInt(9) - 4).toLong match {
+        case 0L => -1L // u = 0 is the plain cumulative arm, tested above
+        case x  => x
+      }
+      val desc = rnd.nextBoolean()
+      val nullsLast = rnd.nextBoolean()
+      val df = rows.toDF("g", "b", "id")
+      val ord = (desc, nullsLast) match {
+        case (false, false) => col("b").asc_nulls_first
+        case (false, true)  => col("b").asc_nulls_last
+        case (true, false)  => col("b").desc_nulls_first
+        case (true, true)   => col("b").desc_nulls_last
+      }
+      val w = Window.partitionBy("g").orderBy(ord)
+        .rangeBetween(Window.unboundedPreceding, u)
+      val out = df.select(col("g"), col("b"),
+        count_distinct(col("id")).over(w).as("c"),
+        sum_distinct(col("id")).over(w).as("s"))
+      assertRewritten(out, s"trial $trial u=$u desc=$desc nl=$nullsLast")
+      val got = out.collect().map(r => ((r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      val want = bruteCumOffset(rows, u, desc, nullsLast)
+      got.foreach { case (k, cs) =>
+        assert(cs == want(k),
+          s"trial $trial u=$u desc=$desc nl=$nullsLast key=$k")
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
+  test("MULTI-ARGUMENT COUNT(DISTINCT a, b) (round 16): the " +
+      "synthesized null-guarded struct target matches SQL tuple " +
+      "semantics (any-null rows uncounted) over cumulative, offset " +
+      "and rows frames") {
+    val rnd = new scala.util.Random(4616)
+    val rows: Seq[(String, Long, java.lang.Long, java.lang.Long)] =
+      Seq.fill(150) {
+        val g = s"g${rnd.nextInt(3)}"
+        val b = rnd.nextInt(20).toLong
+        val a: java.lang.Long = if (rnd.nextInt(7) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(5).toLong)
+        val c: java.lang.Long = if (rnd.nextInt(7) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(4).toLong)
+        (g, b, a, c)
+      }
+    val df = rows.toDF("g", "b", "x", "y")
+    def bruteCum(lo: Long => Long => Boolean)
+        : Map[(String, Long), Long] =
+      rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(_._2).distinct.map { b =>
+          val pairs = rs.filter(r => lo(b)(r._2))
+            .collect { case (_, _, a, c) if a != null && c != null =>
+              (a.longValue, c.longValue) }.distinct
+          (g, b) -> pairs.size.toLong
+        }
+      }
+    // cumulative
+    val wc = Window.partitionBy("g").orderBy(col("b"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val gotC = df.select(col("g"), col("b"),
+      count_distinct(col("x"), col("y")).over(wc).as("c"))
+    assertRewritten(gotC, "multi-arg cumulative")
+    gotC.collect().foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(r.getLong(2) == bruteCum(b => rb => rb <= b)(k), s"cum $k")
+    }
+    // strictly-offset
+    val wo = Window.partitionBy("g").orderBy(col("b"))
+      .rangeBetween(-5, -2)
+    val gotO = df.select(col("g"), col("b"),
+      count_distinct(col("x"), col("y")).over(wo).as("c"))
+    assertRewritten(gotO, "multi-arg offset")
+    gotO.collect().foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(r.getLong(2) ==
+        bruteCum(b => rb => rb >= b - 5 && rb <= b - 2)(k), s"off $k")
+    }
+    // rows frame (positional — brute via sorted scan per group)
+    val wr = Window.partitionBy("g").orderBy(col("b"), col("x"), col("y"))
+      .rowsBetween(-3, 0)
+    val gotR = df.select(col("g"), col("b"), col("x"), col("y"),
+      count_distinct(col("x"), col("y")).over(wr).as("c"))
+    assertRewritten(gotR, "multi-arg rows")
+    val byG = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.sortBy(r => (r._2, Option(r._3).map(_.longValue),
+        Option(r._4).map(_.longValue)))
+    }
+    // the sort has ties (duplicate (b,x,y) tuples) — a rows frame over
+    // ties is engine-order-dependent in general, but the COUNT of
+    // distinct non-null tuples in any 4-row window of EQUAL rows is
+    // tie-invariant here because tied rows are identical tuples
+    gotR.collect()
+      .groupBy(_.getString(0)).foreach { case (g, got) =>
+        val sortedGot = got.sortBy(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        val src = byG(g)
+        sortedGot.zipWithIndex.foreach { case (r, i) =>
+          val frame = src.slice(math.max(0, i - 3), i + 1)
+          val want = frame.collect {
+            case (_, _, a, c) if a != null && c != null =>
+              (a.longValue, c.longValue)
+          }.distinct.size.toLong
+          assert(r.getLong(4) == want, s"rows $g idx $i")
+        }
+      }
+  }
+
+  test("cumulative-to-offset via the SQL surface: UNBOUNDED " +
+      "PRECEDING AND 2 PRECEDING matches hand values") {
+    val df = Seq((1L, 10L), (2L, 11L), (1L, 12L), (3L, 14L))
+      .toDF("id", "b")
+    df.createOrReplaceTempView("rdr_cumoff_t")
+    try {
+      val got = spark.sql(
+        """SELECT b, count(DISTINCT id) OVER
+             (ORDER BY b RANGE BETWEEN UNBOUNDED PRECEDING
+              AND 2 PRECEDING) AS u
+           FROM rdr_cumoff_t""")
+      assertRewritten(got, "sql cumulative-to-offset")
+      val vals = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      // frames: 10 → ≤8 {}; 11 → ≤9 {}; 12 → ≤10 {1}; 14 → ≤12 {1,2}
+      assert(vals == Seq((10L, 0L), (11L, 0L), (12L, 1L), (14L, 2L)))
+    } finally spark.catalog.dropTempView("rdr_cumoff_t")
   }
 
   test("null-sentinel guard: a legitimate Long.MinValue bucket in the " +
