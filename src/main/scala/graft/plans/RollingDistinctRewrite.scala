@@ -72,16 +72,18 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * [[graft.operators
   * .RollingDistinct.groupedCumulativeDistinctSumNullsLast]] — r14
   * verdict item 3; DESC negates the bucket domain, mapping each DESC
-  * null ordering onto its ASC twin) or ANY bounded SAME-SIDE offset
+  * null ordering onto its ASC twin) or ANY bounded offset
   * pair (round 16, r15 verdict item 2): `[n PRECEDING, CURRENT ROW]`,
   * the strictly-offset `[n PRECEDING, m PRECEDING]`, the FOLLOWING
-  * mirrors, and the degenerate `[CURRENT ROW, CURRENT ROW]` peers
-  * frame — canonicalized to the trailing interval [b−n, b−m] on a
-  * possibly-negated bucket axis and evaluated by joining the probe at
-  * the SHIFTED bucket b−m over a spine widened by the shift. Frames
-  * STRADDLING the current bucket ([n PRECEDING, m FOLLOWING], both
-  * nonzero) and cumulative-to-an-offset ([UNBOUNDED, m PRECEDING])
-  * stay stock-rejected — negative tests pin them. Finite
+  * mirrors, the degenerate `[CURRENT ROW, CURRENT ROW]` peers frame,
+  * STRADDLING frames (`[n PRECEDING, k FOLLOWING]` — the
+  * trailing-(n+k+1) window probed at the FUTURE bucket b+k), and
+  * CUMULATIVE-TO-AN-OFFSET (`[UNBOUNDED, u]` for either sign of u —
+  * the cumulative array probed at b+u) — every shape canonicalizes to
+  * a trailing interval [b−n, b−m] (m of either sign, None·n for
+  * unbounded) on a possibly-negated bucket axis and is evaluated by
+  * joining the probe at the SHIFTED bucket b−m over a spine widened
+  * by the shift. Finite
   * frames accept EITHER null ordering: null order keys are one peer
   * group whose frame is itself regardless of where nulls sort or how
   * the bounds sit (measured in DuckDB, incl. strictly-offset bounds).
@@ -275,33 +277,39 @@ case class RollingDistinctRewrite(spark: SparkSession)
                   mPreceding = -u)
             }
           case _ =>
-            // finite frame, any SAME-SIDE bounds (round 16, r15
-            // verdict item 2): canonicalize [lo, hi] to the trailing
-            // interval [b−n, b−m] on a possibly-negated bucket axis.
-            //   lo ≤ hi ≤ 0 → (n, m) = (−lo, −hi), axis as-is;
-            //   0 ≤ lo ≤ hi → the FOLLOWING mirror: negate the axis,
+            // finite frame, ANY foldable bounds lo ≤ hi (round 16,
+            // r15 verdict item 2 + the straddling generalization):
+            // canonicalize [lo, hi] to the trailing interval
+            // [b−n, b−m] on a possibly-negated bucket axis.
+            //   hi ≤ 0       → (n, m) = (−lo, −hi), axis as-is
+            //                  (m > 0 = the strictly-offset frame);
+            //   lo ≥ 0       → the FOLLOWING mirror: negate the axis,
             //                  (n, m) = (hi, lo);
-            //   lo < 0 < hi → a straddling frame is NOT a trailing
-            //                  window on either axis — stock-rejected.
+            //   lo < 0 < hi  → STRADDLING: the trailing-(hi−lo+1)
+            //                  window probed at the FUTURE bucket
+            //                  b+hi — (n, m) = (−lo, −hi) with m
+            //                  NEGATIVE, the same shifted-probe
+            //                  machinery in the other direction.
             // Null order keys form ONE peer group whose frame is
             // itself under EITHER null ordering and ANY finite bounds
-            // (measured in DuckDB — even strictly-preceding frames),
-            // so both NULLS FIRST and NULLS LAST are eligible; DESC
-            // composes with the FOLLOWING mirror by XOR.
+            // (measured in DuckDB — strictly-preceding AND straddling
+            // frames), so both NULLS FIRST and NULLS LAST are
+            // eligible; DESC composes with the FOLLOWING mirror by
+            // XOR.
             for {
               lo <- offsetOf(lower)
               hi <- offsetOf(upper)
               if lo <= hi
               // magnitude guards before any negation/subtraction:
-              // keeps −lo / hi−lo overflow-free and n, m in Int range
-              // (the operator takes w = n−m+1 as an Int)
+              // keeps −lo / hi−lo overflow-free and n, m, and the
+              // operator width w = n−m+1 = hi−lo+1 in Int range
               if lo >= -(Int.MaxValue.toLong - 2) &&
-                hi <= Int.MaxValue.toLong - 2
-              if hi <= 0 || lo >= 0
+                hi <= Int.MaxValue.toLong - 2 &&
+                hi - lo <= Int.MaxValue.toLong - 2
             } yield {
-              val (n, m) = if (hi <= 0) (-lo, -hi) else (hi, lo)
+              val (n, m) = if (lo >= 0) (hi, lo) else (-lo, -hi)
               Target(a, id, part.map(_.asInstanceOf[Attribute]), ob,
-                Some(n), k, negate = desc ^ (hi > 0), mPreceding = m)
+                Some(n), k, negate = desc ^ (lo >= 0), mPreceding = m)
             }
         }
       }

@@ -1041,9 +1041,10 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
         }
       val m = rnd.nextInt(5).toLong
       val n = m + rnd.nextInt(6).toLong // n ≥ m ≥ 0
-      val (lo, hi) = rnd.nextInt(3) match {
+      val (lo, hi) = rnd.nextInt(4) match {
         case 0 => (-n, -m) // preceding side (m = 0: classic trailing)
         case 1 => (m, n)   // following side
+        case 2 => (-n, m)  // STRADDLING (round-16 generalization)
         case _ => (0L, 0L) // degenerate peers frame
       }
       val desc = rnd.nextBoolean()
@@ -1144,16 +1145,27 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     assert(got.sliding(2).forall(p => p(0) <= p(1)))
   }
 
-  test("STRADDLING range frames stay stock-rejected (negative pin " +
-      "for the round-16 widening)") {
-    val df = Seq((1L, 10L)).toDF("id", "b")
-    // [2 PRECEDING, 1 FOLLOWING]: not a trailing window on either
-    // bucket axis — must stay unclaimed
+  test("STRADDLING range frame [2 PRECEDING, 1 FOLLOWING] IS claimed " +
+      "(the trailing-4 window probed at the future bucket b+1) — " +
+      "hand values match DuckDB's measured semantics") {
+    // the DuckDB measurement this pins: days 1,2,3,5,8 + null rows —
+    // frames [d−2, d+1]; null rows keep the peer group
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (10L, 1L), (20L, 2L), (30L, 3L), (50L, 5L), (80L, 8L),
+      (99L, null), (98L, null)).toDF("id", "b")
     val w1 = Window.orderBy(col("b")).rangeBetween(-2, 1)
-    val e1 = intercept[Exception] {
-      df.select(count_distinct(col("id")).over(w1)).collect()
-    }
-    assert(e1.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+    val out = df.select(col("b"),
+      count_distinct(col("id")).over(w1).as("c"),
+      sum_distinct(col("id")).over(w1).as("s"))
+    assertRewritten(out, "straddling frame")
+    val got = out.collect().map(r =>
+      ((if (r.isNullAt(0)) None else Some(r.getLong(0))),
+        r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    assert(got == Set(
+      (Some(1L), 2L, Some(30L)), (Some(2L), 3L, Some(60L)),
+      (Some(3L), 3L, Some(60L)), (Some(5L), 2L, Some(80L)),
+      (Some(8L), 1L, Some(80L)), (None, 2L, Some(197L))))
   }
 
   /** Brute force for CUMULATIVE-TO-OFFSET [UNBOUNDED, u]: a non-null
