@@ -41,6 +41,9 @@ object Fuzz {
     val n = args.lift(2).map(_.toInt).getOrElse(200)
     val seed = args.lift(3).map(_.toLong).getOrElse(42L)
     val spark = SparkSession.builder().master("local[8]")
+      // the distinct-window fuzz arm (round 16) exercises
+      // RollingDistinctRewrite, which installs at build time only
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -98,6 +101,33 @@ object Fuzz {
     }
     System.err.println(
       s"[fuzz] sqlmutate arm: $sqlOk rendered, $sqlRejected rejected-by-design")
+    // ---- round-16: distinct-window fuzz arm ----
+    // Seeded random COUNT/SUM(DISTINCT …) OVER (…) shapes — every
+    // frame family RollingDistinctRewrite claims (cumulative,
+    // cumulative-to-offset both signs, any bounded [lo, hi] range
+    // frame incl. strictly-offset/following/straddling, bounded rows
+    // frames), all four direction × null-ordering quadrants, targets
+    // an attribute / an expression / a multi-argument pair — each
+    // replayed against DuckDB's NATIVE distinct window aggregate (an
+    // independent oracle from the spec's Scala brute force). Every
+    // sample also REQUIREs the rewrite actually fired, so a silently
+    // regressed eligibility guard fails the run rather than thinning
+    // coverage.
+    val nd = n / 2
+    (0 until nd).foreach { i =>
+      try {
+        val s = distinctSample(spark, i, seed)
+        s.df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$inDir/${s.name}.parquet")
+        s.result.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${s.name}")
+        oracles(s.name) = s.oracle
+      } catch { case e: Exception =>
+        System.err.println(f"[fuzz] fzd$i%03d FAILED to build: $e")
+        fails += 1
+      }
+    }
+    System.err.println(s"[fuzz] distinct-window arm: $nd samples")
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -108,6 +138,99 @@ object Fuzz {
     System.err.println(s"[fuzz] wrote ${oracles.size} samples, $fails failed")
     spark.stop()
     if (fails > 0) sys.exit(1)
+  }
+
+  /** One seeded DISTINCT-WINDOW sample (round 16): a random
+    * count/sum(DISTINCT target) over a random claimed frame shape and
+    * quadrant, evaluated through spark.sql (the rewrite fires from the
+    * analyzer — REQUIREd per sample) and oracled by DuckDB's native
+    * distinct window over near-identical SQL (sum CAST to BIGINT —
+    * DuckDB widens to HUGEINT; the pair target spells the any-null
+    * skip as an explicit CASE row-value guard, since DuckDB's bare
+    * row() counts null-field tuples). Integer ids keep every sum
+    * exact; rows frames order by (b, o) — o unique — so positional
+    * frames are deterministic; range frames depend only on (g, b). */
+  private def distinctSample(spark: SparkSession, i: Int,
+      seed: Long): Sample = {
+    val rnd = new java.util.Random(seed * 104729L + i)
+    val name = f"fzd$i%03d"
+    val nRows = 40 + rnd.nextInt(120)
+    val nGroups = 1 + rnd.nextInt(3)
+    val rows = (0 until nRows).map { r =>
+      val g = if (rnd.nextInt(8) == 0) null else s"g${rnd.nextInt(nGroups)}"
+      val b: java.lang.Long = if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(25).toLong)
+      val id: java.lang.Long = if (rnd.nextInt(8) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(12).toLong)
+      val id2: java.lang.Long = if (rnd.nextInt(8) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(4).toLong)
+      (g, r.toLong, b, id, id2)
+    }
+    import spark.implicits._
+    val df = rows.toDF("g", "o", "b", "id", "id2")
+
+    val useBy = rnd.nextBoolean()
+    val pb = if (useBy) "PARTITION BY g " else ""
+    val desc = rnd.nextBoolean()
+    val nullsLast = rnd.nextBoolean()
+    val dirTxt = (if (desc) "DESC" else "ASC") +
+      (if (nullsLast) " NULLS LAST" else " NULLS FIRST")
+    def bnd(k: Long): String =
+      if (k == 0) "CURRENT ROW"
+      else if (k < 0) s"${-k} PRECEDING"
+      else s"$k FOLLOWING"
+    val (orderTxt, frameTxt) = rnd.nextInt(4) match {
+      case 0 => // cumulative (the default-frame family)
+        (s"b $dirTxt",
+          "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+      case 1 => // cumulative-to-offset, either sign
+        val u = { val x = rnd.nextInt(7) - 3; if (x == 0) -1 else x }
+        (s"b $dirTxt",
+          s"RANGE BETWEEN UNBOUNDED PRECEDING AND ${bnd(u.toLong)}")
+      case 2 => // any bounded [lo, hi] range frame: trailing,
+        // strictly-offset, following-side, straddling, peers
+        val lo = rnd.nextInt(11) - 5
+        val hi = lo + rnd.nextInt(11 - math.max(0, lo + 5))
+        (s"b $dirTxt",
+          s"RANGE BETWEEN ${bnd(lo.toLong)} AND ${bnd(hi.toLong)}")
+      case _ => // bounded rows frame, (b, o) order for determinism
+        val lo = rnd.nextInt(13) - 6
+        val hi = lo + rnd.nextInt(7)
+        (s"b $dirTxt, o ASC",
+          s"ROWS BETWEEN ${bnd(lo.toLong)} AND ${bnd(hi.toLong)}")
+    }
+    // target: attribute / expression / multi-argument pair; aggregate:
+    // count always valid, sum only for the scalar targets (the CAST
+    // wraps the WHOLE window expression — OVER binds to the aggregate)
+    val over = s"($pb ORDER BY $orderTxt $frameTxt)"
+    val (sparkAgg, duckAgg) = rnd.nextInt(4) match {
+      case 0 =>
+        val e = s"count(DISTINCT id) OVER $over"; (e, e)
+      case 1 =>
+        val e = s"count(DISTINCT (id % 5)) OVER $over"; (e, e)
+      case 2 => (s"count(DISTINCT id, id2) OVER $over",
+        "count(DISTINCT CASE WHEN id IS NULL OR id2 IS NULL " +
+          s"THEN NULL ELSE (id, id2) END) OVER $over")
+      case _ =>
+        val e = s"CAST(sum(DISTINCT id) OVER $over AS BIGINT)"; (e, e)
+    }
+    def q(agg: String, tbl: String): String =
+      s"SELECT o, $agg AS out FROM $tbl"
+    df.createOrReplaceTempView(name)
+    val res = spark.sql(q(sparkAgg, name))
+    // the whole point: the stock-rejected shape must be CLAIMED — a
+    // surviving distinct window agg means an eligibility regression
+    val survivors = res.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.windowExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions
+                .aggregate.AggregateExpression => ae.isDistinct
+            case _ => false
+          }) => wn
+    }
+    require(survivors.isEmpty,
+      s"$name: distinct window survived ($sparkAgg / $frameTxt)")
+    Sample(name, df, res.select(col("o"), col("out")), q(duckAgg, name))
   }
 
   /** One seeded sample: table + spec + Spark result + DuckDB oracle. */

@@ -72,6 +72,28 @@ object RollingDistinct {
       case _                                         => false
     }
 
+
+  /** LEFT join `spine ⋈ deltas` on (group keys, "__d") with NULL-SAFE
+    * group-key equality (round 16 — caught by the distinct-window fuzz
+    * arm on its first run): a NULL partition key is ONE real group in
+    * window semantics (both Spark's WindowExec and DuckDB evaluate
+    * frames inside it, and `groupBy`/`Window.partitionBy` upstream
+    * treat it so), but the previous USING-join's plain equality
+    * silently dropped the null group's deltas, zeroing every count in
+    * that group. Output: spine group columns + "__d" + the delta
+    * payload columns (null where unmatched — callers coalesce). */
+  private def joinSpineDeltas(spine: DataFrame, deltas: DataFrame,
+      by: Seq[String], payload: Seq[String]): DataFrame = {
+    val sp = spine.alias("__sp")
+    val dl = deltas.alias("__dl")
+    val cond = (by.map(c => col(s"__sp.`$c`") <=> col(s"__dl.`$c`")) :+
+      (col("__sp.__d") === col("__dl.__d"))).reduce(_ && _)
+    sp.join(dl, cond, "left")
+      .select(by.map(c => col(s"__sp.`$c`").as(c)) ++
+        Seq(col("__sp.__d").as("__d")) ++
+        payload.map(c => col(s"__dl.`$c`").as(c)): _*)
+  }
+
   /** Append the exact trailing-`w`-bucket distinct count of `idCol`,
     * evaluated at EVERY bucket in the data's [min, max] span (buckets
     * with no activity included — the count can stay positive while ids
@@ -132,9 +154,8 @@ object RollingDistinct {
         max(col(bucketCol).cast("long")).as("__hi"))
       .select(byCols :+ explode(sequence(col("__lo"), guardedHi(df)))
         .as("__d"): _*)
-    val joined = spine.join(deltas, by :+ "__d", "left")
-      .select(byCols :+ col("__d") :+
-        coalesce(col("__delta"), lit(0L)).as("__delta"): _*)
+    val joined = joinSpineDeltas(spine, deltas, by, Seq("__delta"))
+      .withColumn("__delta", coalesce(col("__delta"), lit(0L)))
 
     GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")), "__delta",
         "__cum")
@@ -191,10 +212,9 @@ object RollingDistinct {
         max(col(bucketCol).cast("long")).as("__hi"))
       .select(byCols :+ explode(sequence(col("__lo"), guardedHi(df)))
         .as("__d"): _*)
-    val joined = spine.join(deltas, by :+ "__d", "left")
-      .select(byCols :+ col("__d") :+
-        coalesce(col("__dc"), lit(0L)).as("__dc") :+
-        coalesce(col("__dv"), lit(0L)).as("__dv"): _*)
+    val joined = joinSpineDeltas(spine, deltas, by, Seq("__dc", "__dv"))
+      .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
+      .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
 
     // both running sums ride the same pid-stamped two-pass scaffold;
     // the second pass consumes the first's output (bucket-domain-sized
@@ -271,11 +291,10 @@ object RollingDistinct {
       .select(byCols: _*).distinct()
       .withColumn("__d", lit(SENT))
       .select(realSpan.columns.map(col): _*)
-    val joined = realSpan.unionByName(sentSpine)
-      .join(deltas, by :+ "__d", "left")
-      .select(byCols :+ col("__d") :+
-        coalesce(col("__dc"), lit(0L)).as("__dc") :+
-        coalesce(col("__dv"), lit(0L)).as("__dv"): _*)
+    val joined = joinSpineDeltas(realSpan.unionByName(sentSpine),
+        deltas, by, Seq("__dc", "__dv"))
+      .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
+      .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
 
     val c1 = GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")),
       "__dc", "__cc")
@@ -334,10 +353,10 @@ object RollingDistinct {
         max(col(bucketCol).cast("long")).as("__hi"))
       .select(byCols :+ explode(sequence(col("__lo"),
         guardedHi(spineSrc))).as("__d"): _*)
-    val joined = realSpan.join(deltas, by :+ "__d", "left")
-      .select(byCols :+ col("__d") :+
-        coalesce(col("__dc"), lit(0L)).as("__dc") :+
-        coalesce(col("__dv"), lit(0L)).as("__dv"): _*)
+    val joined = joinSpineDeltas(realSpan, deltas, by,
+        Seq("__dc", "__dv"))
+      .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
+      .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
     val c1 = GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")),
       "__dc", "__cc")
     val nonNullArm = GlobalWindow
