@@ -1320,6 +1320,25 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
       }
   }
 
+  test("THREE-argument COUNT(DISTINCT a, b, c): the struct synthesis " +
+      "generalizes past pairs — any-null rows uncounted") {
+    val df = Seq[(Long, java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 1L, 2L, 3L), (2L, 1L, 2L, 3L),   // duplicate triple
+      (3L, 1L, 2L, 4L),                     // distinct triple
+      (4L, 1L, null, 3L), (5L, null, 2L, 3L) // any-null → uncounted
+    ).toDF("b", "x", "y", "z")
+    val w = Window.orderBy(col("b"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.select(col("b"),
+      count_distinct(col("x"), col("y"), col("z")).over(w).as("c"))
+    assertRewritten(out, "three-arg count")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sorted
+    // prefixes: b=1 {(1,2,3)}; b=2 same; b=3 +(1,2,4); b=4,5 add
+    // null-bearing rows — uncounted
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 2L)))
+  }
+
   test("cumulative-to-offset via the SQL surface: UNBOUNDED " +
       "PRECEDING AND 2 PRECEDING matches hand values") {
     val df = Seq((1L, 10L), (2L, 11L), (1L, 12L), (3L, 14L))
