@@ -164,15 +164,22 @@ object Fuzz {
         else java.lang.Long.valueOf(rnd.nextInt(12).toLong)
       val id2: java.lang.Long = if (rnd.nextInt(8) == 0) null
         else java.lang.Long.valueOf(rnd.nextInt(4).toLong)
-      (g, r.toLong, b, id, id2)
+      // db mirrors b as a DATE (epoch-anchored) — the round-16 date-
+      // ordered range-frame arm; both engines read a plain integer
+      // range bound over a DATE order key as DAYS (measured in DuckDB)
+      val db: java.sql.Date = if (b == null) null
+        else java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(b.longValue))
+      (g, r.toLong, b, db, id, id2)
     }
     import spark.implicits._
-    val df = rows.toDF("g", "o", "b", "id", "id2")
+    val df = rows.toDF("g", "o", "b", "db", "id", "id2")
 
     val useBy = rnd.nextBoolean()
     val pb = if (useBy) "PARTITION BY g " else ""
     val desc = rnd.nextBoolean()
     val nullsLast = rnd.nextBoolean()
+    val ordCol = if (rnd.nextInt(3) == 0) "db" else "b"
     val dirTxt = (if (desc) "DESC" else "ASC") +
       (if (nullsLast) " NULLS LAST" else " NULLS FIRST")
     def bnd(k: Long): String =
@@ -181,22 +188,22 @@ object Fuzz {
       else s"$k FOLLOWING"
     val (orderTxt, frameTxt) = rnd.nextInt(4) match {
       case 0 => // cumulative (the default-frame family)
-        (s"b $dirTxt",
+        (s"$ordCol $dirTxt",
           "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
       case 1 => // cumulative-to-offset, either sign
         val u = { val x = rnd.nextInt(7) - 3; if (x == 0) -1 else x }
-        (s"b $dirTxt",
+        (s"$ordCol $dirTxt",
           s"RANGE BETWEEN UNBOUNDED PRECEDING AND ${bnd(u.toLong)}")
       case 2 => // any bounded [lo, hi] range frame: trailing,
         // strictly-offset, following-side, straddling, peers
         val lo = rnd.nextInt(11) - 5
         val hi = lo + rnd.nextInt(11 - math.max(0, lo + 5))
-        (s"b $dirTxt",
+        (s"$ordCol $dirTxt",
           s"RANGE BETWEEN ${bnd(lo.toLong)} AND ${bnd(hi.toLong)}")
       case _ => // bounded rows frame, (b, o) order for determinism
         val lo = rnd.nextInt(13) - 6
         val hi = lo + rnd.nextInt(7)
-        (s"b $dirTxt, o ASC",
+        (s"$ordCol $dirTxt, o ASC",
           s"ROWS BETWEEN ${bnd(lo.toLong)} AND ${bnd(hi.toLong)}")
     }
     // target: attribute / expression / multi-argument pair; aggregate:

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
-import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Analyzer rule: `COUNT(DISTINCT x) OVER (PARTITION BY k ORDER BY b
   * RANGE BETWEEN n PRECEDING AND CURRENT ROW)` — and, since round 13,
@@ -59,7 +59,12 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * rides exact 64-bit arithmetic, fractional sums would re-associate
   * floating addition; non-deterministic targets keep the stock
   * rejection), no FILTER clause, attribute partition keys, a single
-  * integral order attribute ASC or DESC (DESC — a LEADING window,
+  * integral or DATE order attribute (round 16: DATE keys bucket to
+  * epoch days via unix_date and take the stock-valid integer DAY
+  * bounds — `ORDER BY d RANGE 7 PRECEDING`; interval-typed bounds
+  * stay unclaimed, because a YearMonthInterval boundary evals to an
+  * int of MONTHS and timestamp+DayTimeInterval frames would need a
+  * micros-dense spine) ASC or DESC (DESC — a LEADING window,
   * "distinct over the next n buckets" — rides the identical ASC
   * pipeline on NEGATED buckets; round-14), and a RANGE frame that is
   * either UNBOUNDED PRECEDING .. CURRENT ROW (the default frame —
@@ -231,15 +236,28 @@ case class RollingDistinctRewrite(spark: SparkSession)
           (lower == UnboundedPreceding || lower == CurrentRow ||
             lower.foldable) &&
           (upper == CurrentRow || upper.foldable) &&
-          integral(ob.dataType) =>
+          // integral order keys, or DATE order keys with integer DAY
+          // offsets (round 16): stock Spark validates (DateType,
+          // IntegerType) range frames — `ORDER BY d RANGE 7 PRECEDING`
+          // — and epoch days ARE the bucket domain, so the same
+          // difference array serves them via unix_date(). Interval
+          // offsets stay unclaimed: YearMonthInterval buckets are not
+          // fixed-width, and timestamp+DayTimeInterval frames would
+          // need a micros-dense spine (the span guard's whole point).
+          (integral(ob.dataType) || ob.dataType == DateType) =>
       // a RANGE boundary as a signed bucket offset: CURRENT ROW = 0,
-      // a foldable numeric = itself (negative = PRECEDING)
+      // a foldable INTEGRAL-TYPED value = itself (negative =
+      // PRECEDING). The type check is load-bearing for DATE order
+      // keys: a YearMonthInterval boundary also evals to an int — of
+      // MONTHS — and would silently be read as days; interval-typed
+      // boundaries must stay unclaimed.
       def offsetOf(b: Expression): Option[Long] = b match {
         case CurrentRow => Some(0L)
-        case e2 if e2.foldable => e2.eval() match {
-          case n: Number => Some(n.longValue)
-          case _         => None
-        }
+        case e2 if e2.foldable && integral(e2.dataType) =>
+          e2.eval() match {
+            case n: Number => Some(n.longValue)
+            case _         => None
+          }
         case _ => None
       }
       val desc = dir == Descending
@@ -433,7 +451,13 @@ case class RollingDistinctRewrite(spark: SparkSession)
       // the identical trailing-ASC problem (nulls stay null through
       // negation, so the null arm is unchanged)
       def bucketOf: Column = {
-        val c = ColumnShim.column(t.order).cast("long")
+        val raw = ColumnShim.column(t.order)
+        // DATE order keys bucket to epoch DAYS (unix_date) — the unit
+        // stock Spark's (DateType, IntegerType) range frames use;
+        // integral keys are their own bucket domain
+        val c =
+          if (t.order.dataType == DateType) unix_date(raw)
+          else raw.cast("long")
         if (t.negate) -c else c
       }
       val proj = childDf

@@ -1339,6 +1339,46 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 2L)))
   }
 
+  test("DATE order key (round 16): integer day bounds over a DATE " +
+      "column rewrite — trailing and strictly-offset hand values " +
+      "match DuckDB's measured native semantics; INTERVAL bounds " +
+      "stay stock-rejected") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val df = Seq((d("2024-01-01"), 1L), (d("2024-01-05"), 2L),
+      (d("2024-01-09"), 1L)).toDF("d", "uid")
+    df.createOrReplaceTempView("rdr_date_t")
+    try {
+      // trailing [d−6, d]: measured DuckDB values 1, 2, 2
+      val trail = spark.sql(
+        """SELECT d, count(DISTINCT uid) OVER
+             (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS c FROM rdr_date_t""")
+      assertRewritten(trail, "date trailing")
+      assert(trail.collect().map(r => (r.getDate(0).toString,
+        r.getLong(1))).toSeq.sorted ==
+        Seq(("2024-01-01", 1L), ("2024-01-05", 2L), ("2024-01-09", 2L)))
+      // strictly-offset [d−6, d−2]: measured DuckDB values 0, 1, 1
+      val off = spark.sql(
+        """SELECT d, count(DISTINCT uid) OVER
+             (ORDER BY d RANGE BETWEEN 6 PRECEDING AND 2 PRECEDING)
+             AS c FROM rdr_date_t""")
+      assertRewritten(off, "date strictly-offset")
+      assert(off.collect().map(r => (r.getDate(0).toString,
+        r.getLong(1))).toSeq.sorted ==
+        Seq(("2024-01-01", 0L), ("2024-01-05", 1L), ("2024-01-09", 1L)))
+      // YearMonthInterval bound: evals to an int of MONTHS — must NOT
+      // be misread as days; the boundary type guard keeps the stock
+      // rejection
+      val e = intercept[Exception] {
+        spark.sql(
+          """SELECT d, count(DISTINCT uid) OVER
+               (ORDER BY d RANGE BETWEEN INTERVAL '1' MONTH PRECEDING
+                AND CURRENT ROW) AS c FROM rdr_date_t""").collect()
+      }
+      assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+    } finally spark.catalog.dropTempView("rdr_date_t")
+  }
+
   test("cumulative-to-offset via the SQL surface: UNBOUNDED " +
       "PRECEDING AND 2 PRECEDING matches hand values") {
     val df = Seq((1L, 10L), (2L, 11L), (1L, 12L), (3L, 14L))
