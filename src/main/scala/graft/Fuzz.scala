@@ -101,19 +101,24 @@ object Fuzz {
     }
     System.err.println(
       s"[fuzz] sqlmutate arm: $sqlOk rendered, $sqlRejected rejected-by-design")
-    // ---- round-16: distinct-window fuzz arm ----
+    // ---- round-16 (extended round 17): distinct-window fuzz arm ----
     // Seeded random COUNT/SUM(DISTINCT …) OVER (…) shapes — every
     // frame family RollingDistinctRewrite claims (cumulative,
     // cumulative-to-offset both signs, any bounded [lo, hi] range
     // frame incl. strictly-offset/following/straddling, bounded rows
-    // frames), all four direction × null-ordering quadrants, targets
+    // frames, round-17 sparse micros-domain int64 frames, and
+    // TIMESTAMP order keys with DayTimeInterval bounds), all four
+    // direction × null-ordering quadrants, targets
     // an attribute / an expression / a multi-argument pair — each
     // replayed against DuckDB's NATIVE distinct window aggregate (an
     // independent oracle from the spec's Scala brute force). Every
     // sample also REQUIREs the rewrite actually fired, so a silently
     // regressed eligibility guard fails the run rather than thinning
     // coverage.
-    val nd = n / 2
+    // round 17: n/2 → 3n/4 (≥150 at the standard n=200) now that the
+    // generator spans EIGHT families — the six round-16 lowerings plus
+    // the sparse-micros-domain and TIMESTAMP/DayTimeInterval arms
+    val nd = n * 3 / 4
     (0 until nd).foreach { i =>
       try {
         val s = distinctSample(spark, i, seed)
@@ -156,6 +161,7 @@ object Fuzz {
     val name = f"fzd$i%03d"
     val nRows = 40 + rnd.nextInt(120)
     val nGroups = 1 + rnd.nextInt(3)
+    val HOUR = 3600L * 1000000L
     val rows = (0 until nRows).map { r =>
       val g = if (rnd.nextInt(8) == 0) null else s"g${rnd.nextInt(nGroups)}"
       val b: java.lang.Long = if (rnd.nextInt(10) == 0) null
@@ -170,10 +176,19 @@ object Fuzz {
       val db: java.sql.Date = if (b == null) null
         else java.sql.Date.valueOf(
           java.time.LocalDate.of(2024, 1, 1).plusDays(b.longValue))
-      (g, r.toLong, b, db, id, id2)
+      // tus mirrors b as epoch MICROS at hour scale with sub-hour
+      // jitter (round 17): the sparse-domain arm orders by the raw
+      // int64 — a bucket domain the dense spine could never afford —
+      // and the interval arm orders by the same micros as a TIMESTAMP
+      // (timestamp_micros / make_timestamp: one int64, two engines)
+      val tus: java.lang.Long = if (b == null) null
+        else java.lang.Long.valueOf(
+          1700000000000000L + b.longValue * HOUR +
+            (rnd.nextInt(3600).toLong * 1000000L))
+      (g, r.toLong, b, db, tus, id, id2)
     }
     import spark.implicits._
-    val df = rows.toDF("g", "o", "b", "db", "id", "id2")
+    val df = rows.toDF("g", "o", "b", "db", "tus", "id", "id2")
 
     val useBy = rnd.nextBoolean()
     val pb = if (useBy) "PARTITION BY g " else ""
@@ -186,40 +201,92 @@ object Fuzz {
       if (k == 0) "CURRENT ROW"
       else if (k < 0) s"${-k} PRECEDING"
       else s"$k FOLLOWING"
-    val (orderTxt, frameTxt) = rnd.nextInt(4) match {
+    // (spark order, duck order, spark frame, duck frame) — identical
+    // text except the interval arm, whose order expression and bound
+    // spellings are engine-specific
+    val (ordS, ordD, frameS, frameD) = rnd.nextInt(6) match {
       case 0 => // cumulative (the default-frame family)
-        (s"$ordCol $dirTxt",
-          "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+        val o = s"$ordCol $dirTxt"
+        val f = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        (o, o, f, f)
       case 1 => // cumulative-to-offset, either sign
         val u = { val x = rnd.nextInt(7) - 3; if (x == 0) -1 else x }
-        (s"$ordCol $dirTxt",
-          s"RANGE BETWEEN UNBOUNDED PRECEDING AND ${bnd(u.toLong)}")
+        val o = s"$ordCol $dirTxt"
+        val f = s"RANGE BETWEEN UNBOUNDED PRECEDING AND ${bnd(u.toLong)}"
+        (o, o, f, f)
       case 2 => // any bounded [lo, hi] range frame: trailing,
         // strictly-offset, following-side, straddling, peers
         val lo = rnd.nextInt(11) - 5
         val hi = lo + rnd.nextInt(11 - math.max(0, lo + 5))
-        (s"$ordCol $dirTxt",
-          s"RANGE BETWEEN ${bnd(lo.toLong)} AND ${bnd(hi.toLong)}")
-      case _ => // bounded rows frame, (b, o) order for determinism
+        val o = s"$ordCol $dirTxt"
+        val f = s"RANGE BETWEEN ${bnd(lo.toLong)} AND ${bnd(hi.toLong)}"
+        (o, o, f, f)
+      case 3 => // bounded rows frame, (b, o) order for determinism
         val lo = rnd.nextInt(13) - 6
         val hi = lo + rnd.nextInt(7)
-        (s"$ordCol $dirTxt, o ASC",
-          s"ROWS BETWEEN ${bnd(lo.toLong)} AND ${bnd(hi.toLong)}")
+        val o = s"$ordCol $dirTxt, o ASC"
+        val f = s"ROWS BETWEEN ${bnd(lo.toLong)} AND ${bnd(hi.toLong)}"
+        (o, o, f, f)
+      case 4 => // SPARSE micros domain (round 17): raw int64 order key
+        // at ~1.7e15 magnitude, hour-scale bounds in micros — the
+        // shape the dense spine hard-errored on; any bounded family
+        val lo = (rnd.nextInt(11) - 5).toLong * HOUR
+        val hi = lo + rnd.nextInt(6).toLong * HOUR
+        val o = s"tus $dirTxt"
+        val f = s"RANGE BETWEEN ${bnd(lo)} AND ${bnd(hi)}"
+        (o, o, f, f)
+      case _ => // TIMESTAMP order key + DayTimeInterval bounds (round
+        // 17): same micros, engine-local timestamp conversion; bound
+        // spellings differ (Spark INTERVAL '3' HOUR, DuckDB INTERVAL
+        // 3 HOUR); all four claimed interval families
+        def bndI(k: Int, side: String, quoted: Boolean): String = {
+          val lit = if (quoted) s"INTERVAL '$k' HOUR"
+            else s"INTERVAL $k HOUR"
+          s"$lit $side"
+        }
+        val k1 = 1 + rnd.nextInt(8)
+        val k2 = 1 + rnd.nextInt(k1)
+        val (fS, fD) = rnd.nextInt(4) match {
+          case 0 => (s"RANGE BETWEEN ${bndI(k1, "PRECEDING", true)} " +
+              "AND CURRENT ROW",
+            s"RANGE BETWEEN ${bndI(k1, "PRECEDING", false)} " +
+              "AND CURRENT ROW")
+          case 1 => (s"RANGE BETWEEN ${bndI(k1, "PRECEDING", true)} " +
+              s"AND ${bndI(k2, "PRECEDING", true)}",
+            s"RANGE BETWEEN ${bndI(k1, "PRECEDING", false)} " +
+              s"AND ${bndI(k2, "PRECEDING", false)}")
+          case 2 => (s"RANGE BETWEEN ${bndI(k1, "PRECEDING", true)} " +
+              s"AND ${bndI(k2, "FOLLOWING", true)}",
+            s"RANGE BETWEEN ${bndI(k1, "PRECEDING", false)} " +
+              s"AND ${bndI(k2, "FOLLOWING", false)}")
+          case _ =>
+            val side = if (rnd.nextBoolean()) "PRECEDING" else "FOLLOWING"
+            (s"RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+              bndI(k2, side, true),
+              s"RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+                bndI(k2, side, false))
+        }
+        (s"timestamp_micros(tus) $dirTxt",
+          s"make_timestamp(tus) $dirTxt", fS, fD)
     }
     // target: attribute / expression / multi-argument pair; aggregate:
     // count always valid, sum only for the scalar targets (the CAST
     // wraps the WHOLE window expression — OVER binds to the aggregate)
-    val over = s"($pb ORDER BY $orderTxt $frameTxt)"
+    val overS = s"($pb ORDER BY $ordS $frameS)"
+    val overD = s"($pb ORDER BY $ordD $frameD)"
     val (sparkAgg, duckAgg) = rnd.nextInt(4) match {
       case 0 =>
-        val e = s"count(DISTINCT id) OVER $over"; (e, e)
+        (s"count(DISTINCT id) OVER $overS",
+          s"count(DISTINCT id) OVER $overD")
       case 1 =>
-        val e = s"count(DISTINCT (id % 5)) OVER $over"; (e, e)
-      case 2 => (s"count(DISTINCT id, id2) OVER $over",
+        (s"count(DISTINCT (id % 5)) OVER $overS",
+          s"count(DISTINCT (id % 5)) OVER $overD")
+      case 2 => (s"count(DISTINCT id, id2) OVER $overS",
         "count(DISTINCT CASE WHEN id IS NULL OR id2 IS NULL " +
-          s"THEN NULL ELSE (id, id2) END) OVER $over")
+          s"THEN NULL ELSE (id, id2) END) OVER $overD")
       case _ =>
-        val e = s"CAST(sum(DISTINCT id) OVER $over AS BIGINT)"; (e, e)
+        (s"CAST(sum(DISTINCT id) OVER $overS AS BIGINT)",
+          s"CAST(sum(DISTINCT id) OVER $overD AS BIGINT)")
     }
     def q(agg: String, tbl: String): String =
       s"SELECT o, $agg AS out FROM $tbl"
@@ -236,7 +303,7 @@ object Fuzz {
           }) => wn
     }
     require(survivors.isEmpty,
-      s"$name: distinct window survived ($sparkAgg / $frameTxt)")
+      s"$name: distinct window survived ($sparkAgg / $frameS)")
     Sample(name, df, res.select(col("o"), col("out")), q(duckAgg, name))
   }
 

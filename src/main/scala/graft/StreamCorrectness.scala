@@ -339,11 +339,15 @@ object StreamCorrectness {
             out += ((k, lt, lv, rs(i)._1)); any = true
             matchedR(i) = true; i += 1
           }
-          if (!any && mode != "inner") out += ((k, lt, lv, MIN))
+          // left-side null extension: leftOuter/fullOuter only
+          // (rightOuter drops unmatched lefts — round 17)
+          if (!any && (mode == "leftOuter" || mode == "fullOuter"))
+            out += ((k, lt, lv, MIN))
         }
-        if (mode == "fullOuter") rs.indices.foreach { i =>
-          if (!matchedR(i)) out += ((k, MIN, MIN, rs(i)._1))
-        }
+        if (mode == "fullOuter" || mode == "rightOuter")
+          rs.indices.foreach { i =>
+            if (!matchedR(i)) out += ((k, MIN, MIN, rs(i)._1))
+          }
         out.result()
       }
 
@@ -652,6 +656,16 @@ object StreamCorrectness {
           drainJoin(b, "fullOuter", s1)
         },
         ev => hashJoin(ev, "fullOuter")),
+      // round-17 (r16 verdict item 6): the RIGHT-OUTER flavor — its
+      // own Structured Streaming join type and eviction arm (right
+      // rows null-flush at watermark passage, left buffer evicts
+      // silently); same two-sided sentinel batches
+      Arm("join_ss_router_delayed",
+        (ev, sd) => {
+          val (b, s1) = joinBatches(ev, sd)
+          drainJoin(b, "rightOuter", s1)
+        },
+        ev => hashJoin(ev, "rightOuter")),
       Arm("dedup_delayed",
         (ev, sd) => {
           // ~1/3 of events re-emitted as exact duplicates; the ooo

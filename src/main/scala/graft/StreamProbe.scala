@@ -332,6 +332,9 @@ object StreamProbe {
         runJoin(ooo(ev, sd), "inner")),
       "join_ss_louter_delayed" -> ((ev, sd) =>
         runJoin(ooo(ev, sd), "leftOuter")),
+      // round-17 (r16 verdict item 6): the rightOuter eviction arm
+      "join_ss_router_delayed" -> ((ev, sd) =>
+        runJoin(ooo(ev, sd), "rightOuter")),
       // round-16 (r15 verdict item 4): the three ENGINE-NATIVE
       // aggregation topologies from the round-15 StreamCorrectness
       // arms (mutateStreamW tumbling/sliding + session_window), probed

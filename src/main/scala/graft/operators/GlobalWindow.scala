@@ -83,6 +83,16 @@ object GlobalWindow {
   sealed trait RunningAgg
   object RunningAgg {
     case object Sum extends RunningAgg
+    /** Long-exact sum (round 17, r16 ADVICE): [[Sum]] accumulates
+      * `sum(v.cast(double))`, so integral magnitudes past 2^53 silently
+      * lose exactness. This kernel keeps the value in its native LONG
+      * arithmetic end to end — partials, offsets, and the combine are
+      * all int64 adds, and ANSI mode makes a genuine int64 overflow a
+      * loud error instead of a wrong answer. For the distinct-sum
+      * carriers of [[graft.operators.RollingDistinct]], whose "exact
+      * 64-bit arithmetic" contract the double carrier was quietly
+      * weakening. `valueCol` must be LongType (or null). */
+    case object SumLong extends RunningAgg
     case object Count extends RunningAgg
     case object Min extends RunningAgg
     case object Max extends RunningAgg
@@ -103,6 +113,11 @@ object GlobalWindow {
       outCol: String, numPartitions: Int = 0): DataFrame =
     groupedCumSum(df, Nil, orderBy, valueCol, outCol, numPartitions)
 
+  /** Ungrouped [[groupedCumSumLong]]. */
+  def cumSumLong(df: DataFrame, orderBy: Seq[Column], valueCol: String,
+      outCol: String, numPartitions: Int = 0): DataFrame =
+    groupedCumSumLong(df, Nil, orderBy, valueCol, outCol, numPartitions)
+
   /** Grouped running sum for FEW-HOT-GROUPS data — parallelism G×P
     * instead of the G-task cap of `Window.partitionBy(group)`. Groups
     * clustered inside a narrow slice of the GLOBAL key distribution
@@ -113,6 +128,16 @@ object GlobalWindow {
   def groupedCumSum(df: DataFrame, by: Seq[String], orderBy: Seq[Column],
       valueCol: String, outCol: String, numPartitions: Int = 0): DataFrame =
     groupedCumAgg(df, by, orderBy, valueCol, outCol, RunningAgg.Sum,
+      numPartitions)
+
+  /** The LONG-EXACT sibling of [[groupedCumSum]] (round 17):
+    * `valueCol` must be LongType; the running value never leaves int64,
+    * so magnitudes past 2^53 stay exact and a genuine overflow is a
+    * loud ANSI error. Same plan shape and scaling notes. */
+  def groupedCumSumLong(df: DataFrame, by: Seq[String],
+      orderBy: Seq[Column], valueCol: String, outCol: String,
+      numPartitions: Int = 0): DataFrame =
+    groupedCumAgg(df, by, orderBy, valueCol, outCol, RunningAgg.SumLong,
       numPartitions)
 
   /** Generalized scalable running aggregate (sum/count/min/max/avg) —
@@ -178,11 +203,15 @@ object GlobalWindow {
     val lw = Window.partitionBy((byCols :+ col(PID)): _*).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val needSum = agg == Sum || agg == Avg
+    val needSumL = agg == SumLong
     val needMin = agg == Min
     val needMax = agg == Max
     var swept = ranged.withColumn(CNT, count(v()).over(lw))
     if (needSum) swept =
       swept.withColumn(LOC, sum(v().cast(DoubleType)).over(lw))
+    // SumLong: NO double cast anywhere — int64 partials/offsets/combine
+    // keep magnitudes past 2^53 exact (ANSI makes true overflow loud)
+    if (needSumL) swept = swept.withColumn(LOC, sum(v()).over(lw))
     if (needMin) swept = swept.withColumn(LOC, min(v()).over(lw))
     if (needMax) swept = swept.withColumn(LOC, max(v()).over(lw))
 
@@ -197,6 +226,7 @@ object GlobalWindow {
     val partials = Seq(count(v()).as("pcnt")) ++
       (if (needSum) Seq(coalesce(sum(v().cast(DoubleType)), lit(0.0)).as(SUM))
        else Nil) ++
+      (if (needSumL) Seq(coalesce(sum(v()), lit(0L)).as(SUM)) else Nil) ++
       (if (needMin) Seq(min(v()).as(MIN)) else Nil) ++
       (if (needMax) Seq(max(v()).as(MAX)) else Nil)
     var offsetDf = ranged.groupBy((byCols :+ col(PID)): _*)
@@ -204,6 +234,8 @@ object GlobalWindow {
       .withColumn(OFFCNT, coalesce(sum(col("pcnt")).over(pw), lit(0L)))
     if (needSum) offsetDf =
       offsetDf.withColumn(OFF, coalesce(sum(col(SUM)).over(pw), lit(0.0)))
+    if (needSumL) offsetDf =
+      offsetDf.withColumn(OFF, coalesce(sum(col(SUM)).over(pw), lit(0L)))
     if (needMin) offsetDf = offsetDf.withColumn(OFFMIN, min(col(MIN)).over(pw))
     if (needMax) offsetDf = offsetDf.withColumn(OFFMAX, max(col(MAX)).over(pw))
     // The offset side's pid is RENAMED (like the `__gw_by_` group keys):
@@ -213,7 +245,7 @@ object GlobalWindow {
     // — two distinct attribute names make the equi-join unambiguous under
     // any plan rewrite.
     val offOut = Seq(col(PID).as(OPID), col(OFFCNT)) ++
-      (if (needSum) Seq(col(OFF)) else Nil) ++
+      (if (needSum || needSumL) Seq(col(OFF)) else Nil) ++
       (if (needMin) Seq(col(OFFMIN)) else Nil) ++
       (if (needMax) Seq(col(OFFMAX)) else Nil)
     offsetDf = offsetDf.select(
@@ -226,6 +258,8 @@ object GlobalWindow {
     val combined: Column = agg match {
       case Sum   => when(col(CNT) + col(OFFCNT) > 0,
         coalesce(col(LOC), lit(0.0)) + col(OFF))
+      case SumLong => when(col(CNT) + col(OFFCNT) > 0,
+        coalesce(col(LOC), lit(0L)) + col(OFF))
       case Avg   => when(col(CNT) + col(OFFCNT) > 0,
         (coalesce(col(LOC), lit(0.0)) + col(OFF)) / (col(CNT) + col(OFFCNT)))
       case Count => col(CNT) + col(OFFCNT)

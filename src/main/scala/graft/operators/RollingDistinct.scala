@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object RollingDistinct {
 
-  /** Spine span guard (r13 ADVICE): the dense bucket spine is
+  /** Spine span guard (r13 ADVICE): the DENSE bucket spine is
     * `sequence(lo, hi)` per group, so a SPARSE integral order domain
     * (epoch-nanos keys with a small range frame) would explode into an
     * enormous per-group sequence and fail late — or run for hours —
@@ -44,7 +44,18 @@ object RollingDistinct {
     * years of second-granular buckets, ~270k years of days) and raises
     * immediately with a quantize-first hint on pathological domains.
     * The subtraction itself is ANSI-checked: span overflow (hi−lo past
-    * int64) also fails loudly rather than wrapping. */
+    * int64) also fails loudly rather than wrapping.
+    *
+    * Round 17: the guard now protects ONLY direct callers of the
+    * dense-output operator forms (`dense = true`, the default — the
+    * "one row per bucket in span, quiet buckets included" contract).
+    * [[graft.plans.RollingDistinctRewrite]] lowers every claimed query
+    * through the SPARSE observed-bucket plan, which materializes no
+    * sequence at all — spine cost scales with DATA, never with domain
+    * span — so the guard is unreachable from the rewrite and the
+    * r16-ADVICE hazard (a frame offset widening the span past the cap
+    * with a misleading quantize hint) no longer exists: no rewrite
+    * plan, offset or not, touches this code path. */
   private def guardedHi(df: DataFrame): Column = {
     val cap = df.sparkSession.conf.get(
       "spark.graft.rollingDistinct.maxBucketSpan", "100000000").toLong
@@ -94,6 +105,52 @@ object RollingDistinct {
         payload.map(c => col(s"__dl.`$c`").as(c)): _*)
   }
 
+  /** SPARSE-SPINE merge (round 17, r16 verdict item 1) — the
+    * as-of-style replacement for the dense `sequence(lo, hi)` spine:
+    *
+    * `spine` is the set of buckets the caller needs OUTPUT rows at
+    * (one (group, "__d") row each — typically the distinct observed
+    * buckets); `deltas` carries the difference-array payload, possibly
+    * at buckets NOT in the spine (a trailing frame's −1 "age-out" row
+    * lands at b+w, which need not be observed). Union the two with a
+    * spine flag, re-aggregate per (group, bucket) — groupBy treats a
+    * NULL group key as ONE real group, so no null-safe join machinery
+    * is needed — run the running sums over the MERGED sparse bucket
+    * set, and keep only spine rows. The running value at a spine
+    * bucket d then includes every delta at buckets ≤ d whether or not
+    * those buckets are in the spine — exactly what the dense spine's
+    * left join + cumulative sum computed, at cost ∝ (observed buckets
+    * + delta rows) instead of ∝ domain span. Output: spine rows only,
+    * with `payload` columns coalesced to 0 and the "__sp" flag
+    * dropped; caller runs its running sums BEFORE the spine filter via
+    * the returned frame — so this helper returns the merged frame plus
+    * the flag, and [[sparseRunning]] finishes the job. */
+  private def sparseMerge(spine: DataFrame, deltas: DataFrame,
+      by: Seq[String], payload: Seq[String]): DataFrame = {
+    val byd = (by :+ "__d").map(col)
+    val s = spine.select(byd ++
+      payload.map(p => lit(0L).as(p)) :+ lit(1).as("__sp"): _*)
+    val d = deltas.select(byd ++
+      payload.map(col) :+ lit(0).as("__sp"): _*)
+    val aggs = payload.map(p => sum(col(p)).as(p)) :+
+      max(col("__sp")).as("__sp")
+    s.unionByName(d)
+      .groupBy(byd: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(byd ++ payload.map(p =>
+        coalesce(col(p), lit(0L)).as(p)) :+ col("__sp"): _*)
+  }
+
+  /** Run the Long-exact running sums over a [[sparseMerge]] frame and
+    * keep the spine rows. */
+  private def sparseRunning(merged: DataFrame, by: Seq[String],
+      payload: Seq[(String, String)]): DataFrame = {
+    val cum = payload.foldLeft(merged) { case (acc, (in, out)) =>
+      GlobalWindow.groupedCumSumLong(acc, by, Seq(col("__d")), in, out)
+    }
+    cum.filter(col("__sp") === 1).drop("__sp")
+  }
+
   /** Append the exact trailing-`w`-bucket distinct count of `idCol`,
     * evaluated at EVERY bucket in the data's [min, max] span (buckets
     * with no activity included — the count can stay positive while ids
@@ -105,18 +162,28 @@ object RollingDistinct {
     * `sequence()` from a single min/max aggregate — bounded by the
     * bucket-domain size, not by |df|. */
   def trailingDistinct(df: DataFrame, idCol: String, bucketCol: String,
-      w: Int, outCol: String = "distinct_cnt"): DataFrame =
+      w: Long, outCol: String = "distinct_cnt"): DataFrame =
     groupedTrailingDistinct(df, Nil, idCol, bucketCol, w, outCol)
 
   /** Grouped form: the same decomposition per `by` group (rolling
     * uniques per source/domain/tenant). Group columns ride every stage
     * as extra keys; the spine is each group's own [min, max] span; the
-    * final running sum is [[GlobalWindow.groupedCumSum]], so few hot
-    * groups get G×P parallelism instead of a G-task window cap. */
+    * final running sum is [[GlobalWindow.groupedCumSumLong]], so few
+    * hot groups get G×P parallelism instead of a G-task window cap.
+    *
+    * `dense = true` (the default) keeps the documented one-row-per-
+    * bucket-in-span output (quiet buckets included) via the sequence
+    * spine, guarded by `maxBucketSpan`; `dense = false` (round 17 —
+    * what [[graft.plans.RollingDistinctRewrite]] uses) evaluates ONLY
+    * at the observed buckets of `spineFrom.getOrElse(df)` through
+    * [[sparseMerge]], with NO dense sequence and no span guard: a
+    * sparse 64-bit domain (epoch micros/nanos) costs ∝ data, not ∝
+    * span. `w` is Long so micros-granular frame widths fit. */
   def groupedTrailingDistinct(df: DataFrame, by: Seq[String], idCol: String,
-      bucketCol: String, w: Int,
+      bucketCol: String, w: Long,
       outCol: String = "distinct_cnt",
-      spineFrom: Option[DataFrame] = None): DataFrame = {
+      spineFrom: Option[DataFrame] = None,
+      dense: Boolean = true): DataFrame = {
     require(w >= 1, "window width must be >= 1 bucket")
     import org.apache.spark.sql.expressions.Window
 
@@ -142,23 +209,33 @@ object RollingDistinct {
       .groupBy((by :+ "__d").map(col): _*)
       .agg(sum(col("__delta")).as("__delta"))
 
-    // dense bucket spine over each group's observed span (one row per
-    // group → sequence; size = group's bucket-domain, not data).
-    // `spineFrom` widens the span beyond df's own buckets when the
-    // caller must evaluate trailing windows at buckets df doesn't
-    // carry (RollingDistinctRewrite: rows whose id is null still have
-    // a frame); deltas falling past the spine are dropped by the left
-    // join and can only affect buckets past it — never one inside.
-    val spine = spineFrom.getOrElse(df).groupBy(byCols: _*)
-      .agg(min(col(bucketCol).cast("long")).as("__lo"),
-        max(col(bucketCol).cast("long")).as("__hi"))
-      .select(byCols :+ explode(sequence(col("__lo"), guardedHi(df)))
-        .as("__d"): _*)
-    val joined = joinSpineDeltas(spine, deltas, by, Seq("__delta"))
-      .withColumn("__delta", coalesce(col("__delta"), lit(0L)))
-
-    GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")), "__delta",
-        "__cum")
+    val joined =
+      if (dense) {
+        // dense bucket spine over each group's observed span (one row
+        // per group → sequence; size = group's bucket-domain, not
+        // data). `spineFrom` widens the span beyond df's own buckets
+        // when the caller must evaluate trailing windows at buckets df
+        // doesn't carry; deltas falling past the spine are dropped by
+        // the left join and can only affect buckets past it — never
+        // one inside.
+        val spine = spineFrom.getOrElse(df).groupBy(byCols: _*)
+          .agg(min(col(bucketCol).cast("long")).as("__lo"),
+            max(col(bucketCol).cast("long")).as("__hi"))
+          .select(byCols :+ explode(sequence(col("__lo"), guardedHi(df)))
+            .as("__d"): _*)
+        joinSpineDeltas(spine, deltas, by, Seq("__delta"))
+          .withColumn("__delta", coalesce(col("__delta"), lit(0L)))
+          .withColumn("__sp", lit(1))
+      } else {
+        // SPARSE spine (round 17): evaluate only at observed buckets;
+        // age-out deltas at unobserved b+w ride the merged running sum
+        // and are filtered after — no sequence, no span guard.
+        val spineB = spineFrom.getOrElse(df)
+          .select(byCols :+ col(bucketCol).cast("long").as("__d"): _*)
+          .filter(col("__d").isNotNull).distinct()
+        sparseMerge(spineB, deltas, by, Seq("__delta"))
+      }
+    sparseRunning(joined, by, Seq("__delta" -> "__cum"))
       .select(byCols :+ col("__d").as(bucketCol) :+
         col("__cum").cast("long").as(outCol): _*)
   }
@@ -180,9 +257,10 @@ object RollingDistinct {
     * the sum on `cntCol > 0` ([[graft.plans.RollingDistinctRewrite]]
     * does). Output: (by..., bucketCol long, cntCol long, sumCol long). */
   def groupedTrailingDistinctSum(df: DataFrame, by: Seq[String],
-      valueCol: String, bucketCol: String, w: Int,
+      valueCol: String, bucketCol: String, w: Long,
       cntCol: String, sumCol: String,
-      spineFrom: Option[DataFrame] = None): DataFrame = {
+      spineFrom: Option[DataFrame] = None,
+      dense: Boolean = true): DataFrame = {
     require(w >= 1, "window width must be >= 1 bucket")
     import org.apache.spark.sql.expressions.Window
 
@@ -207,21 +285,28 @@ object RollingDistinct {
       .groupBy((by :+ "__d").map(col): _*)
       .agg(sum(col("__dc")).as("__dc"), sum(col("__dv")).as("__dv"))
 
-    val spine = spineFrom.getOrElse(df).groupBy(byCols: _*)
-      .agg(min(col(bucketCol).cast("long")).as("__lo"),
-        max(col(bucketCol).cast("long")).as("__hi"))
-      .select(byCols :+ explode(sequence(col("__lo"), guardedHi(df)))
-        .as("__d"): _*)
-    val joined = joinSpineDeltas(spine, deltas, by, Seq("__dc", "__dv"))
-      .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
-      .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
-
-    // both running sums ride the same pid-stamped two-pass scaffold;
-    // the second pass consumes the first's output (bucket-domain-sized
-    // frames — days, not rows — so the extra pass is cheap)
-    val c1 = GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")),
-      "__dc", "__cc")
-    GlobalWindow.groupedCumSum(c1, by, Seq(col("__d")), "__dv", "__cv")
+    val joined =
+      if (dense) {
+        val spine = spineFrom.getOrElse(df).groupBy(byCols: _*)
+          .agg(min(col(bucketCol).cast("long")).as("__lo"),
+            max(col(bucketCol).cast("long")).as("__hi"))
+          .select(byCols :+ explode(sequence(col("__lo"), guardedHi(df)))
+            .as("__d"): _*)
+        joinSpineDeltas(spine, deltas, by, Seq("__dc", "__dv"))
+          .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
+          .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
+          .withColumn("__sp", lit(1))
+      } else {
+        val spineB = spineFrom.getOrElse(df)
+          .select(byCols :+ col(bucketCol).cast("long").as("__d"): _*)
+          .filter(col("__d").isNotNull).distinct()
+        sparseMerge(spineB, deltas, by, Seq("__dc", "__dv"))
+      }
+    // both running sums ride the same pid-stamped two-pass scaffold
+    // (Long-exact — r16 ADVICE); the second pass consumes the first's
+    // output (sparse-bucket-sized frames, so the extra pass is cheap)
+    sparseRunning(joined, by,
+        Seq("__dc" -> "__cc", "__dv" -> "__cv"))
       .select(byCols :+ col("__d").as(bucketCol) :+
         col("__cc").cast("long").as(cntCol) :+
         col("__cv").cast("long").as(sumCol): _*)
@@ -244,7 +329,8 @@ object RollingDistinct {
   def groupedCumulativeDistinctSum(df: DataFrame, by: Seq[String],
       valueCol: String, bucketCol: String,
       cntCol: String, sumCol: String,
-      spineFrom: Option[DataFrame] = None): DataFrame = {
+      spineFrom: Option[DataFrame] = None,
+      dense: Boolean = true): DataFrame = {
     val carrier: Column =
       if (sumCastable(df, valueCol)) col("__v").try_cast("bigint")
       else lit(null).cast("bigint")
@@ -281,24 +367,35 @@ object RollingDistinct {
         sum(carrier).as("__dv"))
 
     val spineSrc = spineFrom.getOrElse(df)
-    val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
-      .groupBy(byCols: _*)
-      .agg(min(checkedB(col(bucketCol).cast("long"))).as("__lo"),
-        max(col(bucketCol).cast("long")).as("__hi"))
-      .select(byCols :+ explode(sequence(col("__lo"),
-        guardedHi(spineSrc))).as("__d"): _*)
-    val sentSpine = spineSrc.filter(col(bucketCol).isNull)
-      .select(byCols: _*).distinct()
-      .withColumn("__d", lit(SENT))
-      .select(realSpan.columns.map(col): _*)
-    val joined = joinSpineDeltas(realSpan.unionByName(sentSpine),
-        deltas, by, Seq("__dc", "__dv"))
-      .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
-      .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
-
-    val c1 = GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")),
-      "__dc", "__cc")
-    GlobalWindow.groupedCumSum(c1, by, Seq(col("__d")), "__dv", "__cv")
+    val joined =
+      if (dense) {
+        val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
+          .groupBy(byCols: _*)
+          .agg(min(checkedB(col(bucketCol).cast("long"))).as("__lo"),
+            max(col(bucketCol).cast("long")).as("__hi"))
+          .select(byCols :+ explode(sequence(col("__lo"),
+            guardedHi(spineSrc))).as("__d"): _*)
+        val sentSpine = spineSrc.filter(col(bucketCol).isNull)
+          .select(byCols: _*).distinct()
+          .withColumn("__d", lit(SENT))
+          .select(realSpan.columns.map(col): _*)
+        joinSpineDeltas(realSpan.unionByName(sentSpine),
+            deltas, by, Seq("__dc", "__dv"))
+          .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
+          .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
+          .withColumn("__sp", lit(1))
+      } else {
+        // sparse: observed buckets only (null → the −∞ sentinel row,
+        // exactly the dense path's sentSpine); the sentinel check
+        // rides the same checkedB guard
+        val spineB = spineSrc.select(byCols :+
+            coalesce(checkedB(col(bucketCol).cast("long")), lit(SENT))
+              .as("__d"): _*)
+          .distinct()
+        sparseMerge(spineB, deltas, by, Seq("__dc", "__dv"))
+      }
+    sparseRunning(joined, by,
+        Seq("__dc" -> "__cc", "__dv" -> "__cv"))
       .select(byCols :+
         when(col("__d") === SENT, lit(null).cast("long"))
           .otherwise(col("__d")).as(bucketCol) :+
@@ -328,7 +425,8 @@ object RollingDistinct {
   def groupedCumulativeDistinctSumNullsLast(df: DataFrame, by: Seq[String],
       valueCol: String, bucketCol: String,
       cntCol: String, sumCol: String,
-      spineFrom: Option[DataFrame] = None): DataFrame = {
+      spineFrom: Option[DataFrame] = None,
+      dense: Boolean = true): DataFrame = {
     val carrier: Column =
       if (sumCastable(df, valueCol)) col("__v").try_cast("bigint")
       else lit(null).cast("bigint")
@@ -347,20 +445,26 @@ object RollingDistinct {
         sum(carrier).as("__dv"))
 
     val spineSrc = spineFrom.getOrElse(df)
-    val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
-      .groupBy(byCols: _*)
-      .agg(min(col(bucketCol).cast("long")).as("__lo"),
-        max(col(bucketCol).cast("long")).as("__hi"))
-      .select(byCols :+ explode(sequence(col("__lo"),
-        guardedHi(spineSrc))).as("__d"): _*)
-    val joined = joinSpineDeltas(realSpan, deltas, by,
-        Seq("__dc", "__dv"))
-      .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
-      .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
-    val c1 = GlobalWindow.groupedCumSum(joined, by, Seq(col("__d")),
-      "__dc", "__cc")
-    val nonNullArm = GlobalWindow
-      .groupedCumSum(c1, by, Seq(col("__d")), "__dv", "__cv")
+    val joined =
+      if (dense) {
+        val realSpan = spineSrc.filter(col(bucketCol).isNotNull)
+          .groupBy(byCols: _*)
+          .agg(min(col(bucketCol).cast("long")).as("__lo"),
+            max(col(bucketCol).cast("long")).as("__hi"))
+          .select(byCols :+ explode(sequence(col("__lo"),
+            guardedHi(spineSrc))).as("__d"): _*)
+        joinSpineDeltas(realSpan, deltas, by, Seq("__dc", "__dv"))
+          .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
+          .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
+          .withColumn("__sp", lit(1))
+      } else {
+        val spineB = spineSrc.filter(col(bucketCol).isNotNull)
+          .select(byCols :+ col(bucketCol).cast("long").as("__d"): _*)
+          .distinct()
+        sparseMerge(spineB, deltas, by, Seq("__dc", "__dv"))
+      }
+    val nonNullArm = sparseRunning(joined, by,
+        Seq("__dc" -> "__cc", "__dv" -> "__cv"))
       .select(byCols :+ col("__d").as(bucketCol) :+
         col("__cc").cast("long").as(cntCol) :+
         col("__cv").cast("long").as(sumCol): _*)

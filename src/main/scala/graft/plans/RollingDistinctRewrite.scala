@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
-import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, DayTimeIntervalType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Analyzer rule: `COUNT(DISTINCT x) OVER (PARTITION BY k ORDER BY b
   * RANGE BETWEEN n PRECEDING AND CURRENT ROW)` — and, since round 13,
@@ -59,12 +59,18 @@ import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, 
   * rides exact 64-bit arithmetic, fractional sums would re-associate
   * floating addition; non-deterministic targets keep the stock
   * rejection), no FILTER clause, attribute partition keys, a single
-  * integral or DATE order attribute (round 16: DATE keys bucket to
-  * epoch days via unix_date and take the stock-valid integer DAY
-  * bounds — `ORDER BY d RANGE 7 PRECEDING`; interval-typed bounds
-  * stay unclaimed, because a YearMonthInterval boundary evals to an
-  * int of MONTHS and timestamp+DayTimeInterval frames would need a
-  * micros-dense spine) ASC or DESC (DESC — a LEADING window,
+  * integral, DATE, or TIMESTAMP order attribute (round 16: DATE keys
+  * bucket to epoch days via unix_date and take the stock-valid
+  * integer DAY bounds — `ORDER BY d RANGE 7 PRECEDING`; round 17:
+  * TIMESTAMP keys bucket to epoch MICROS via unix_micros and take
+  * DayTimeInterval bounds — `RANGE INTERVAL '7' DAY PRECEDING`, the
+  * natural pure-SQL event-time spelling, affordable now that the
+  * SPARSE lowering costs ∝ data instead of ∝ bucket span;
+  * YearMonthInterval bounds stay unclaimed for every key type —
+  * month buckets are not fixed-width — and integer bounds over a
+  * TIMESTAMP stay unclaimed because stock Spark rejects that frame
+  * as invalid, which claiming would silently legalize) ASC or DESC
+  * (DESC — a LEADING window,
   * "distinct over the next n buckets" — rides the identical ASC
   * pipeline on NEGATED buckets; round-14), and a RANGE frame that is
   * either UNBOUNDED PRECEDING .. CURRENT ROW (the default frame —
@@ -168,6 +174,15 @@ case class RollingDistinctRewrite(spark: SparkSession)
   private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
 
+  /** Frame-offset magnitude cap (round 17): with the SPARSE lowering
+    * there is no dense spine whose size scales with the offset, so the
+    * old Int-range cap (which existed to keep the operator width an
+    * Int) is gone — the width is Long now, and this cap only keeps the
+    * downstream bucket arithmetic (b ± w, axis negation, probe shift)
+    * overflow-safe for any realistic order domain: 2^60 µs ≈ 36,000
+    * years. Offsets past it keep the stock rejection. */
+  private val MaxAbsOffset = 1L << 60
+
   /** A distinct-target the rewrite can claim — widened in round 16
     * (r15 verdict item 5) from attribute-only to ANY deterministic
     * resolved scalar expression: `COUNT(DISTINCT date_trunc('day',
@@ -236,24 +251,38 @@ case class RollingDistinctRewrite(spark: SparkSession)
           (lower == UnboundedPreceding || lower == CurrentRow ||
             lower.foldable) &&
           (upper == CurrentRow || upper.foldable) &&
-          // integral order keys, or DATE order keys with integer DAY
+          // integral order keys; DATE order keys with integer DAY
           // offsets (round 16): stock Spark validates (DateType,
           // IntegerType) range frames — `ORDER BY d RANGE 7 PRECEDING`
           // — and epoch days ARE the bucket domain, so the same
-          // difference array serves them via unix_date(). Interval
-          // offsets stay unclaimed: YearMonthInterval buckets are not
-          // fixed-width, and timestamp+DayTimeInterval frames would
-          // need a micros-dense spine (the span guard's whole point).
-          (integral(ob.dataType) || ob.dataType == DateType) =>
-      // a RANGE boundary as a signed bucket offset: CURRENT ROW = 0,
-      // a foldable INTEGRAL-TYPED value = itself (negative =
-      // PRECEDING). The type check is load-bearing for DATE order
-      // keys: a YearMonthInterval boundary also evals to an int — of
-      // MONTHS — and would silently be read as days; interval-typed
-      // boundaries must stay unclaimed.
+          // difference array serves them via unix_date(); TIMESTAMP
+          // order keys with DayTimeInterval offsets (round 17, r16
+          // verdict item 2): `RANGE INTERVAL '7' DAY PRECEDING` — a
+          // day-time interval is a FIXED number of microseconds and
+          // timestamps bucket to epoch micros via unix_micros(), so
+          // the identical machinery serves event-time frames now that
+          // the SPARSE lowering makes a micros-granular bucket domain
+          // cost ∝ data instead of ∝ span. YearMonthInterval offsets
+          // stay unclaimed for every key type: month buckets are not
+          // fixed-width.
+          (integral(ob.dataType) || ob.dataType == DateType ||
+            ob.dataType == TimestampType) =>
+      // a RANGE boundary as a signed bucket offset: CURRENT ROW = 0;
+      // for integral/DATE keys a foldable INTEGRAL-TYPED value =
+      // itself (negative = PRECEDING) — the type check is load-bearing
+      // for DATE order keys: a YearMonthInterval boundary also evals
+      // to an int — of MONTHS — and would silently be read as days;
+      // for TIMESTAMP keys a foldable DAY-TIME-INTERVAL value = its
+      // micros (the only boundary type whose bucket width is fixed;
+      // integer bounds over a timestamp are stock-INVALID and claiming
+      // them would legalize a frame stock Spark rejects, so they stay
+      // unclaimed).
+      val tsKey = ob.dataType == TimestampType
       def offsetOf(b: Expression): Option[Long] = b match {
         case CurrentRow => Some(0L)
-        case e2 if e2.foldable && integral(e2.dataType) =>
+        case e2 if e2.foldable &&
+            (if (tsKey) e2.dataType.isInstanceOf[DayTimeIntervalType]
+             else integral(e2.dataType)) =>
           e2.eval() match {
             case n: Number => Some(n.longValue)
             case _         => None
@@ -289,7 +318,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
           // null ordering exactly as the sentinel/mirror arms do).
           case (UnboundedPreceding, up) =>
             offsetOf(up).collect {
-              case u if math.abs(u) <= Int.MaxValue.toLong - 2 =>
+              case u if math.abs(u) <= MaxAbsOffset =>
                 Target(a, id, part.map(_.asInstanceOf[Attribute]), ob,
                   None, k, negate = desc, nullsLast = no == NullsLast,
                   mPreceding = -u)
@@ -319,11 +348,12 @@ case class RollingDistinctRewrite(spark: SparkSession)
               hi <- offsetOf(upper)
               if lo <= hi
               // magnitude guards before any negation/subtraction:
-              // keeps −lo / hi−lo overflow-free and n, m, and the
-              // operator width w = n−m+1 = hi−lo+1 in Int range
-              if lo >= -(Int.MaxValue.toLong - 2) &&
-                hi <= Int.MaxValue.toLong - 2 &&
-                hi - lo <= Int.MaxValue.toLong - 2
+              // keeps −lo / hi−lo and the Long operator width
+              // w = n−m+1 = hi−lo+1 overflow-free (the width is Long
+              // since round 17 — micros-granular frames need it; the
+              // old Int cap is gone with the dense spine)
+              if lo >= -MaxAbsOffset && hi <= MaxAbsOffset &&
+                hi - lo <= MaxAbsOffset
             } yield {
               val (n, m) = if (lo >= 0) (hi, lo) else (-lo, -hi)
               Target(a, id, part.map(_.asInstanceOf[Attribute]), ob,
@@ -360,6 +390,10 @@ case class RollingDistinctRewrite(spark: SparkSession)
           (k, id) <- kindIdOf(f)
           lo <- rowOffsetOf(lower)
           hi <- rowOffsetOf(upper)
+          // maxLag <= 0 unclaims ALL rows frames (r16 ADVICE: with the
+          // old bounds alone, the degenerate [0, 0] frame still passed
+          // every check at cap 0, so "0 disables the arm" was a lie)
+          if maxRowsLag > 0
           // magnitude bounds FIRST (r15 review: math.abs(Long.MinValue)
           // is negative and hi − lo can wrap, so an extreme literal —
           // e.g. a hand-built Literal(Long.MinValue) frame — would
@@ -454,9 +488,13 @@ case class RollingDistinctRewrite(spark: SparkSession)
         val raw = ColumnShim.column(t.order)
         // DATE order keys bucket to epoch DAYS (unix_date) — the unit
         // stock Spark's (DateType, IntegerType) range frames use;
-        // integral keys are their own bucket domain
+        // TIMESTAMP keys to epoch MICROS (unix_micros) — the unit a
+        // DayTimeInterval boundary evaluates to (round 17; the sparse
+        // lowering makes the micros domain affordable); integral keys
+        // are their own bucket domain
         val c =
           if (t.order.dataType == DateType) unix_date(raw)
+          else if (t.order.dataType == TimestampType) unix_micros(raw)
           else raw.cast("long")
         if (t.negate) -c else c
       }
@@ -474,8 +512,9 @@ case class RollingDistinctRewrite(spark: SparkSession)
       // OFFSET frames (m ≠ 0) evaluate their lowering at the SHIFTED
       // bucket b−m, which need not itself be an observed bucket —
       // widen the spine with the shifted copies so every probe bucket
-      // has a frame row (the spine is min/max + dense sequence, so
-      // this just extends the span by |m|; duplicated rows cannot
+      // has a frame row (under the round-17 SPARSE lowering this adds
+      // at most one extra spine bucket per observed bucket — ≤2×
+      // observed, never span-proportional; duplicated rows cannot
       // change the lowerings' DISTINCT totals or sentinel detection)
       def widened(src: DataFrame): DataFrame =
         if (t.mPreceding == 0L) src
@@ -494,7 +533,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
               proj.filter(col(idName).isNotNull), by = gNames,
               valueCol = idName, bucketCol = bName,
               cntCol = cntName, sumCol = sumName,
-              spineFrom = Some(widened(proj)))
+              spineFrom = Some(widened(proj)), dense = false)
         case None =>
           // UNBOUNDED PRECEDING (the default frame — cumulative
           // distinct): one first-occurrence difference array serves
@@ -507,7 +546,7 @@ case class RollingDistinctRewrite(spark: SparkSession)
             proj.filter(col(idName).isNotNull), by = gNames,
             valueCol = idName, bucketCol = bName,
             cntCol = cntName, sumCol = sumName,
-            spineFrom = Some(widened(proj)))
+            spineFrom = Some(widened(proj)), dense = false)
         case Some(nPrec) =>
           val (frame, nullArm) =
             if (!needsSum) {
@@ -515,8 +554,9 @@ case class RollingDistinctRewrite(spark: SparkSession)
                 .groupedTrailingDistinct(
                   idBearing, by = gNames, idCol = idName,
                   bucketCol = bName,
-                  w = (nPrec - t.mPreceding + 1).toInt,
-                  outCol = cntName, spineFrom = spineSrc)
+                  w = nPrec - t.mPreceding + 1,
+                  outCol = cntName, spineFrom = spineSrc,
+                  dense = false)
               val na = proj.filter(col(bName).isNull)
                 .groupBy(gNames.map(col): _*)
                 .agg(count_distinct(col(idName)).as(cntName))
@@ -528,9 +568,9 @@ case class RollingDistinctRewrite(spark: SparkSession)
                 .groupedTrailingDistinctSum(
                   idBearing, by = gNames, valueCol = idName,
                   bucketCol = bName,
-                  w = (nPrec - t.mPreceding + 1).toInt,
+                  w = nPrec - t.mPreceding + 1,
                   cntCol = cntName, sumCol = sumName,
-                  spineFrom = spineSrc)
+                  spineFrom = spineSrc, dense = false)
               // null-order-key peer frame: count AND sum of the
               // distinct ids among null-bucket rows (sum_distinct of
               // an all-null / empty set is NULL — matching the naive

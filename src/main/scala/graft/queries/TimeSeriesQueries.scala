@@ -410,7 +410,7 @@ object TimeSeriesQueries {
     "stream_quantile_stateful", "stream_ewma_stateful",
     "join_stream_asof",
     "join_stream_stream", "join_stream_stream_louter",
-    "join_stream_stream_fouter")
+    "join_stream_stream_fouter", "join_stream_stream_router")
 
   /** EVERY key whose query constructor executes a micro-batch pipeline
     * and returns a memory-sink scan (so there is no lintable batch
@@ -1332,6 +1332,47 @@ object TimeSeriesQueries {
       s.catalog.dropTempView(qn)
       out
     }),
+    "join_stream_stream_router" -> ((s, dir) => {
+      // Stream-stream RIGHT-OUTER join (round 17, r16 verdict item 6)
+      // — the fourth and last outer flavor: Structured Streaming
+      // treats rightOuter as its own join type with its own eviction
+      // arm (the RIGHT side's unmatched rows emit null-extended when
+      // the global watermark passes their join-window end; the left
+      // buffer evicts silently). Same shared two-sided-sentinel
+      // fixture and pushdown hazard as the louter/fouter keys — no
+      // post-join filters. Oracle: the plain batch RIGHT JOIN;
+      // user_id comes from the right side (always present).
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val rangeMs = 3600000L
+      val srcDir = stagedJoinDir(s, dir, rangeMs)
+      val schema = new StructType().add("event_id", LongType)
+        .add("key", LongType).add("tsMillis", LongType)
+        .add("side", IntegerType)
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val l = src.filter(col("side") === 0)
+        .select(col("event_id").as("l_id"), col("key"),
+          timestamp_millis(col("tsMillis")).as("l_ts"))
+        .withWatermark("l_ts", "1 second")
+      val r = src.filter(col("side") === 1)
+        .select(col("event_id").as("r_id"), col("key").as("r_key"),
+          timestamp_millis(col("tsMillis")).as("r_ts"))
+        .withWatermark("r_ts", "1 second")
+      val joined = l.join(r, col("key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+          "rightOuter")
+        .select(col("l_id"), col("r_key").as("user_id"), col("r_id"))
+      val qn = s"graft_ss_router_${streamRuns.incrementAndGet()}"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qn)
+      val out = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView(qn)
+      out
+    }),
     "stream_sink_idempotent" -> ((s, dir) => {
       // foreachBatch EXACTLY-ONCE parquet sink: each micro-batch
       // overwrites its OWN batch-id-keyed directory, so replaying a
@@ -2131,6 +2172,84 @@ object TimeSeriesQueries {
       require(distinctWindows.isEmpty,
         "window_running_distinct_expr_rule: the expression-target " +
           "distinct survived — the round-16 widening did not fire")
+      out
+    }),
+    "window_rolling_distinct_sparse_rule" -> ((s, dir) => {
+      // SPARSE 64-bit order domain through the rule (round 17, r16
+      // verdict item 1): count(DISTINCT user_id) OVER (ORDER BY
+      // epoch_micros RANGE 1 HOUR-of-µs PRECEDING) — the "uniques in
+      // the trailing hour, at event precision" question. The bucket
+      // domain is epoch MICROS (span ~3.5e12 at the fixture's 40
+      // days), which the dense-spine lowering hard-errored on at the
+      // 1e8 span cap; the sparse observed-bucket lowering materializes
+      // one spine row per DISTINCT OBSERVED micros instead — cost ∝
+      // data, span-independent — so the same declarative form now
+      // plans and scales. The frame offset 3.6e9 µs also exceeds
+      // Int.MaxValue, exercising the round-17 Long width end to end.
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"))
+      val w = Window.orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      val out = e.select(col("event_id"),
+        count_distinct(col("user_id")).over(w).as("uniq1h"))
+      val opt = out.queryExecution.optimizedPlan
+      val survivors = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(survivors.isEmpty,
+        "window_rolling_distinct_sparse_rule: the sparse-domain " +
+          "distinct window survived — the round-17 lowering did not " +
+          "fire")
+      // the sparse contract itself: NO per-group dense sequence()
+      // spine in the plan (the old lowering's signature node)
+      val denseSpines = opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+            if g.generator.exists {
+              case _: org.apache.spark.sql.catalyst.expressions.Sequence
+                  => true
+              case _ => false
+            } => g
+      }
+      require(denseSpines.isEmpty,
+        "window_rolling_distinct_sparse_rule: found a dense " +
+          "sequence() spine — the sparse lowering regressed")
+      out
+    }),
+    "window_rangeframe_distinct_interval_rule" -> ((s, dir) => {
+      // INTERVAL-bounded range frame over a TIMESTAMP order key
+      // (round 17, r16 verdict item 2): `RANGE BETWEEN INTERVAL '1'
+      // DAY PRECEDING AND CURRENT ROW` — the natural pure-SQL spelling
+      // of trailing-distinct over event time, stock-rejected for
+      // DISTINCT and previously unclaimed (a DayTimeInterval boundary
+      // needs a micros bucket domain, infeasible under the dense
+      // spine). The timestamp buckets to epoch micros via
+      // unix_micros; the interval evaluates to its fixed micros
+      // width; the sparse lowering carries the rest. Oracle: DuckDB's
+      // native distinct window over the identical interval frame.
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("tts"))
+      val out = e.select(col("event_id"),
+        expr("""count(DISTINCT user_id) OVER
+                 (ORDER BY tts RANGE BETWEEN INTERVAL '1' DAY PRECEDING
+                  AND CURRENT ROW)""").as("uniq1d"))
+      val survivors = out.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(survivors.isEmpty,
+        "window_rangeframe_distinct_interval_rule: the interval-" +
+          "bounded distinct window survived — the round-17 " +
+          "TIMESTAMP/DayTimeInterval claim did not fire")
       out
     }),
     "window_rolling_distinct_by" -> ((s, dir) => {
@@ -2949,6 +3068,16 @@ object TimeSeriesQueries {
          SELECT l.l_id, COALESCE(l.user_id, r.r_uid) AS user_id, r.r_id
          FROM l FULL JOIN r ON l.user_id = r.r_uid
            AND r.rms BETWEEN l.ms - 3600000 AND l.ms + 3600000""",
+    "join_stream_stream_router" ->
+      """WITH e AS (SELECT event_id, user_id,
+           epoch_ns(ts) // 1000000 AS ms FROM events),
+         l AS (SELECT event_id AS l_id, user_id, ms FROM e
+           WHERE event_id % 4 = 0),
+         r AS (SELECT event_id AS r_id, user_id AS r_uid, ms AS rms
+           FROM e WHERE event_id % 4 = 1)
+         SELECT l.l_id, r.r_uid AS user_id, r.r_id
+         FROM l RIGHT JOIN r ON l.user_id = r.r_uid
+           AND r.rms BETWEEN l.ms - 3600000 AND l.ms + 3600000""",
     "stream_sink_idempotent" ->
       "SELECT event_id, user_id, value FROM events",
     "resample_gapfill" ->
@@ -3092,6 +3221,26 @@ object TimeSeriesQueries {
          SELECT s.day, count(DISTINCT e.user_id) AS cum_uniq
          FROM span s LEFT JOIN e ON e.day <= s.day
          GROUP BY 1""",
+    // DuckDB's NATIVE distinct window over the identical sparse
+    // micros-domain frame — an independent engine's evaluation of the
+    // same declarative query (round 17: the sparse lowering makes the
+    // Spark side legal AND span-independent)
+    "window_rolling_distinct_sparse_rule" ->
+      """WITH e AS (SELECT event_id, user_id,
+           epoch_ns(ts) // 1000 AS tus FROM events)
+         SELECT event_id, count(DISTINCT user_id) OVER
+             (ORDER BY tus RANGE BETWEEN 3600000000 PRECEDING
+              AND CURRENT ROW) AS uniq1h
+         FROM e""",
+    // DuckDB native distinct window over the identical
+    // INTERVAL-bounded timestamp frame (micros precision both sides)
+    "window_rangeframe_distinct_interval_rule" ->
+      """WITH e AS (SELECT event_id, user_id,
+           make_timestamp(epoch_ns(ts) // 1000) AS tts FROM events)
+         SELECT event_id, count(DISTINCT user_id) OVER
+             (ORDER BY tts RANGE BETWEEN INTERVAL '1' DAY PRECEDING
+              AND CURRENT ROW) AS uniq1d
+         FROM e""",
     // grouped interval join; the avg is spelled as the rewrite's own
     // exact-sum/exact-count double division (NOT DuckDB's native
     // avg(DISTINCT), whose accumulation order is unspecified)

@@ -126,6 +126,39 @@ class GlobalWindowSpec extends AnyFunSuite {
     scaled.foreach { case (k, v) => assert(v == single(k), s"key $k") }
   }
 
+  test("groupedCumSumLong (round 17): int64-exact past 2^53 where the " +
+      "double carrier rounds, nulls/null-group semantics match the " +
+      "plain window, and overflow is a loud ANSI error") {
+    val big = (1L << 53) + 1L
+    val df = Seq((Some("a"), 1L, Some(big)), (Some("a"), 2L, Some(1L)),
+        (Some("a"), 3L, None), (None, 1L, Some(2L)), (None, 2L, Some(big)))
+      .toDF("g", "k", "v")
+    val got = GlobalWindow.groupedCumSumLong(df, Seq("g"), Seq($"k"),
+        "v", "cs", numPartitions = 4)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // exact: big + 1 is NOT representable as a double (2^53 + 2 is,
+    // but the running value big+1 would round to big on the double
+    // path before the +1 lands... the point: these asserts fail on a
+    // double carrier)
+    assert(got((Some("a"), 1L)) == Some(big))
+    assert(got((Some("a"), 2L)) == Some(big + 1L))
+    assert(got((Some("a"), 3L)) == Some(big + 1L))
+    assert(got((None, 1L)) == Some(2L))
+    assert(got((None, 2L)) == Some(big + 2L))
+    // overflow: two near-max values — loud, not wrapped
+    val odf = Seq((1L, Long.MaxValue - 1), (2L, Long.MaxValue - 1))
+      .toDF("k", "v")
+    val e = intercept[Exception] {
+      GlobalWindow.cumSumLong(odf, Seq($"k"), "v", "cs").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("overflow") ||
+      m.contains("ARITHMETIC_OVERFLOW")), msgs(e).mkString(" | "))
+  }
+
   test("groupedCumAgg: min/max/count/avg match the plain window") {
     import graft.operators.GlobalWindow.RunningAgg
     val df = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(2.0)),

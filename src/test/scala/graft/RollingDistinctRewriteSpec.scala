@@ -963,15 +963,29 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
 
   // ---- round-14: the operator guards (r13 ADVICE lows) ----
 
-  test("bucket-span guard: a sparse order domain fails fast with the " +
-      "quantize hint instead of exploding the spine") {
+  test("bucket-span guard (round 17): the REWRITE no longer touches it " +
+      "— a sparse order domain past the cap computes fine through the " +
+      "sparse lowering; only the dense direct operator still guards") {
     val key = "spark.graft.rollingDistinct.maxBucketSpan"
     spark.conf.set(key, "1000")
     try {
-      val df = Seq((1L, 0L), (2L, 50000L)).toDF("id", "b")
+      val df = Seq((1L, 0L), (2L, 50000L), (1L, 50003L))
+        .toDF("id", "b")
+      // rewrite path: span 50003 >> cap 1000, but the sparse plan
+      // materializes only observed buckets — works, and the values
+      // match the naive frame semantics
       val w = Window.orderBy(col("b")).rangeBetween(-6, 0)
+      val out = df.select(col("b"),
+        count_distinct(col("id")).over(w).as("c"))
+      assertRewritten(out, "sparse-domain rewrite")
+      assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .sorted == Seq((0L, 1L), (50000L, 1L), (50003L, 2L)))
+      // dense direct operator: the documented one-row-per-span-bucket
+      // contract cannot be sparse, so the guard still fails fast with
+      // the quantize hint
       val e = intercept[Exception] {
-        df.select(count_distinct(col("id")).over(w)).collect()
+        graft.operators.RollingDistinct
+          .trailingDistinct(df, "id", "b", 7).collect()
       }
       def msgs(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(x =>
@@ -1396,6 +1410,176 @@ class RollingDistinctRewriteSpec extends AnyFunSuite {
       // frames: 10 → ≤8 {}; 11 → ≤9 {}; 12 → ≤10 {1}; 14 → ≤12 {1,2}
       assert(vals == Seq((10L, 0L), (11L, 0L), (12L, 1L), (14L, 2L)))
     } finally spark.catalog.dropTempView("rdr_cumoff_t")
+  }
+
+  // ---- round 17: sparse-spine lowering (r16 verdict item 1), the
+  // TIMESTAMP/DayTimeInterval claim (item 2), the Long-exact sum
+  // carrier, and the maxLag=0 disable (r16 ADVICE) ----
+
+  test("sparse domains (round 17): offset and straddling frames over a " +
+      "micros-scale bucket domain — far past the old span cap — match " +
+      "brute force, including frame offsets wider than Int.MaxValue") {
+    val rnd = new scala.util.Random(1717)
+    val HOUR = 3600L * 1000000L // 3.6e9 µs — itself past Int.MaxValue
+    for (trial <- 0 until 6) {
+      val nGroups = 1 + rnd.nextInt(2)
+      val rows: Seq[(String, java.lang.Long, java.lang.Long)] =
+        Seq.fill(50 + rnd.nextInt(60)) {
+          val g = s"g${rnd.nextInt(nGroups)}"
+          val b: java.lang.Long = if (rnd.nextInt(10) == 0) null
+            else java.lang.Long.valueOf(
+              1700000000000000L + rnd.nextInt(96).toLong * HOUR +
+                rnd.nextInt(1000).toLong)
+          val id: java.lang.Long = if (rnd.nextInt(8) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(12).toLong)
+          (g, b, id)
+        }
+      val df = rows.toDF("g", "b", "id")
+      // frames in whole hours of micros: trailing, strictly-offset,
+      // straddling — all with |bounds| ≥ 1 hour ≫ Int.MaxValue
+      val (lo, hi) = rnd.nextInt(3) match {
+        case 0 => (-6 * HOUR, 0L)
+        case 1 => (-8 * HOUR, -2 * HOUR)
+        case _ => (-4 * HOUR, 3 * HOUR)
+      }
+      val w = Window.partitionBy(col("g")).orderBy(col("b"))
+        .rangeBetween(lo, hi)
+      val out = df.select(col("g"), col("b"),
+        count_distinct(col("id")).over(w).as("c"),
+        sum_distinct(col("id")).over(w).as("s"))
+      assertRewritten(out, s"sparse trial $trial")
+      val want = bruteOffset(rows, lo, hi, desc = false)
+      out.collect().foreach { r =>
+        val k = (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        val (wc, ws) = want(k)
+        assert(r.getLong(2) == wc, s"trial $trial count at $k")
+        assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == ws,
+          s"trial $trial sum at $k")
+      }
+    }
+  }
+
+  test("TIMESTAMP order key + DayTimeInterval bounds (round 17): " +
+      "trailing INTERVAL DAY/HOUR frames rewrite and match hand " +
+      "values at micros precision") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (ts("2024-01-01 00:00:00.000001"), 1L),
+      (ts("2024-01-02 23:59:59.999999"), 2L),
+      (ts("2024-01-03 00:00:00.000001"), 1L),
+      (ts("2024-01-05 12:00:00.0"), 3L)).toDF("t", "uid")
+    df.createOrReplaceTempView("rdr_ts_t")
+    try {
+      // [t − 2 days, t]: micros arithmetic — row 3's frame starts at
+      // 2024-01-01 00:00:00.000001, so it INCLUDES row 1 exactly
+      val trail = spark.sql(
+        """SELECT t, count(DISTINCT uid) OVER
+             (ORDER BY t RANGE BETWEEN INTERVAL '2' DAY PRECEDING
+              AND CURRENT ROW) AS c FROM rdr_ts_t""")
+      assertRewritten(trail, "ts interval trailing")
+      assert(trail.collect().map(r => (r.getTimestamp(0).toString,
+        r.getLong(1))).toSeq.sorted == Seq(
+        ("2024-01-01 00:00:00.000001", 1L),
+        ("2024-01-02 23:59:59.999999", 2L),
+        ("2024-01-03 00:00:00.000001", 2L),
+        ("2024-01-05 12:00:00.0", 1L)))
+      // strictly-offset hour bounds, mixed granularity: [t−48h, t−12h]
+      val off = spark.sql(
+        """SELECT t, count(DISTINCT uid) OVER
+             (ORDER BY t RANGE BETWEEN INTERVAL '48' HOUR PRECEDING
+              AND INTERVAL '12' HOUR PRECEDING) AS c FROM rdr_ts_t""")
+      assertRewritten(off, "ts interval strictly-offset")
+      // hand frames:
+      //   r1 [12-30, 12-31 12:00:00.000001] → {} → 0
+      //   r2 [12-31 23:59:59.999999, 01-02 11:59:59.999999]
+      //     → contains r1 → 1
+      //   r3 [01-01 00:00:00.000001, 01-02 12:00:00.000001]
+      //     → r1 equals the start micro exactly (inclusive) → 1
+      //   r4 [01-03 12:00, 01-05 00:00] → r3 is 12h before the start
+      //     → 0
+      assert(off.collect().map(r => (r.getTimestamp(0).toString,
+        r.getLong(1))).toSeq.sorted == Seq(
+        ("2024-01-01 00:00:00.000001", 0L),
+        ("2024-01-02 23:59:59.999999", 1L),
+        ("2024-01-03 00:00:00.000001", 1L),
+        ("2024-01-05 12:00:00.0", 0L)))
+      // YearMonthInterval bound over TIMESTAMP: month buckets are not
+      // fixed-width — stays stock-rejected
+      val e1 = intercept[Exception] {
+        spark.sql(
+          """SELECT t, count(DISTINCT uid) OVER
+               (ORDER BY t RANGE BETWEEN INTERVAL '1' MONTH PRECEDING
+                AND CURRENT ROW) AS c FROM rdr_ts_t""").collect()
+      }
+      assert(e1.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+      // integer bound over TIMESTAMP: stock-INVALID frame — claiming
+      // it would legalize what stock rejects, so it stays unclaimed
+      // (stock raises its frame-type error, not the DISTINCT one)
+      val e2 = intercept[Exception] {
+        spark.sql(
+          """SELECT t, count(DISTINCT uid) OVER
+               (ORDER BY t RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS c FROM rdr_ts_t""").collect()
+      }
+      assert(!e2.getMessage.contains("maxBucketSpan"))
+    } finally spark.catalog.dropTempView("rdr_ts_t")
+  }
+
+  test("TIMESTAMP cumulative-to-interval-offset: UNBOUNDED PRECEDING " +
+      "AND INTERVAL '1' DAY FOLLOWING rides the shifted-probe arm") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (ts("2024-01-01 06:00:00"), 1L),
+      (ts("2024-01-02 05:00:00"), 2L),
+      (ts("2024-01-04 00:00:00"), 3L)).toDF("t", "uid")
+    df.createOrReplaceTempView("rdr_ts_cum_t")
+    try {
+      val got = spark.sql(
+        """SELECT t, count(DISTINCT uid) OVER
+             (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+              AND INTERVAL '1' DAY FOLLOWING) AS c FROM rdr_ts_cum_t""")
+      assertRewritten(got, "ts cumulative-to-offset")
+      // frames: r1 ≤ 01-02 06:00 → {1,2}; r2 ≤ 01-03 05:00 → {1,2};
+      // r3 ≤ 01-05 → all
+      assert(got.collect().map(r => (r.getTimestamp(0).toString,
+        r.getLong(1))).toSeq.sorted == Seq(
+        ("2024-01-01 06:00:00.0", 2L),
+        ("2024-01-02 05:00:00.0", 2L),
+        ("2024-01-04 00:00:00.0", 3L)))
+    } finally spark.catalog.dropTempView("rdr_ts_cum_t")
+  }
+
+  test("Long-exact distinct sums (round 17, r16 ADVICE): SUM(DISTINCT) " +
+      "with magnitudes past 2^53 is exact through the rewrite — the " +
+      "double carrier would have rounded") {
+    val big = (1L << 53) + 1L // not representable as a double
+    val df = Seq((big, 1L), (3L, 1L), (big, 2L), (5L, 3L))
+      .toDF("v", "b")
+    val w = Window.orderBy(col("b"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.select(col("b"),
+      sum_distinct(col("v")).over(w).as("s"))
+    assertRewritten(out, "big sum")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got == Seq((1L, big + 3L), (1L, big + 3L), (2L, big + 3L),
+      (3L, big + 8L)),
+      s"got $got — a double-rounded carrier would drop the +1")
+  }
+
+  test("maxLag <= 0 unclaims ALL rows frames (r16 ADVICE): even the " +
+      "degenerate [0, 0] frame keeps the stock rejection") {
+    val key = "spark.graft.rowsDistinct.maxLag"
+    spark.conf.set(key, "0")
+    try {
+      val df = Seq((1L, 10L)).toDF("id", "b")
+      val w = Window.orderBy(col("b")).rowsBetween(0, 0)
+      val e = intercept[Exception] {
+        df.select(count_distinct(col("id")).over(w)).collect()
+      }
+      assert(e.getMessage.contains("DISTINCT_WINDOW_FUNCTION_UNSUPPORTED"))
+    } finally spark.conf.unset(key)
   }
 
   test("null-sentinel guard: a legitimate Long.MinValue bucket in the " +
