@@ -80,10 +80,17 @@ object Bench {
     // after the sweep; calib_sec rides in the JSON so any reader —
     // next round's judge, or the edit→bench dev loop — can normalize
     // totals across machine-speed drift without a checkout experiment.
-    // calib_ref is this workload's cost on the round-15 build box;
+    // calib_ref re-anchored round 17 (r16 verdict item 5): the old
+    // 1.848 was a round-15 box constant sampled without the settling
+    // burn — i.e. inside the boost window that kept flagging sweeps
+    // unstable. 2.10 is the median of a six-sample warm-steady
+    // measurement taken THROUGH the burn path (before [1.844, 1.983,
+    // 2.073] / after [2.134, 2.158, 2.207], spread 0.088, stable).
     // value_normalized = value * calib_ref / calib_sec re-expresses
-    // the total in round-15-box seconds.
-    val CalibRef = 1.848 // seconds, measured on the round-15 build box
+    // the total in round-17-warm-box seconds; cross-round readers
+    // comparing normalized totals across the anchor change should
+    // rescale by 1.848/2.10 or fall back to raw + per-key ratios.
+    val CalibRef = 2.10 // seconds, warm-steady on the round-17 box
     def calibPass(): Double = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: the session runs ANSI mode and summing 8e9
@@ -95,6 +102,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibPass() // codegen/JIT warm — calibration must not time Janino
+    // SETTLING BURN (round 17, r16 verdict item 5): this box runs
+    // measurably FASTER while cool (boost clocks / light co-tenancy:
+    // observed before-medians 1.12–1.57 s against under-load
+    // after-medians 1.9–2.3 s), so the before side of round-close
+    // sweeps kept sampling the boost window and the 20% gate refused
+    // to normalize (2 of 3 r16 sweeps self-flagged calib_unstable).
+    // Consecutive-pass agreement alone cannot detect the window — the
+    // boost samples agree with EACH OTHER — so the burn is wall-clock
+    // based: keep the calibration workload running until ≥ 60 s of
+    // full-load burn AND the last two passes agree within 5%, capped
+    // at 150 s. The before samples then measure the same loaded
+    // steady state the sweep and the after side run in.
+    locally {
+      val t0 = System.nanoTime()
+      var prev = calibPass()
+      var cur = calibPass()
+      def burnt = (System.nanoTime() - t0) / 1e9
+      while (burnt < 150 && (burnt < 60 ||
+          math.abs(cur - prev) / math.min(cur, prev) > 0.05)) {
+        prev = cur; cur = calibPass()
+      }
+      System.err.println(f"[bench] calib burn ${burnt}%.1fs " +
+        f"(last passes $prev%.3f, $cur%.3f)")
+    }
     // THREE samples per side, not one (r15 verdict item 1): the round-15
     // close run's single before-sample was an outlier-fast 1.122 s burst
     // (same box: ~1.91 s hours earlier, 2.187 s after the sweep) and the

@@ -88,7 +88,11 @@ object Plans {
       "window_rangeframe_distinct_offset_rule",
       "window_running_distinct_expr_rule",
       "window_running_distinct_offset_rule",
-      "window_rolling_distinct_pair_rule")
+      "window_rolling_distinct_pair_rule",
+      // round-17: the sparse observed-bucket lowering (span-independent
+      // spine) and the TIMESTAMP/DayTimeInterval frame claim
+      "window_rolling_distinct_sparse_rule",
+      "window_rangeframe_distinct_interval_rule")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

@@ -36,8 +36,8 @@ object Sf10Probe {
 
   /** Copy-0 slice for the differential hash gate — None when values
     * legitimately change with global scale. The slice fn gets
-    * (df, maxSf1DocId, maxSf1SuppKey, maxSf1VecId). */
-  private type Slice = (DataFrame, Long, Long, Long) => DataFrame
+    * (df, maxSf1DocId, maxSf1SuppKey, maxSf1VecId, maxSf1UserId). */
+  private type Slice = (DataFrame, Long, Long, Long, Long) => DataFrame
 
   /** One probe arm: inventory keys ride `SparkEntry.queries`; the
     * round-15 similarity arms (r14 verdict item 5) are OPERATOR-level
@@ -81,19 +81,21 @@ object Sf10Probe {
 
   private[graft] val Arms: Seq[Arm] = Seq(
     key("dedup_clusters_distributed", 10,
-      Some((df, maxDoc, _, _) => df.filter(col("doc_id") <= maxDoc))),
+      Some((df, maxDoc, _, _, _) => df.filter(col("doc_id") <= maxDoc))),
     key("text_dedup_passages", 10,
-      Some((df, maxDoc, _, _) => df.filter(col("doc_id") <= maxDoc))),
+      Some((df, maxDoc, _, _, _) => df.filter(col("doc_id") <= maxDoc))),
     key("join_interval_overlap", 10,
-      Some((df, _, maxSupp, _) => df.filter(col("l_suppkey") <= maxSupp))),
+      Some((df, _, maxSupp, _, _) =>
+        df.filter(col("l_suppkey") <= maxSupp))),
     key("window_rolling_minmax_wide", 10,
-      Some((df, _, maxSupp, _) => df.filter(col("l_suppkey") <= maxSupp))),
+      Some((df, _, maxSupp, _, _) =>
+        df.filter(col("l_suppkey") <= maxSupp))),
     // collocation counts are per-copy-local but PMI carries the GLOBAL
     // totals — slice compares (bg, cnt) only; copy-0 bigrams are
     // exactly the sf1 strings (copies 1-9 carry the sentinel
     // zz9dup{i}_ tag, which no corpus token can start with)
     key("text_collocations", 10,
-      Some((df, _, _, _) => df.filter(!col("bg").rlike("^zz9dup[0-9]_"))
+      Some((df, _, _, _, _) => df.filter(!col("bg").rlike("^zz9dup[0-9]_"))
         .select(col("bg"), col("cnt")))),
     // weights = f(global trade volume): values change with scale by
     // design; the 25-nation output domain must not
@@ -103,9 +105,9 @@ object Sf10Probe {
     // carrier at w=200, and the second fixed-domain iterative graph
     // key (pagerank: 25 nations, volumes change values, domain fixed)
     key("dedup_minhash", 10,
-      Some((df, maxDoc, _, _) => df.filter(col("doc_a") <= maxDoc))),
+      Some((df, maxDoc, _, _, _) => df.filter(col("doc_a") <= maxDoc))),
     key("window_rolling_std_wide", 10,
-      Some((df, _, maxSupp, _) => df.filter(col("l_suppkey") <= maxSupp))),
+      Some((df, _, maxSupp, _, _) => df.filter(col("l_suppkey") <= maxSupp))),
     key("graph_pagerank", 1, None),
     // ---- round-15 similarity arms (r14 verdict item 5) ----
     // IVF-PQ serving: the FIXED 10-query set over a 10×-bigger index —
@@ -120,7 +122,7 @@ object Sf10Probe {
     // whole frame is its own slice; the ratio prices the 10× edge
     // BUILD joins
     key("graph_common_neighbors_ppjoin", 1,
-      Some((df, _, _, _) => df)),
+      Some((df, _, _, _, _) => df)),
     // full-corpus SRP-LSH near-dup: twins planted per 40th vector at
     // every scale, 2×24-bit bands (16.7M buckets — organic collisions
     // stay negligible at 10×, so candidate work scales with PAIRS not
@@ -128,7 +130,7 @@ object Sf10Probe {
     // structurally 1, precision exact) → rows 10×, copy-0 pairs ARE
     // sf1's full output
     Arm("embedding_dup_pairs_lsh_corpus", 10,
-      Some((df, _, _, maxVec) => df.filter(col("id_a") <= maxVec)),
+      Some((df, _, _, maxVec, _) => df.filter(col("id_a") <= maxVec)),
       (s, dir, _) => graft.operators.Similarity.srpNearPairs(
           plantTwins(emb(s, dir)), minCosine = 0.95,
           nBits = 48, rowsPerBand = 24)
@@ -165,7 +167,7 @@ object Sf10Probe {
     // qualify), so (vec_id, keep) slices exactly despite b differing
     // between scales
     Arm("dedup_semantic_lshpart", 10,
-      Some((df, _, _, maxVec) => df.filter(col("vec_id") <= maxVec ||
+      Some((df, _, _, maxVec, _) => df.filter(col("vec_id") <= maxVec ||
         (col("vec_id") >= TwinOff &&
           col("vec_id") - TwinOff <= maxVec))),
       (s, dir, isSf10) => {
@@ -216,6 +218,53 @@ object Sf10Probe {
           .head
         Seq("candidate_pairs" -> r.getLong(0), "max_cluster" -> r.getLong(1),
           "sum_c2" -> r.getLong(2), "n_clusters" -> r.getLong(3))
+      }),
+    // ---- round-17 arm (r16 verdict item 4): the distinct-window
+    // rewrite at 60M rows ----
+    // The STRICTLY-OFFSET sibling (widened-spine shifted-probe path,
+    // the one the r16 verdict said had no 100×-scale evidence) per
+    // user over 10M events: count(DISTINCT event_type) OVER
+    // (PARTITION BY user_id ORDER BY day RANGE BETWEEN 6 PRECEDING
+    // AND 2 PRECEDING). Copies shift user_id, so sf10 is 10 disjoint
+    // per-user problems: rows 10×, and the copy-0 slice (user_id ≤
+    // sf1's max) is bit-identical to sf1 — an exact differential gate
+    // at 100× with no oracle. Work counter: spine_buckets = distinct
+    // observed (user, day) pairs — under the round-17 SPARSE lowering
+    // the spine the running sums traverse is exactly the observed ∪
+    // shifted bucket set (≤ 2× this counter), so spine cost provably
+    // scales with DATA, not with the bucket-domain span.
+    Arm("window_distinct_offset_rule_sf10", 10,
+      Some((df, _, _, _, maxUser) => df.filter(col("user_id") <= maxUser)),
+      (s, dir, _) => {
+        val ev = graft.queries.QueryUtil.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 86400000000000").as("day"),
+            col("event_type"))
+        val out = ev.select(col("user_id"), col("event_id"),
+          expr("""count(DISTINCT event_type) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    RANGE BETWEEN 6 PRECEDING AND 2 PRECEDING)""")
+            .as("types_w"))
+        val survivors = out.queryExecution.optimizedPlan.collect {
+          case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+              if wn.windowExpressions.exists(_.exists {
+                case ae: org.apache.spark.sql.catalyst.expressions
+                    .aggregate.AggregateExpression => ae.isDistinct
+                case _ => false
+              }) => wn
+        }
+        require(survivors.isEmpty,
+          "window_distinct_offset_rule_sf10: rewrite did not fire")
+        out
+      },
+      work = Some { (s, dir, _) =>
+        val ev = graft.queries.QueryUtil.events(s, dir)
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            col("event_type"))
+        val spine = ev.select("user_id", "day").distinct().count()
+        val pairs = ev.distinct().count()
+        Seq("spine_buckets" -> spine, "delta_pairs" -> 2 * pairs)
       }))
 
   /** the shared order-independent exact digest
@@ -251,6 +300,8 @@ object Sf10Probe {
       .agg(max(col("l_suppkey"))).head.getLong(0)
     val maxVec = spark.read.parquet(s"$sf1/embeddings.parquet")
       .agg(max(col("vec_id"))).head.getLong(0)
+    val maxUser = graft.queries.QueryUtil.events(spark, sf1)
+      .agg(max(col("user_id"))).head.getLong(0)
 
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -285,9 +336,9 @@ object Sf10Probe {
       val rowsOk = r10 == arm.mult * r1
       val hashOk = arm.slice.map { sl =>
         val want = digest(sl(arm.fn(spark, sf1, false),
-          maxDoc, maxSupp, maxVec))
+          maxDoc, maxSupp, maxVec, maxUser))
         val got = digest(sl(arm.fn(spark, sf10, true),
-          maxDoc, maxSupp, maxVec))
+          maxDoc, maxSupp, maxVec, maxUser))
         want == got
       }
       if (!rowsOk || hashOk.contains(false)) bad ::= k
