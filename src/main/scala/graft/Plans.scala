@@ -92,7 +92,12 @@ object Plans {
       // round-17: the sparse observed-bucket lowering (span-independent
       // spine) and the TIMESTAMP/DayTimeInterval frame claim
       "window_rolling_distinct_sparse_rule",
-      "window_rangeframe_distinct_interval_rule")
+      "window_rangeframe_distinct_interval_rule",
+      // round-17 second batch: the prefix-doubling suffix-array family
+      // (the ranks plan is a localCheckpoint scan — the iterative
+      // lineage is truncated by design, like dedup_clusters — so the
+      // dumpable evidence is the spans pipeline built on top of it)
+      "text_sa_repeat_spans", "text_sa_dedup_docs")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

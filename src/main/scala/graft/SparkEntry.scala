@@ -64,7 +64,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.TimeSeriesQueries.queries ++
       graft.queries.FormatQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.SuffixQueries.queries
 
   /** Every module's oracle SQL, with the negative-zero normalization
     * applied centrally (QueryUtil.negZeroSafeOracle): each `round(1e-9 …,
@@ -85,7 +86,8 @@ object SparkEntry {
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.TimeSeriesQueries.oracleSql ++
       graft.queries.FormatQueries.oracleSql ++
-      graft.queries.GraphQueries.oracleSql
+      graft.queries.GraphQueries.oracleSql ++
+      graft.queries.SuffixQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core mutate paths (SURVEY §2.1 decision tree) ----

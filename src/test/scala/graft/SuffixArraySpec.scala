@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SuffixArray
+
+class SuffixArraySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  /** Brute-force oracle: word-start suffixes sorted by (full suffix,
+    * doc_id, pos) — Scala String ordering = byte order for ASCII,
+    * matching both Spark and DuckDB. */
+  private def expected(docs: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
+    val pos = for {
+      (id, t) <- docs if t.nonEmpty
+      p <- 0 until t.length if p == 0 || t(p - 1) == ' '
+    } yield (id, p.toLong, t.substring(p))
+    pos.sortBy { case (id, p, sfx) => (sfx, id, p) }.zipWithIndex
+      .map { case ((id, p, _), i) => (id, p, i + 1L) }
+  }
+
+  private def run(docs: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+    SuffixArray.suffixRanks(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("suffixRanks matches brute force incl. ties, prefixes, 1-token docs") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox",   // prefix of doc 1's start
+      3L -> "fox",                   // single token, also a full suffix of 2
+      4L -> "zebra",
+      5L -> "the quick brown fox jumps over the lazy dog" // identical to 1
+    )
+    assert(run(docs) == expected(docs).sortBy(t => (t._1, t._2)))
+  }
+
+  test("suffixRanks needs >1 doubling pass on long shared prefixes") {
+    // 30-token shared prefix forces a doubling pass (round-0 fan ~6
+    // covers only 6 tokens) before ranks separate.
+    val shared = (1 to 30).map(i => "tok" + (i % 3)).mkString(" ")
+    val docs = Seq(1L -> s"$shared alpha", 2L -> s"$shared beta",
+      3L -> s"$shared alpha") // 1 and 3 identical -> tie-break pass too
+    val got = run(docs)
+    assert(got == expected(docs).sortBy(t => (t._1, t._2)))
+    assert(got.map(_._3).sorted == (1L to got.size).toList)
+  }
+
+  test("suffixRanks: ranks are a contiguous 1..n permutation on real docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where($"doc_id" % 7 === 0)
+    val ranks = SuffixArray.suffixRanks(d).collect().map(_.getLong(2)).sorted
+    assert(ranks.head == 1L && ranks.last == ranks.length.toLong &&
+      ranks.distinct.length == ranks.length)
+  }
+
+  test("repeatSpans finds a planted cross-doc span with exact capped lcp") {
+    val span = "one two three four five six seven eight nine ten" // 48 chars
+    val docs = Seq(
+      10L -> s"aaa bbb $span ccc",
+      20L -> s"ddd $span eee fff",
+      30L -> "unrelated words only here")
+    val got = SuffixArray.repeatSpans(docs.toDF("doc_id", "text"),
+        minLcp = 20, cap = 64)
+      .where($"doc_lo" === 10 && $"doc_hi" === 20)
+      .collect()
+    assert(got.length == 1)
+    // suffixes "one two ... ten ccc" vs "one two ... ten eee fff":
+    // common prefix = span + " " = 49 chars (then 'c' <> 'e')
+    assert(got.head.getAs[Long]("max_lcp") == span.length + 1L)
+  }
+
+  test("repeatSpans reports internal repetition as doc_lo == doc_hi") {
+    val rep = "alpha beta gamma delta epsilon" // 30 chars, repeated in-doc
+    val docs = Seq(1L -> s"$rep zzz $rep qqq")
+    val got = SuffixArray.repeatSpans(docs.toDF("doc_id", "text"),
+        minLcp = 20, cap = 64).collect()
+    assert(got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 1L &&
+      r.getAs[Long]("max_lcp") >= rep.length.toLong))
+  }
+}
