@@ -97,7 +97,10 @@ object Plans {
       // (the ranks plan is a localCheckpoint scan — the iterative
       // lineage is truncated by design, like dedup_clusters — so the
       // dumpable evidence is the spans pipeline built on top of it)
-      "text_sa_repeat_spans", "text_sa_dedup_docs")
+      "text_sa_repeat_spans", "text_sa_dedup_docs",
+      // round-17: HLL-sketch approx trailing distinct beside the
+      // exact rewrite (fixed-size sketch state at scale)
+      "window_trailing_approx_distinct")
     // join_runtime_bloom / join_dpp_prune / join_aqe_skew are NOT
     // listed: the snapshot pattern (collect-inside-conf-scope) makes
     // their returned frame a LocalTableScan — the feature evidence is

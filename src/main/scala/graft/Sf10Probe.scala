@@ -265,6 +265,34 @@ object Sf10Probe {
         val spine = ev.select("user_id", "day").distinct().count()
         val pairs = ev.distinct().count()
         Seq("spine_buckets" -> spine, "delta_pairs" -> 2 * pairs)
+      }),
+    // ---- round-17 second arm: the prefix-doubling suffix array at
+    // 100× (6M docs is not built — the corpus is 10× sf1's 50k docs =
+    // 500k docs / ~27M token positions). Copy tagging (`zz9dup{i}_`
+    // token prefixes) changes copy 1-9 suffixes but leaves copy 0
+    // byte-identical, and GLOBAL ranks of copy-0 suffixes keep their
+    // RELATIVE order no matter what the other copies contribute — so
+    // densely re-ranking the copy-0 slice must reproduce sf1's full
+    // output bit-for-bit: an exact differential gate for the whole
+    // iterative pipeline at 100× with no oracle. (The slice's
+    // re-rank is a probe-side single-partition window over the
+    // 2.7M-row slice — gate cost, not operator cost.) Work counters:
+    // positions (the per-pass shuffle volume driver) and vocab (the
+    // pre-pass key table; tagging makes it ~10×).
+    Arm("text_suffix_ranks_sf10", 10,
+      Some((df, maxDoc, _, _, _) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("sa_rank")
+        df.filter(col("doc_id") <= maxDoc)
+          .withColumn("sa_rank", row_number().over(w).cast("long"))
+      }),
+      (s, dir, _) => graft.operators.SuffixArray.suffixRanks(
+        s.read.parquet(s"$dir/documents.parquet")),
+      work = Some { (s, dir, _) =>
+        val toks = s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val positions = toks.count()
+        val vocab = toks.distinct().count()
+        Seq("positions" -> positions, "vocab" -> vocab)
       }))
 
   /** the shared order-independent exact digest

@@ -142,6 +142,69 @@ object ExtendedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_trailing_approx_distinct" -> ((s, dir) => {
+      // The GROUPED approx/exact distinct-window pairing (round 17).
+      // Two deltas vs the existing ungrouped sketch arm
+      // (window_rolling_distinct_approx in TimeSeriesQueries): the
+      // frame is PARTITIONED (per-supplier sketch series — the shape
+      // where per-key exact distinct state actually explodes at
+      // scale), and the exact side is the NAIVE declarative form the
+      // analyzer rule claims, gated against DuckDB's NATIVE windowed
+      // count(DISTINCT) rather than an interval-join replay.
+      // Trailing 4-week distinct parts per supplier, twice in one
+      // key —
+      //   exact:  count(DISTINCT l_partkey) OVER (PARTITION BY supp
+      //           ORDER BY wk RANGE 3 PRECEDING), the declarative form
+      //           stock Spark rejects, made O(rows) by
+      //           RollingDistinctRewrite (require()-pinned below);
+      //   approx: per-(supp, wk) DataSketches HLL sketches
+      //           (hll_sketch_agg) merged over the SAME trailing frame
+      //           with hll_union_agg — the 100 TB path when exact
+      //           distinct state no longer fits (sketch size is fixed;
+      //           per-bucket pre-aggregation makes the window input
+      //           bucket-domain-bounded, and a moving frame merges
+      //           <= 4 sketches per row).
+      // The gate: the exact side hash-matches DuckDB's native windowed
+      // count(DISTINCT); the approx side is CONTRACT-gated (like
+      // decontam_bloom) — |approx − exact| <= max(2, 15%) must hold on
+      // every row, far beyond HLL lgK=12's ~1.6% envelope (sketches
+      // this small are coupon-exact), so approx_ok=true is a real
+      // engine property, not a tautology: any estimator regression
+      // hash-fails the key.
+      val wk = expr("datediff(cast(l_shipdate as date), " +
+        "date'1970-01-01') div 7").cast("long").as("wk")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), wk, col("l_partkey"))
+      val fr = Window.partitionBy("l_suppkey").orderBy("wk")
+        .rangeBetween(-3, 0)
+      val approx = li.groupBy("l_suppkey", "wk")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .withColumn("approx",
+          hll_sketch_estimate(hll_union_agg(col("sk")).over(fr)))
+        .drop("sk")
+      val ex = li.distinct()
+        .select(col("l_suppkey"), col("wk"),
+          count_distinct(col("l_partkey")).over(fr).as("exact_distinct"))
+        .distinct()
+      val opt = ex.queryExecution.optimizedPlan
+      val survivors = opt.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+            if wn.windowExpressions.exists(_.exists {
+              case ae: org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression => ae.isDistinct
+              case _ => false
+            }) => wn
+      }
+      require(survivors.isEmpty,
+        "window_trailing_approx_distinct: the exact side's distinct " +
+          "window aggregate survived — RollingDistinctRewrite did not " +
+          "fire (is spark.sql.extensions=graft.GraftExtensions set?)")
+      ex.join(approx, Seq("l_suppkey", "wk"))
+        .select(col("l_suppkey"), col("wk"), col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")) <=
+            greatest(lit(2L), expr("exact_distinct * 3 div 20")))
+            .as("approx_ok"))
+    }),
     "pivot_wide" -> ((s, dir) => {
       // reshape long→wide (tidyr::pivot_wider analog). Values pinned:
       // pivot(col) without values runs a driver-side distinct first.
@@ -1444,6 +1507,26 @@ object ExtendedQueries {
     s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    // exact side = DuckDB's NATIVE windowed count(DISTINCT); the
+    // approx side is the declared contract column (any HLL estimate
+    // outside max(2, 15%) flips approx_ok on the Spark side and
+    // hash-fails)
+    "window_trailing_approx_distinct" ->
+      """WITH tri AS (
+           SELECT DISTINCT l_suppkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS wk,
+             l_partkey
+           FROM lineitem
+         ), ex AS (
+           SELECT DISTINCT l_suppkey, wk,
+             count(DISTINCT l_partkey) OVER (PARTITION BY l_suppkey
+               ORDER BY wk RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS exact_distinct
+           FROM tri
+         )
+         SELECT l_suppkey, wk, exact_distinct, TRUE AS approx_ok
+         FROM ex""",
     "window_zscore_anomaly" ->
       """WITH s AS (SELECT event_id, value,
            avg(value) OVER w AS mu,

@@ -72,6 +72,28 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("max_lcp") == span.length + 1L)
   }
 
+  test("differential fuzz: suffixRanks vs brute force on random corpora") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // Tiny vocab + planted duplicate docs force long shared prefixes,
+    // full-suffix cross-doc ties, and every pass-count regime.
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 10)
+      base <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 40)
+        ws <- Gen.listOfN(len, Gen.oneOf("ab", "b", "ba", "cc", "a"))
+      } yield ws.mkString(" "))
+      dupOf <- Gen.choose(0, n - 1)
+      withDup = base :+ base(dupOf) // planted exact duplicate
+    } yield withDup.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(12).withWorkers(1)
+    val res = SCTest.check(params, forAll(corpusGen) { docs =>
+      run(docs) == expected(docs).sortBy(t => (t._1, t._2))
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("repeatSpans reports internal repetition as doc_lo == doc_hi") {
     val rep = "alpha beta gamma delta epsilon" // 30 chars, repeated in-doc
     val docs = Seq(1L -> s"$rep zzz $rep qqq")
