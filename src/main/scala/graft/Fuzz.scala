@@ -133,6 +133,30 @@ object Fuzz {
       }
     }
     System.err.println(s"[fuzz] distinct-window arm: $nd samples")
+    // ---- round-17: suffix-array fuzz arm ----
+    // Seeded random corpora (tiny overlapping vocab → long shared
+    // prefixes, 70% of samples plant an exact duplicate doc → full-
+    // suffix cross-doc ties through every doubling pass) run through
+    // the COMPLETE prefix-doubling pipeline and replayed against
+    // DuckDB sorting the raw suffixes — an oracle that shares no code
+    // or algorithm with the operator. Complements the in-JVM
+    // ScalaCheck differential (SuffixArraySpec) with the
+    // driver-faithful bit-exact checker.
+    val nsa = n / 4
+    (0 until nsa).foreach { i =>
+      try {
+        val s = saSample(spark, i, seed)
+        s.df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$inDir/${s.name}.parquet")
+        s.result.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${s.name}")
+        oracles(s.name) = s.oracle
+      } catch { case e: Exception =>
+        System.err.println(f"[fuzz] fzsa$i%03d FAILED to build: $e")
+        fails += 1
+      }
+    }
+    System.err.println(s"[fuzz] suffix-array arm: $nsa samples")
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -143,6 +167,45 @@ object Fuzz {
     System.err.println(s"[fuzz] wrote ${oracles.size} samples, $fails failed")
     spark.stop()
     if (fails > 0) sys.exit(1)
+  }
+
+  /** One seeded SUFFIX-ARRAY sample (round 17): a random tiny-vocab
+    * corpus (prefix-heavy tokens, 70% with a planted exact duplicate
+    * doc) through [[graft.operators.SuffixArray.suffixRanks]], oracled
+    * by DuckDB's full suffix sort (`ORDER BY substr(text, pos+1)`,
+    * word-start positions via inclusive generate_series). */
+  private def saSample(spark: SparkSession, i: Int, seed: Long): Sample = {
+    val rnd = new java.util.Random(seed * 2038074743L + i)
+    val name = f"fzsa$i%03d"
+    val vocabAll = Seq("a", "ab", "b", "ba", "abq", "cc", "c", "zq")
+    val vocab = vocabAll.take(2 + rnd.nextInt(vocabAll.size - 1))
+    val nDocs = 1 + rnd.nextInt(9)
+    val base = (0 until nDocs).map { _ =>
+      val len = rnd.nextInt(41)
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val texts =
+      if (rnd.nextInt(10) < 7) base :+ base(rnd.nextInt(base.size))
+      else base
+    import spark.implicits._
+    val df = texts.zipWithIndex
+      .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+    val result = graft.operators.SuffixArray.suffixRanks(df)
+    val oracle =
+      s"""WITH p AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) - 1)) AS pos
+            FROM $name WHERE length(text) > 0
+          ), w AS (
+            SELECT doc_id, text, pos FROM p
+            WHERE pos = 0 OR substr(text, pos, 1) = ' '
+          )
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 row_number() OVER (ORDER BY substr(text, pos + 1),
+                                    doc_id, pos) AS sa_rank
+          FROM w"""
+    Sample(name, df, result, oracle)
   }
 
   /** One seeded DISTINCT-WINDOW sample (round 16): a random
