@@ -158,14 +158,30 @@ object SuffixArray {
 
     // Loop bound + fan choice from a cheap PRE-EXPLODE scan of docs
     // (the docs table is |corpus|/avg_doc_len smaller than the position
-    // frame; no window, no explode).
-    val maxTokRow = traced(docs, "maxTok scan")(
+    // frame; no window, no explode). The same single pass ENFORCES the
+    // operator's ordering contract: token-sequence order equals raw
+    // character suffix order ONLY for single-space-separated printable
+    // ASCII (the ' ' separator must sort below every in-token byte,
+    // and Spark's UTF-16 comparison must agree with the oracle's UTF-8
+    // byte order — both guaranteed in ASCII, neither beyond it).
+    // Non-conforming corpora fail LOUDLY with the normalization hint
+    // instead of producing subtly reordered ranks.
+    val stats = traced(docs, "maxTok scan")(
       docs.where(length(col(textCol)) > 0)
-        .agg(max(size(split(col(textCol), " ")))).head())
-    if (maxTokRow.isNullAt(0)) // empty corpus: typed empty frame
+        .agg(max(size(split(col(textCol), " "))),
+          sum(when(col(textCol).rlike("\\A |  | \\z|[^ -~]"), 1L)
+            .otherwise(0L))).head())
+    if (stats.isNullAt(0)) // empty corpus: typed empty frame
       return docs.sparkSession.range(0).select(col("id").as("doc_id"),
         col("id").as("pos"), col("id").as("sa_rank"))
-    val maxTok: Int = maxTokRow.getInt(0)
+    require(stats.getLong(1) == 0L,
+      s"SuffixArray.suffixRanks: ${stats.getLong(1)} document(s) violate " +
+        "the single-space printable-ASCII contract (leading/trailing/" +
+        "double spaces or bytes outside 0x20-0x7E) — pre-normalize the " +
+        "text column (e.g. TextFunctions' whitespace normalization) " +
+        "before ranking, or suffix order vs the raw-character oracle " +
+        "is undefined")
+    val maxTok: Int = stats.getInt(0)
     val fan = pickFan(maxTok)
 
     // Tokenize with char offsets: pos = Σ previous token lengths +

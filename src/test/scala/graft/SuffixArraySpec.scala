@@ -94,6 +94,16 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("suffixRanks rejects corpora violating the single-space ASCII contract") {
+    for (bad <- Seq("a  b", " a b", "a b ", "café au lait")) {
+      val e = intercept[IllegalArgumentException] {
+        SuffixArray.suffixRanks(Seq(1L -> "clean text", 2L -> bad)
+          .toDF("doc_id", "text")).collect()
+      }
+      assert(e.getMessage.contains("single-space printable-ASCII"))
+    }
+  }
+
   test("repeatSpans reports internal repetition as doc_lo == doc_hi") {
     val rep = "alpha beta gamma delta epsilon" // 30 chars, repeated in-doc
     val docs = Seq(1L -> s"$rep zzz $rep qqq")
