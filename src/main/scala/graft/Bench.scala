@@ -134,6 +134,43 @@ object Bench {
     // burst or stall; ~6 extra calibration passes cost ~12 s on a ~200 s
     // sweep.
     val calibBeforeS = Seq.fill(3)(calibPass())
+    // SECOND calibration axis (round 17): the round-17 close
+    // adjudication proved the ALU kernel above does not span every
+    // drift axis — the close sweep ran median 1.34× slow on shared
+    // keys (smallest keys worst, the shuffle/hash-map-bound shape)
+    // while xxhash64-over-range calibrated at anchor, and re-running
+    // the EXACT r16 code reproduced the slowdown. This kernel times
+    // the missing axis: a wide hash aggregate (4M groups from 100M
+    // rows — per-task partial-agg hash maps + a multi-GB exchange;
+    // memory-bandwidth and shuffle-path bound, still deterministic,
+    // no IO). DIAGNOSTIC ONLY — value_normalized stays keyed to the
+    // ALU kernel; readers compare calib_shuffle_sec across rounds to
+    // attribute drift to the memory axis before blaming code.
+    // CalibShuffleRef is this kernel's median on the round-17-CLOSE
+    // box — i.e. measured DURING the ~2×-slow-memory window the
+    // adjudication documents, so a future healthy box should read
+    // BELOW the ref.
+    // The kernel is deliberately read with MIN per run (not median):
+    // its shuffle files hit the same /tmp the co-tenant stalls hit, so
+    // individual passes swing 2x (observed [4.4, 7.8] back to back);
+    // the min is the achievable speed of the axis, which is the drift
+    // signal — a healthy box's min should land well below the ref
+    // (anchored on the round-17-CLOSE box, i.e. INSIDE the ~2x-slow
+    // memory window the README adjudication documents: samples
+    // [2.47, 2.20, 2.18] / [2.40, 2.21, 2.50], min 2.18).
+    val CalibShuffleRef = 2.20 // seconds (min), round-17-close box
+    def calibShufflePass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .selectExpr("id % 2000000 AS k", "xxhash64(id, 7) AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.expr("bit_xor(v) AS x"))
+        .selectExpr("bit_xor(x) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibShufflePass() // codegen warm, same discipline as the ALU kernel
+    val calibShufBeforeS = Seq.fill(3)(calibShufflePass())
     // A failed query must NOT make the headline number better (its
     // time-to-crash is usually tiny) — record failures explicitly and
     // surface them in the JSON so the edit→bench loop can't mistake a
@@ -218,8 +255,10 @@ object Bench {
     // large before/after disagreement refuses normalization outright —
     // the estimator and its 20% gate are pinned by BenchCalibSpec
     val calibAfterS = Seq.fill(3)(calibPass())
+    val calibShufAfterS = Seq.fill(3)(calibShufflePass())
     val (calibSec, calibSpread, calibStable) =
       calibEstimate(calibBeforeS, calibAfterS)
+    val calibShufSec = (calibShufBeforeS ++ calibShufAfterS).min
     val results = selected.map { case (name, _) =>
       val best = (p1(name), p2(name)) match {
         case (Some(_), Some(_)) => Some(timings(name).min)
@@ -267,7 +306,11 @@ object Bench {
     val calibJson = s""""calib_sec":${r3(calibSec)},"calib_spread":${
       r3(calibSpread)},"calib_unstable":${!calibStable},"calib_before":${
       samples(calibBeforeS)},"calib_after":${samples(calibAfterS)
-      },"calib_ref":${r3(CalibRef)},"value_normalized":$normJson,"""
+      },"calib_ref":${r3(CalibRef)},"calib_shuffle_sec":${r3(calibShufSec)
+      },"calib_shuffle_before":${samples(calibShufBeforeS)
+      },"calib_shuffle_after":${samples(calibShufAfterS)
+      },"calib_shuffle_ref":${r3(CalibShuffleRef)
+      },"value_normalized":$normJson,"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",$calibJson$subset"queries":$qs,"failed":$failedJson,"stall_suspect":$suspectJson,"declared_baselines":$baselineJson,"sf":"$sfDir"}"""
     println(line)
