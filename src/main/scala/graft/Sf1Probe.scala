@@ -90,7 +90,14 @@ object Sf1Probe {
     "window_rangeframe_distinct_offset_rule",
     "window_running_distinct_expr_rule",
     "window_running_distinct_offset_rule",
-    "window_rolling_distinct_pair_rule")
+    "window_rolling_distinct_pair_rule",
+    // round-17: the sparse/interval rule claims, the prefix-doubling
+    // suffix-array family (barrier-bound — the ratio IS the claim),
+    // and the grouped HLL approx/exact distinct pairing
+    "window_rolling_distinct_sparse_rule",
+    "window_rangeframe_distinct_interval_rule",
+    "text_suffix_ranks", "text_sa_repeat_spans", "text_sa_dedup_docs",
+    "window_trailing_approx_distinct")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit =
     buildScaled(spark, src, dst, copies = 10, tag = "c",

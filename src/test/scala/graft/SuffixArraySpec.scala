@@ -94,6 +94,50 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  /** Brute-force repeatSpans: sort word-start suffixes, walk adjacent
+    * pairs, capped-64 LCP, filter, aggregate per unordered doc pair —
+    * independent of the operator's rank/expression machinery. */
+  private def expectedSpans(docs: Seq[(Long, String)], minLcp: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    val sfx = (for {
+      (id, t) <- docs if t.nonEmpty
+      p <- 0 until t.length if p == 0 || t(p - 1) == ' '
+    } yield (id, p.toLong, t.substring(p)))
+      .sortBy { case (id, p, s) => (s, id, p) }
+    val pairs = sfx.zip(sfx.drop(1)).map { case ((ia, _, sa), (ib, _, sb)) =>
+      val a = sa.take(64); val b = sb.take(64)
+      val lcp = a.zip(b).takeWhile { case (x, y) => x == y }.length.toLong
+      (math.min(ia, ib), math.max(ia, ib), lcp)
+    }.filter(_._3 >= minLcp)
+    pairs.groupBy(p => (p._1, p._2)).map { case ((lo, hi), ps) =>
+      (lo, hi, ps.size.toLong, ps.map(_._3).max)
+    }.toSet
+  }
+
+  test("differential fuzz: repeatSpans vs brute force on random corpora") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 8)
+      base <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 30)
+        ws <- Gen.listOfN(len, Gen.oneOf("aa", "b", "ab", "cd"))
+      } yield ws.mkString(" "))
+      dupOf <- Gen.choose(0, n - 1)
+    } yield (base :+ base(dupOf)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(10).withWorkers(1)
+    val res = SCTest.check(params, forAll(corpusGen) { docs =>
+      val got = SuffixArray.repeatSpans(docs.toDF("doc_id", "text"),
+          minLcp = 8, cap = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      got == expectedSpans(docs, 8)
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("suffixRanks rejects corpora violating the single-space ASCII contract") {
     for (bad <- Seq("a  b", " a b", "a b ", "café au lait")) {
       val e = intercept[IllegalArgumentException] {
