@@ -36,3 +36,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g caused multi-second GC swings on otherwise sub-second queries.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Shuffle files, spill, and temporary streaming checkpoints all live
+// under java.io.tmpdir (spark.local.dir and the streaming temp
+// checkpoint root both default to it). This box's /tmp is DISK-backed
+// and shared with co-tenant I/O (the documented external-stall source in
+// Bench.scala); /dev/shm is a 126 GiB tmpfs. Pointing the JVM tmpdir at
+// tmpfs is the guide-§6 I/O-placement choice a real deployment makes by
+// mounting shuffle volumes on NVMe/ramdisk — parameterised, not a
+// local-only constant: SPARK_GRAFT_TMPDIR overrides the location, and a
+// box without a writable /dev/shm silently keeps the stock default.
+javaOptions ++= {
+  val tmp = sys.env.get("SPARK_GRAFT_TMPDIR").orElse {
+    val shm = file("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_tmp")
+    else None
+  }
+  tmp.toSeq.map { d =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    s"-Djava.io.tmpdir=$d"
+  }
+}

@@ -327,7 +327,73 @@ object ByteHistogramExpr {
   }
 }
 
+/** Number of leading equal CHARACTERS of two strings — the codegen
+  * replacement for SuffixArray.repeatSpans' interpreted
+  * `array_min(transform(sequence(1, cap), i -> ...))` LCP scan (round
+  * 17, optimization): the higher-order form evaluates interpreted and
+  * re-walks `substring(s, i, 1)` from the string head per element —
+  * O(cap²) byte traversals per pair — where one compiled byte loop is
+  * O(prefix). Bit-identical to the declarative mismatch formula: for
+  * capped inputs, `lcp = common_prefix_chars(sa, sb)` equals
+  * `CASE WHEN m = cap+1 THEN least(length(sa), length(sb)) ELSE m-1`
+  * for every case (diff at char d → both give d−1; one a prefix of the
+  * other → mismatch at minLen+1 → minLen = the common prefix; equal →
+  * m = cap+1 → least(len) = the common prefix). UTF-8-aware: counts
+  * only COMPLETE chars inside the matching byte prefix (first bytes
+  * encode their sequence length, so equal byte prefixes never split a
+  * char boundary inconsistently); on the suffix-array family's
+  * enforced printable-ASCII corpus bytes == chars anyway. */
+case class CommonPrefixCharsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"common_prefix_chars expects (string, string), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CommonPrefixCharsExpr.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = CommonPrefixCharsExpr.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CommonPrefixCharsExpr =
+    copy(left = l, right = r)
+}
+
+object CommonPrefixCharsExpr {
+  def compute(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val ab = a.getBytes; val bb = b.getBytes
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n && ab(i) == bb(i)) i += 1
+    // count the complete chars wholly inside the matching prefix [0, i)
+    var j = 0; var chars = 0
+    while (j < i) {
+      val nb = org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(ab(j))
+      if (j + nb <= i) { chars += 1; j += nb } else j = i
+    }
+    chars
+  }
+}
+
 object HashKernels {
+  def commonPrefixChars(a: Column, b: Column): Column =
+    ColumnShim.column(CommonPrefixCharsExpr(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
   def byteHistogram(p: Column): Column =
     ColumnShim.column(ByteHistogramExpr(ColumnShim.expression(p)))
   def shingleHashes(text: Column, n: Int): Column =

@@ -147,7 +147,39 @@ object GlobalWindow {
     * shuffle, G×P offset rows, broadcast join. */
   def groupedCumAgg(df: DataFrame, by: Seq[String], orderBy: Seq[Column],
       valueCol: String, outCol: String, agg: RunningAgg,
+      numPartitions: Int = 0): DataFrame =
+    sweepAndJoin(stampPid(df, orderBy, numPartitions), by, orderBy,
+      valueCol, outCol, agg)
+
+  /** MULTI-PAYLOAD sibling of [[groupedCumSumLong]] (round 17,
+    * optimization): N independent running Long sums in the SAME total
+    * order share ONE pid stamp (one sampling job), ONE local sweep
+    * window, ONE offset aggregate and ONE broadcast join. The
+    * dual-aggregate distinct lowerings previously folded the
+    * single-payload form once per payload — each fold re-paying the
+    * driver-side bounds sampling and a full (group, pid) window +
+    * offset-join pass over the frame. Per-payload NULL gating matches
+    * N sequential [[groupedCumSumLong]] calls exactly: each payload
+    * gates on its OWN running non-null count, so "no values yet" stays
+    * NULL per payload. Each `(in, out)` payload must be LongType (or
+    * null) — same int64-exact contract as [[RunningAgg.SumLong]]. */
+  def groupedCumSumsLong(df: DataFrame, by: Seq[String],
+      orderBy: Seq[Column], payloads: Seq[(String, String)],
       numPartitions: Int = 0): DataFrame = {
+    require(payloads.nonEmpty, "groupedCumSumsLong needs >= 1 payload")
+    if (payloads.size == 1)
+      groupedCumSumLong(df, by, orderBy, payloads.head._1,
+        payloads.head._2, numPartitions)
+    else
+      multiSweepAndJoin(stampPid(df, orderBy, numPartitions), by,
+        orderBy, payloads)
+  }
+
+  /** Stamp the literal-bounds range pid (shared by the single- and
+    * multi-payload scaffolds — the construction notes live on
+    * [[groupedCumAgg]]'s original body). */
+  private def stampPid(df: DataFrame, orderBy: Seq[Column],
+      numPartitions: Int): DataFrame = {
     val parts = math.min(MaxSplits,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -156,30 +188,28 @@ object GlobalWindow {
     // SortOrder nodes (.desc/.asc wrappers) cannot, so they take the
     // legacy path.
     val plainKeys = orderBy.forall(c => !ColumnShim.isSortOrder(c))
-    val ranged =
-      if (plainKeys) {
-        // single-key fast path: compare the bare column — a struct per
-        // comparison costs an InternalRow allocation per row per tree
-        // level. Multi-key: hoist the struct into ONE projected column so
-        // the tree's O(parts) nodes reference it instead of re-building it.
-        if (orderBy.size == 1) {
-          val pid = rangePidExpr(df, orderBy.head, parts)
-          df.withColumn(PID, pid)
-        } else {
-          val keyed = df.withColumn(KEY, struct(orderBy: _*))
-          keyed.withColumn(PID, rangePidExpr(keyed, col(KEY), parts))
-            .drop(KEY)
-        }
+    if (plainKeys) {
+      // single-key fast path: compare the bare column — a struct per
+      // comparison costs an InternalRow allocation per row per tree
+      // level. Multi-key: hoist the struct into ONE projected column so
+      // the tree's O(parts) nodes reference it instead of re-building it.
+      if (orderBy.size == 1) {
+        val pid = rangePidExpr(df, orderBy.head, parts)
+        df.withColumn(PID, pid)
       } else {
-        // `.asc`/`.desc`-wrapped keys: same literal-bounds construction,
-        // with the bound comparison compiled per-field in the declared
-        // direction and null ordering (a struct comparison can't express
-        // mixed directions). No spark_partition_id anywhere — every plan
-        // branch computes the identical pid by construction.
-        df.withColumn(PID,
-          sortedPidExpr(df, orderBy.map(ColumnShim.sortSpec), parts))
+        val keyed = df.withColumn(KEY, struct(orderBy: _*))
+        keyed.withColumn(PID, rangePidExpr(keyed, col(KEY), parts))
+          .drop(KEY)
       }
-    sweepAndJoin(ranged, by, orderBy, valueCol, outCol, agg)
+    } else {
+      // `.asc`/`.desc`-wrapped keys: same literal-bounds construction,
+      // with the bound comparison compiled per-field in the declared
+      // direction and null ordering (a struct comparison can't express
+      // mixed directions). No spark_partition_id anywhere — every plan
+      // branch computes the identical pid by construction.
+      df.withColumn(PID,
+        sortedPidExpr(df, orderBy.map(ColumnShim.sortSpec), parts))
+    }
   }
 
   /** The shared two-pass scaffold over a pid-stamped frame: local sweep,
@@ -272,6 +302,67 @@ object GlobalWindow {
       .withColumn(outCol, combined)
       .drop((offBy :+ PID :+ OPID) :+ LOC: _*)
       .drop(CNT, OFF, OFFCNT, SUM, MIN, MAX, OFFMIN, OFFMAX)
+  }
+
+  /** The multi-payload SumLong scaffold: identical two-pass structure
+    * to [[sweepAndJoin]], with per-payload (running count, running sum,
+    * partial count, partial sum, offset count, offset sum) columns all
+    * riding the SAME (group, pid) window / aggregate / broadcast join.
+    * Window aggregates over one spec share one WindowExec, so N
+    * payloads cost N extra buffers in the existing passes rather than
+    * N-1 extra passes. */
+  private def multiSweepAndJoin(ranged: DataFrame, by: Seq[String],
+      orderBy: Seq[Column],
+      payloads: Seq[(String, String)]): DataFrame = {
+    val byCols = by.map(col)
+    def CNTi(i: Int) = s"__gw_cnt_${i}__"
+    def LOCi(i: Int) = s"__gw_loc_${i}__"
+    def PCNTi(i: Int) = s"__gw_pcnt_${i}__"
+    def SUMi(i: Int) = s"__gw_psum_${i}__"
+    def OFFCNTi(i: Int) = s"__gw_offcnt_${i}__"
+    def OFFi(i: Int) = s"__gw_off_${i}__"
+
+    val lw = Window.partitionBy((byCols :+ col(PID)): _*)
+      .orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = payloads.zipWithIndex.foldLeft(ranged) {
+      case (acc, ((in, _), i)) =>
+        // int64 end to end — no double cast (the SumLong contract)
+        acc.withColumn(CNTi(i), count(col(in)).over(lw))
+          .withColumn(LOCi(i), sum(col(in)).over(lw))
+    }
+
+    val pw = Window.partitionBy(byCols: _*).orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partials = payloads.zipWithIndex.flatMap { case ((in, _), i) =>
+      Seq(count(col(in)).as(PCNTi(i)),
+        coalesce(sum(col(in)), lit(0L)).as(SUMi(i)))
+    }
+    val offBy = by.map(b => s"__gw_by_$b")
+    val withOffsets = payloads.indices.foldLeft(
+      ranged.groupBy((byCols :+ col(PID)): _*)
+        .agg(partials.head, partials.tail: _*)) { (acc, i) =>
+      acc.withColumn(OFFCNTi(i),
+          coalesce(sum(col(PCNTi(i))).over(pw), lit(0L)))
+        .withColumn(OFFi(i), coalesce(sum(col(SUMi(i))).over(pw), lit(0L)))
+    }
+    val offOut = Seq(col(PID).as(OPID)) ++
+      payloads.indices.flatMap(i => Seq(col(OFFCNTi(i)), col(OFFi(i))))
+    val offsetDf = withOffsets.select(
+      (by.zip(offBy).map { case (b, o) => col(b).as(o) } ++ offOut): _*)
+
+    val joinCond = (by.zip(offBy).map { case (b, o) => col(b) <=> col(o) } :+
+      (col(PID) === col(OPID))).reduce(_ && _)
+    val combined = payloads.zipWithIndex.foldLeft(
+      swept.join(broadcast(offsetDf), joinCond, "left")) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, when(col(CNTi(i)) + col(OFFCNTi(i)) > 0,
+          coalesce(col(LOCi(i)), lit(0L)) + col(OFFi(i))))
+    }
+    combined
+      .drop((offBy :+ PID :+ OPID): _*)
+      .drop(payloads.indices.flatMap(i =>
+        Seq(CNTi(i), LOCi(i), PCNTi(i), SUMi(i), OFFCNTi(i), OFFi(i))): _*)
   }
 
   /** Sampled-bounds memo, keyed by (semantic hash of the keys-only

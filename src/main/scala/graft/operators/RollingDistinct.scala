@@ -142,12 +142,16 @@ object RollingDistinct {
   }
 
   /** Run the Long-exact running sums over a [[sparseMerge]] frame and
-    * keep the spine rows. */
+    * keep the spine rows. Dual payloads ride ONE
+    * [[GlobalWindow.groupedCumSumsLong]] pass (round 17, optimization):
+    * the previous per-payload fold paid the bounds-sampling job, the
+    * (group, pid) window and the offset broadcast join once per
+    * payload — N running sums in the same order need only extra
+    * aggregate buffers in the same passes. */
   private def sparseRunning(merged: DataFrame, by: Seq[String],
       payload: Seq[(String, String)]): DataFrame = {
-    val cum = payload.foldLeft(merged) { case (acc, (in, out)) =>
-      GlobalWindow.groupedCumSumLong(acc, by, Seq(col("__d")), in, out)
-    }
+    val cum = GlobalWindow.groupedCumSumsLong(merged, by,
+      Seq(col("__d")), payload)
     cum.filter(col("__sp") === 1).drop("__sp")
   }
 
@@ -200,14 +204,21 @@ object RollingDistinct {
           .as("__start")): _*)
     // two delta rows per (group, id, bucket) pair: +1 where the id
     // enters the trailing window, -1 where it ages out
-    val deltas = edges.select(byCols :+ explode(array(
+    val deltaRows = edges.select(byCols :+ explode(array(
         struct(col("__start").as("__d"), lit(1L).as("__delta")),
         struct((col("__b") + w).as("__d"), lit(-1L).as("__delta"))))
         .as("__e"): _*)
       .select(byCols :+ col("__e.__d").as("__d") :+
         col("__e.__delta").as("__delta"): _*)
-      .groupBy((by :+ "__d").map(col): _*)
-      .agg(sum(col("__delta")).as("__delta"))
+    // dense needs unique (group, __d) keys for the spine LEFT JOIN; the
+    // sparse path feeds RAW delta rows straight into sparseMerge, whose
+    // (group, __d) aggregate absorbs the pre-aggregation — one fewer
+    // full exchange (round 17, optimization; sums are associative so
+    // the merged totals are identical)
+    val deltas =
+      if (dense) deltaRows.groupBy((by :+ "__d").map(col): _*)
+        .agg(sum(col("__delta")).as("__delta"))
+      else deltaRows
 
     val joined =
       if (dense) {
@@ -275,15 +286,20 @@ object RollingDistinct {
         (when(col("__prev").isNull, col("__b"))
           .otherwise(greatest(col("__b"), col("__prev") + w))
           .as("__start")): _*)
-    val deltas = edges.select(byCols :+ explode(array(
+    val deltaRows = edges.select(byCols :+ explode(array(
         struct(col("__start").as("__d"), lit(1L).as("__dc"),
           col("__v").as("__dv")),
         struct((col("__b") + w).as("__d"), lit(-1L).as("__dc"),
           (-col("__v")).as("__dv")))).as("__e"): _*)
       .select(byCols :+ col("__e.__d").as("__d") :+
         col("__e.__dc").as("__dc") :+ col("__e.__dv").as("__dv"): _*)
-      .groupBy((by :+ "__d").map(col): _*)
-      .agg(sum(col("__dc")).as("__dc"), sum(col("__dv")).as("__dv"))
+    // dense keeps the unique-key pre-aggregation for the spine join;
+    // sparse lets sparseMerge's own (group, __d) aggregate do it — one
+    // fewer exchange (round 17, optimization)
+    val deltas =
+      if (dense) deltaRows.groupBy((by :+ "__d").map(col): _*)
+        .agg(sum(col("__dc")).as("__dc"), sum(col("__dv")).as("__dv"))
+      else deltaRows
 
     val joined =
       if (dense) {
@@ -360,11 +376,18 @@ object RollingDistinct {
           .as("__b"): _*)
       .filter(col("__v").isNotNull)
       .distinct()
-    val deltas = pairs.groupBy(byCols :+ col("__v"): _*)
+    val firstOcc = pairs.groupBy(byCols :+ col("__v"): _*)
       .agg(min(col("__b")).as("__d"))
-      .groupBy((by :+ "__d").map(col): _*)
-      .agg(count(lit(1)).as("__dc"),
-        sum(carrier).as("__dv"))
+    // one (+1, +v) delta per distinct value at its first bucket; the
+    // sparse path feeds these rows RAW into sparseMerge (whose own
+    // (group, __d) aggregate absorbs the per-bucket pre-aggregation —
+    // one fewer exchange, round 17 optimization); dense keeps the
+    // unique-key aggregate for the spine LEFT JOIN
+    def deltas(aggregated: Boolean): DataFrame =
+      if (aggregated) firstOcc.groupBy((by :+ "__d").map(col): _*)
+        .agg(count(lit(1)).as("__dc"), sum(carrier).as("__dv"))
+      else firstOcc.select(byCols :+ col("__d") :+
+        lit(1L).as("__dc") :+ carrier.as("__dv"): _*)
 
     val spineSrc = spineFrom.getOrElse(df)
     val joined =
@@ -380,7 +403,7 @@ object RollingDistinct {
           .withColumn("__d", lit(SENT))
           .select(realSpan.columns.map(col): _*)
         joinSpineDeltas(realSpan.unionByName(sentSpine),
-            deltas, by, Seq("__dc", "__dv"))
+            deltas(aggregated = true), by, Seq("__dc", "__dv"))
           .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
           .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
           .withColumn("__sp", lit(1))
@@ -392,7 +415,8 @@ object RollingDistinct {
             coalesce(checkedB(col(bucketCol).cast("long")), lit(SENT))
               .as("__d"): _*)
           .distinct()
-        sparseMerge(spineB, deltas, by, Seq("__dc", "__dv"))
+        sparseMerge(spineB, deltas(aggregated = false), by,
+          Seq("__dc", "__dv"))
       }
     sparseRunning(joined, by,
         Seq("__dc" -> "__cc", "__dv" -> "__cv"))
@@ -438,11 +462,15 @@ object RollingDistinct {
         col(bucketCol).cast("long").as("__b"): _*)
       .filter(col("__v").isNotNull)
       .distinct()
-    val deltas = pairs.groupBy(byCols :+ col("__v"): _*)
+    val firstOcc = pairs.groupBy(byCols :+ col("__v"): _*)
       .agg(min(col("__b")).as("__d"))
-      .groupBy((by :+ "__d").map(col): _*)
-      .agg(count(lit(1)).as("__dc"),
-        sum(carrier).as("__dv"))
+    // same raw-vs-aggregated delta split as the nulls-first sibling
+    // (round 17 optimization: sparse skips the pre-aggregation)
+    def deltas(aggregated: Boolean): DataFrame =
+      if (aggregated) firstOcc.groupBy((by :+ "__d").map(col): _*)
+        .agg(count(lit(1)).as("__dc"), sum(carrier).as("__dv"))
+      else firstOcc.select(byCols :+ col("__d") :+
+        lit(1L).as("__dc") :+ carrier.as("__dv"): _*)
 
     val spineSrc = spineFrom.getOrElse(df)
     val joined =
@@ -453,7 +481,8 @@ object RollingDistinct {
             max(col(bucketCol).cast("long")).as("__hi"))
           .select(byCols :+ explode(sequence(col("__lo"),
             guardedHi(spineSrc))).as("__d"): _*)
-        joinSpineDeltas(realSpan, deltas, by, Seq("__dc", "__dv"))
+        joinSpineDeltas(realSpan, deltas(aggregated = true), by,
+            Seq("__dc", "__dv"))
           .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
           .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
           .withColumn("__sp", lit(1))
@@ -461,7 +490,8 @@ object RollingDistinct {
         val spineB = spineSrc.filter(col(bucketCol).isNotNull)
           .select(byCols :+ col(bucketCol).cast("long").as("__d"): _*)
           .distinct()
-        sparseMerge(spineB, deltas, by, Seq("__dc", "__dv"))
+        sparseMerge(spineB, deltas(aggregated = false), by,
+          Seq("__dc", "__dv"))
       }
     val nonNullArm = sparseRunning(joined, by,
         Seq("__dc" -> "__cc", "__dv" -> "__cv"))

@@ -259,24 +259,28 @@ object SuffixArray {
     val ranks = suffixRanks(docs, idCol, textCol)
     val text = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__sa_t__"))
-    def side(tag: String, shift: Int) = ranks
-      .select((col("sa_rank") - shift).as("sa_rank"),
-        col("doc_id").as(s"doc_$tag"), col("pos").as(s"pos_$tag"))
-      .join(text.withColumnRenamed("doc_id", s"doc_$tag"), s"doc_$tag")
-      .withColumn(s"s$tag",
-        expr(s"substring(__sa_t__, pos_$tag + 1, $cap)"))
-      .drop("__sa_t__")
-    val pairs = side("a", 0).join(side("b", 1), "sa_rank")
-    val mism = expr(
-      s"""array_min(transform(sequence(1, $cap),
-            i -> CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1)
-                      THEN i ELSE ${cap + 1} END))""")
+    // Round-17 optimization: attach the capped suffix prefix ONCE
+    // (one doc-id join against the checkpointed ranks), then self-pair
+    // the slim (sa_rank, doc_id, sfx) frame — the previous shape joined
+    // `text` per side (two scans, two joins) before pairing.
+    val sfx = ranks.join(text, "doc_id")
+      .select(col("sa_rank"), col("doc_id"),
+        expr(s"substring(__sa_t__, pos + 1, $cap)").as("__sfx"))
+    val pairs = sfx
+      .select(col("sa_rank"), col("doc_id").as("doc_a"),
+        col("__sfx").as("sa"))
+      .join(sfx.select((col("sa_rank") - 1).as("sa_rank"),
+        col("doc_id").as("doc_b"), col("__sfx").as("sb")), "sa_rank")
+    // LCP of the capped prefixes == their common-prefix char count
+    // (proof on [[graft.functions.CommonPrefixCharsExpr]]) — a compiled
+    // O(prefix) byte loop replacing the interpreted O(cap²)
+    // transform/array_min scan; pinned bit-equal to the declarative
+    // form by SuffixArraySpec's brute-force differential fuzz and the
+    // unchanged DuckDB oracle.
     pairs
-      .withColumn("__m__", mism)
       .withColumn("lcp",
-        when(col("__m__") === (cap + 1),
-          least(length(col("sa")), length(col("sb"))))
-          .otherwise(col("__m__") - 1).cast("long"))
+        graft.functions.HashKernels.commonPrefixChars(
+          col("sa"), col("sb")).cast("long"))
       .where(col("lcp") >= minLcp)
       .select(least(col("doc_a"), col("doc_b")).as("doc_lo"),
         greatest(col("doc_a"), col("doc_b")).as("doc_hi"), col("lcp"))

@@ -159,6 +159,38 @@ class GlobalWindowSpec extends AnyFunSuite {
       m.contains("ARITHMETIC_OVERFLOW")), msgs(e).mkString(" | "))
   }
 
+  test("groupedCumSumsLong (round 17 optimization): the single-pass " +
+      "multi-payload scaffold equals two sequential groupedCumSumLong " +
+      "folds — per-payload null gating, null groups, 2^53-exact") {
+    val big = (1L << 53) + 1L
+    val df = Seq(
+        (Some("a"), 1L, Some(big), None: Option[Long]),
+        (Some("a"), 2L, Some(1L), Some(5L)),
+        (Some("a"), 3L, None: Option[Long], Some(7L)),
+        (None, 1L, Some(2L), None: Option[Long]),
+        (None, 2L, Some(big), Some(1L)))
+      .toDF("g", "k", "v1", "v2")
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getString(0)), r.getLong(1))
+    def opt(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val multi = GlobalWindow.groupedCumSumsLong(df, Seq("g"), Seq($"k"),
+        Seq("v1" -> "c1", "v2" -> "c2"), numPartitions = 4)
+      .collect().map(r => key(r) -> (opt(r, 4), opt(r, 5))).toMap
+    val fold1 = GlobalWindow.groupedCumSumLong(df, Seq("g"), Seq($"k"),
+      "v1", "c1", numPartitions = 4)
+    val folded = GlobalWindow.groupedCumSumLong(fold1, Seq("g"), Seq($"k"),
+        "v2", "c2", numPartitions = 4)
+      .collect().map(r => key(r) -> (opt(r, 4), opt(r, 5))).toMap
+    assert(multi == folded)
+    // spot semantics: leading-null payload stays NULL only until its
+    // own first value (per-payload gating), exactness past 2^53
+    assert(multi((Some("a"), 1L)) == (Some(big), None))
+    assert(multi((Some("a"), 2L)) == (Some(big + 1L), Some(5L)))
+    assert(multi((Some("a"), 3L)) == (Some(big + 1L), Some(12L)))
+    assert(multi((None, 2L)) == (Some(big + 2L), Some(1L)))
+  }
+
   test("groupedCumAgg: min/max/count/avg match the plain window") {
     import graft.operators.GlobalWindow.RunningAgg
     val df = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(2.0)),

@@ -156,4 +156,39 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 1L &&
       r.getAs[Long]("max_lcp") >= rep.length.toLong))
   }
+
+  test("common_prefix_chars (round 17 optimization) is bit-equal to the " +
+      "declarative transform/array_min mismatch formula it replaced, " +
+      "incl. empty strings, prefixes, multi-byte chars") {
+    val cap = 8
+    val rnd = new scala.util.Random(42)
+    // ascii + 2-/3-byte chars + space (the 4-byte 𝄞 appears only in the
+    // fixed cases: indexing a Scala string can split its surrogate pair)
+    val alphabet = "ab é €"
+    def randS(): String =
+      (0 until rnd.nextInt(12)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val cases = Seq(("", ""), ("", "a"), ("abc", "abc"), ("abc", "abcd"),
+      ("é", "è"), ("éx", "éy"), ("𝄞a", "𝄞b")) ++
+      Seq.fill(300)((randS(), randS()))
+    val df = cases.toDF("a", "b")
+      .selectExpr(s"substring(a, 1, $cap) AS sa",
+        s"substring(b, 1, $cap) AS sb")
+    val legacy = expr(
+      s"""array_min(transform(sequence(1, $cap),
+            i -> CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1)
+                      THEN i ELSE ${cap + 1} END))""")
+    val got = df
+      .withColumn("lcp_old",
+        when(legacy === (cap + 1), least(length(col("sa")),
+          length(col("sb")))).otherwise(legacy - 1).cast("long"))
+      .withColumn("lcp_new", graft.functions.HashKernels
+        .commonPrefixChars(col("sa"), col("sb")).cast("long"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"'${r.getString(0)}' vs '${r.getString(1)}': " +
+          s"old=${r.getLong(2)} new=${r.getLong(3)}")
+    }
+  }
 }
