@@ -314,6 +314,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",$calibJson$subset"queries":$qs,"failed":$failedJson,"stall_suspect":$suspectJson,"declared_baselines":$baselineJson,"sf":"$sfDir"}"""
     println(line)
+    // Truncation-proof SECOND summary line (round 18, r17 verdict item
+    // 2): the driver captures only a bounded TAIL of stdout, and the
+    // full one-line JSON above has outgrown that window in 3 of the
+    // last 4 rounds (BENCH_r14/15/16 all carry parsed:null because the
+    // line's HEAD — where the headline total lives — fell outside the
+    // tail). This short line repeats the headline fields in well under
+    // 200 bytes AFTER the full line, so whatever window the driver
+    // keeps always contains a complete, parseable total. Additive
+    // only: the full line, its field set, and the timing methodology
+    // are unchanged.
+    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","n_keys":${results.size},"n_failed":${failed.size},"value_normalized":$normJson,"calib_sec":${r3(calibSec)},"calib_shuffle_sec":${r3(calibShufSec)},"sf":"$sfDir"}""")
     // The driver captures a bounded TAIL of stdout; with ~100 queries the
     // line's head (the headline total) can fall outside that window. The
     // same line is persisted so the round artifact / future rounds carry

@@ -35,7 +35,7 @@ object PlanPeek {
     if (args.contains("exec")) {
       df.collect(): Unit // drive THIS plan instance to its final form
       println("=== executed (isFinalPlan) ===")
-      println(df.queryExecution.executedPlan.toString.take(8000))
+      println(df.queryExecution.executedPlan.toString.take(120000))
     }
     spark.stop()
   }

@@ -391,6 +391,13 @@ object CommonPrefixCharsExpr {
 }
 
 object HashKernels {
+  /** Leading equal CHARACTER count of two strings (the compiled LCP
+    * kernel). PRECONDITION (r17 ADVICE): the kernel is cap-agnostic —
+    * it counts the full common prefix of whatever it is given.
+    * Equivalence to a cap-bounded mismatch formula (the repeatSpans /
+    * oracle form) holds only because callers pre-cap both inputs with
+    * `substring(s, pos, cap)`; an uncapped caller gets the uncapped
+    * LCP. */
   def commonPrefixChars(a: Column, b: Column): Column =
     ColumnShim.column(CommonPrefixCharsExpr(
       ColumnShim.expression(a), ColumnShim.expression(b)))

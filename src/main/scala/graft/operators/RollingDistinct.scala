@@ -150,7 +150,27 @@ object RollingDistinct {
     * aggregate buffers in the same passes. */
   private def sparseRunning(merged: DataFrame, by: Seq[String],
       payload: Seq[(String, String)]): DataFrame = {
-    val cum = GlobalWindow.groupedCumSumsLong(merged, by,
+    // SHARED MATERIALIZATION (round 18): GlobalWindow's two-pass
+    // scaffold consumes its input through a plan diamond (the local
+    // sweep window AND the per-(group, pid) offset aggregate), and the
+    // branches' diverging column pruning makes their exchanges
+    // canonicalize UNEQUAL — the whole upstream lowering (scan →
+    // distinct pairs → lag → explode → merge aggregate) was computed
+    // TWICE per frame (verified in the r17/r18 executed plans: two
+    // full subtrees, no ReusedExchange; an explicit shared repartition
+    // was tried first and pruning still split it). A LAZY localCheckpoint
+    // truncates the plan at the merged frame — bucket-domain-sized, far
+    // smaller than the input — so both branches scan ONE stored copy:
+    // one full upstream pass saved for every distinct-window lowering.
+    // Lazy (eager=false): the first action — GlobalWindow's own bounds
+    // sampling at construction — materializes it; RDD-level blocks are
+    // released by ContextCleaner once the query's RDDs are unreachable
+    // (unlike a CacheManager persist, which pins until unpersist).
+    // Same cluster-reliability trade as the SuffixArray/Dedup
+    // checkpoints (documented there): on a real cluster, reliable
+    // checkpoint.
+    val shared = merged.localCheckpoint(false)
+    val cum = GlobalWindow.groupedCumSumsLong(shared, by,
       Seq(col("__d")), payload)
     cum.filter(col("__sp") === 1).drop("__sp")
   }

@@ -250,19 +250,30 @@ object SuffixArray {
     * (doc_lo, doc_hi, anchors, max_lcp).
     *
     * The LCP step materializes only `cap`-char prefixes of the two
-    * neighbours (linear in n, never the full suffixes), compared with a
-    * codegen'd higher-order `transform`/`array_min` scan mirrored
-    * verbatim by the oracle's list comprehension.
+    * neighbours (linear in n, never the full suffixes), compared with
+    * the compiled common-prefix byte loop
+    * [[graft.functions.CommonPrefixCharsExpr]] — proven equal (scaladoc
+    * proof + differential fuzz + the oracle) to the declarative
+    * mismatch-index formula the oracle's list comprehension evaluates.
     */
   def repeatSpans(docs: DataFrame, minLcp: Int = 20, cap: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ranks = suffixRanks(docs, idCol, textCol)
     val text = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__sa_t__"))
-    // Round-17 optimization: attach the capped suffix prefix ONCE
-    // (one doc-id join against the checkpointed ranks), then self-pair
-    // the slim (sa_rank, doc_id, sfx) frame — the previous shape joined
-    // `text` per side (two scans, two joins) before pairing.
+    // Round-17 optimization (comment corrected round 18, r17 ADVICE):
+    // attach the capped suffix prefix through one doc-id join SUBTREE
+    // against the checkpointed ranks, then self-pair the slim
+    // (sa_rank, doc_id, sfx) frame. The subtree is LOGICALLY single but
+    // referenced on both self-join sides, so the physical plan
+    // evaluates the text join + substring per side unless exchange
+    // reuse fires — the r17 win over the old per-side text joins is the
+    // slimmer pair frame + the compiled LCP, not a halved join count.
+    // Round 18 measured the materialized alternative
+    // (localCheckpoint(true) on sfx): same-session A/B read neutral at
+    // sf0.1 and the eager blocks leak executor storage across repeated
+    // constructions (no release point in a lazy-return operator), so
+    // the lazy shape stays.
     val sfx = ranks.join(text, "doc_id")
       .select(col("sa_rank"), col("doc_id"),
         expr(s"substring(__sa_t__, pos + 1, $cap)").as("__sfx"))

@@ -425,7 +425,13 @@ object TimeSeriesQueries {
 
   private def withStreamParts[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try { s.conf.set("spark.sql.shuffle.partitions", "4"); body }
+    // Parameterized (round 18): the per-stream state-sizing knob a real
+    // deployment tunes — state-store instances scale with partitions
+    // (a stream-stream join keeps FOUR per partition per micro-batch),
+    // not with rows, at this volume. Default 4 = the round-9 measured
+    // optimum; production sizes it to sustained input rate.
+    val parts = s.conf.get("spark.graft.stream.shufflePartitions", "4")
+    try { s.conf.set("spark.sql.shuffle.partitions", parts); body }
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
